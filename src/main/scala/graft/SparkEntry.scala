@@ -1,13 +1,221 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.harness.StandIn
+import graft.ops.{AlertRules, Aggregates, Parse}
+
+/** Driver contract — batch-oracle surface of the engine.
+  *
+  * Every entry runs the SAME pure DataFrame=>DataFrame operators the
+  * streaming pipeline uses (SURVEY §7.1), over the driver's parquet test
+  * tables, with a DuckDB-executable oracle in [[oracleSql]]. Column names
+  * and types are aligned on both sides (the driver sorts columns by name
+  * and hash-compares values). Non-deterministic columns (current_timestamp)
+  * are excluded from oracle outputs (SURVEY §7.5.4); floating aggregates
+  * are rounded identically on both sides to absorb summation-order ulps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001 — the full reference alert chain
+    * (JSON parse → flatten → 10-branch classify → enrich). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    alertsClassify(spark, "/root/testdata/sf0.001")
+
+  // ─── reference-parity queries ──────────────────────────────────────────
+
+  /** P1-P3 + C1-C4 + F1: the complete alert-detector chain
+    * (reference: alert_detector.py:82-209), including a real JSON parse:
+    * readings are serialized to A.1-shaped JSON and re-parsed through
+    * Parse.jsonToReadings before classification. */
+  private def alertsClassify(s: SparkSession, dir: String): DataFrame = {
+    val readings = StandIn.readingsFromEvents(StandIn.events(s, dir))
+    val parsed = Parse.jsonToReadings(Parse.readingsToJson(readings.drop("event_time")))
+    AlertRules.detect(parsed)
+  }
+
+  /** P1-P3, P8-P9: JSON serialize → parse → flatten round-trip. */
+  private def parseReadings(s: SparkSession, dir: String): DataFrame = {
+    val readings = StandIn.readingsFromEvents(StandIn.events(s, dir))
+    Parse.jsonToReadings(Parse.readingsToJson(readings.drop("event_time")))
+  }
+
+  /** A1-A4: tumbling 4-minute window, avg/min/max/count per sensor
+    * (reference: data_agregator.py:74-95; batch-bucket oracle per SURVEY §5.3). */
+  private def aggSensorStats(s: SparkSession, dir: String): DataFrame = {
+    val readings = StandIn.readingsFromEvents(StandIn.events(s, dir))
+    Aggregates.sensorStats(readings)
+      .withColumn("avg_value", round(col("avg_value"), 4))
+  }
+
+  /** P2: bare from_json field extraction. */
+  private def jsonParse(s: SparkSession, dir: String): DataFrame =
+    StandIn.events(s, dir).select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").alias("k"))
+
+  /** P9→P2: to_json/from_json round-trip is the identity. */
+  private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    StandIn.events(s, dir)
+      .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).alias("j"))
+      .select(from_json(col("j"), org.apache.spark.sql.types.StructType
+        .fromDDL("event_id BIGINT, event_type STRING, value DOUBLE")).alias("d"))
+      .select(col("d.event_id").alias("event_id"),
+              col("d.event_type").alias("event_type"),
+              col("d.value").alias("value"))
+
+  /** P4: timestamp → string → timestamp casts. */
+  private def castTimestamp(s: SparkSession, dir: String): DataFrame =
+    StandIn.events(s, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").cast("timestamp").alias("ts_rt"))
+
+  /** F4: SQL LIKE (reference: alert_detector.py:172-173,200). */
+  private def filterLike(s: SparkSession, dir: String): DataFrame =
+    StandIn.table(s, dir, "part")
+      .where(col("p_type").like("ECO%"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+
+  /** F2+F3: comparison predicates with boolean conjunction/disjunction
+    * (reference: alert_detector.py:107-153 rule guards). */
+  private def filterPredicates(s: SparkSession, dir: String): DataFrame =
+    StandIn.table(s, dir, "lineitem")
+      .where((col("l_quantity") > 45 || col("l_discount") < 0.02) &&
+             col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_discount"), col("l_returnflag"))
+
+  /** F5: severity isin filter — the mail-notifier predicate
+    * (reference: gestionnaire_mail.py:79-83), over real detected alerts. */
+  private def alertsMailable(s: SparkSession, dir: String): DataFrame =
+    alertsClassify(s, dir)
+      .where(col("severity").isin("critical", "warning"))
+      .select(col("sensor_id"), col("timestamp"), col("alert_type"),
+              col("severity"), col("message"), col("actual_value"))
+
+  // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
+
+  private val R = StandIn.readingsSql("events")
+
+  private val classifySql =
+    """CASE
+      | WHEN sensor_type='temperature' AND unit='celsius' AND (value<15 OR value>30) THEN 'temperature_critical'
+      | WHEN sensor_type='temperature' AND unit='celsius' AND value>27 THEN 'temperature_warning'
+      | WHEN sensor_type='humidity' AND unit='percent' AND (value<30 OR value>70) THEN 'humidity_critical'
+      | WHEN sensor_type='humidity' AND unit='percent' AND (value<35 OR value>60) THEN 'humidity_warning'
+      | WHEN sensor_type='pressure' AND unit='hPa' AND (value<980 OR value>1040) THEN 'pressure_critical'
+      | WHEN sensor_type='pressure' AND unit='hPa' AND (value<995 OR value>1030) THEN 'pressure_warning'
+      | WHEN battery_level<20 THEN 'battery_critical'
+      | WHEN battery_level<40 THEN 'battery_warning'
+      | WHEN signal_strength<-75 THEN 'weak_signal_critical'
+      | WHEN signal_strength<-70 THEN 'weak_signal_warning'
+      | ELSE NULL END""".stripMargin
+
+  private val enrichSql =
+    """sensor_id, sensor_type, building, floor, room, timestamp,
+      | battery_level, signal_strength, alert_type,
+      | CASE WHEN alert_type LIKE '%critical%' THEN 'critical'
+      |      WHEN alert_type LIKE '%warning%' THEN 'warning'
+      |      ELSE 'info' END AS severity,
+      | CASE alert_type WHEN 'temperature_critical' THEN 30
+      |   WHEN 'temperature_warning' THEN 27
+      |   WHEN 'humidity_critical' THEN 70
+      |   WHEN 'humidity_warning' THEN 60
+      |   WHEN 'pressure_critical' THEN 1040
+      |   WHEN 'pressure_warning' THEN 1030
+      |   WHEN 'battery_critical' THEN 20
+      |   WHEN 'battery_warning' THEN 40
+      |   WHEN 'weak_signal_critical' THEN -75
+      |   WHEN 'weak_signal_warning' THEN -70
+      |   ELSE NULL END AS threshold_value,
+      | value AS actual_value,
+      | CASE WHEN alert_type='temperature_critical' THEN 'Température CRITIQUE (>30°C ou <15°C)'
+      |   WHEN alert_type='temperature_warning' THEN 'Température élevée (>27°C)'
+      |   WHEN alert_type='humidity_critical' THEN 'Humidité CRITIQUE (<30% ou >70%)'
+      |   WHEN alert_type='humidity_warning' THEN 'Humidité anormale (<35% ou >60%)'
+      |   WHEN alert_type='pressure_critical' THEN 'Pression atmosphérique anormale (<980 ou >1040 hPa)'
+      |   WHEN alert_type='pressure_warning' THEN 'Pression hors plage (<995 ou >1030 hPa)'
+      |   WHEN alert_type='battery_critical' THEN 'Batterie CRITIQUE (<20%)'
+      |   WHEN alert_type='battery_warning' THEN 'Batterie faible (<40%)'
+      |   WHEN alert_type LIKE 'weak_signal_%' THEN 'Signal WiFi IoT faible'
+      |   ELSE 'Anomalie détectée' END AS message,
+      | event_time AS triggered_at,
+      | CAST(NULL AS TIMESTAMP) AS resolved_at,
+      | 'active' AS status""".stripMargin
+
+  private val alertsClassifyOracle =
+    s"""$R, classified AS (
+       |  SELECT *, $classifySql AS alert_type FROM readings
+       |)
+       |SELECT $enrichSql
+       |FROM classified WHERE alert_type IS NOT NULL""".stripMargin
+
+  // ─── driver contract ───────────────────────────────────────────────────
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "alerts_classify"   -> ((s, d) => alertsClassify(s, d)),
+    "parse_readings"    -> ((s, d) => parseReadings(s, d)),
+    "agg_sensor_stats"  -> ((s, d) => aggSensorStats(s, d)),
+    "json_parse"        -> ((s, d) => jsonParse(s, d)),
+    "json_roundtrip"    -> ((s, d) => jsonRoundtrip(s, d)),
+    "cast_timestamp"    -> ((s, d) => castTimestamp(s, d)),
+    "filter_like"       -> ((s, d) => filterLike(s, d)),
+    "filter_predicates" -> ((s, d) => filterPredicates(s, d)),
+    "alerts_mailable"   -> ((s, d) => alertsMailable(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "alerts_classify" -> alertsClassifyOracle,
+
+    "parse_readings" ->
+      s"""$R
+         |SELECT sensor_id, sensor_type, building, floor, room, timestamp,
+         |       value, unit, battery_level, signal_strength
+         |FROM readings""".stripMargin,
+
+    "agg_sensor_stats" ->
+      s"""$R
+         |SELECT CAST(to_timestamp(floor(epoch(event_time)/240)*240) AS TIMESTAMP) AS window_start,
+         |       CAST(to_timestamp(floor(epoch(event_time)/240)*240 + 240) AS TIMESTAMP) AS window_end,
+         |       sensor_id, sensor_type,
+         |       round(avg(value), 4) AS avg_value,
+         |       min(value) AS min_value,
+         |       max(value) AS max_value,
+         |       count(*) AS cnt
+         |FROM readings
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "json_parse" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+
+    "json_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events",
+
+    "cast_timestamp" ->
+      """SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       CAST(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS TIMESTAMP) AS ts_rt
+        |FROM events""".stripMargin,
+
+    "filter_like" ->
+      "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE 'ECO%'",
+
+    "filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE (l_quantity > 45 OR l_discount < 0.02) AND l_returnflag = 'R'""".stripMargin,
+
+    "alerts_mailable" ->
+      s"""$R, classified AS (
+         |  SELECT *, $classifySql AS alert_type FROM readings
+         |), alerts AS (
+         |  SELECT $enrichSql
+         |  FROM classified WHERE alert_type IS NOT NULL
+         |)
+         |SELECT sensor_id, timestamp, alert_type, severity, message, actual_value
+         |FROM alerts WHERE severity IN ('critical', 'warning')""".stripMargin
+  )
 }

@@ -1,0 +1,93 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic mapping from the driver's `events` test table onto the
+  * engine's canonical sensor-reading shape (FIXTURES.md §B.1), so every
+  * reference operator can be oracle-checked by DuckDB over the same parquet.
+  *
+  * Mapping (mirrored 1:1 by [[readingsSql]], which oracle queries inline as
+  * a CTE — keep the two in lockstep):
+  *   sensor_type    = click→temperature, view→humidity, purchase→pressure,
+  *                    else event_type verbatim
+  *   unit           = celsius / percent / hPa per mapped type, else 'count'
+  *   building       = 'A';  floor = user_id%2+1;  room = 100+user_id%4
+  *   sensor_id      = A_<floor>_<room>_<sensor_type>
+  *   timestamp      = ts formatted 'yyyy-MM-dd HH:mm:ss.SSSSSS' (raw-string
+  *                    timestamp semantics of the reference, SURVEY §2.9.8)
+  *   value          = value
+  *   battery_level  = props JSON field k (0..99)
+  *   signal_strength= -k  (dBm-like, so the <-75/-70 rules fire)
+  */
+object StandIn {
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events → flat canonical readings (+ `event_time` TimestampType). */
+  def readingsFromEvents(ev: DataFrame): DataFrame = {
+    val sensorType = expr(
+      """CASE event_type WHEN 'click' THEN 'temperature'
+        |  WHEN 'view' THEN 'humidity'
+        |  WHEN 'purchase' THEN 'pressure'
+        |  ELSE event_type END""".stripMargin)
+    val floorC = expr("CAST(user_id % 2 + 1 AS INT)")
+    val roomC  = expr("CAST(100 + user_id % 4 AS INT)")
+    val batt   = expr("CAST(get_json_object(props, '$.k') AS INT)")
+    ev.select(
+      concat_ws("_", lit("A"), floorC, roomC, sensorType).alias("sensor_id"),
+      sensorType.alias("sensor_type"),
+      lit("A").alias("building"),
+      floorC.alias("floor"),
+      roomC.alias("room"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("timestamp"),
+      col("value"),
+      expr(
+        """CASE event_type WHEN 'click' THEN 'celsius'
+          |  WHEN 'view' THEN 'percent'
+          |  WHEN 'purchase' THEN 'hPa'
+          |  ELSE 'count' END""".stripMargin).alias("unit"),
+      batt.alias("battery_level"),
+      (-batt).cast("int").alias("signal_strength"),
+      col("ts").alias("event_time"))
+  }
+
+  /** DuckDB CTE mirroring [[readingsFromEvents]] byte-for-byte in values. */
+  def readingsSql(eventsTable: String = "events"): String =
+    s"""WITH readings AS (
+       |  SELECT
+       |    concat_ws('_', 'A', CAST(user_id % 2 + 1 AS INT),
+       |              CAST(100 + user_id % 4 AS INT),
+       |              CASE event_type WHEN 'click' THEN 'temperature'
+       |                WHEN 'view' THEN 'humidity'
+       |                WHEN 'purchase' THEN 'pressure'
+       |                ELSE event_type END) AS sensor_id,
+       |    CASE event_type WHEN 'click' THEN 'temperature'
+       |      WHEN 'view' THEN 'humidity'
+       |      WHEN 'purchase' THEN 'pressure'
+       |      ELSE event_type END AS sensor_type,
+       |    'A' AS building,
+       |    CAST(user_id % 2 + 1 AS INT) AS floor,
+       |    CAST(100 + user_id % 4 AS INT) AS room,
+       |    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS timestamp,
+       |    value,
+       |    CASE event_type WHEN 'click' THEN 'celsius'
+       |      WHEN 'view' THEN 'percent'
+       |      WHEN 'purchase' THEN 'hPa'
+       |      ELSE 'count' END AS unit,
+       |    CAST(json_extract_string(props, '$$.k') AS INT) AS battery_level,
+       |    CAST(-CAST(json_extract_string(props, '$$.k') AS INT) AS INT) AS signal_strength,
+       |    ts AS event_time
+       |  FROM $eventsTable
+       |)""".stripMargin
+}
