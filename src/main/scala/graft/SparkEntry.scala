@@ -176,15 +176,17 @@ object SparkEntry {
          |       value, unit, battery_level, signal_strength
          |FROM readings""".stripMargin,
 
+    // Timezone-independent window arithmetic: make_timestamp(µs) mirrors
+    // Spark's epoch-aligned tumbling windows regardless of session TZ.
     "agg_sensor_stats" ->
       s"""$R
-         |SELECT CAST(to_timestamp(floor(epoch(event_time)/240)*240) AS TIMESTAMP) AS window_start,
-         |       CAST(to_timestamp(floor(epoch(event_time)/240)*240 + 240) AS TIMESTAMP) AS window_end,
+         |SELECT make_timestamp((epoch_us(event_time) // 240000000) * 240000000) AS window_start,
+         |       make_timestamp((epoch_us(event_time) // 240000000) * 240000000 + 240000000) AS window_end,
          |       sensor_id, sensor_type,
          |       round(avg(value), 4) AS avg_value,
          |       min(value) AS min_value,
          |       max(value) AS max_value,
-         |       count(*) AS cnt
+         |       count(*) AS count
          |FROM readings
          |GROUP BY 1, 2, 3, 4""".stripMargin,
 
@@ -196,8 +198,8 @@ object SparkEntry {
 
     "cast_timestamp" ->
       """SELECT event_id,
-        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-        |       CAST(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS TIMESTAMP) AS ts_rt
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       CAST(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS TIMESTAMP) AS ts_rt
         |FROM events""".stripMargin,
 
     "filter_like" ->

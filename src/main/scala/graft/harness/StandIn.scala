@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object StandIn {
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  /** The driver's events.parquet stores `ts` as INT64 TIMESTAMP(NANOS),
+    * which Spark 4.x refuses by default (PARQUET_TYPE_ILLEGAL). Read it as
+    * a nanos long and truncate to microseconds — DuckDB's
+    * `CAST(ts AS TIMESTAMP)` does the identical ns→µs truncation, so the
+    * oracle stays in lockstep. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -79,7 +87,7 @@ object StandIn {
        |    'A' AS building,
        |    CAST(user_id % 2 + 1 AS INT) AS floor,
        |    CAST(100 + user_id % 4 AS INT) AS room,
-       |    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS timestamp,
+       |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS timestamp,
        |    value,
        |    CASE event_type WHEN 'click' THEN 'celsius'
        |      WHEN 'view' THEN 'percent'
@@ -87,7 +95,7 @@ object StandIn {
        |      ELSE 'count' END AS unit,
        |    CAST(json_extract_string(props, '$$.k') AS INT) AS battery_level,
        |    CAST(-CAST(json_extract_string(props, '$$.k') AS INT) AS INT) AS signal_strength,
-       |    ts AS event_time
+       |    CAST(ts AS TIMESTAMP) AS event_time
        |  FROM $eventsTable
        |)""".stripMargin
 }

@@ -41,13 +41,13 @@ object Aggregates {
         avg(valueCol).alias("avg_value"),
         min(valueCol).alias("min_value"),
         max(valueCol).alias("max_value"),
-        count(lit(1)).alias("cnt"))
+        count(lit(1)).alias("count"))
       .select(
         (Seq(
           col("window.start").alias("window_start"),
           col("window.end").alias("window_end")) ++
           keys.map(col) ++
-          Seq(col("avg_value"), col("min_value"), col("max_value"), col("cnt"))): _*)
+          Seq(col("avg_value"), col("min_value"), col("max_value"), col("count"))): _*)
   }
 
   /** Reference-parity aggregation: 4-minute tumbling windows per

@@ -27,7 +27,7 @@ object Parse {
     * malformed documents become all-null rows rather than errors, matching
     * the reference's from_json usage (alert_detector.py:84). */
   def jsonToReadings(df: DataFrame, jsonCol: String = "json_str"): DataFrame =
-    df.select(from_json(col(jsonCol), Schemas.sensorReading).alias("data"))
+    df.select(EvalOnce(from_json(col(jsonCol), Schemas.sensorReading)).alias("data"))
       .select(
         col("data.sensor_id").alias("sensor_id"),
         col("data.sensor_type").alias("sensor_type"),
