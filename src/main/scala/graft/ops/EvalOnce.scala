@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * At 100 TB that multiplies the dominant CPU cost of ingest by ~28×.
   *
   * The barrier: wrap the expression in a conditional on
-  * `monotonically_increasing_id() < 0` (never true, ~1 ns per row). The
-  * wrapper is value-transparent but non-deterministic, which both
+  * `spark_partition_id() < 0` (never true, free to evaluate; chosen over
+  * `monotonically_increasing_id` — rejected in streaming plans, and this
+  * barrier guards the streaming ingest path too — and over `rand()`, whose
+  * comparison against a constant the optimizer folds away). The wrapper is
+  * value-transparent but non-deterministic, which both
   * (a) stops `PushDownPredicates` from substituting through the project
   * that computes it (`fields.forall(_.deterministic)` guard) and
   * (b) stops `CollapseProject` from duplicating it into consumers.
@@ -34,5 +37,5 @@ object EvalOnce {
 
   /** Value-identical, non-deterministic wrapper around `c`. */
   def apply(c: Column): Column =
-    when(monotonically_increasing_id() < 0, lit(null)).otherwise(c)
+    when(spark_partition_id() < 0, lit(null)).otherwise(c)
 }

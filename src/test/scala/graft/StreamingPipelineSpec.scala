@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.config.PipelineConfig
+import graft.io.{InMemoryNotifier, Sinks}
+import graft.ops.Aggregates
+
+/** End-to-end streaming semantics over MemoryStream — the parts the batch
+  * oracle cannot see (SURVEY §5.2.3): dual-sink atomicity per batch,
+  * watermark/append window finalization, and the mail notifier path.
+  */
+class StreamingPipelineSpec extends SparkSpec {
+
+  private def cfg = PipelineConfig.fromEnv(Map(
+    "CHECKPOINT_ROOT" -> Files.createTempDirectory("graft-ckpt").toString))
+
+  private def readingJson(
+      sensorType: String, value: Double, battery: Int = 90,
+      signal: Int = -50, ts: String = "2026-01-01T12:00:00.000000"): String = {
+    val unit = Map("temperature" -> "celsius", "humidity" -> "percent",
+      "pressure" -> "hPa")(sensorType)
+    s"""{"sensor_id":"A_1_100_$sensorType","sensor_type":"$sensorType",
+       |"location":{"building":"A","floor":1,"room":100},
+       |"timestamp":"$ts","value":$value,"unit":"$unit",
+       |"metadata":{"battery_level":$battery,"signal_strength":$signal}}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  test("alert chain e2e: dual sink writes the same batch to jdbc and kafka") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val pipeline = new Pipeline(spark, cfg)
+    val alerts = pipeline.alertsFrame(input.toDF().withColumnRenamed("value", "kafka_value")
+      .select(col("kafka_value").alias("value")))
+
+    val jdbcRows = mutable.Buffer[org.apache.spark.sql.Row]()
+    val kafkaRows = mutable.Buffer[(String, String)]()
+    val query = Sinks.alertsDualSink(
+      alerts, cfg,
+      writeJdbc = df => jdbcRows.synchronized { jdbcRows ++= df.collect() },
+      writeKafka = df => kafkaRows.synchronized {
+        kafkaRows ++= df.collect().map(r =>
+          (r.getAs[String]("key"), r.getAs[String]("value")))
+      })
+    try {
+      input.addData(
+        readingJson("temperature", 32.5),          // critical
+        readingJson("temperature", 22.0),          // no alert
+        readingJson("humidity", 75.0, battery = 10)) // humidity_critical (priority)
+      query.processAllAvailable()
+
+      assert(jdbcRows.length === 2)
+      assert(kafkaRows.length === 2)
+      val byType = jdbcRows.map(r => r.getAs[String]("alert_type")).sorted
+      assert(byType === Seq("humidity_critical", "temperature_critical"))
+      // created_at present in the streaming path (P7)
+      assert(jdbcRows.forall(!_.isNullAt(jdbcRows.head.fieldIndex("created_at"))))
+      // Kafka payload: keyed by sensor_id, JSON value with re-nested structs
+      assert(kafkaRows.map(_._1).toSet ===
+        Set("A_1_100_temperature", "A_1_100_humidity"))
+      assert(kafkaRows.forall(_._2.contains("\"location\":{\"building\":\"A\"")))
+
+      // empty batch: neither writer called again
+      val (j0, k0) = (jdbcRows.length, kafkaRows.length)
+      input.addData(readingJson("temperature", 22.0))
+      query.processAllAvailable()
+      assert(jdbcRows.length === j0 && kafkaRows.length === k0)
+    } finally query.stop()
+  }
+
+  test("windowed aggregation: append mode emits a window only after the watermark passes") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val readings = input.toDF()
+      .toDF("event_time", "sensor_id", "value")
+      .withColumn("sensor_type", lit("temperature"))
+    val agg = Aggregates.sensorStats(readings, streaming = true)
+    val query = agg.writeStream.format("memory")
+      .queryName("agg_sink").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-agg").toString)
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (ts("2026-01-01 00:00:30"), "s1", 10.0),
+        (ts("2026-01-01 00:01:30"), "s1", 20.0))
+      query.processAllAvailable()
+      // Window [00:00, 00:04) is still open: nothing emitted.
+      assert(spark.table("agg_sink").count() === 0)
+
+      // An event at 00:05:30 pushes the watermark to 00:04:30 > window end.
+      input.addData((ts("2026-01-01 00:05:30"), "s1", 30.0))
+      query.processAllAvailable()
+      input.addData((ts("2026-01-01 00:09:30"), "s1", 40.0))
+      query.processAllAvailable()
+
+      // Both [00:00,00:04) and [00:04,00:08) are now behind the watermark.
+      val done = spark.table("agg_sink").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r).toMap
+      assert(done.size === 2)
+      val w = done(ts("2026-01-01 00:00:00"))
+      assert(w.getAs[Timestamp]("window_end") === ts("2026-01-01 00:04:00"))
+      assert(w.getAs[Double]("avg_value") === 15.0)
+      assert(w.getAs[Long]("count") === 2L)
+      assert(done(ts("2026-01-01 00:04:00")).getAs[Long]("count") === 1L)
+    } finally query.stop()
+  }
+
+  test("late data beyond the 1-minute watermark is dropped") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val readings = input.toDF().toDF("event_time", "sensor_id", "value")
+      .withColumn("sensor_type", lit("temperature"))
+    val agg = Aggregates.sensorStats(readings, streaming = true)
+    val query = agg.writeStream.format("memory")
+      .queryName("late_sink").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-late").toString)
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData((ts("2026-01-01 00:00:30"), "s1", 10.0))
+      query.processAllAvailable()
+      // Advance watermark far past the first window …
+      input.addData((ts("2026-01-01 00:10:00"), "s1", 99.0))
+      query.processAllAvailable()
+      // … then send a straggler into the long-closed first window.
+      input.addData((ts("2026-01-01 00:00:45"), "s1", 1000.0))
+      query.processAllAvailable()
+      input.addData((ts("2026-01-01 00:20:00"), "s1", 5.0))
+      query.processAllAvailable()
+
+      val first = spark.table("late_sink").collect()
+        .filter(_.getAs[Timestamp]("window_start") === ts("2026-01-01 00:00:00"))
+      assert(first.length === 1)
+      // The straggler was dropped: count 1, max 10.0, not 1000.0.
+      assert(first.head.getAs[Long]("count") === 1L)
+      assert(first.head.getAs[Double]("max_value") === 10.0)
+    } finally query.stop()
+  }
+
+  test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val notifier = new InMemoryNotifier
+    val pipeline = new Pipeline(spark, cfg, notifier)
+    val mailable = pipeline.mailableFrame(input.toDF())
+    val query = Sinks.notifierSink(mailable, cfg, notifier,
+      Files.createTempDirectory("graft-mail").toString)
+    try {
+      val alertJson =
+        """{"sensor_id":"A_1_100_temperature","sensor_type":"temperature",
+          |"timestamp":"2026-01-01T12:00:00.000000",
+          |"location":{"building":"A","floor":1,"room":100},
+          |"metadata":{"battery_level":87,"signal_strength":-55},
+          |"alert_type":"temperature_critical","severity":"critical",
+          |"threshold_value":30,"actual_value":32.5,
+          |"message":"Température CRITIQUE (>30°C ou <15°C)",
+          |"triggered_at":"2026-01-01T12:00:00.000000","status":"active"}"""
+          .stripMargin.replace("\n", "")
+      val infoJson = alertJson
+        .replace("\"severity\":\"critical\"", "\"severity\":\"info\"")
+      input.addData(alertJson, infoJson)
+      query.processAllAvailable()
+
+      val emails = notifier.emails
+      assert(emails.length === 1) // info filtered out (F5)
+      val mail = emails.head
+      assert(mail.subject ===
+        "[ALERTE CRITICAL] Capteur A_1_100_temperature - temperature_critical")
+      assert(mail.body.contains("bâtiment A, étage 1, salle 100"))
+      assert(mail.body.contains("Valeur       : 32.5 (seuil 30)"))
+      assert(mail.body.contains("Niveau batterie : 87%"))
+      assert(mail.body.contains("Signal         : -55 dBm"))
+      assert(mail.recipient === "ops@example.com")
+    } finally query.stop()
+  }
+}
