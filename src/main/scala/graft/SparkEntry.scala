@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertRules, Aggregates, Parse}
+import graft.ops.{AlertRules, Aggregates, Dedup, Parse}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -96,6 +96,98 @@ object SparkEntry {
       .select(col("sensor_id"), col("timestamp"), col("alert_type"),
               col("severity"), col("message"), col("actual_value"))
 
+  // ─── north-star: deduplication over documents ──────────────────────────
+
+  private val MinhashK = 16
+  private val MinhashBands = 4
+  private val MinhashEstThreshold = 0.5
+  private val JaccardThreshold = 0.3
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(StandIn.documents(s, dir))
+
+  private def dedupContentHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.contentHash(StandIn.documents(s, dir))
+
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(StandIn.documents(s, dir),
+      MinhashK, MinhashBands, MinhashEstThreshold)
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(StandIn.documents(s, dir))
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(StandIn.documents(s, dir),
+      MinhashK, MinhashBands, MinhashEstThreshold, JaccardThreshold)
+
+  // DuckDB twins of ops/Dedup.scala's hash family and tokenizer — keep in
+  // lockstep with Dedup.tokens / Dedup.hashAt / Dedup.minhashSignature.
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_filter(
+      |           string_split_regex(lower(text), '\s+'),
+      |           w -> len(w) > 0)) AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  private def hashSql(prefixExpr: String, wVar: String = "w"): String =
+    s"CAST(concat('0x', substr(md5(concat($prefixExpr, $wVar)), 1, 15)) AS BIGINT)"
+
+  // Word-bigram shingle sets (Dedup.bigrams, distinct) — the minhash
+  // shingling unit.
+  private val gramsSql =
+    """grams AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(tt) >= 2
+      |           THEN list_transform(range(1, len(tt)),
+      |                i -> concat(tt[CAST(i AS INT)], ' ',
+      |                            tt[CAST(i AS INT) + 1]))
+      |           ELSE [] END) AS g
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |            w -> len(w) > 0) AS tt
+      |        FROM documents)
+      |)""".stripMargin
+
+  private val sigSql = {
+    val entries = (0 until MinhashK).map { i =>
+      s"list_min(list_transform(g, w -> ${hashSql(s"'$i:'")}))"
+    }.mkString(",\n    ")
+    s"""sigs AS (
+       |  SELECT doc_id, [
+       |    $entries
+       |  ] AS sig FROM grams
+       |)""".stripMargin
+  }
+
+  private val bucketsSql = {
+    val r = MinhashK / MinhashBands
+    s"""buckets AS (
+       |  SELECT doc_id, sig, b.band AS band,
+       |         md5(array_to_string(list_transform(
+       |           sig[b.band * $r + 1 : b.band * $r + $r],
+       |           x -> CAST(x AS VARCHAR)), '-')) AS bucket
+       |  FROM sigs, (SELECT unnest(range(0, $MinhashBands)) AS band) b
+       |)""".stripMargin
+  }
+
+  private val candidatePairsSql =
+    s"""pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM buckets a
+       |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+       |                AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT p.a_id, p.b_id,
+       |         len(list_filter(range(1, ${MinhashK + 1}),
+       |             i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
+       |           / ${MinhashK.toDouble} AS est_sim
+       |  FROM pairs p
+       |  JOIN sigs sa ON sa.doc_id = p.a_id
+       |  JOIN sigs sb ON sb.doc_id = p.b_id
+       |)""".stripMargin
+
   // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
 
   private val R = StandIn.readingsSql("events")
@@ -164,7 +256,12 @@ object SparkEntry {
     "cast_timestamp"    -> ((s, d) => castTimestamp(s, d)),
     "filter_like"       -> ((s, d) => filterLike(s, d)),
     "filter_predicates" -> ((s, d) => filterPredicates(s, d)),
-    "alerts_mailable"   -> ((s, d) => alertsMailable(s, d))
+    "alerts_mailable"   -> ((s, d) => alertsMailable(s, d)),
+    "dedup_exact"         -> ((s, d) => dedupExact(s, d)),
+    "dedup_content_hash"  -> ((s, d) => dedupContentHash(s, d)),
+    "dedup_minhash_lsh"   -> ((s, d) => dedupMinhashLsh(s, d)),
+    "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,6 +315,49 @@ object SparkEntry {
          |  FROM classified WHERE alert_type IS NOT NULL
          |)
          |SELECT sensor_id, timestamp, alert_type, severity, message, actual_value
-         |FROM alerts WHERE severity IN ('critical', 'warning')""".stripMargin
+         |FROM alerts WHERE severity IN ('critical', 'warning')""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_content_hash" ->
+      """SELECT sha256(text) AS content_hash,
+        |       min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql
+         |SELECT a_id, b_id, est_sim FROM est
+         |WHERE est_sim >= $MinhashEstThreshold""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $toksSql, hashes AS (
+         |  SELECT doc_id,
+         |         list_transform(t, w -> ${hashSql("'0:'")}) AS h
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |       CAST(list_sum(list_transform(range(0, 60), j ->
+         |         CASE WHEN list_sum(list_transform(h,
+         |                hv -> ((hv >> CAST(j AS INT)) & 1) * 2 - 1)) > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |              ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hashes""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql, verified AS (
+         |  SELECT e.a_id, e.b_id,
+         |         round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |           / CAST(len(ga.g) + len(gb.g)
+         |               - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |             AS DOUBLE), 6) AS jaccard
+         |  FROM est e
+         |  JOIN grams ga ON ga.doc_id = e.a_id
+         |  JOIN grams gb ON gb.doc_id = e.b_id
+         |  WHERE e.est_sim >= $MinhashEstThreshold
+         |)
+         |SELECT a_id, b_id, jaccard FROM verified
+         |WHERE jaccard >= $JaccardThreshold""".stripMargin
   )
 }

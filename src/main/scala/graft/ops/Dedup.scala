@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale corpus curation: exact,
+  * content-hash, MinHash+LSH, SimHash, and n-gram-Jaccard variants.
+  *
+  * Design for 100 TB:
+  *   - every variant is a hash-partitioned groupBy or a bucket-key equi-join
+  *     — there is NO all-pairs/cartesian step anywhere; candidate pairs come
+  *     only from LSH band buckets, so cost is O(docs × signature) plus the
+  *     (skew-bounded) bucket joins;
+  *   - the hash family is derived from md5 (a Spark built-in with an exact
+  *     DuckDB twin), so every stage is oracle-checkable bit-for-bit; swap
+  *     [[hashAt]] to xxhash64 for ~3× faster signatures when oracle parity
+  *     is not needed — the pipeline shape is identical;
+  *   - per-document work (tokenize, signatures) is pure projection:
+  *     whole-stage codegen, no shuffle, embarrassingly parallel.
+  */
+object Dedup {
+
+  /** Lowercased whitespace word tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Member `i` of a deterministic 60-bit hash family over strings:
+    * the top 15 hex digits of md5("i:w") as a long. 60 bits keeps the value
+    * positive on both engines (DuckDB BIGINT hex cast / Spark conv).
+    */
+  def hashAt(i: Int, w: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), w)), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, grams): each document's distinct word-BIGRAM shingle set.
+    * Bigram shingles (not single words) keep signatures discriminative on
+    * corpora with a narrow vocabulary: with word-set shingles every document
+    * of a small domain looks ~0.9-similar and LSH buckets degenerate toward
+    * all-pairs.
+    *
+    * Staged as separate projections ON PURPOSE: higher-order functions are
+    * interpreted (no codegen CSE), and a lambda body re-evaluates any
+    * non-attribute sub-expression per element — tokenization must be a
+    * materialized column before the bigram lambda touches it, or per-doc
+    * cost goes quadratic. (Measured: the single-expression form was 60×
+    * slower at sf0.1.)
+    */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).alias("toks"))
+      .select(col("doc_id"),
+        array_distinct(bigramsOf(col("toks"))).alias("grams"))
+
+  /** (doc_id, sig): MinHash signature (length `k`) over the shingle set —
+    * min over the set of each hash-family member, the standard
+    * permutation-free MinHash estimator. `grams` is an attribute here, so
+    * each of the k entries scans the materialized list once.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    shingleSets(docs).select(
+      col("doc_id"),
+      array((0 until k).map(i =>
+        array_min(transform(col("grams"), w => hashAt(i, w)))): _*).alias("sig"))
+
+  /** LSH band buckets for a signature: one row-key per band, hashing the
+    * band's slice of the signature. Docs sharing any (band, bucket) become
+    * candidate pairs.
+    */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).alias("band"),
+        md5(array_join(
+          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")), "-")).alias("bucket"))
+    }: _*)
+
+  /** Exact duplicate groups: identical text → one keeper (lowest doc_id).
+    * A plain hash-shuffle groupBy on the text; at scale group by
+    * sha2(text) instead to shrink shuffle keys — semantics identical.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).alias("keeper_id"),
+        count(lit(1)).alias("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+
+  /** Content-hash duplicate groups (sha-256): the exact-dedup pattern with a
+    * fixed-width shuffle key — this is the variant that scales to 100 TB
+    * (64-byte keys instead of full documents through the shuffle).
+    */
+  def contentHash(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).alias("content_hash"))
+      .agg(min(col("doc_id")).alias("keeper_id"),
+        count(lit(1)).alias("n_copies"))
+
+  /** MinHash/LSH near-duplicate candidate pairs with their estimated
+    * Jaccard (fraction of agreeing signature positions), `estSim ≥
+    * threshold`. Pairs arise ONLY from shared band buckets — never from an
+    * all-pairs product.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val bucketed = sigs.select(
+      col("doc_id"),
+      explode(lshBuckets(col("sig"), bands, rowsPerBand)).alias("bk"))
+    // Distinct (a, b) FIRST — a pair colliding in several bands must be
+    // estimated once, not once per band — then join the signatures back by
+    // id. All joins are equi-joins on bucket or id; no cartesian anywhere.
+    val cands = bucketed.select(col("bk"), col("doc_id").alias("a_id"))
+      .join(bucketed.select(col("bk"), col("doc_id").alias("b_id")), "bk")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val est = size(filter(sequence(lit(1), lit(k)),
+      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+      .cast("double") / k
+    cands
+      .join(sigs.select(col("doc_id").alias("a_id"), col("sig").alias("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").alias("b_id"), col("sig").alias("sig_b")), "b_id")
+      .select(col("a_id"), col("b_id"), est.alias("est_sim"))
+      .where(col("est_sim") >= threshold)
+  }
+
+  /** 60-bit SimHash per document: majority vote of each hash bit across the
+    * document's distinct tokens. Near-dups then cluster by low Hamming
+    * distance; the signature itself is a pure projection. Token hashes are
+    * materialized as a column first (see [[shingleSets]] on why).
+    */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).alias("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), w => hashAt(0, w)).alias("hashes"))
+    // For each bit position: count of set bits minus count of clear bits;
+    // bit set in the simhash iff positive.
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(col("hashes"), lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(1) * 2 - 1)
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    hashed.select(
+      col("doc_id"),
+      bitCols.reduce(_ + _).alias("simhash"))
+  }
+
+  /** Exact word-bigram Jaccard over LSH candidates — the verify half of the
+    * near-dup pipeline (cheap estimate from [[minhashCandidates]], exact
+    * measure only on the candidate set).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      estThreshold: Double = 0.5,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val grams = shingleSets(docs)
+    val cands = minhashCandidates(docs, k, bands, estThreshold)
+      .select(col("a_id"), col("b_id"))
+    val inter = size(filter(col("grams_a"),
+      g => array_contains(col("grams_b"), g)))
+    val jac = inter.cast("double") /
+      (size(col("grams_a")) + size(col("grams_b")) - inter)
+    cands
+      .join(grams.select(col("doc_id").alias("a_id"),
+        col("grams").alias("grams_a")), "a_id")
+      .join(grams.select(col("doc_id").alias("b_id"),
+        col("grams").alias("grams_b")), "b_id")
+      .select(col("a_id"), col("b_id"), round(jac, 6).alias("jaccard"))
+      .where(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Consecutive word bigrams ("w1 w2"), order-preserving. Guarded for
+    * short docs: Spark's `sequence(1, 0)` would count DOWN, not be empty.
+    * `toks` should be a materialized column attribute (see [[shingleSets]]).
+    */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Convenience: bigrams straight from raw text (fine for single use;
+    * stage via [[shingleSets]] when the result feeds further lambdas).
+    */
+  def bigrams(text: Column): Column = bigramsOf(tokens(text))
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit spec for the dedup family over small controlled corpora. */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest doc_id per identical text") {
+    val out = Dedup.exact(docs(
+      (10L, "a b c"), (3L, "a b c"), (7L, "x y z")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("content-hash groups equal exact groups and produces stable sha-256") {
+    val out = Dedup.contentHash(docs((1L, "same text"), (2L, "same text")))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_copies") === 2L)
+    // sha256("same text"), verifiable with any external tool
+    assert(out.head.getAs[String]("content_hash") ===
+      "2e68a7bba11b90d1bae1daea2dd4951779cf45d5897c62539d01f44054bcb1e0")
+  }
+
+  test("bigram shingles are order-preserving and short-doc safe") {
+    import org.apache.spark.sql.functions.col
+    val g = docs((1L, "one two three"), (2L, "solo"), (3L, ""))
+      .select(col("doc_id"), Dedup.bigrams(col("text")).alias("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L) === Seq("one two", "two three"))
+    assert(g(2L) === Seq.empty)
+    assert(g(3L) === Seq.empty)
+  }
+
+  test("minhash LSH finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " other"
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val out = Dedup.minhashCandidates(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)), 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 2L)))
+  }
+
+  test("identical docs have identical signatures, est_sim 1.0, jaccard 1.0") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val cands = Dedup.minhashCandidates(docs((1L, text), (2L, text)), 16, 4, 0.5)
+      .collect()
+    assert(cands.length === 1)
+    assert(cands.head.getAs[Double]("est_sim") === 1.0)
+    val jac = Dedup.ngramJaccard(docs((1L, text), (2L, text)))
+      .collect()
+    assert(jac.length === 1)
+    assert(jac.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: identical docs equal; token order does not matter") {
+    val out = Dedup.simhash(docs(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "delta epsilon zeta")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(2L)) // set-based: order-invariant
+    assert(out(1L) !== out(3L))
+    assert(out(1L) >= 0L) // 60-bit → always non-negative
+  }
+
+  test("lsh plan has no cartesian product") {
+    val plan = Dedup.minhashCandidates(docs((1L, "a b c"), (2L, "d e f")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+}
