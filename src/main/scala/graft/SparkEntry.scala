@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertRules, Aggregates, Dedup, Parse}
+import graft.ops.{AlertRules, Aggregates, Dedup, Parse, Similarity}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -188,6 +188,58 @@ object SparkEntry {
        |  JOIN sigs sb ON sb.doc_id = p.b_id
        |)""".stripMargin
 
+  // ─── north-star: similarity search over embeddings ─────────────────────
+
+  private val SrpBits = 6
+  private val TopK = 5
+  private val NearDupCosine = 0.25
+
+  private def simBruteTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(StandIn.embeddings(s, dir), TopK)
+
+  private def simLshTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(StandIn.embeddings(s, dir), SrpBits, TopK)
+
+  private def simCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(StandIn.embeddings(s, dir), SrpBits, NearDupCosine)
+
+  // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
+  // Spark's `aggregate`, so double summation order (and thus bits) match.
+  private val prepSql =
+    """prep AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings
+      |), prepn AS (
+      |  SELECT vec_id, vec,
+      |         sqrt(list_reduce(list_transform(vec, x -> x * x),
+      |              (a, b) -> a + b)) AS norm
+      |  FROM prep
+      |), queries AS (
+      |  SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm
+      |  FROM prepn WHERE vec_id % 100 = 0
+      |)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
+       |  i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)"""
+      .stripMargin
+
+  private def planeLiteral(p: Seq[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  private val bucketsSimSql = {
+    val bitTerms = Similarity.planes(SrpBits).zipWithIndex.map { case (p, j) =>
+      s"""CASE WHEN round(${dotSql("vec", planeLiteral(p))}, 6) > 0
+         |     THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""bsim AS (
+       |  SELECT vec_id, vec, norm, $bitTerms AS bucket FROM prepn
+       |)""".stripMargin
+  }
+
+  private def cosSql(av: String, an: String, bv: String, bn: String): String =
+    s"round(${dotSql(av, bv)} / ($an * $bn), 6)"
+
   // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
 
   private val R = StandIn.readingsSql("events")
@@ -261,7 +313,10 @@ object SparkEntry {
     "dedup_content_hash"  -> ((s, d) => dedupContentHash(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => dedupMinhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
-    "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d))
+    "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
+    "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
+    "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,6 +413,43 @@ object SparkEntry {
          |  WHERE e.est_sim >= $MinhashEstThreshold
          |)
          |SELECT a_id, b_id, jaccard FROM verified
-         |WHERE jaccard >= $JaccardThreshold""".stripMargin
+         |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    "sim_brute_topk" ->
+      s"""WITH $prepSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM prepn p, queries q WHERE p.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM pairs)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH $prepSql, $bucketsSimSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM bsim p
+         |  JOIN (SELECT b.bucket, b.vec_id AS q_id, b.vec AS q_vec,
+         |               b.norm AS q_norm
+         |        FROM bsim b WHERE b.vec_id % 100 = 0) q
+         |    ON p.bucket = q.bucket AND p.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM pairs)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "sim_cosine_neardup" ->
+      s"""WITH $prepSql, $bucketsSimSql
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} AS cos_sim
+         |FROM bsim a
+         |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} >= $NearDupCosine"""
+        .stripMargin
   )
 }

