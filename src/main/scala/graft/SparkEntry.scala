@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertRules, Aggregates, Dedup, Parse, Similarity}
+import graft.ops.{AlertRules, Aggregates, Dedup, Parse, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -131,6 +131,16 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  // Non-distinct twin of Dedup.tokens — term statistics and quality metrics
+  // are multiset-based.
+  private val rawToksSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |           w -> len(w) > 0) AS t
+      |  FROM documents
+      |)""".stripMargin
+
   private def hashSql(prefixExpr: String, wVar: String = "w"): String =
     s"CAST(concat('0x', substr(md5(concat($prefixExpr, $wVar)), 1, 15)) AS BIGINT)"
 
@@ -240,6 +250,33 @@ object SparkEntry {
   private def cosSql(av: String, an: String, bv: String, bn: String): String =
     s"round(${dotSql(av, bv)} / ($an * $bn), 6)"
 
+  // ─── north-star: text analysis over documents ──────────────────────────
+
+  private def textTermStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termStats(StandIn.documents(s, dir))
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(StandIn.documents(s, dir))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(StandIn.documents(s, dir))
+
+  private def textTokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(StandIn.documents(s, dir))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(StandIn.documents(s, dir))
+
+  private def langListSql(lang: String): String =
+    TextAnalysis.LangMarkers.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val langScoresSql = TextAnalysis.LangMarkers.map { case (lang, _) =>
+    s"""len(list_filter(t, w -> list_contains(${langListSql(lang)}, w)))
+       |  / CAST(greatest(len(t), 1) AS DOUBLE) AS ${lang}_score"""
+      .stripMargin
+  }.mkString(",\n")
+
   // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
 
   private val R = StandIn.readingsSql("events")
@@ -316,7 +353,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
-    "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d))
+    "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
+    "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
+    "text_langid"         -> ((s, d) => textLangId(s, d)),
+    "text_quality"        -> ((s, d) => textQuality(s, d)),
+    "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
+    "text_fingerprint"    -> ((s, d) => textFingerprint(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -450,6 +492,73 @@ object SparkEntry {
          |FROM bsim a
          |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} >= $NearDupCosine"""
-        .stripMargin
+        .stripMargin,
+
+    "text_term_stats" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |)
+         |SELECT term, count(DISTINCT doc_id) AS doc_freq,
+         |       count(*) AS total_count
+         |FROM ex GROUP BY term""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |            WHEN fr_score = top AND top > 0 THEN 'fr'
+         |            WHEN de_score = top AND top > 0 THEN 'de'
+         |            ELSE 'unknown' END AS predicted_lang,
+         |       round(en_score, 6) AS en_score,
+         |       round(fr_score, 6) AS fr_score,
+         |       round(de_score, 6) AS de_score
+         |FROM best""".stripMargin,
+
+    "text_quality" -> {
+      val stop = TextAnalysis.LangMarkers.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $rawToksSql
+         |SELECT d.doc_id,
+         |       CAST(length(d.text) AS INT) AS n_chars,
+         |       CAST(len(k.t) AS INT) AS n_tokens,
+         |       round(CAST(list_sum(list_transform(k.t, w -> len(w))) AS DOUBLE)
+         |         / greatest(len(k.t), 1), 6) AS mean_token_len,
+         |       round(CAST(len(list_filter(k.t,
+         |           w -> list_contains($stop, w))) AS DOUBLE)
+         |         / greatest(len(k.t), 1), 6) AS stopword_ratio,
+         |       round(CAST(length(d.text)
+         |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g'))
+         |         AS DOUBLE) / greatest(length(d.text), 1), 6) AS punct_ratio
+         |FROM documents d JOIN toks k ON d.doc_id = k.doc_id""".stripMargin
+    },
+
+    "text_token_counts" ->
+      s"""WITH $rawToksSql
+         |SELECT d.doc_id,
+         |       CAST(len(k.t) AS INT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(d.text,
+         |         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpeish_tokens,
+         |       round(CAST(length(d.text) AS DOUBLE)
+         |         / greatest(len(k.t), 1), 6) AS chars_per_token
+         |FROM documents d JOIN toks k ON d.doc_id = k.doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $rawToksSql, hs AS (
+         |  SELECT doc_id,
+         |         list_transform(t, w ->
+         |           ${hashSql("'0:'")} % ${TextAnalysis.FingerprintMod}) AS h
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+         |         (a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintMod})
+         |         AS fingerprint
+         |FROM hs""".stripMargin
   )
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: term statistics, quality
+  * scoring, language identification, token counting, and document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd string/array built-ins plus staged
+  * higher-order functions (see Dedup.shingleSets on staging); the only
+  * shuffle in the module is the term-stats groupBy, which partial-aggregates
+  * map-side. Every operator has an exact DuckDB twin for the oracle.
+  */
+object TextAnalysis {
+
+  /** Corpus term statistics: per term, document frequency and total
+    * occurrences. The explode → groupBy(term) shape is the canonical
+    * map-side-combinable aggregation; at 100 TB the term key-space is
+    * Zipf-bounded, and AQE handles the head terms' skew.
+    */
+  def termStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).alias("toks"))
+      .select(col("doc_id"), explode(col("toks")).alias("term"))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).alias("doc_freq"),
+        count(lit(1)).alias("total_count"))
+
+  /** A small function-word inventory per language — enough signal for a
+    * corpus-curation language gate; swap in full profiles for production.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht"))
+
+  /** Language-ID heuristic: per language, the fraction of tokens that are
+    * that language's function words; predicted = argmax (ties resolved by
+    * the declaration order above, 'unknown' when nothing matches).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      Dedup.tokens(col("text")).alias("toks"))
+    val scored = base.select(
+      (col("doc_id") +: LangMarkers.map { case (lang, words) =>
+        (size(filter(col("toks"), w => array_contains(typedlit(words), w)))
+          .cast("double") / greatest(size(col("toks")), lit(1)))
+          .alias(s"${lang}_score")
+      }): _*)
+    val best = LangMarkers.map { case (lang, _) => col(s"${lang}_score") }
+      .reduce(greatest(_, _))
+    val predicted = LangMarkers.foldRight(lit("unknown")) {
+      case ((lang, _), rest) =>
+        when(col(s"${lang}_score") === best && best > 0, lit(lang))
+          .otherwise(rest)
+    }
+    scored.select(
+      (col("doc_id") +: predicted.alias("predicted_lang") +:
+        LangMarkers.map { case (lang, _) =>
+          round(col(s"${lang}_score"), 6).alias(s"${lang}_score")
+        }): _*)
+  }
+
+  /** Quality signals per document: length, token counts, mean token length,
+    * stopword ratio, punctuation ratio — the standard cheap filters a
+    * training-data pipeline gates on before expensive steps.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stopwords = LangMarkers.flatMap(_._2)
+    // Explicit char class (not [[:punct:]]) so Spark and DuckDB agree.
+    val punct = "[.,!?;:]"
+    docs
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).alias("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).alias("n_chars"),
+        size(col("toks")).alias("n_tokens"),
+        round(
+          aggregate(col("toks"), lit(0L), (a, w) => a + length(w))
+            .cast("double") / greatest(size(col("toks")), lit(1)), 6)
+          .alias("mean_token_len"),
+        round(
+          size(filter(col("toks"), w =>
+            array_contains(typedlit(stopwords), w))).cast("double") /
+            greatest(size(col("toks")), lit(1)), 6)
+          .alias("stopword_ratio"),
+        round(
+          (length(col("text")) -
+            length(regexp_replace(col("text"), punct, ""))).cast("double") /
+            greatest(length(col("text")), lit(1)), 6)
+          .alias("punct_ratio"))
+  }
+
+  /** Token counting, two ways: whitespace words and a BPE-ish segmentation
+    * (letter runs / digit runs / single other-symbols) — the cheap proxy
+    * for "how many tokens will the tokenizer emit".
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    docs.select(
+      col("doc_id"),
+      size(Dedup.tokens(col("text"))).alias("ws_tokens"),
+      regexp_count(col("text"), lit(bpeish)).alias("bpeish_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(size(Dedup.tokens(col("text"))), lit(1)), 6)
+        .alias("chars_per_token"))
+  }
+
+  /** Fingerprint modulus: the largest prime below 10^15, so `h*131 + t`
+    * stays far inside Long/BIGINT range on both engines (no overflow —
+    * DuckDB would raise where the JVM silently wraps).
+    */
+  val FingerprintMod = 999999999999989L
+
+  /** Order-sensitive rolling polynomial fingerprint over token hashes:
+    * h ← (h·131 + hash(token)) mod FingerprintMod. Unlike simhash/minhash
+    * this distinguishes permutations — the right key for exact-ish
+    * near-identity with cheap 8-byte state.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).alias("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), w => pmod(Dedup.hashAt(0, w), lit(FingerprintMod)))
+          .alias("hs"))
+      .select(
+        col("doc_id"),
+        aggregate(col("hs"), lit(0L),
+          (acc, h) => pmod(acc * 131 + h, lit(FingerprintMod)))
+          .alias("fingerprint"))
+}

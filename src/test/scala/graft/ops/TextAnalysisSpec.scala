@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit spec for the text-analysis operators. */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("term stats: doc_freq counts documents, total_count counts occurrences") {
+    val out = TextAnalysis.termStats(docs(
+      (1L, "spark spark flink"), (2L, "spark beam")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("spark") === ((2L, 3L)))
+    assert(out("flink") === ((1L, 1L)))
+    assert(out("beam") === ((1L, 1L)))
+  }
+
+  test("langId picks the language with the densest function words") {
+    val out = TextAnalysis.langId(docs(
+      (1L, "the cat sat on the mat and the dog"),
+      (2L, "le chat et la souris est dans le jardin"),
+      (3L, "qwerty zxcvb asdf")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "unknown")
+  }
+
+  test("quality metrics are exact on a hand-computed doc") {
+    val out = TextAnalysis.quality(docs((1L, "The cat, the hat!"))).collect().head
+    assert(out.getAs[Int]("n_chars") === 17)
+    assert(out.getAs[Int]("n_tokens") === 4)
+    // tokens: the cat, the hat! → lengths 3,4,3,4 (punct kept by tokenizer)
+    assert(out.getAs[Double]("mean_token_len") === 3.5)
+    // 'the' twice out of 4 tokens ('cat,'/'hat!' don't match due to punct)
+    assert(out.getAs[Double]("stopword_ratio") === 0.5)
+    // ',' and '!' of 17 chars
+    assert(math.abs(out.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-6)
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val out = TextAnalysis.tokenCounts(docs((1L, "don't split42 me"))).collect().head
+    assert(out.getAs[Int]("ws_tokens") === 3)
+    // don | ' | t | split | 42 | me
+    assert(out.getAs[Int]("bpeish_tokens") === 6)
+  }
+
+  test("fingerprint is order-sensitive, deterministic, and in range") {
+    val out = TextAnalysis.fingerprint(docs(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(3L))
+    assert(out(1L) !== out(2L)) // rolling hash: permutation changes it
+    assert(out.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
+  }
+}
