@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertRules, Aggregates, Dedup, Parse, Similarity, TextAnalysis}
+import graft.ops.{AlertRules, Aggregates, Dedup, Multimodal, Parse, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -358,7 +358,12 @@ object SparkEntry {
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
-    "text_fingerprint"    -> ((s, d) => textFingerprint(s, d))
+    "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
+    "mm_metadata"         -> ((s, d) =>
+      Multimodal.metadata(Multimodal.documentMedia(s, d))),
+    // Imperative decode stage — no SQL twin; driver records rows-only.
+    "mm_features"         -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.documentMedia(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -559,6 +564,17 @@ object SparkEntry {
          |       list_reduce(list_prepend(CAST(0 AS BIGINT), h),
          |         (a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintMod})
          |         AS fingerprint
-         |FROM hs""".stripMargin
+         |FROM hs""".stripMargin,
+
+    // Payload bytes are the documents' UTF-8 text, so byte-prefix sniffs
+    // reduce to string prefixes (0x89/0xff can never begin valid UTF-8).
+    "mm_metadata" ->
+      """SELECT doc_id AS media_id,
+        |       'text-blob' AS kind,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       sha256(text) AS payload_sha256,
+        |       CASE WHEN starts_with(text, 'RIFF') THEN 'riff-wav'
+        |            ELSE 'unknown' END AS sniffed_format
+        |FROM documents""".stripMargin
   )
 }
