@@ -160,14 +160,22 @@ object SparkEntry {
       |        FROM documents)
       |)""".stripMargin
 
+  // Base-hash + affine family twin of Dedup.minhashSignatures: one md5 per
+  // shingle, k affine transforms. Constants come from Dedup.affineParams so
+  // both engines agree bit-for-bit.
   private val sigSql = {
-    val entries = (0 until MinhashK).map { i =>
-      s"list_min(list_transform(g, w -> ${hashSql(s"'$i:'")}))"
+    val entries = Dedup.affineParams(MinhashK).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.AffineMod}))"
     }.mkString(",\n    ")
-    s"""sigs AS (
+    s"""bh AS (
+       |  SELECT doc_id,
+       |         list_transform(g, w -> ${hashSql("'0:'")} & ${(1L << 30) - 1})
+       |           AS hs
+       |  FROM grams
+       |), sigs AS (
        |  SELECT doc_id, [
        |    $entries
-       |  ] AS sig FROM grams
+       |  ] AS sig FROM bh
        |)""".stripMargin
   }
 

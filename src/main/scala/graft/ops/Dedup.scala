@@ -31,6 +31,33 @@ object Dedup {
   def hashAt(i: Int, w: Column): Column =
     conv(substring(md5(concat(lit(s"$i:"), w)), 1, 15), 16, 10).cast("long")
 
+  /** Largest prime below 2^30 — the modulus of the affine MinHash family.
+    * 30-bit values keep `a·h + b` under 2^61, exact in BIGINT on both
+    * engines (DuckDB raises on 64-bit overflow where the JVM wraps).
+    */
+  val AffineMod = 1073741789L
+
+  /** Deterministic affine-family constants (aᵢ odd, in [1, p); bᵢ in [0, p)),
+    * shared verbatim with the oracle SQL generator.
+    */
+  def affineParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k)((
+      (math.abs(rng.nextLong()) % (AffineMod - 2)) / 2 * 2 + 1,
+      math.abs(rng.nextLong()) % AffineMod))
+  }
+
+  /** One 30-bit base hash per string; the k family members are then cheap
+    * affine transforms `(aᵢ·h + bᵢ) mod p` of it — md5 runs ONCE per
+    * shingle occurrence instead of k times (the classic MinHash
+    * universal-hash construction).
+    */
+  def baseHash30(w: Column): Column =
+    hashAt(0, w).bitwiseAND(lit((1L << 30) - 1))
+
+  def affineAt(params: (Long, Long), h: Column): Column =
+    pmod(h * params._1 + params._2, lit(AffineMod))
+
   /** (doc_id, grams): each document's distinct word-BIGRAM shingle set.
     * Bigram shingles (not single words) keep signatures discriminative on
     * corpora with a narrow vocabulary: with word-set shingles every document
@@ -50,15 +77,22 @@ object Dedup {
         array_distinct(bigramsOf(col("toks"))).alias("grams"))
 
   /** (doc_id, sig): MinHash signature (length `k`) over the shingle set —
-    * min over the set of each hash-family member, the standard
-    * permutation-free MinHash estimator. `grams` is an attribute here, so
-    * each of the k entries scans the materialized list once.
+    * min over the set of each affine-family member, the standard
+    * permutation-free MinHash estimator. Staged: shingles → one md5-derived
+    * base hash per shingle (materialized) → k affine mins. Each stage's
+    * input is an attribute, so the expensive md5 runs exactly once per
+    * shingle occurrence.
     */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
-    shingleSets(docs).select(
-      col("doc_id"),
-      array((0 until k).map(i =>
-        array_min(transform(col("grams"), w => hashAt(i, w)))): _*).alias("sig"))
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val params = affineParams(k)
+    shingleSets(docs)
+      .select(col("doc_id"),
+        transform(col("grams"), w => baseHash30(w)).alias("hs"))
+      .select(
+        col("doc_id"),
+        array(params.map(p =>
+          array_min(transform(col("hs"), h => affineAt(p, h)))): _*).alias("sig"))
+  }
 
   /** LSH band buckets for a signature: one row-key per band, hashing the
     * band's slice of the signature. Docs sharing any (band, bucket) become
