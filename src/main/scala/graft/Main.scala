@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.PipelineConfig
+import graft.io.LoggingNotifier
+
+/** Production entry point: start all four streaming units against the
+  * configured Kafka/Postgres endpoints and supervise until termination
+  * (reference: spark_processing/main.py:19-67; see Pipeline for the
+  * deliberate differences). Requires the Kafka connector and a JDBC driver
+  * on the classpath — not available in the offline test container, where
+  * the MemoryStream specs cover the same code paths.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cfg = PipelineConfig.fromEnv()
+    val spark = SparkSession.builder()
+      .appName("graft-iot-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pipeline = new Pipeline(spark, cfg, new LoggingNotifier)
+    val queries = pipeline.startAll()
+    println(s"Started ${queries.size} streaming queries; awaiting termination")
+    pipeline.runUntilTermination()
+    spark.stop()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.model.Schemas.FlatReading
+
+/** Property-based invariants (SURVEY §5.2.2), with generators mirroring the
+  * simulator's distributions (sensor_simulator.py:28-98). The
+  * scalatest-scalacheck bridge is not on the offline classpath, so
+  * properties are exercised by seeded generator sampling — deterministic
+  * across runs.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAllSeeded[A](g: Gen[A], runs: Int = 5)(body: A => Unit): Unit =
+    (1 to runs).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val genReading: Gen[FlatReading] = for {
+    t <- Gen.oneOf("temperature", "humidity", "pressure")
+    unit = Map("temperature" -> "celsius", "humidity" -> "percent",
+      "pressure" -> "hPa")(t)
+    value <- Gen.chooseNum(-50.0, 1100.0)
+    battery <- Gen.chooseNum(0, 100)
+    signal <- Gen.chooseNum(-95, -30)
+    floor <- Gen.chooseNum(1, 2)
+    room <- Gen.chooseNum(100, 103)
+  } yield FlatReading(
+    sensor_id = s"A_${floor}_${room}_$t", sensor_type = t, building = "A",
+    floor = Some(floor), room = Some(room),
+    timestamp = "2026-01-01 12:00:00.000000", value = Some(value),
+    unit = unit, battery_level = Some(battery),
+    signal_strength = Some(signal))
+
+  private def detectAll(rs: Seq[FlatReading]) = {
+    import spark.implicits._
+    AlertRules.detect(rs.toDS.toDF).collect()
+  }
+
+  test("property: at most one alert per reading; severity matches alert_type") {
+    forAllSeeded(Gen.listOfN(40, genReading)) { rs =>
+      val alerts = detectAll(rs)
+      assert(alerts.length <= rs.length)
+      alerts.foreach { a =>
+        val at = a.getAs[String]("alert_type")
+        val sev = a.getAs[String]("severity")
+        assert(at !== null)
+        if (at.contains("critical")) assert(sev === "critical")
+        else if (at.contains("warning")) assert(sev === "warning")
+        assert(Set("critical", "warning").contains(sev)) // info unreachable
+      }
+    }
+  }
+
+  test("property: environmental alerts never fire on a mismatched unit") {
+    val mismatched = genReading.map(r =>
+      r.copy(unit = if (r.unit == "celsius") "percent" else "celsius",
+        battery_level = Some(90), signal_strength = Some(-50)))
+    forAllSeeded(Gen.listOfN(40, mismatched)) { rs =>
+      assert(detectAll(rs).isEmpty)
+    }
+  }
+
+  test("property: window aggregation partitions rows exactly (sum of counts = n)") {
+    import spark.implicits._
+    val genTs = Gen.chooseNum(0L, 3600L)
+    forAllSeeded(Gen.listOfN(60, genTs)) { offs =>
+      val df = offs.map(o => (java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(o)),
+          "s1", "temperature", 1.0))
+        .toDF("event_time", "sensor_id", "sensor_type", "value")
+      val out = Aggregates.sensorStats(df).collect()
+      assert(out.map(_.getAs[Long]("count")).sum === offs.length.toLong)
+      // tumbling 4-min buckets: start is epoch-aligned, end = start + 240s
+      out.foreach { w =>
+        val s = w.getAs[java.sql.Timestamp]("window_start").toInstant
+        val e = w.getAs[java.sql.Timestamp]("window_end").toInstant
+        assert(s.getEpochSecond % 240 === 0)
+        assert(e.getEpochSecond - s.getEpochSecond === 240)
+      }
+    }
+  }
+
+  test("property: minhash est_sim of identical docs is 1; signature length is k") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(25,
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))) { words =>
+      val text = words.mkString(" ")
+      val sigs = Dedup.minhashSignatures(
+        Seq((1L, text), (2L, text)).toDF("doc_id", "text"), 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sigs(1L) === sigs(2L))
+      assert(sigs(1L).length === 16)
+      assert(sigs(1L).forall(h => h >= 0 && h < Dedup.AffineMod))
+    }
+  }
+}
