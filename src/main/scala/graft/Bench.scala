@@ -17,6 +17,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Absorb session/codegen/Hadoop warmup so the first measured query is
+    // not charged ~3 s of one-time setup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results: Map[String, Either[String, Double]] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

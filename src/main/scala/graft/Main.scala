@@ -15,10 +15,16 @@ import graft.io.LoggingNotifier
 object Main {
   def main(args: Array[String]): Unit = {
     val cfg = PipelineConfig.fromEnv()
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-iot-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // RocksDB state store (SURVEY §7.5.6): bounded-memory streaming state
+    // for the windowed aggregation at scale; opt-in because local tests and
+    // tiny deployments are fine on the default HDFS-backed provider.
+    if (sys.env.get("GRAFT_ROCKSDB_STATE").contains("true"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val pipeline = new Pipeline(spark, cfg, new LoggingNotifier)
     val queries = pipeline.startAll()

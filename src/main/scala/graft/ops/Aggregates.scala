@@ -43,11 +43,12 @@ object Aggregates {
         max(valueCol).alias("max_value"),
         count(lit(1)).alias("count"))
       .select(
-        (Seq(
-          col("window.start").alias("window_start"),
-          col("window.end").alias("window_end")) ++
-          keys.map(col) ++
-          Seq(col("avg_value"), col("min_value"), col("max_value"), col("count"))): _*)
+        (keys.map(col) ++
+          Seq(
+            col("window.start").alias("window_start"),
+            col("window.end").alias("window_end"),
+            col("avg_value"), col("min_value"), col("max_value"),
+            col("count"))): _*) // column order mirrors data_agregator.py:86-95
   }
 
   /** Reference-parity aggregation: 4-minute tumbling windows per
