@@ -29,15 +29,26 @@ object StandIn {
     * oracle stays in lockstep. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    fanOut(spark, spark.read.parquet(s"$sfDir/events.parquet"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    fanOut(spark, spark.read.parquet(s"$sfDir/documents.parquet"))
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    fanOut(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"))
+
+  /** HARNESS-ONLY remedy: the driver's testdata files each hold ONE parquet
+    * row group, so a scan cannot split below one task and every post-scan
+    * stage (JSON round-trips, signatures) would run on a single core. A
+    * cheap round-robin shuffle of the few-MB input restores parallelism.
+    * Do NOT copy this into engine paths — production inputs have many row
+    * groups/files and repartitioning 100 TB after scan would be a
+    * full-data shuffle for nothing.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
