@@ -148,6 +148,32 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("persistence e2e: raw JSON → flat readings with event_time → jdbc writer") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val pipeline = new Pipeline(spark, cfg)
+    val readings = pipeline.readingsFrame(input.toDF())
+    val written = mutable.Buffer[org.apache.spark.sql.Row]()
+    val query = io.Sinks.jdbcStream(
+      readings, cfg.jdbc, cfg.jdbc.readingsTable,
+      Files.createTempDirectory("graft-persist").toString, "persist_test",
+      writer = (df, _) => written.synchronized { written ++= df.collect() })
+    try {
+      input.addData(
+        readingJson("temperature", 21.5),
+        readingJson("pressure", 1010.0, battery = 55))
+      query.processAllAvailable()
+      assert(written.length === 2)
+      val r = written.find(_.getAs[String]("sensor_type") == "temperature").get
+      assert(r.getAs[String]("sensor_id") === "A_1_100_temperature")
+      assert(r.getAs[Int]("floor") === 1)
+      assert(r.getAs[Double]("value") === 21.5)
+      assert(r.getAs[String]("timestamp") === "2026-01-01T12:00:00.000000")
+      assert(r.getAs[java.sql.Timestamp]("event_time").toInstant.toString ===
+        "2026-01-01T12:00:00Z")
+    } finally query.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
