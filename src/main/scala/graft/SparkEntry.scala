@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertRules, Aggregates, Dedup, Multimodal, Parse, Similarity, TextAnalysis}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Dedup, Multimodal, Parse, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -87,6 +87,15 @@ object SparkEntry {
              col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
               col("l_discount"), col("l_returnflag"))
+
+  /** Stateful lifecycle: flatMapGroupsWithState active→resolved transitions
+    * over the events stand-in. The oracle recomputes the same transitions
+    * declaratively (gaps-and-islands over lag windows) — an independent
+    * cross-paradigm check of the state machine.
+    */
+  private def alertLifecycle(s: SparkSession, dir: String): DataFrame =
+    AlertLifecycle.transitions(
+      StandIn.readingsFromEvents(StandIn.events(s, dir))).toDF()
 
   /** F5: severity isin filter — the mail-notifier predicate
     * (reference: gestionnaire_mail.py:79-83), over real detected alerts. */
@@ -367,6 +376,7 @@ object SparkEntry {
     "text_quality"        -> ((s, d) => textQuality(s, d)),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
+    "alert_lifecycle"     -> ((s, d) => alertLifecycle(s, d)),
     "mm_metadata"         -> ((s, d) =>
       Multimodal.metadata(Multimodal.documentMedia(s, d))),
     // Imperative decode stage — no SQL twin; driver records rows-only.
@@ -573,6 +583,47 @@ object SparkEntry {
          |         (a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintMod})
          |         AS fingerprint
          |FROM hs""".stripMargin,
+
+    // Declarative twin of the flatMapGroupsWithState lifecycle: runs of
+    // equal alert_type per sensor (gaps-and-islands); an 'active' row opens
+    // each non-null run, a 'resolved' row closes it at the first row of the
+    // next run.
+    "alert_lifecycle" ->
+      s"""$R, classified AS (
+         |  SELECT sensor_id, event_time, $classifySql AS alert_type
+         |  FROM readings
+         |), lagged AS (
+         |  SELECT sensor_id, event_time, alert_type,
+         |         lag(alert_type) OVER
+         |           (PARTITION BY sensor_id ORDER BY event_time) AS prev
+         |  FROM classified
+         |), seq AS (
+         |  SELECT sensor_id, event_time, alert_type,
+         |         count(CASE WHEN alert_type IS DISTINCT FROM prev
+         |                    THEN 1 END)
+         |           OVER (PARTITION BY sensor_id ORDER BY event_time
+         |                 ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM lagged
+         |), runs AS (
+         |  SELECT sensor_id, run_id, alert_type,
+         |         min(event_time) AS run_start
+         |  FROM seq GROUP BY 1, 2, 3
+         |), actives AS (
+         |  SELECT sensor_id, alert_type, 'active' AS status,
+         |         run_start AS triggered_at,
+         |         CAST(NULL AS TIMESTAMP) AS resolved_at
+         |  FROM runs WHERE alert_type IS NOT NULL
+         |), resolveds AS (
+         |  SELECT r.sensor_id, p.alert_type, 'resolved' AS status,
+         |         p.run_start AS triggered_at,
+         |         r.run_start AS resolved_at
+         |  FROM runs r
+         |  JOIN runs p ON p.sensor_id = r.sensor_id
+         |             AND p.run_id = r.run_id - 1
+         |  WHERE p.alert_type IS NOT NULL
+         |)
+         |SELECT * FROM actives UNION ALL SELECT * FROM resolveds"""
+        .stripMargin,
 
     // Payload bytes are the documents' UTF-8 text, so byte-prefix sniffs
     // reduce to string prefixes (0x89/0xff can never begin valid UTF-8).
