@@ -129,6 +129,10 @@ object SparkEntry {
     Dedup.ngramJaccard(StandIn.documents(s, dir),
       MinhashK, MinhashBands, MinhashEstThreshold, JaccardThreshold)
 
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(StandIn.documents(s, dir),
+      MinhashK, MinhashBands, MinhashEstThreshold)
+
   // DuckDB twins of ops/Dedup.scala's hash family and tokenizer — keep in
   // lockstep with Dedup.tokens / Dedup.hashAt / Dedup.minhashSignature.
   private val toksSql =
@@ -368,6 +372,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => dedupMinhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
@@ -479,6 +484,22 @@ object SparkEntry {
          |)
          |SELECT a_id, b_id, jaccard FROM verified
          |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    // Recursive-CTE twin of Dedup.clusters: every label reachable over the
+    // (bidirectional) candidate edges; component id = min reachable label.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |edges AS (
+         |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
+         |), reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
+         |)
+         |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id"""
+        .stripMargin,
 
     "sim_brute_topk" ->
       s"""WITH $prepSql, pairs AS (

@@ -207,6 +207,54 @@ object Dedup {
       .where(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Near-duplicate cluster assignment: connected components over the LSH
+    * candidate graph, each document labeled with the smallest doc_id in its
+    * component (singletons label themselves).
+    *
+    * Iterative min-label propagation — the standard Pregel-style loop as
+    * plain DataFrame joins. Each round: every node takes the min of its own
+    * label and its neighbors' labels; converges in O(component diameter)
+    * rounds, which for near-dup clusters is tiny. Per-round
+    * `localCheckpoint` truncates the query plan — without it the lineage
+    * (and optimizer time) doubles every iteration. All joins are
+    * hash-partitioned equi-joins on ids.
+    */
+  def clusters(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashCandidates(docs, k, bands, threshold)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
+      .localCheckpoint() // candidate graph is tiny relative to the corpus
+    var labels = docs.select(col("doc_id"), col("doc_id").alias("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("b_id") === labels("doc_id"))
+        .groupBy(edges("a_id").alias("doc_id"))
+        .agg(min(col("cluster_id")).alias("nmin"))
+      val updated = labels.alias("l")
+        .join(neighborMin.alias("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .alias("cluster_id"))
+        .localCheckpoint()
+      changed = updated.alias("u")
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** Consecutive word bigrams ("w1 w2"), order-preserving. Guarded for
     * short docs: Spark's `sequence(1, 0)` would count DOWN, not be empty.
     * `toks` should be a materialized column attribute (see [[shingleSets]]).

@@ -69,6 +69,21 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) >= 0L) // 60-bit → always non-negative
   }
 
+  test("clusters: transitive near-dups share the min doc_id; singletons self-label") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 5↔7 and 7↔9 are near-dups (chain); 2 is unrelated.
+    val out = Dedup.clusters(docs(
+      (5L, base),
+      (7L, base + " extra"),
+      (9L, base + " extra more"),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === 5L)
+    assert(out(7L) === 5L)
+    assert(out(9L) === 5L) // transitively, even if 9 only bucket-matched 7
+    assert(out(2L) === 2L)
+  }
+
   test("lsh plan has no cartesian product") {
     val plan = Dedup.minhashCandidates(docs((1L, "a b c"), (2L, "d e f")))
       .queryExecution.executedPlan.toString
