@@ -234,6 +234,11 @@ object SparkEntry {
   private def simCosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(StandIn.embeddings(s, dir), SrpBits, NearDupCosine)
 
+  private val IvfCells = 8
+
+  private def simIvfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(StandIn.embeddings(s, dir), IvfCells, TopK)
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -270,6 +275,19 @@ object SparkEntry {
 
   private def cosSql(av: String, an: String, bv: String, bn: String): String =
     s"round(${dotSql(av, bv)} / ($an * $bn), 6)"
+
+  // IVF coarse cells: argmax (first-wins) of rounded dots against the
+  // seed-7 Rademacher vectors — twin of Similarity.ivfCell.
+  private val ivfCellsSql = {
+    val dots = Similarity.planes(IvfCells, seed = 7L)
+      .map(p => s"round(${dotSql("vec", planeLiteral(p))}, 6)")
+      .mkString("[", ",\n    ", "]")
+    s"""ivf AS (
+       |  SELECT vec_id, vec, norm,
+       |         CAST(list_position(d, list_max(d)) AS INT) AS cell
+       |  FROM (SELECT vec_id, vec, norm, $dots AS d FROM prepn)
+       |)""".stripMargin
+  }
 
   // ─── north-star: text analysis over documents ──────────────────────────
 
@@ -376,6 +394,7 @@ object SparkEntry {
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
+    "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
@@ -522,6 +541,22 @@ object SparkEntry {
          |               b.norm AS q_norm
          |        FROM bsim b WHERE b.vec_id % 100 = 0) q
          |    ON p.bucket = q.bucket AND p.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM pairs)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $prepSql, $ivfCellsSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM ivf p
+         |  JOIN (SELECT b.cell, b.vec_id AS q_id, b.vec AS q_vec,
+         |               b.norm AS q_norm
+         |        FROM ivf b WHERE b.vec_id % 100 = 0) q
+         |    ON p.cell = q.cell AND p.vec_id <> q.q_id
          |)
          |SELECT q_id, rank, neighbor_id, cos_sim FROM (
          |  SELECT *, CAST(row_number() OVER (

@@ -100,6 +100,38 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Deterministic IVF coarse quantizer: `cells` fixed Rademacher seed
+    * vectors; a vector's cell is the argmax of its dot products against
+    * them (first index wins ties, stabilized by 6-dp rounding). A
+    * seed-derived quantizer instead of trained k-means keeps the index
+    * deterministic and oracle-checkable; swap in trained centroids for
+    * production recall without touching the query shape.
+    */
+  def ivfCell(vec: Column, seeds: Seq[Seq[Double]]): Column = {
+    val dots = array(seeds.map(s => round(dot(vec, typedlit(s)), 6)): _*)
+    array_position(dots, array_max(dots)).cast("int")
+  }
+
+  /** IVF top-k: data and queries are partitioned by coarse cell; each query
+    * probes only its own cell (nprobe=1). The inverted-list analogue of
+    * [[lshTopK]] — candidates come from a cell equi-join, never a product;
+    * at scale the cell column is the partition/bucket key of the stored
+    * index.
+    */
+  def ivfTopK(embeddings: DataFrame, cells: Int = 8, k: Int = 5): DataFrame = {
+    val seeds = planes(cells, seed = 7L)
+    val prep = prepared(embeddings)
+      .withColumn("cell", ivfCell(col("vec"), seeds))
+    val queries = querySet(prep.select(col("vec_id"), col("vec"), col("norm")))
+      .join(prep.select(col("vec_id").alias("q_id"), col("cell")), "q_id")
+    val pairs = prep.join(broadcast(queries), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+        cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+          .alias("cos_sim"))
+    topK(pairs, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket-sharing pairs with
     * cosine ≥ threshold (the embedding-space member of the dedup family).
     */

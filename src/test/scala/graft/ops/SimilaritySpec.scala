@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, n) => assert(q !== n) }
   }
 
+  test("ivf: identical vectors land in the same cell; top-k excludes the query") {
+    val v = Seq(0.4, -0.2, 0.8, 0.1)
+    val out = Similarity.ivfTopK(emb(
+      (0L, v),                           // query
+      (1L, v.map(_ * 0.99)),             // same direction → same cell
+      (2L, v)), cells = 4, k = 5).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("q_id") == 0L))
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+    val top = out.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Double]("cos_sim") === 1.0) // parallel vectors
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4) === Similarity.planes(4))
     assert(Similarity.planes(4).flatten.forall(v => v == 1.0 || v == -1.0))
