@@ -297,6 +297,9 @@ object SparkEntry {
   private def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(StandIn.documents(s, dir))
 
+  private def textLangIdNgram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charNgramLangId(StandIn.documents(s, dir))
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(StandIn.documents(s, dir))
 
@@ -397,6 +400,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
+    "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
@@ -598,6 +602,40 @@ object SparkEntry {
          |       round(fr_score, 6) AS fr_score,
          |       round(de_score, 6) AS de_score
          |FROM best""".stripMargin,
+
+    "text_langid_ngram" -> {
+      def prof(lang: String): String =
+        TextAnalysis.TrigramProfiles.toMap.apply(lang)
+          .map(t => s"'${t}'").mkString("[", ", ", "]")
+      val scores = TextAnalysis.TrigramProfiles.map { case (lang, _) =>
+        s"""len(list_filter(tg, t -> list_contains(${prof(lang)}, t)))
+           |  / CAST(greatest(len(tg), 1) AS DOUBLE) AS ${lang}_tg"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH grams AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(lt) >= 3
+         |           THEN list_transform(range(1, length(lt) - 1),
+         |                i -> substr(lt, CAST(i AS INT), 3))
+         |           ELSE [] END AS tg
+         |  FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+         |), scored AS (
+         |  SELECT doc_id,
+         |$scores
+         |  FROM grams
+         |), best AS (
+         |  SELECT *, greatest(en_tg, fr_tg, de_tg) AS top FROM scored
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN en_tg = top AND top > 0 THEN 'en'
+         |            WHEN fr_tg = top AND top > 0 THEN 'fr'
+         |            WHEN de_tg = top AND top > 0 THEN 'de'
+         |            ELSE 'unknown' END AS predicted_lang,
+         |       round(en_tg, 6) AS en_score,
+         |       round(fr_tg, 6) AS fr_score,
+         |       round(de_tg, 6) AS de_score
+         |FROM best""".stripMargin
+    },
 
     "text_quality" -> {
       val stop = TextAnalysis.LangMarkers.flatMap(_._2)

@@ -63,6 +63,50 @@ object TextAnalysis {
         }): _*)
   }
 
+  /** Characteristic character trigrams per language — the classic n-gram
+    * language-ID profile, tiny edition.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "ion", "and", "ent", "he ", " th"),
+    "fr" -> Seq("les", "ent", "des", "que", "ais", "le ", " de"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", "en ", " di"))
+
+  /** Character-trigram language ID: per language, the fraction of the
+    * document's char trigrams found in that language's profile; predicted =
+    * argmax, 'unknown' when nothing matches. Complements [[langId]]'s
+    * function-word gate — trigrams survive domains where function words are
+    * rare (code, tables, short strings).
+    */
+  def charNgramLangId(docs: DataFrame): DataFrame = {
+    // Stage the lowered text and the trigram list: lambda bodies re-evaluate
+    // non-attribute expressions per element (see Dedup.shingleSets).
+    val grams = docs
+      .select(col("doc_id"), lower(col("text")).alias("lt"))
+      .select(col("doc_id"),
+        when(length(col("lt")) >= 3,
+          transform(sequence(lit(1), length(col("lt")) - 2),
+            i => col("lt").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>")).alias("tg"))
+    val scored = grams.select(
+      (col("doc_id") +: TrigramProfiles.map { case (lang, prof) =>
+        (size(filter(col("tg"), t => array_contains(typedlit(prof), t)))
+          .cast("double") / greatest(size(col("tg")), lit(1)))
+          .alias(s"${lang}_tg")
+      }): _*)
+    val best = TrigramProfiles.map { case (lang, _) => col(s"${lang}_tg") }
+      .reduce(greatest(_, _))
+    val predicted = TrigramProfiles.foldRight(lit("unknown")) {
+      case ((lang, _), rest) =>
+        when(col(s"${lang}_tg") === best && best > 0, lit(lang))
+          .otherwise(rest)
+    }
+    scored.select(
+      (col("doc_id") +: predicted.alias("predicted_lang") +:
+        TrigramProfiles.map { case (lang, _) =>
+          round(col(s"${lang}_tg"), 6).alias(s"${lang}_score")
+        }): _*)
+  }
+
   /** Quality signals per document: length, token counts, mean token length,
     * stopword ratio, punctuation ratio — the standard cheap filters a
     * training-data pipeline gates on before expensive steps.

@@ -50,6 +50,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Int]("bpeish_tokens") === 6)
   }
 
+  test("char-trigram langId identifies language from orthography alone") {
+    val out = TextAnalysis.charNgramLangId(docs(
+      (1L, "the thing and the other thing"),
+      (2L, "der einfache und der schnelle dichter"),
+      (3L, "xxxxx qqqqq")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "unknown")
+  }
+
   test("fingerprint is order-sensitive, deterministic, and in range") {
     val out = TextAnalysis.fingerprint(docs(
       (1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
