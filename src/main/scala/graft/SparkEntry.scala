@@ -303,6 +303,9 @@ object SparkEntry {
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(StandIn.documents(s, dir))
 
+  private def textQualityGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityGate(StandIn.documents(s, dir))
+
   private def textTokenCounts(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(StandIn.documents(s, dir))
 
@@ -402,6 +405,7 @@ object SparkEntry {
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
+    "text_quality_gate"   -> ((s, d) => textQualityGate(s, d)),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
     "alert_lifecycle"     -> ((s, d) => alertLifecycle(s, d)),
@@ -653,6 +657,35 @@ object SparkEntry {
          |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g'))
          |         AS DOUBLE) / greatest(length(d.text), 1), 6) AS punct_ratio
          |FROM documents d JOIN toks k ON d.doc_id = k.doc_id""".stripMargin
+    },
+
+    "text_quality_gate" -> {
+      val stop = TextAnalysis.LangMarkers.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $rawToksSql, q AS (
+         |  SELECT d.doc_id,
+         |         length(d.text) AS n_chars,
+         |         len(k.t) AS n_tokens,
+         |         round(len(list_filter(k.t, w -> list_contains($stop, w)))
+         |           / CAST(greatest(len(k.t), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |         round((length(d.text)
+         |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))
+         |           / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |         length(d.text)
+         |           / CAST(greatest(len(k.t), 1) AS DOUBLE) AS cpt
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), gated AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_chars < 64 THEN 'too_short'
+         |              WHEN n_tokens < 10 THEN 'too_few_tokens'
+         |              WHEN stopword_ratio > 0.4 THEN 'stopword_heavy'
+         |              WHEN punct_ratio > 0.1 THEN 'punct_heavy'
+         |              WHEN cpt > 12.0 THEN 'tokens_too_long'
+         |              ELSE NULL END AS reject_reason
+         |  FROM q
+         |)
+         |SELECT doc_id, reject_reason IS NULL AS passed, reject_reason
+         |FROM gated""".stripMargin
     },
 
     "text_token_counts" ->

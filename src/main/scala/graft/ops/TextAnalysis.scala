@@ -152,6 +152,34 @@ object TextAnalysis {
         .alias("chars_per_token"))
   }
 
+  /** The corpus-curation gate: a first-match-wins rejection chain over the
+    * quality signals (the text-domain sibling of the alert CaseWhen).
+    * Emits every document with its verdict and the first failing rule, so
+    * downstream can both filter (`WHERE passed`) and audit rejection
+    * reasons at scale — one pass, no shuffle.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      minChars: Int = 64,
+      minTokens: Int = 10,
+      maxStopwordRatio: Double = 0.4,
+      maxPunctRatio: Double = 0.1,
+      maxCharsPerToken: Double = 12.0): DataFrame = {
+    val q = quality(docs)
+    val cpt = q("n_chars").cast("double") / greatest(q("n_tokens"), lit(1))
+    val reason =
+      when(q("n_chars") < minChars, "too_short")
+        .when(q("n_tokens") < minTokens, "too_few_tokens")
+        .when(q("stopword_ratio") > maxStopwordRatio, "stopword_heavy")
+        .when(q("punct_ratio") > maxPunctRatio, "punct_heavy")
+        .when(cpt > maxCharsPerToken, "tokens_too_long")
+        .otherwise(lit(null))
+    q.select(
+      col("doc_id"),
+      reason.isNull.alias("passed"),
+      reason.alias("reject_reason"))
+  }
+
   /** Fingerprint modulus: the largest prime below 10^15, so `h*131 + t`
     * stays far inside Long/BIGINT range on both engines (no overflow —
     * DuckDB would raise where the JVM silently wraps).
