@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-surface registration: a session built with the extension can
+  * call dot_product from plain SQL. Uses its own session because the
+  * extension must be installed at session construction.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("dot_product is callable from SQL via spark.sql.extensions") {
+    // Extensions apply only at session construction; clear the (possibly
+    // existing) default session so getOrCreate builds a fresh one on the
+    // shared SparkContext, and restore afterwards.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // `withExtensions` is the programmatic twin of the
+    // `spark.sql.extensions` config; the string form only applies when the
+    // SparkContext itself is built with it, which a shared test context
+    // is not.
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val out = spark.sql(
+        """SELECT dot_product(
+          |  array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d""".stripMargin)
+        .collect().head.getDouble(0)
+      assert(out === 32.0)
+      val err = intercept[Exception] {
+        spark.sql("SELECT dot_product(array(1.0d))").collect()
+      }
+      assert(err.getMessage.contains("2 arguments") ||
+        err.getMessage.toLowerCase.contains("invalid number of arguments"))
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
