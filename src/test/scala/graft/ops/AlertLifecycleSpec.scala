@@ -51,6 +51,52 @@ class AlertLifecycleSpec extends SparkSpec {
       ("temperature_warning", "active")))
   }
 
+  test("streaming: checkpoint recovery — a restarted query resumes offsets and state") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)](spark)
+    val readings = input.toDF().toDF("sid", "event_time", "value")
+      .selectExpr("sid AS sensor_id", "'temperature' AS sensor_type",
+        "'A' AS building", "1 AS floor", "100 AS room",
+        "CAST(event_time AS STRING) AS timestamp", "value",
+        "'celsius' AS unit", "90 AS battery_level", "-50 AS signal_strength",
+        "event_time")
+    val cp = Files.createTempDirectory("graft-recovery").toString
+    val transitions = AlertLifecycle.transitions(readings).toDF()
+
+    val batch1 = scala.collection.mutable.Buffer[org.apache.spark.sql.Row]()
+    val q1 = transitions.writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch1.synchronized { batch1 ++= df.collect() }; ()
+      }.start()
+    try {
+      input.addData(("s1", ts("2026-01-01 10:00:00"), 32.0)) // alert fires
+      q1.processAllAvailable()
+      assert(batch1.map(_.getAs[String]("status")) === Seq("active"))
+    } finally q1.stop()
+
+    // Data arriving while the query is down…
+    input.addData(("s1", ts("2026-01-01 10:05:00"), 21.0)) // back to normal
+
+    val batch2 = scala.collection.mutable.Buffer[org.apache.spark.sql.Row]()
+    val q2 = transitions.writeStream.outputMode("append")
+      .option("checkpointLocation", cp) // SAME checkpoint → resume
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch2.synchronized { batch2 ++= df.collect() }; ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      // Only the resolution is emitted (offsets resumed, batch 1 not
+      // replayed), and its triggered_at proves the state store recovered
+      // the alert opened before the restart.
+      assert(batch2.map(_.getAs[String]("status")) === Seq("resolved"))
+      assert(batch2.head.getAs[Timestamp]("triggered_at") ===
+        ts("2026-01-01 10:00:00"))
+      assert(batch2.head.getAs[Timestamp]("resolved_at") ===
+        ts("2026-01-01 10:05:00"))
+    } finally q2.stop()
+  }
+
   test("streaming: state persists across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[(String, Timestamp, Double)](spark)
