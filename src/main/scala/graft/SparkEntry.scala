@@ -133,6 +133,9 @@ object SparkEntry {
     Dedup.clusters(StandIn.documents(s, dir),
       MinhashK, MinhashBands, MinhashEstThreshold)
 
+  private def dedupSimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(StandIn.documents(s, dir))
+
   // DuckDB twins of ops/Dedup.scala's hash family and tokenizer — keep in
   // lockstep with Dedup.tokens / Dedup.hashAt / Dedup.minhashSignature.
   private val toksSql =
@@ -397,6 +400,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => dedupSimhashNearDup(s, d)),
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
@@ -511,6 +515,37 @@ object SparkEntry {
          |)
          |SELECT a_id, b_id, jaccard FROM verified
          |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    // Bigram-shingle simhash + Hamming-band near-dup twin of
+    // Dedup.simhashNearDup.
+    "dedup_simhash_pairs" ->
+      s"""WITH $gramsSql, hashes AS (
+         |  SELECT doc_id, list_transform(g, w -> ${hashSql("'0:'")}) AS h
+         |  FROM grams
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 60), j ->
+         |           CASE WHEN list_sum(list_transform(h,
+         |                  hv -> ((hv >> CAST(j AS INT)) & 1) * 2 - 1)) > 0
+         |                THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |                ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hashes
+         |), bands AS (
+         |  SELECT doc_id, simhash, b.band AS band,
+         |         (simhash >> CAST(b.band * 15 AS INT)) & 32767 AS bv
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+         |), spairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |              AND a.doc_id < b.doc_id
+         |)
+         |SELECT p.a_id, p.b_id,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+         |FROM spairs p
+         |JOIN sh sa ON sa.doc_id = p.a_id
+         |JOIN sh sb ON sb.doc_id = p.b_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8""".stripMargin,
 
     // Recursive-CTE twin of Dedup.clusters: every label reachable over the
     // (bidirectional) candidate edges; component id = min reachable label.

@@ -164,21 +164,69 @@ object Dedup {
     * distance; the signature itself is a pure projection. Token hashes are
     * materialized as a column first (see [[shingleSets]] on why).
     */
-  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
-    val hashed = docs
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
+    simhashFromHashes(docs
       .select(col("doc_id"), array_distinct(tokens(col("text"))).alias("toks"))
       .select(col("doc_id"),
-        transform(col("toks"), w => hashAt(0, w)).alias("hashes"))
-    // For each bit position: count of set bits minus count of clear bits;
-    // bit set in the simhash iff positive.
-    val bitCols = (0 until bits).map { j =>
-      val votes = aggregate(col("hashes"), lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(1) * 2 - 1)
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    hashed.select(
-      col("doc_id"),
-      bitCols.reduce(_ + _).alias("simhash"))
+        transform(col("toks"), w => hashAt(0, w)).alias("hashes")), bits)
+
+  /** Majority-vote simhash over a materialized per-doc hash list: for each
+    * bit position, count of set minus clear; bit set iff positive.
+    *
+    * Shaped as explode → groupBy(doc) with one SUM per bit instead of
+    * per-bit array folds: higher-order folds are interpreted, while the
+    * exploded form is whole-stage-codegen'd arithmetic with map-side
+    * partial aggregation (the shuffle carries 60 ints per doc, nothing
+    * more). An empty hash list yields simhash 0 via explode_outer.
+    */
+  private def simhashFromHashes(hashed: DataFrame, bits: Int): DataFrame = {
+    val exploded = hashed.select(
+      col("doc_id"), explode_outer(col("hashes")).alias("h"))
+    val votes = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).alias(s"v$j"))
+    val bitsExpr = (0 until bits)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bitsExpr.alias("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: signatures over the BIGRAM shingle set
+    * (word-set simhash saturates on narrow vocabularies, like minhash —
+    * see [[shingleSets]]), banded into `bands` chunks of `bandBits` bits.
+    * Pairs sharing any band (a necessary condition for Hamming distance
+    * < bands) are verified with exact `bit_count(xor)` ≤ maxHamming. Same
+    * bucket-equi-join shape as MinHash LSH — no all-pairs step.
+    */
+  def simhashNearDup(
+      docs: DataFrame,
+      bands: Int = 4,
+      bandBits: Int = 15,
+      maxHamming: Int = 8): DataFrame = {
+    // Materialize the signature table once: it is 12 bytes per document
+    // (vs the corpus behind it), and the band join + verify would otherwise
+    // recompute the 60-bit vote three times.
+    val sh = simhashFromHashes(
+      shingleSets(docs).select(col("doc_id"),
+        transform(col("grams"), w => hashAt(0, w)).alias("hashes")),
+      bits = bands * bandBits).localCheckpoint()
+    val mask = (1L << bandBits) - 1
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).alias("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
+            .alias("bv"))): _*)).alias("bk"))
+    val cands = banded.select(col("bk"), col("doc_id").alias("a_id"))
+      .join(banded.select(col("bk"), col("doc_id").alias("b_id")), "bk")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    cands
+      .join(sh.select(col("doc_id").alias("a_id"), col("simhash").alias("sim_a")), "a_id")
+      .join(sh.select(col("doc_id").alias("b_id"), col("simhash").alias("sim_b")), "b_id")
+      .select(col("a_id"), col("b_id"), hamming.alias("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Exact word-bigram Jaccard over LSH candidates — the verify half of the
