@@ -142,6 +142,26 @@ object Sinks {
       .start()
   }
 
+  /** Streaming parquet archive sink: the data-lake landing zone the
+    * reference lacks (Postgres was its only durable store). Append-mode
+    * file sink with its own checkpoint; partition by a low-cardinality
+    * column (sensor_type) so downstream scans prune.
+    */
+  def parquetArchive(
+      stream: DataFrame,
+      dir: String,
+      checkpoint: String,
+      partitionBy: Seq[String] = Seq("sensor_type")): StreamingQuery = {
+    val writer = stream.writeStream
+      .queryName("parquet_archive")
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .start()
+  }
+
   /** Debug console sink (K6). */
   def console(stream: DataFrame, numRows: Int = 20): DataStreamWriter[Row] =
     stream.writeStream.format("console")

@@ -46,4 +46,19 @@ object Sources {
   /** Batch parquet reader for the oracle/test harness. */
   def parquetTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Streaming replay of an archived readings directory (the parquet files
+    * [[Sinks.parquetArchive]] writes): history flows through the exact same
+    * downstream operators as live Kafka traffic. `maxFilesPerTrigger`
+    * bounds micro-batch size so a year of archive does not land in one
+    * batch.
+    */
+  def replayReadings(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(graft.model.Schemas.flatReadingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
 }

@@ -43,6 +43,21 @@ object Schemas {
     "sensor_id", "sensor_type", "building", "floor", "room",
     "timestamp", "value", "unit", "battery_level", "signal_strength")
 
+  /** Flat reading schema (the archive/file-source shape — what
+    * Parse.jsonToReadings emits).
+    */
+  val flatReadingSchema: StructType = StructType(Seq(
+    StructField("sensor_id", StringType),
+    StructField("sensor_type", StringType),
+    StructField("building", StringType),
+    StructField("floor", IntegerType),
+    StructField("room", IntegerType),
+    StructField("timestamp", StringType),
+    StructField("value", DoubleType),
+    StructField("unit", StringType),
+    StructField("battery_level", IntegerType),
+    StructField("signal_strength", IntegerType)))
+
   // Typed views for Dataset[T] use at module boundaries (SURVEY §1.4).
   case class Location(building: String, floor: Option[Int], room: Option[Int])
   case class Metadata(battery_level: Option[Int], signal_strength: Option[Int])

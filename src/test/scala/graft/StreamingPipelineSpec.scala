@@ -174,6 +174,40 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("archive round-trip: stream to parquet archive, replay through the alert chain") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val pipeline = new Pipeline(spark, cfg)
+    val archiveDir = Files.createTempDirectory("graft-archive").toString
+
+    // live half: JSON → flat readings → parquet archive
+    val q1 = io.Sinks.parquetArchive(
+      pipeline.readingsFrame(input.toDF()).drop("event_time"),
+      archiveDir, Files.createTempDirectory("graft-arch-ckpt").toString)
+    try {
+      input.addData(
+        readingJson("temperature", 32.5),
+        readingJson("humidity", 50.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // replay half: archive → streaming source → classify → memory sink
+    val replay = io.Sources.replayReadings(spark, archiveDir)
+    assert(replay.isStreaming)
+    val q2 = graft.ops.AlertRules.detect(replay)
+      .writeStream.format("memory").queryName("replay_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-replay-ckpt").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val alerts = spark.table("replay_sink").collect()
+      assert(alerts.length === 1) // only the 32.5 °C reading alerts
+      assert(alerts.head.getAs[String]("alert_type") === "temperature_critical")
+    } finally q2.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
