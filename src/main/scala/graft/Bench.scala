@@ -18,9 +18,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb session/codegen/Hadoop warmup so the first measured query is
-    // not charged ~3 s of one-time setup.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // not charged ~3 s of one-time setup. Best-effort: a missing warmup
+    // table must not abort the benchmark.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     val results: Map[String, Either[String, Double]] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -27,9 +27,15 @@ object Main {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val pipeline = new Pipeline(spark, cfg, new LoggingNotifier)
-    val queries = pipeline.startAll()
-    println(s"Started ${queries.size} streaming queries; awaiting termination")
-    pipeline.runUntilTermination()
-    spark.stop()
+    try {
+      val queries = pipeline.startAll()
+      println(s"Started ${queries.size} streaming queries; awaiting termination")
+      pipeline.runUntilTermination()
+    } finally {
+      // A failure starting the Nth query must not leave the first N-1
+      // running in a half-up process.
+      pipeline.stopAll()
+      spark.stop()
+    }
   }
 }

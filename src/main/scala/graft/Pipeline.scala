@@ -54,20 +54,7 @@ final class Pipeline(
     * critical/warning.
     */
   def mailableFrame(alertKafka: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types._
-    val payloadSchema = StructType(Seq(
-      StructField("sensor_id", StringType),
-      StructField("sensor_type", StringType),
-      StructField("timestamp", StringType),
-      StructField("location", graft.model.Schemas.location),
-      StructField("metadata", graft.model.Schemas.metadata),
-      StructField("alert_type", StringType),
-      StructField("severity", StringType),
-      StructField("threshold_value", IntegerType),
-      StructField("actual_value", DoubleType),
-      StructField("message", StringType),
-      StructField("triggered_at", TimestampType),
-      StructField("status", StringType)))
+    val payloadSchema = graft.model.Schemas.alertPayload
     alertKafka
       .selectExpr("CAST(value AS STRING) AS json_str")
       .select(from_json(col("json_str"), payloadSchema).alias("a"))

@@ -683,7 +683,8 @@ object SparkEntry {
          |SELECT d.doc_id,
          |       CAST(length(d.text) AS INT) AS n_chars,
          |       CAST(len(k.t) AS INT) AS n_tokens,
-         |       round(CAST(list_sum(list_transform(k.t, w -> len(w))) AS DOUBLE)
+         |       round(CAST(coalesce(list_sum(list_transform(k.t, w -> len(w))), 0)
+         |           AS DOUBLE)
          |         / greatest(len(k.t), 1), 6) AS mean_token_len,
          |       round(CAST(len(list_filter(k.t,
          |           w -> list_contains($stop, w))) AS DOUBLE)

@@ -39,17 +39,26 @@ case class DotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  // Mismatched lengths → null, not a silent truncated product: the DuckDB
+  // oracle's fixed-range indexing yields NULL there, and truncation would
+  // mask corrupt vectors with a plausible similarity.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += xs.getDouble(i) * ys.getDouble(i)
-      i += 1
+    val n = xs.numElements()
+    if (n != ys.numElements()) {
+      null
+    } else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += xs.getDouble(i) * ys.getDouble(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,10 +66,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
        """.stripMargin
     })

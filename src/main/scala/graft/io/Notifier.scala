@@ -31,8 +31,10 @@ object AlertEmail {
 
     val severity = str("severity")
     val sensorId = str("sensor_id")
-    val subject =
-      s"[ALERTE ${severity.toUpperCase}] Capteur $sensorId - ${str("alert_type")}"
+    // Locale.ROOT: default-locale upcasing turns "critical" into "CRİTİCAL"
+    // on Turkish-locale JVMs, breaking the byte-exact subject.
+    val subject = s"[ALERTE ${severity.toUpperCase(java.util.Locale.ROOT)}] " +
+      s"Capteur $sensorId - ${str("alert_type")}"
     val base = Seq(
       s"Alerte $severity pour le capteur $sensorId.",
       "",

@@ -58,6 +58,26 @@ object Schemas {
     StructField("battery_level", IntegerType),
     StructField("signal_strength", IntegerType)))
 
+  /** Wire schema of one alert on the `iot-alert` topic — the single source
+    * of truth for BOTH the producer (AlertPayload.toKafka's struct) and the
+    * consumer (Pipeline.mailableFrame's from_json). PERMISSIVE parsing
+    * would silently null out drifted fields if the two sides diverged.
+    * (Shape: alert_detector.py:216-240 — resolved_at/created_at omitted.)
+    */
+  val alertPayload: StructType = StructType(Seq(
+    StructField("sensor_id", StringType),
+    StructField("sensor_type", StringType),
+    StructField("timestamp", StringType),
+    StructField("location", location),
+    StructField("metadata", metadata),
+    StructField("alert_type", StringType),
+    StructField("severity", StringType),
+    StructField("threshold_value", IntegerType),
+    StructField("actual_value", DoubleType),
+    StructField("message", StringType),
+    StructField("triggered_at", TimestampType),
+    StructField("status", StringType)))
+
   // Typed views for Dataset[T] use at module boundaries (SURVEY §1.4).
   case class Location(building: String, floor: Option[Int], room: Option[Int])
   case class Metadata(battery_level: Option[Int], signal_strength: Option[Int])

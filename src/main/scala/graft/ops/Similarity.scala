@@ -90,8 +90,9 @@ object Similarity {
     val ps = planes(bits)
     val prep = prepared(embeddings)
       .withColumn("bucket", srpBucket(col("vec"), ps))
-    val queries = querySet(prep.select(col("vec_id"), col("vec"), col("norm")))
-      .join(prep.select(col("vec_id").alias("q_id"), col("bucket")), "q_id")
+    val queries = prep.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+        col("norm").alias("q_norm"), col("bucket"))
     val pairs = prep.join(broadcast(queries), "bucket")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").alias("neighbor_id"),
@@ -122,8 +123,9 @@ object Similarity {
     val seeds = planes(cells, seed = 7L)
     val prep = prepared(embeddings)
       .withColumn("cell", ivfCell(col("vec"), seeds))
-    val queries = querySet(prep.select(col("vec_id"), col("vec"), col("norm")))
-      .join(prep.select(col("vec_id").alias("q_id"), col("cell")), "q_id")
+    val queries = prep.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+        col("norm").alias("q_norm"), col("cell"))
     val pairs = prep.join(broadcast(queries), "cell")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").alias("neighbor_id"),

@@ -144,7 +144,10 @@ object Generator {
     val ids = spark.range(n)
       .select(
         col("id").alias("gen_id"),
-        timestamp_seconds(lit(startEpochSec) + (col("id") / 24) * 3)
+        // integer division: all 24 sensors of a sweep share one timestamp,
+        // 3 s apart per sweep (Column `/` would be double division and
+        // smear fractional timestamps across the sweep)
+        timestamp_seconds(lit(startEpochSec) + expr("id div 24") * 3)
           .alias("event_time"))
     readingsFrom(ids, seed)
   }
