@@ -413,6 +413,11 @@ object SparkEntry {
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
     "alert_lifecycle"     -> ((s, d) => alertLifecycle(s, d)),
+    // S5 generator twin — xxhash64-seeded, so no DuckDB twin exists; the
+    // driver records a rows-only check (unit tests pin determinism and
+    // distributions, GeneratorSpec).
+    "gen_readings"        -> ((s, d) =>
+      graft.sim.Generator.batch(s, 24000).where(col("value").isNotNull)),
     "mm_metadata"         -> ((s, d) =>
       Multimodal.metadata(Multimodal.documentMedia(s, d))),
     // Imperative decode stage — no SQL twin; driver records rows-only.

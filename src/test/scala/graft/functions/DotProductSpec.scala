@@ -43,6 +43,14 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("mismatched lengths yield null, not a truncated product") {
+    import org.apache.spark.sql.functions._
+    val out = frame((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)))
+      .select(DotProduct.dot(col("a"), col("b")))
+      .collect().head
+    assert(out.isNullAt(0))
+  }
+
   test("null array propagates to null result") {
     import org.apache.spark.sql.functions._
     val out = frame((Seq(1.0), Seq(2.0)))
