@@ -29,8 +29,15 @@ object Bench {
     val results: Map[String, Either[String, Double]] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune every unused
+        // column, erasing the very work a pure-projection query exists to do
+        // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
+        // fully evaluates every output row while writing nothing.
         val r =
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Left("err")

@@ -77,23 +77,32 @@ final class Pipeline(
   // ─── query starters ─────────────────────────────────────────────────────
 
   def startPersistence(): StreamingQuery =
-    Sinks.jdbcStream(
+    track(Sinks.jdbcStream(
       readingsFrame(Sources.sensorStream(spark, cfg)),
       cfg.jdbc, cfg.jdbc.readingsTable,
-      cfg.checkpointRoot, "sensor_persistence")
+      cfg.checkpointRoot, "sensor_persistence"))
 
   def startAlerts(): StreamingQuery =
-    Sinks.alertsDualSink(alertsFrame(Sources.sensorStream(spark, cfg)), cfg)
+    track(Sinks.alertsDualSink(alertsFrame(Sources.sensorStream(spark, cfg)), cfg))
 
   def startAggregator(): StreamingQuery =
-    Sinks.jdbcStream(
+    track(Sinks.jdbcStream(
       aggregatesFrame(Sources.sensorStream(spark, cfg)),
       cfg.jdbc, cfg.jdbc.aggregatesTable,
-      cfg.checkpointRoot, "sensor_aggregates")
+      cfg.checkpointRoot, "sensor_aggregates"))
 
   def startMailNotifier(): StreamingQuery =
-    Sinks.notifierSink(
-      mailableFrame(Sources.alertStream(spark, cfg)), cfg, notifier)
+    track(Sinks.notifierSink(
+      mailableFrame(Sources.alertStream(spark, cfg)), cfg, notifier))
+
+  // Queries THIS pipeline started — stopAll must not reach into
+  // spark.streams.active, which would tear down unrelated queries sharing
+  // the session (tests, co-hosted jobs).
+  private val started =
+    scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+
+  private def track(q: StreamingQuery): StreamingQuery =
+    synchronized { started += q; q }
 
   /** Start all four units (reference: main.py:24-44). */
   def startAll(): Seq[StreamingQuery] =
@@ -107,9 +116,12 @@ final class Pipeline(
     try spark.streams.awaitAnyTermination()
     finally stopAll()
 
-  def stopAll(): Unit =
-    spark.streams.active.foreach { q =>
+  /** Stop every query this pipeline started (and only those). */
+  def stopAll(): Unit = synchronized {
+    started.foreach { q =>
       try q.stop()
       catch { case _: Throwable => () }
     }
+    started.clear()
+  }
 }

@@ -34,5 +34,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"dot_product expects 2 arguments, got ${children.size}")
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hash_family60"),
+      new ExpressionInfo(
+        classOf[HashArray].getName,
+        null,
+        "hash_family60",
+        "hash_family60(arr[, mask]) - per-element 60-bit md5 family hash " +
+          "of an array<string>, optionally masked",
+        ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => HashArray(a)
+        case Seq(a, m) if m.foldable =>
+          HashArray(a, m.eval().asInstanceOf[Number].longValue())
+        case _ => throw new IllegalArgumentException(
+          "hash_family60 expects (array<string>[, constant long mask])")
+      }))
   }
 }

@@ -27,9 +27,20 @@ object Dedup {
   /** Member `i` of a deterministic 60-bit hash family over strings:
     * the top 15 hex digits of md5("i:w") as a long. 60 bits keeps the value
     * positive on both engines (DuckDB BIGINT hex cast / Spark conv).
+    *
+    * Scalar form, for single-value call sites; bulk call sites hash whole
+    * token/shingle arrays through the native codegen'd
+    * [[graft.functions.HashArray]] (bit-identical, ~5-10× faster than this
+    * chain inside an interpreted HOF lambda).
     */
   def hashAt(i: Int, w: Column): Column =
     conv(substring(md5(concat(lit(s"$i:"), w)), 1, 15), 16, 10).cast("long")
+
+  /** Family member 0 over every element of an array<string>, natively
+    * (graft.functions.HashArray): the signature-generation workhorse.
+    */
+  def hashArray60(arr: Column): Column =
+    graft.functions.HashArray.hashArray(arr)
 
   /** Largest prime below 2^30 — the modulus of the affine MinHash family.
     * 30-bit values keep `a·h + b` under 2^61, exact in BIGINT on both
@@ -42,9 +53,17 @@ object Dedup {
     */
   def affineParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
+    // Not math.abs: abs(Long.MinValue) is still negative, which would break
+    // the 'aᵢ odd in [1,p)' invariant (~2^-64 per draw, but free to avoid).
+    // Identical to abs for every other draw, so the seed-42 constants the
+    // oracle SQL embeds are unchanged.
+    def pos(): Long = rng.nextLong() match {
+      case Long.MinValue => 0L
+      case v => math.abs(v)
+    }
     Seq.fill(k)((
-      (math.abs(rng.nextLong()) % (AffineMod - 2)) / 2 * 2 + 1,
-      math.abs(rng.nextLong()) % AffineMod))
+      (pos() % (AffineMod - 2)) / 2 * 2 + 1,
+      pos() % AffineMod))
   }
 
   /** One 30-bit base hash per string; the k family members are then cheap
@@ -54,6 +73,10 @@ object Dedup {
     */
   def baseHash30(w: Column): Column =
     hashAt(0, w).bitwiseAND(lit((1L << 30) - 1))
+
+  /** [[baseHash30]] over every element of an array<string>, natively. */
+  def baseHash30Array(arr: Column): Column =
+    graft.functions.HashArray.hashArray(arr, (1L << 30) - 1)
 
   def affineAt(params: (Long, Long), h: Column): Column =
     pmod(h * params._1 + params._2, lit(AffineMod))
@@ -86,8 +109,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
     val params = affineParams(k)
     shingleSets(docs)
-      .select(col("doc_id"),
-        transform(col("grams"), w => baseHash30(w)).alias("hs"))
+      .select(col("doc_id"), baseHash30Array(col("grams")).alias("hs"))
       .select(
         col("doc_id"),
         array(params.map(p =>
@@ -167,8 +189,7 @@ object Dedup {
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
     simhashFromHashes(docs
       .select(col("doc_id"), array_distinct(tokens(col("text"))).alias("toks"))
-      .select(col("doc_id"),
-        transform(col("toks"), w => hashAt(0, w)).alias("hashes")), bits)
+      .select(col("doc_id"), hashArray60(col("toks")).alias("hashes")), bits)
 
   /** Majority-vote simhash over a materialized per-doc hash list: for each
     * bit position, count of set minus clear; bit set iff positive.
@@ -194,9 +215,17 @@ object Dedup {
   /** SimHash near-duplicate pairs: signatures over the BIGRAM shingle set
     * (word-set simhash saturates on narrow vocabularies, like minhash —
     * see [[shingleSets]]), banded into `bands` chunks of `bandBits` bits.
-    * Pairs sharing any band (a necessary condition for Hamming distance
-    * < bands) are verified with exact `bit_count(xor)` ≤ maxHamming. Same
-    * bucket-equi-join shape as MinHash LSH — no all-pairs step.
+    * Pairs sharing any band are verified with exact `bit_count(xor)` ≤
+    * maxHamming. Same bucket-equi-join shape as MinHash LSH — no all-pairs
+    * step.
+    *
+    * RECALL SEMANTICS: band-sharing is guaranteed only when Hamming
+    * distance < `bands` (pigeonhole); with the default maxHamming=8 > 4
+    * bands the result is LSH-APPROXIMATE — a qualifying pair whose
+    * differing bits touch every band is missed. That is the standard
+    * recall/cost trade of banded simhash (raise `bands` for completeness
+    * at maxHamming ≥ bands). The DuckDB oracle mirrors the same banding, so
+    * parity checks the implementation, not exhaustive recall.
     */
   def simhashNearDup(
       docs: DataFrame,
@@ -208,7 +237,7 @@ object Dedup {
     // recompute the 60-bit vote three times.
     val sh = simhashFromHashes(
       shingleSets(docs).select(col("doc_id"),
-        transform(col("grams"), w => hashAt(0, w)).alias("hashes")),
+        hashArray60(col("grams")).alias("hashes")),
       bits = bands * bandBits).localCheckpoint()
     val mask = (1L << bandBits) - 1
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -282,6 +311,10 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
+    // `maxIters` is a runaway guard, not a silent truncation: hitting it
+    // with labels still moving means the result would diverge from the
+    // exact connected components (and the recursive-CTE oracle), so fail
+    // loudly rather than return wrong cluster ids.
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("b_id") === labels("doc_id"))
@@ -300,6 +333,12 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIters rounds " +
+          s"($changed labels still moving) — component diameter exceeds " +
+          "maxIters; raise it (rounds needed = diameter of the largest " +
+          "near-dup chain)")
     labels
   }
 

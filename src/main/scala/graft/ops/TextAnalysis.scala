@@ -194,9 +194,11 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Dedup.tokens(col("text")).alias("toks"))
+      // Native bulk hash (HashArray), then a cheap interpreted mod — the
+      // expensive md5 never runs inside a HOF lambda.
       .select(col("doc_id"),
-        transform(col("toks"), w => pmod(Dedup.hashAt(0, w), lit(FingerprintMod)))
-          .alias("hs"))
+        transform(Dedup.hashArray60(col("toks")),
+          h => pmod(h, lit(FingerprintMod))).alias("hs"))
       .select(
         col("doc_id"),
         aggregate(col("hs"), lit(0L),

@@ -38,6 +38,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("2 arguments") ||
         err.getMessage.toLowerCase.contains("invalid number of arguments"))
+
+      // hash_family60, plain and masked, against the declarative chain.
+      val h = spark.sql(
+        """SELECT hash_family60(array('a', 'b')) AS h,
+          |       hash_family60(array('a'), 1073741823L) AS m,
+          |       array(CAST(conv(substring(md5('0:a'), 1, 15), 16, 10) AS LONG),
+          |             CAST(conv(substring(md5('0:b'), 1, 15), 16, 10) AS LONG))
+          |         AS chain""".stripMargin).collect().head
+      assert(h.getSeq[Long](0) === h.getSeq[Long](2))
+      assert(h.getSeq[Long](1) === Seq(h.getSeq[Long](2).head & 1073741823L))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
