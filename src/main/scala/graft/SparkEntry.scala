@@ -315,6 +315,31 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(StandIn.documents(s, dir))
 
+  // Frame-sampler parameters shared by the query and its oracle twin.
+  private val FrameBytes = 32
+  private val FrameEveryN = 3
+
+  /** The mapPartitions feature-extract stage with a driver-sortable shape:
+    * one double column per histogram bin. float→double widening is exact,
+    * and DuckDB reproduces the float arithmetic with REAL casts, so the
+    * imperative decode is oracle-checked bit-for-bit.
+    */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(Multimodal.documentMedia(s, dir))
+    feats.select(col("media_id") +: (0 until 16).map(j =>
+      element_at(col("features"), j + 1).cast("double").alias(s"f$j")): _*)
+  }
+
+  /** The frame-sampling stage, frames compared as uppercase hex (DuckDB
+    * cannot hash a BLOB, and a sliced frame need not be valid UTF-8).
+    */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.documentMedia(s, dir),
+      new Multimodal.FixedSizeFrameSampler(FrameBytes, FrameEveryN))
+      .select(col("media_id"), col("frame_idx"), col("frame_bytes"),
+        hex(col("frame_payload")).alias("frame_hex"))
+
   private def langListSql(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang)
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -420,9 +445,12 @@ object SparkEntry {
       graft.sim.Generator.batch(s, 24000).where(col("value").isNotNull)),
     "mm_metadata"         -> ((s, d) =>
       Multimodal.metadata(Multimodal.documentMedia(s, d))),
-    // Imperative decode stage — no SQL twin; driver records rows-only.
-    "mm_features"         -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.documentMedia(s, d)))
+    // The imperative decode stage, reshaped to sortable scalars: the
+    // 16 histogram bins as double columns (exact float→double widening).
+    // The byte histogram is DuckDB-expressible via hex-string nibbles, so
+    // the mapPartitions stage gets a full independent oracle.
+    "mm_features"         -> ((s, d) => mmFeatures(s, d)),
+    "mm_frames"           -> ((s, d) => mmFrames(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -802,6 +830,53 @@ object SparkEntry {
         |       sha256(text) AS payload_sha256,
         |       CASE WHEN starts_with(text, 'RIFF') THEN 'riff-wav'
         |            ELSE 'unknown' END AS sniffed_format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ByteHistogramExtractor twin: bin j of a byte is its upper nibble,
+    // which in hex(payload) is the character at odd positions — so the
+    // histogram is a per-hex-digit count over those characters. REAL casts
+    // reproduce the extractor's float32 division exactly (both engines do
+    // IEEE-754 single-precision divide; the double output is then the
+    // exact widening on both sides — bit-for-bit, no rounding).
+    "mm_features" -> {
+      val bins = "0123456789ABCDEF".zipWithIndex.map { case (c, j) =>
+        s"""CAST(CAST(len(list_filter(hi, c -> c = '$c')) AS REAL)
+           |  / CAST(greatest(n, 1) AS REAL) AS DOUBLE) AS f$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hx AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents
+         |), nib AS (
+         |  SELECT doc_id, n,
+         |         list_transform(range(0, n),
+         |           i -> substr(h, CAST(2*i+1 AS INT), 1)) AS hi
+         |  FROM hx
+         |)
+         |SELECT doc_id AS media_id,
+         |$bins
+         |FROM nib""".stripMargin
+    },
+
+    // FixedSizeFrameSampler twin: byte windows sliced on the hex string
+    // (2 chars/byte — DuckDB has no BLOB substring and a frame need not be
+    // valid UTF-8, so frames are compared as uppercase hex on both sides).
+    "mm_frames" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents
+         |), fr AS (
+         |  SELECT doc_id, hx,
+         |         unnest(list_filter(range(0, CAST(ceil(n / $FrameBytes.0) AS BIGINT)),
+         |           i -> i % $FrameEveryN = 0)) AS grp
+         |  FROM b
+         |)
+         |SELECT doc_id AS media_id,
+         |       CAST(grp // $FrameEveryN AS INT) AS frame_idx,
+         |       CAST(octet_length(unhex(substr(hx, CAST(grp*${2 * FrameBytes}+1 AS INT), ${2 * FrameBytes}))) AS INT)
+         |         AS frame_bytes,
+         |       substr(hx, CAST(grp*${2 * FrameBytes}+1 AS INT), ${2 * FrameBytes}) AS frame_hex
+         |FROM fr""".stripMargin
   )
 }
