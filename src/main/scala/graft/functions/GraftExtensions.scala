@@ -51,5 +51,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "hash_family60 expects (array<string>[, constant long mask])")
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_vote"),
+      new ExpressionInfo(
+        classOf[SimhashVote].getName,
+        null,
+        "simhash_vote",
+        "simhash_vote(hashes[, bits]) - majority-vote simhash of an " +
+          "array<long> of element hashes",
+        ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => SimhashVote(a)
+        case Seq(a, b) if b.foldable =>
+          SimhashVote(a, b.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "simhash_vote expects (array<long>[, constant int bits])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(
+        classOf[Bigrams].getName,
+        null,
+        "word_bigrams",
+        "word_bigrams(toks) - consecutive 'w1 w2' bigrams of an " +
+          "array<string>",
+        ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => Bigrams(a)
+        case _ => throw new IllegalArgumentException(
+          "word_bigrams expects (array<string>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(
+        classOf[CharNgrams].getName,
+        null,
+        "char_ngrams",
+        "char_ngrams(str[, n]) - character n-grams (default trigrams) of " +
+          "a string",
+        ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => CharNgrams(a)
+        case Seq(a, b) if b.foldable =>
+          CharNgrams(a, b.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "char_ngrams expects (string[, constant int n])")
+      }))
   }
 }

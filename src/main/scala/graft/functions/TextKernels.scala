@@ -1,0 +1,358 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the text/dedup hot paths. Each replaces a
+  * declarative shape whose per-element work ran through an interpreted
+  * higher-order function (Spark HOFs are CodegenFallback with no
+  * subexpression elimination) or through an avoidable shuffle; each is
+  * bit-identical to the chain it replaces, so the DuckDB oracle twins are
+  * untouched.
+  */
+
+/** 60-bit (or `bits`-bit) SimHash majority vote over a materialized
+  * per-document hash array, as ONE whole-stage-codegen'd projection:
+  * bit j of the result is set iff Σ over hashes of (bit j set ? +1 : −1)
+  * is positive. Null elements are skipped (SUM-over-explode semantics).
+  *
+  * Replaces `explode_outer → groupBy(doc) → 60×SUM → bit assembly` — the
+  * same integer arithmetic, but with NO explode blow-up, NO shuffle, and
+  * no 60-column aggregation state. At 100 TB this turns the signature
+  * stage from the corpus's biggest shuffle into a pure map.
+  */
+case class SimhashVote(child: Expression, bits: Int = 60)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_vote expects array<long>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashVote.vote(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val helper = "graft.functions.SimhashVote$.MODULE$"
+      s"${ev.value} = $helper.vote($arr, $bits);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashVote =
+    copy(child = newChild)
+}
+
+object SimhashVote {
+
+  def vote(arr: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < bits) {
+          votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) v |= 1L << j
+      j += 1
+    }
+    v
+  }
+
+  def simhashVote(hashes: Column, bits: Int = 60): Column =
+    Bridge.column(SimhashVote(Bridge.expression(hashes), bits))
+}
+
+/** Consecutive word bigrams ("w1 w2") over an array<string>, natively:
+  * one codegen'd loop with `UTF8String.concatWs` per pair — identical
+  * null-skipping semantics to the
+  * `transform(sequence(1, size-1), i -> concat_ws(' ', toks[i], toks[i+1]))`
+  * chain it replaces, including the empty result for size < 2 (where the
+  * declarative form needed an explicit guard against sequence(1, 0)
+  * counting DOWN).
+  */
+case class Bigrams(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_bigrams expects array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bigrams.bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val helper = "graft.functions.Bigrams$.MODULE$"
+      s"${ev.value} = $helper.bigrams($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+object Bigrams {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def bigrams(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var prev = if (toks.isNullAt(0)) null else toks.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      // concat_ws(" ", a, b) skips null inputs
+      out(i - 1) = UTF8String.concatWs(Space, prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def wordBigrams(toks: Column): Column =
+    Bridge.column(Bigrams(Bridge.expression(toks)))
+}
+
+/** Character n-grams of a string, natively: one codegen'd loop of
+  * `UTF8String.substringSQL` calls — identical (code-point-based)
+  * semantics to `transform(sequence(1, length-n+1), i -> substr(lt, i, n))`
+  * with the length < n guard, which otherwise runs interpreted per
+  * element.
+  */
+case class CharNgrams(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+
+  require(n >= 1, s"char_ngrams width must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_ngrams expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharNgrams.ngrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val helper = "graft.functions.CharNgrams$.MODULE$"
+      s"${ev.value} = $helper.ngrams($s, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+
+  def ngrams(s: UTF8String, n: Int): GenericArrayData = {
+    val chars = s.numChars()
+    if (chars < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](chars - n + 1)
+    var i = 0
+    while (i < chars - n + 1) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def charNgrams(str: Column, n: Int = 3): Column =
+    Bridge.column(CharNgrams(Bridge.expression(str), n))
+}
+
+/** Count of array elements contained in a small fixed vocabulary, natively:
+  * replaces `size(filter(arr, w -> array_contains(lit(words), w)))`, whose
+  * interpreted filter-lambda was the entire cost of the language-ID and
+  * stopword-ratio queries (|arr| × |languages| interpreted evals per row).
+  * Null elements are skipped (array_contains(_, null) is null, which the
+  * filter dropped). Linear scan over the vocabulary — it is ≤ a few dozen
+  * words, exactly like the literal array it replaces.
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"count_in_set expects array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vocab: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountInSet.count(input.asInstanceOf[ArrayData], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val vocabRef = ctx.addReferenceObj("vocab", vocab,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val helper = "graft.functions.CountInSet$.MODULE$"
+      s"${ev.value} = $helper.count($arr, $vocabRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+object CountInSet {
+
+  def count(arr: ArrayData, vocab: Array[UTF8String]): Int = {
+    var c = 0
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        var j = 0
+        while (j < vocab.length) {
+          if (vocab(j).equals(w)) { c += 1; j = vocab.length }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    c
+  }
+
+  def countInSet(arr: Column, words: Seq[String]): Column =
+    Bridge.column(CountInSet(Bridge.expression(arr), words))
+}
+
+/** The k affine MinHash minima in ONE pass over the base-hash array,
+  * natively: element h contributes `(h·aᵢ + bᵢ) mod p` to minimum i.
+  * Replaces k independent interpreted
+  * `array_min(transform(hs, h -> pmod(h*aᵢ + bᵢ, p)))` passes (k = 16 →
+  * 16 interpreted walks of every shingle array, the dominant cost of the
+  * MinHash signature stage after the base hash went native).
+  *
+  * Arithmetic parity: h < 2^30 and aᵢ < p < 2^30 keep h·aᵢ + bᵢ < 2^61 —
+  * positive, so `% p` equals Spark's `pmod` and DuckDB's `%` bit-for-bit.
+  * Null elements are skipped (array_min ignores nulls); a position with no
+  * contributing element yields null (array_min of empty/all-null).
+  */
+case class MinhashAffine(
+    child: Expression,
+    as: Seq[Long],
+    bs: Seq[Long],
+    mod: Long)
+    extends UnaryExpression {
+
+  require(as.length == bs.length, "as/bs must be the same length")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_affine expects array<long>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashAffine.mins(input.asInstanceOf[ArrayData], aArr, bArr, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val helper = "graft.functions.MinhashAffine$.MODULE$"
+      s"${ev.value} = $helper.mins($arr, $aRef, $bRef, ${mod}L);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashAffine =
+    copy(child = newChild)
+}
+
+object MinhashAffine {
+
+  def mins(
+      arr: ArrayData,
+      as: Array[Long],
+      bs: Array[Long],
+      mod: Long): GenericArrayData = {
+    val k = as.length
+    val m = new Array[Long](k)
+    java.util.Arrays.fill(m, Long.MaxValue)
+    var any = false
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (h * as(j) + bs(j)) % mod
+          if (v < m(j)) m(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    if (any) {
+      var j = 0
+      while (j < k) { out(j) = m(j); j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhashAffine(hs: Column, params: Seq[(Long, Long)], mod: Long): Column =
+    Bridge.column(MinhashAffine(
+      Bridge.expression(hs), params.map(_._1), params.map(_._2), mod))
+}

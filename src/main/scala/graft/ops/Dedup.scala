@@ -112,8 +112,8 @@ object Dedup {
       .select(col("doc_id"), baseHash30Array(col("grams")).alias("hs"))
       .select(
         col("doc_id"),
-        array(params.map(p =>
-          array_min(transform(col("hs"), h => affineAt(p, h)))): _*).alias("sig"))
+        graft.functions.MinhashAffine
+          .minhashAffine(col("hs"), params, AffineMod).alias("sig"))
   }
 
   /** LSH band buckets for a signature: one row-key per band, hashing the
@@ -194,23 +194,16 @@ object Dedup {
   /** Majority-vote simhash over a materialized per-doc hash list: for each
     * bit position, count of set minus clear; bit set iff positive.
     *
-    * Shaped as explode → groupBy(doc) with one SUM per bit instead of
-    * per-bit array folds: higher-order folds are interpreted, while the
-    * exploded form is whole-stage-codegen'd arithmetic with map-side
-    * partial aggregation (the shuffle carries 60 ints per doc, nothing
-    * more). An empty hash list yields simhash 0 via explode_outer.
+    * ONE codegen'd projection (graft.functions.SimhashVote) — the same
+    * integer arithmetic as the earlier explode → groupBy → 60×SUM shape,
+    * with no explode blow-up and NO SHUFFLE: the signature stage is a pure
+    * map over the corpus, which is exactly what you want it to be at
+    * 100 TB. An empty hash list yields simhash 0.
     */
-  private def simhashFromHashes(hashed: DataFrame, bits: Int): DataFrame = {
-    val exploded = hashed.select(
-      col("doc_id"), explode_outer(col("hashes")).alias("h"))
-    val votes = (0 until bits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).alias(s"v$j"))
-    val bitsExpr = (0 until bits)
-      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bitsExpr.alias("simhash"))
-  }
+  private def simhashFromHashes(hashed: DataFrame, bits: Int): DataFrame =
+    hashed.select(col("doc_id"),
+      graft.functions.SimhashVote.simhashVote(col("hashes"), bits)
+        .alias("simhash"))
 
   /** SimHash near-duplicate pairs: signatures over the BIGRAM shingle set
     * (word-set simhash saturates on narrow vocabularies, like minhash —
@@ -342,15 +335,14 @@ object Dedup {
     labels
   }
 
-  /** Consecutive word bigrams ("w1 w2"), order-preserving. Guarded for
-    * short docs: Spark's `sequence(1, 0)` would count DOWN, not be empty.
-    * `toks` should be a materialized column attribute (see [[shingleSets]]).
+  /** Consecutive word bigrams ("w1 w2"), order-preserving — native
+    * codegen'd loop (graft.functions.Bigrams), bit-identical to the
+    * interpreted `transform(sequence(...), concat_ws)` chain it replaced
+    * (including the empty array for < 2 tokens, where the declarative form
+    * needed a guard against `sequence(1, 0)` counting DOWN).
     */
   def bigramsOf(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.Bigrams.wordBigrams(toks)
 
   /** Convenience: bigrams straight from raw text (fine for single use;
     * stage via [[shingleSets]] when the result feeds further lambdas).

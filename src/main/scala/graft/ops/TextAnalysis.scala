@@ -45,7 +45,7 @@ object TextAnalysis {
       Dedup.tokens(col("text")).alias("toks"))
     val scored = base.select(
       (col("doc_id") +: LangMarkers.map { case (lang, words) =>
-        (size(filter(col("toks"), w => array_contains(typedlit(words), w)))
+        (graft.functions.CountInSet.countInSet(col("toks"), words)
           .cast("double") / greatest(size(col("toks")), lit(1)))
           .alias(s"${lang}_score")
       }): _*)
@@ -78,18 +78,15 @@ object TextAnalysis {
     * rare (code, tables, short strings).
     */
   def charNgramLangId(docs: DataFrame): DataFrame = {
-    // Stage the lowered text and the trigram list: lambda bodies re-evaluate
-    // non-attribute expressions per element (see Dedup.shingleSets).
+    // Native codegen'd trigram kernel (graft.functions.CharNgrams) — the
+    // interpreted substr-per-position HOF was this query's whole cost.
     val grams = docs
-      .select(col("doc_id"), lower(col("text")).alias("lt"))
       .select(col("doc_id"),
-        when(length(col("lt")) >= 3,
-          transform(sequence(lit(1), length(col("lt")) - 2),
-            i => col("lt").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>")).alias("tg"))
+        graft.functions.CharNgrams.charNgrams(lower(col("text")), 3)
+          .alias("tg"))
     val scored = grams.select(
       (col("doc_id") +: TrigramProfiles.map { case (lang, prof) =>
-        (size(filter(col("tg"), t => array_contains(typedlit(prof), t)))
+        (graft.functions.CountInSet.countInSet(col("tg"), prof)
           .cast("double") / greatest(size(col("tg")), lit(1)))
           .alias(s"${lang}_tg")
       }): _*)
@@ -126,8 +123,8 @@ object TextAnalysis {
             .cast("double") / greatest(size(col("toks")), lit(1)), 6)
           .alias("mean_token_len"),
         round(
-          size(filter(col("toks"), w =>
-            array_contains(typedlit(stopwords), w))).cast("double") /
+          graft.functions.CountInSet.countInSet(col("toks"), stopwords)
+            .cast("double") /
             greatest(size(col("toks")), lit(1)), 6)
           .alias("stopword_ratio"),
         round(
