@@ -34,11 +34,27 @@ object AlertLifecycle {
       triggered_at: Timestamp,
       resolved_at: Option[Timestamp])
 
-  private def step(
+  private def step(idleTimeoutMs: Option[Long])(
       sensorId: String,
       events: Iterator[ReadingEvent],
       state: GroupState[ActiveAlert]): Iterator[Transition] = {
+    // Idle-sensor eviction (streaming only — batch never times out): a
+    // sensor that stopped reporting while an alert was active gets a
+    // synthetic resolve stamped at the watermark (the engine's "as of"
+    // time), and its state is dropped — otherwise silent sensors leak
+    // state forever at fleet scale.
+    if (state.hasTimedOut) {
+      val out = state.getOption.map { a =>
+        Transition(sensorId, a.alert_type, "resolved", a.triggered_at,
+          Some(new Timestamp(state.getCurrentWatermarkMs())))
+      }
+      state.remove()
+      return out.iterator
+    }
     // Micro-batch iterators carry no ordering guarantee; impose event time.
+    // This buffers ONE sensor's events for ONE micro-batch — bounded by
+    // per-sensor ingest rate × trigger interval (the reference fleet emits
+    // a reading every 3 s per sensor), not by corpus size.
     val sorted = events.toSeq.sortBy(_.event_time.getTime)
     val out = scala.collection.mutable.Buffer[Transition]()
     var cur = state.getOption
@@ -61,26 +77,51 @@ object AlertLifecycle {
       }
     }
     cur match {
-      case Some(a) => state.update(a)
+      case Some(a) =>
+        state.update(a)
+        // Arm the idle clock only while an alert is active: timeout fires
+        // when the watermark passes the sensor's last event + horizon.
+        // (max with watermark+1: Spark rejects a timeout at or below the
+        // current watermark, which a late-arriving group could produce.)
+        idleTimeoutMs.foreach { ms =>
+          val last = sorted.lastOption.map(_.event_time.getTime)
+            .getOrElse(a.triggered_at.getTime)
+          state.setTimeoutTimestamp(
+            math.max(last + ms, state.getCurrentWatermarkMs() + 1))
+        }
       case None => if (state.exists) state.remove()
     }
     out.iterator
   }
 
-  /** Flat readings (+`event_time`) → lifecycle transitions. Works on batch
-    * and streaming frames alike; streaming callers should watermark
-    * upstream and use Append output.
+  /** Flat readings (+`event_time`) → lifecycle transitions.
+    *
+    * `idleTimeout`: streaming callers pass the idle horizon (ms) to evict
+    * state for sensors that go silent — requires an upstream
+    * `withWatermark` (Spark's precondition for event-time timeouts) and
+    * emits a synthetic resolve stamped at the watermark. Batch callers
+    * (and the DuckDB oracle twin) leave it None: batch executions process
+    * the whole input in one invocation, so timeouts can never fire there —
+    * and batch plans drop watermark nodes, which makes the timeout API
+    * itself unavailable.
     */
-  def transitions(readings: DataFrame): Dataset[Transition] = {
+  def transitions(
+      readings: DataFrame,
+      idleTimeout: Option[Long] = None): Dataset[Transition] = {
     val spark = readings.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     AlertRules.classify(readings)
       .select(col("sensor_id"), col("event_time"),
         col("alert_type"))
-      .as[(String, Timestamp, Option[String])]
-      .map { case (id, t, at) => ReadingEvent(id, t, at) }
+      // .as[ReadingEvent] (not .map): a typed map would rebuild the
+      // event_time attribute and drop its watermark tag, and Spark then
+      // rejects EventTimeTimeout ("watermark must be specified").
+      .as[ReadingEvent]
       .groupByKey(_.sensor_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        OutputMode.Append, timeoutConf)(step(idleTimeout))
   }
 }

@@ -97,6 +97,47 @@ class AlertLifecycleSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming: idle sensor's state is evicted by the event-time timeout") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)](spark)
+    val readings = input.toDF().toDF("sid", "event_time", "value")
+      .selectExpr("sid AS sensor_id", "'temperature' AS sensor_type",
+        "'A' AS building", "1 AS floor", "100 AS room",
+        "CAST(event_time AS STRING) AS timestamp", "value",
+        "'celsius' AS unit", "90 AS battery_level", "-50 AS signal_strength",
+        "event_time")
+      .withWatermark("event_time", "1 minute")
+    val query = AlertLifecycle.transitions(readings,
+        idleTimeout = Some(10 * 60 * 1000L)) // 10-minute idle horizon
+      .writeStream.format("memory").queryName("lifecycle_evict")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-evict").toString)
+      .start()
+    try {
+      input.addData(("s1", ts("2026-01-01 10:00:00"), 32.0)) // alert opens
+      query.processAllAvailable()
+      // s1 goes silent; another sensor's (normal) traffic advances the
+      // watermark to 10:59, past s1's last event + horizon (10:10) → the
+      // no-data timeout batch emits a synthetic resolve stamped at the
+      // watermark and drops s1's state.
+      input.addData(("s2", ts("2026-01-01 11:00:00"), 21.0))
+      query.processAllAvailable()
+      // s1 reports critical again: eviction must not block a fresh open.
+      input.addData(("s1", ts("2026-01-01 11:30:00"), 33.0))
+      query.processAllAvailable()
+      val rows = spark.table("lifecycle_evict").collect()
+        .map(r => (r.getAs[String]("sensor_id"), r.getAs[String]("status"),
+          r.getAs[Timestamp]("triggered_at"),
+          Option(r.getAs[Timestamp]("resolved_at"))))
+      assert(rows.toSet === Set(
+        ("s1", "active", ts("2026-01-01 10:00:00"), None),
+        ("s1", "resolved", ts("2026-01-01 10:00:00"),
+          Some(ts("2026-01-01 10:59:00"))),
+        ("s1", "active", ts("2026-01-01 11:30:00"), None)))
+    } finally query.stop()
+  }
+
   test("streaming: state persists across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[(String, Timestamp, Double)](spark)
