@@ -129,6 +129,46 @@ object Dedup {
             x => x.cast("string")), "-")).alias("bucket"))
     }: _*)
 
+  /** Default per-(band,bucket) population cap for banded candidate joins:
+    * 10k docs in one bucket already means ~5·10⁷ verify pairs from that
+    * bucket — past that, the corpus is a near-identical flood and sampling
+    * the pair set (salted sub-buckets) is the right trade.
+    */
+  val DefaultBucketCap = 10000
+
+  /** Skew guard for banded candidate self-joins. A degenerate corpus
+    * (thousands of near-identical documents) lands in ONE (band, bucket)
+    * and makes the bucket equi-join quadratic in that bucket's population —
+    * the classic LSH hot-bucket failure at scale. Buckets over `cap` docs
+    * are split into ceil(n/cap) hash-salted sub-buckets (expected size
+    * ≈ cap), bounding per-bucket pair count at ~n·cap instead of n².
+    * Under-cap buckets keep salt 0, so the common path produces exactly
+    * the unguarded pairs (the oracle fixtures never approach the cap).
+    * Recall inside a hot bucket degrades gracefully — a pair split across
+    * sub-buckets is missed, acceptable precisely because everything in a
+    * flooded bucket is near-identical to everything else in it.
+    *
+    * Input (doc_id, bk) → output (doc_id, bk) with bk replaced by
+    * struct(bk, salt); self-joins on the new bk are bounded.
+    */
+  private def saltHotBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
+    // Window count, not groupBy+join-back: one shuffle on bk instead of
+    // three (agg shuffle + both join sides), and the window's sort key IS
+    // the bucket key, so hot buckets stay together for the count.
+    val bkN = count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk")))
+    bucketed
+      .select(col("doc_id"), col("bk"), bkN.alias("bk_n"))
+      .select(
+        col("doc_id"),
+        struct(
+          col("bk"),
+          when(col("bk_n") <= cap, lit(0L))
+            .otherwise(pmod(xxhash64(col("doc_id")),
+              ceil(col("bk_n").cast("double") / cap).cast("long")))
+            .alias("salt")).alias("bk"))
+  }
+
   /** Exact duplicate groups: identical text → one keeper (lowest doc_id).
     * A plain hash-shuffle groupBy on the text; at scale group by
     * sha2(text) instead to shrink shuffle keys — semantics identical.
@@ -157,12 +197,14 @@ object Dedup {
       docs: DataFrame,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(docs, k)
-    val bucketed = sigs.select(
+    val bucketed = saltHotBuckets(sigs.select(
       col("doc_id"),
-      explode(lshBuckets(col("sig"), bands, rowsPerBand)).alias("bk"))
+      explode(lshBuckets(col("sig"), bands, rowsPerBand)).alias("bk")),
+      bucketCap)
     // Distinct (a, b) FIRST — a pair colliding in several bands must be
     // estimated once, not once per band — then join the signatures back by
     // id. All joins are equi-joins on bucket or id; no cartesian anywhere.
@@ -224,7 +266,8 @@ object Dedup {
       docs: DataFrame,
       bands: Int = 4,
       bandBits: Int = 15,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     // Materialize the signature table once: it is 12 bytes per document
     // (vs the corpus behind it), and the band join + verify would otherwise
     // recompute the 60-bit vote three times.
@@ -233,11 +276,12 @@ object Dedup {
         hashArray60(col("grams")).alias("hashes")),
       bits = bands * bandBits).localCheckpoint()
     val mask = (1L << bandBits) - 1
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = saltHotBuckets(sh.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).alias("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
-            .alias("bv"))): _*)).alias("bk"))
+            .alias("bv"))): _*)).alias("bk")),
+      bucketCap)
     val cands = banded.select(col("bk"), col("doc_id").alias("a_id"))
       .join(banded.select(col("bk"), col("doc_id").alias("b_id")), "bk")
       .where(col("a_id") < col("b_id"))

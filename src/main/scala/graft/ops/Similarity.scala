@@ -26,6 +26,28 @@ object Similarity {
 
   val Dim = 64
 
+  /** Broadcast bound for ANN query sets: 50k × (64 doubles + ids/norm)
+    * ≈ 25 MB serialized — comfortably under executor broadcast budgets.
+    */
+  val MaxBroadcastQueries = 50000
+
+  /** Broadcast with a stated bound. Every ANN path here assumes the query
+    * set is SMALL; that held by construction of the `vec_id % 100` fixture,
+    * but a degenerate distribution (or a caller handing in the whole
+    * corpus) must fail loudly rather than broadcast the world to every
+    * executor. The probe scans at most `maxRows + 1` rows (limit is pushed
+    * into the scan), so its cost is bounded by the cap, not the corpus.
+    */
+  def boundedBroadcast(
+      df: DataFrame,
+      maxRows: Int = MaxBroadcastQueries): DataFrame = {
+    val probe = df.limit(maxRows + 1).count()
+    require(probe <= maxRows,
+      s"broadcast side has > $maxRows rows; too large to broadcast — " +
+        "shrink the query set or raise the bound deliberately")
+    broadcast(df)
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes, seed-fixed; shared verbatim
     * with the oracle SQL generator (SparkEntry).
     */
@@ -74,7 +96,7 @@ object Similarity {
   /** Exact cosine top-k per query, query set broadcast. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val prep = prepared(embeddings)
-    val pairs = prep.crossJoin(broadcast(querySet(prep)))
+    val pairs = prep.crossJoin(boundedBroadcast(querySet(prep)))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").alias("neighbor_id"),
         cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
@@ -93,7 +115,7 @@ object Similarity {
     val queries = prep.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
         col("norm").alias("q_norm"), col("bucket"))
-    val pairs = prep.join(broadcast(queries), "bucket")
+    val pairs = prep.join(boundedBroadcast(queries), "bucket")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").alias("neighbor_id"),
         cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
@@ -126,7 +148,7 @@ object Similarity {
     val queries = prep.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
         col("norm").alias("q_norm"), col("cell"))
-    val pairs = prep.join(broadcast(queries), "cell")
+    val pairs = prep.join(boundedBroadcast(queries), "cell")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").alias("neighbor_id"),
         cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))

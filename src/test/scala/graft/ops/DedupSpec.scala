@@ -90,4 +90,28 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"))
     assert(!plan.contains("BroadcastNestedLoop"))
   }
+
+  test("hot-bucket skew guard bounds candidates on a degenerate corpus") {
+    // 300 IDENTICAL docs: every band's bucket holds all 300, the worst
+    // case for a banded self-join — unguarded it yields C(300,2) = 44 850
+    // pairs from ONE bucket. With cap 25 the bucket splits into ~12
+    // salted sub-buckets of ~25 docs, bounding pairs near 12·C(25,2).
+    val flood = docs((1L to 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog")): _*)
+    val mh = Dedup.minhashCandidates(flood, bucketCap = 25).count()
+    assert(mh > 0L) // still finds near-dups inside each sub-bucket
+    assert(mh < 15000L, s"minhash pair count $mh not bounded by the cap")
+    val sp = Dedup.simhashNearDup(flood, bucketCap = 25).count()
+    assert(sp > 0L)
+    assert(sp < 15000L, s"simhash pair count $sp not bounded by the cap")
+    // Under-cap corpora are untouched: the guard's salt is 0 everywhere,
+    // so the default-cap result equals an effectively-unbounded cap.
+    val small = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+    val withDefault = Dedup.minhashCandidates(small)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withHugeCap = Dedup.minhashCandidates(small, bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withDefault === withHugeCap)
+    assert(withDefault === Set((1L, 2L)))
+  }
 }

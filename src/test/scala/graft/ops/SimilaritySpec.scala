@@ -72,4 +72,14 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planes(4) === Similarity.planes(4))
     assert(Similarity.planes(4).flatten.forall(v => v == 1.0 || v == -1.0))
   }
+
+  test("boundedBroadcast refuses an oversize side and passes a small one") {
+    val wide = emb((1L to 20L).map(i => (i, Seq(i.toDouble))): _*)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.boundedBroadcast(wide, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("too large to broadcast"))
+    // Under the bound: passes through with the hint, rows intact.
+    assert(Similarity.boundedBroadcast(wide, maxRows = 20).count() === 20L)
+  }
 }
