@@ -357,17 +357,19 @@ object Dedup {
         .join(labels, edges("b_id") === labels("doc_id"))
         .groupBy(edges("a_id").alias("doc_id"))
         .agg(min(col("cluster_id")).alias("nmin"))
+      // Carry the convergence flag in the SAME pass (labels only ever
+      // decrease, so moved ⇔ new < old) — the count below is then a scan
+      // of the checkpointed frame, not another join against old labels.
+      val newLabel =
+        least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
       val updated = labels.alias("l")
         .join(neighborMin.alias("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .alias("cluster_id"))
+        .select(col("doc_id"), newLabel.alias("new_label"),
+          (newLabel < col("cluster_id")).alias("moved"))
         .localCheckpoint()
-      changed = updated.alias("u")
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old"))
-        .count()
+      changed = updated.where(col("moved")).count()
       labels = updated
+        .select(col("doc_id"), col("new_label").alias("cluster_id"))
       iter += 1
     }
     if (changed > 0)
