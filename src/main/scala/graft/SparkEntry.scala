@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Dedup, Multimodal, Parse, Similarity, TextAnalysis}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Curation, Dedup, Multimodal, Parse, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -135,6 +135,14 @@ object SparkEntry {
 
   private def dedupSimhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(StandIn.documents(s, dir))
+
+  private def dedupKeepers(s: SparkSession, dir: String): DataFrame =
+    Curation.keepers(StandIn.documents(s, dir),
+      MinhashK, MinhashBands, MinhashEstThreshold)
+
+  private def corpusCurate(s: SparkSession, dir: String): DataFrame =
+    Curation.curate(StandIn.documents(s, dir),
+      MinhashK, MinhashBands, MinhashEstThreshold)
 
   // DuckDB twins of ops/Dedup.scala's hash family and tokenizer — keep in
   // lockstep with Dedup.tokens / Dedup.hashAt / Dedup.minhashSignature.
@@ -426,6 +434,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => dedupSimhashNearDup(s, d)),
+    "dedup_keepers"       -> ((s, d) => dedupKeepers(s, d)),
+    "corpus_curate"       -> ((s, d) => corpusCurate(s, d)),
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
@@ -595,6 +605,81 @@ object SparkEntry {
          |)
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id"""
         .stripMargin,
+
+    // Keeper = the doc whose id IS its component's min label.
+    "dedup_keepers" ->
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |edges AS (
+         |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
+         |), reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
+         |), labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+         |)
+         |SELECT doc_id FROM labels WHERE doc_id = cluster_id""".stripMargin,
+
+    // The full curation composite: clusters (recursive CTE) + quality gate
+    // + language scores + token counts, all sharing one `toks` CTE.
+    "corpus_curate" -> {
+      val stop = TextAnalysis.LangMarkers.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |edges AS (
+         |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
+         |), reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
+         |), labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+         |), $rawToksSql, q AS (
+         |  SELECT d.doc_id,
+         |         length(d.text) AS n_chars,
+         |         len(k.t) AS n_tokens,
+         |         round(len(list_filter(k.t, w -> list_contains($stop, w)))
+         |           / CAST(greatest(len(k.t), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |         round((length(d.text)
+         |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))
+         |           / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |         length(d.text)
+         |           / CAST(greatest(len(k.t), 1) AS DOUBLE) AS cpt
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), gated AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_chars < 64 THEN 'too_short'
+         |              WHEN n_tokens < 10 THEN 'too_few_tokens'
+         |              WHEN stopword_ratio > 0.4 THEN 'stopword_heavy'
+         |              WHEN punct_ratio > 0.1 THEN 'punct_heavy'
+         |              WHEN cpt > 12.0 THEN 'tokens_too_long'
+         |              ELSE NULL END AS reject_reason
+         |  FROM q
+         |), scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN b.en_score = b.top AND b.top > 0 THEN 'en'
+         |            WHEN b.fr_score = b.top AND b.top > 0 THEN 'fr'
+         |            WHEN b.de_score = b.top AND b.top > 0 THEN 'de'
+         |            ELSE 'unknown' END AS predicted_lang,
+         |       CAST(len(k.t) AS INT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(d.text,
+         |         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpeish_tokens
+         |FROM documents d
+         |JOIN labels l ON l.doc_id = d.doc_id AND l.cluster_id = d.doc_id
+         |JOIN gated g ON g.doc_id = d.doc_id AND g.reject_reason IS NULL
+         |JOIN best b ON b.doc_id = d.doc_id
+         |JOIN toks k ON k.doc_id = d.doc_id""".stripMargin
+    },
 
     "sim_brute_topk" ->
       s"""WITH $prepSql, pairs AS (

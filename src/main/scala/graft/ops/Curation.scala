@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composite a training-data pipeline runs
+  * over raw documents before sampling a training mix — quality gate ∧
+  * near-duplicate keeper — annotated with predicted language and token
+  * accounting for data budgeting.
+  *
+  * Plan shape at 100 TB: every signal (gate verdict, language scores,
+  * token counts) is a narrow per-document projection — no shuffle, and the
+  * document TEXT never moves; the joins exchange only (doc_id, a few
+  * scalars), bytes per document. The one heavyweight stage is the
+  * near-dup clustering inside [[keepers]], which is the bucketed,
+  * skew-guarded MinHash/LSH path ([[Dedup.clusters]]).
+  */
+object Curation {
+
+  /** Keeper per near-duplicate cluster. [[Dedup.clusters]] labels every
+    * component with its minimum doc_id, so the keeper is exactly the
+    * document whose id IS its cluster label; singletons keep themselves.
+    */
+  def keepers(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.clusters(docs, k, bands, threshold)
+      .where(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+
+  /** Curated-corpus manifest: documents that pass the quality gate AND are
+    * their cluster's keeper, with language and token counts attached —
+    * `(doc_id, predicted_lang, ws_tokens, bpeish_tokens)`, what a sampler
+    * needs to draw a training mix. Deliberately does NOT drop
+    * `predicted_lang = 'unknown'`: the manifest reports language, the
+    * sampler chooses the mix.
+    */
+  def curate(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val gatePassed = TextAnalysis.qualityGate(docs)
+      .where(col("passed"))
+      .select(col("doc_id"))
+    val lang = TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+    val toks = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+    gatePassed
+      .join(keepers(docs, k, bands, threshold), "doc_id")
+      .join(lang, "doc_id")
+      .join(toks, "doc_id")
+  }
+}
