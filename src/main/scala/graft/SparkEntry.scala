@@ -146,11 +146,14 @@ object SparkEntry {
 
   // DuckDB twins of ops/Dedup.scala's hash family and tokenizer — keep in
   // lockstep with Dedup.tokens / Dedup.hashAt / Dedup.minhashSignature.
+  // coalesce(text, ''): NULL text ≡ empty document on both engines (the
+  // Dedup.tokens contract) — without it DuckDB propagates NULL token lists
+  // where Spark now yields [].
   private val toksSql =
     """toks AS (
       |  SELECT doc_id,
       |         list_distinct(list_filter(
-      |           string_split_regex(lower(text), '\s+'),
+      |           string_split_regex(lower(coalesce(text, '')), '\s+'),
       |           w -> len(w) > 0)) AS t
       |  FROM documents
       |)""".stripMargin
@@ -160,7 +163,7 @@ object SparkEntry {
   private val rawToksSql =
     """toks AS (
       |  SELECT doc_id,
-      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
       |           w -> len(w) > 0) AS t
       |  FROM documents
       |)""".stripMargin
@@ -179,7 +182,7 @@ object SparkEntry {
       |                            tt[CAST(i AS INT) + 1]))
       |           ELSE [] END) AS g
       |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |          list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
       |            w -> len(w) > 0) AS tt
       |        FROM documents)
       |)""".stripMargin
@@ -229,6 +232,53 @@ object SparkEntry {
        |  JOIN sigs sa ON sa.doc_id = p.a_id
        |  JOIN sigs sb ON sb.doc_id = p.b_id
        |)""".stripMargin
+
+  // Connected components of the LSH candidate graph (recursive twin of
+  // Dedup.clusters): edges → transitive reach → min-label per doc. Shared
+  // by dedup_clusters / dedup_keepers / corpus_curate so the three oracles
+  // cannot drift apart.
+  private val componentsSql =
+    s"""edges AS (
+       |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
+       |), reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
+       |), labels AS (
+       |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+       |)""".stripMargin
+
+  // Quality-gate CTEs (twin of TextAnalysis.qualityGate, thresholds
+  // interpolated from the shared constants); expects `toks` in scope.
+  // Shared by text_quality_gate / corpus_curate.
+  private val gateSql = {
+    val stop = TextAnalysis.LangMarkers.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""q AS (
+       |  SELECT d.doc_id,
+       |         length(d.text) AS n_chars,
+       |         len(k.t) AS n_tokens,
+       |         round(len(list_filter(k.t, w -> list_contains($stop, w)))
+       |           / CAST(greatest(len(k.t), 1) AS DOUBLE), 6) AS stopword_ratio,
+       |         round((length(d.text)
+       |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))
+       |           / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS punct_ratio,
+       |         length(d.text)
+       |           / CAST(greatest(len(k.t), 1) AS DOUBLE) AS cpt
+       |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+       |), gated AS (
+       |  SELECT doc_id,
+       |         CASE WHEN n_chars < ${TextAnalysis.GateMinChars} THEN 'too_short'
+       |              WHEN n_tokens < ${TextAnalysis.GateMinTokens} THEN 'too_few_tokens'
+       |              WHEN stopword_ratio > ${TextAnalysis.GateMaxStopwordRatio} THEN 'stopword_heavy'
+       |              WHEN punct_ratio > ${TextAnalysis.GateMaxPunctRatio} THEN 'punct_heavy'
+       |              WHEN cpt > ${TextAnalysis.GateMaxCharsPerToken} THEN 'tokens_too_long'
+       |              ELSE NULL END AS reject_reason
+       |  FROM q
+       |)""".stripMargin
+  }
 
   // ─── north-star: similarity search over embeddings ─────────────────────
 
@@ -594,72 +644,20 @@ object SparkEntry {
     // (bidirectional) candidate edges; component id = min reachable label.
     "dedup_clusters" ->
       s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
-         |edges AS (
-         |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
-         |  UNION ALL
-         |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
-         |), reach(doc_id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
-         |)
-         |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id"""
-        .stripMargin,
+         |$componentsSql
+         |SELECT doc_id, cluster_id FROM labels""".stripMargin,
 
     // Keeper = the doc whose id IS its component's min label.
     "dedup_keepers" ->
       s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
-         |edges AS (
-         |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
-         |  UNION ALL
-         |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
-         |), reach(doc_id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
-         |), labels AS (
-         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
-         |)
+         |$componentsSql
          |SELECT doc_id FROM labels WHERE doc_id = cluster_id""".stripMargin,
 
     // The full curation composite: clusters (recursive CTE) + quality gate
     // + language scores + token counts, all sharing one `toks` CTE.
-    "corpus_curate" -> {
-      val stop = TextAnalysis.LangMarkers.flatMap(_._2)
-        .map(w => s"'$w'").mkString("[", ", ", "]")
+    "corpus_curate" ->
       s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
-         |edges AS (
-         |  SELECT a_id, b_id FROM est WHERE est_sim >= $MinhashEstThreshold
-         |  UNION ALL
-         |  SELECT b_id, a_id FROM est WHERE est_sim >= $MinhashEstThreshold
-         |), reach(doc_id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b_id
-         |), labels AS (
-         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
-         |), $rawToksSql, q AS (
-         |  SELECT d.doc_id,
-         |         length(d.text) AS n_chars,
-         |         len(k.t) AS n_tokens,
-         |         round(len(list_filter(k.t, w -> list_contains($stop, w)))
-         |           / CAST(greatest(len(k.t), 1) AS DOUBLE), 6) AS stopword_ratio,
-         |         round((length(d.text)
-         |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))
-         |           / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS punct_ratio,
-         |         length(d.text)
-         |           / CAST(greatest(len(k.t), 1) AS DOUBLE) AS cpt
-         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
-         |), gated AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n_chars < 64 THEN 'too_short'
-         |              WHEN n_tokens < 10 THEN 'too_few_tokens'
-         |              WHEN stopword_ratio > 0.4 THEN 'stopword_heavy'
-         |              WHEN punct_ratio > 0.1 THEN 'punct_heavy'
-         |              WHEN cpt > 12.0 THEN 'tokens_too_long'
-         |              ELSE NULL END AS reject_reason
-         |  FROM q
-         |), scored AS (
+         |$componentsSql, $rawToksSql, $gateSql, scored AS (
          |  SELECT doc_id,
          |$langScoresSql
          |  FROM toks
@@ -678,8 +676,7 @@ object SparkEntry {
          |JOIN labels l ON l.doc_id = d.doc_id AND l.cluster_id = d.doc_id
          |JOIN gated g ON g.doc_id = d.doc_id AND g.reject_reason IS NULL
          |JOIN best b ON b.doc_id = d.doc_id
-         |JOIN toks k ON k.doc_id = d.doc_id""".stripMargin
-    },
+         |JOIN toks k ON k.doc_id = d.doc_id""".stripMargin,
 
     "sim_brute_topk" ->
       s"""WITH $prepSql, pairs AS (
@@ -813,34 +810,10 @@ object SparkEntry {
          |FROM documents d JOIN toks k ON d.doc_id = k.doc_id""".stripMargin
     },
 
-    "text_quality_gate" -> {
-      val stop = TextAnalysis.LangMarkers.flatMap(_._2)
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH $rawToksSql, q AS (
-         |  SELECT d.doc_id,
-         |         length(d.text) AS n_chars,
-         |         len(k.t) AS n_tokens,
-         |         round(len(list_filter(k.t, w -> list_contains($stop, w)))
-         |           / CAST(greatest(len(k.t), 1) AS DOUBLE), 6) AS stopword_ratio,
-         |         round((length(d.text)
-         |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))
-         |           / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS punct_ratio,
-         |         length(d.text)
-         |           / CAST(greatest(len(k.t), 1) AS DOUBLE) AS cpt
-         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
-         |), gated AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n_chars < 64 THEN 'too_short'
-         |              WHEN n_tokens < 10 THEN 'too_few_tokens'
-         |              WHEN stopword_ratio > 0.4 THEN 'stopword_heavy'
-         |              WHEN punct_ratio > 0.1 THEN 'punct_heavy'
-         |              WHEN cpt > 12.0 THEN 'tokens_too_long'
-         |              ELSE NULL END AS reject_reason
-         |  FROM q
-         |)
+    "text_quality_gate" ->
+      s"""WITH $rawToksSql, $gateSql
          |SELECT doc_id, reject_reason IS NULL AS passed, reject_reason
-         |FROM gated""".stripMargin
-    },
+         |FROM gated""".stripMargin,
 
     "text_token_counts" ->
       s"""WITH $rawToksSql

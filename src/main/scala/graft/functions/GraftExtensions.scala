@@ -46,7 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => children match {
         case Seq(a) => HashArray(a)
-        case Seq(a, m) if m.foldable =>
+        // The isInstanceOf guard rejects NULL / non-numeric constants with
+        // the function's own error message, not a bare NPE/CCE.
+        case Seq(a, m) if m.foldable && m.eval().isInstanceOf[Number] =>
           HashArray(a, m.eval().asInstanceOf[Number].longValue())
         case _ => throw new IllegalArgumentException(
           "hash_family60 expects (array<string>[, constant long mask])")
@@ -63,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => children match {
         case Seq(a) => SimhashVote(a)
-        case Seq(a, b) if b.foldable =>
+        case Seq(a, b) if b.foldable && b.eval().isInstanceOf[Number] =>
           SimhashVote(a, b.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "simhash_vote expects (array<long>[, constant int bits])")
@@ -95,7 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => children match {
         case Seq(a) => CharNgrams(a)
-        case Seq(a, b) if b.foldable =>
+        case Seq(a, b) if b.foldable && b.eval().isInstanceOf[Number] =>
           CharNgrams(a, b.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "char_ngrams expects (string[, constant int n])")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{coalesce, lit, typedlit}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,8 +82,11 @@ object SimhashVote {
     v
   }
 
+  // NULL hashes ≡ empty (simhash 0) — the explode_outer semantics of the
+  // replaced chain; the expression itself stays nullIntolerant.
   def simhashVote(hashes: Column, bits: Int = 60): Column =
-    Bridge.column(SimhashVote(Bridge.expression(hashes), bits))
+    Bridge.column(SimhashVote(Bridge.expression(
+      coalesce(hashes, typedlit(Array.empty[Long]))), bits))
 }
 
 /** Consecutive word bigrams ("w1 w2") over an array<string>, natively:
@@ -141,8 +145,12 @@ object Bigrams {
     new GenericArrayData(out)
   }
 
+  // NULL tokens ≡ no bigrams — the `otherwise(array())` branch of the
+  // declarative chain this kernel replaced (NULL text must not silently
+  // drop the row from downstream band joins).
   def wordBigrams(toks: Column): Column =
-    Bridge.column(Bigrams(Bridge.expression(toks)))
+    Bridge.column(Bigrams(Bridge.expression(
+      coalesce(toks, typedlit(Array.empty[String])))))
 }
 
 /** Character n-grams of a string, natively: one codegen'd loop of
@@ -196,8 +204,9 @@ object CharNgrams {
     new GenericArrayData(out)
   }
 
+  // NULL string ≡ no n-grams (the replaced CASE's ELSE [] branch).
   def charNgrams(str: Column, n: Int = 3): Column =
-    Bridge.column(CharNgrams(Bridge.expression(str), n))
+    Bridge.column(CharNgrams(Bridge.expression(coalesce(str, lit(""))), n))
 }
 
 /** Count of array elements contained in a small fixed vocabulary, natively:
@@ -262,8 +271,11 @@ object CountInSet {
     c
   }
 
+  // NULL array ≡ count 0 (the replaced size(filter(...)) gave null only
+  // because its input did; a null score row is never useful downstream).
   def countInSet(arr: Column, words: Seq[String]): Column =
-    Bridge.column(CountInSet(Bridge.expression(arr), words))
+    Bridge.column(CountInSet(Bridge.expression(
+      coalesce(arr, typedlit(Array.empty[String]))), words))
 }
 
 /** The k affine MinHash minima in ONE pass over the base-hash array,

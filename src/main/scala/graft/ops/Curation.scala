@@ -41,17 +41,13 @@ object Curation {
       docs: DataFrame,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val gatePassed = TextAnalysis.qualityGate(docs)
+      threshold: Double = 0.5): DataFrame =
+    // ONE signal scan ([[TextAnalysis.curationSignals]] fuses gate +
+    // language + token counts into a single projection), ONE join with the
+    // keeper set — not a join per signal.
+    TextAnalysis.curationSignals(docs)
       .where(col("passed"))
-      .select(col("doc_id"))
-    val lang = TextAnalysis.langId(docs)
-      .select(col("doc_id"), col("predicted_lang"))
-    val toks = TextAnalysis.tokenCounts(docs)
-      .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
-    gatePassed
       .join(keepers(docs, k, bands, threshold), "doc_id")
-      .join(lang, "doc_id")
-      .join(toks, "doc_id")
-  }
+      .select(col("doc_id"), col("predicted_lang"),
+        col("ws_tokens"), col("bpeish_tokens"))
 }

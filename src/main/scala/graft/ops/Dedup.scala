@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Lowercased whitespace word tokens, empties dropped. */
+  /** Lowercased whitespace word tokens, empties dropped. NULL text ≡ empty
+    * document (the engine-wide contract, mirrored in the oracle SQL's
+    * `coalesce(text, '')`): a null row must yield empty signals, not
+    * propagate NULL into signatures and silently vanish from band joins.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    filter(split(lower(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
 
   /** Member `i` of a deterministic 60-bit hash family over strings:
     * the top 15 hex digits of md5("i:w") as a long. 60 bits keeps the value
@@ -152,18 +156,22 @@ object Dedup {
     * struct(bk, salt); self-joins on the new bk are bounded.
     */
   private def saltHotBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
-    // Window count, not groupBy+join-back: one shuffle on bk instead of
-    // three (agg shuffle + both join sides), and the window's sort key IS
-    // the bucket key, so hot buckets stay together for the count.
-    val bkN = count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk")))
-    bucketed
-      .select(col("doc_id"), col("bk"), bkN.alias("bk_n"))
+    // Count per bucket with a partial-aggregating groupBy and keep ONLY the
+    // over-cap buckets: each mapper emits one row per distinct bucket, so
+    // even a 10⁸-doc flooded bucket reaches its reducer as #mappers rows —
+    // the counting stage cannot itself funnel the hot bucket through one
+    // task (a window count or a join-back keyed on bk would). By
+    // pigeonhole at most rows/cap buckets can exceed cap, so the hot list
+    // is small and broadcast-safe; the corpus side never shuffles here.
+    val hot = bucketed.groupBy(col("bk"))
+      .agg(count(lit(1)).alias("bk_n"))
+      .where(col("bk_n") > cap)
+    bucketed.join(broadcast(hot), Seq("bk"), "left")
       .select(
         col("doc_id"),
         struct(
           col("bk"),
-          when(col("bk_n") <= cap, lit(0L))
+          when(col("bk_n").isNull, lit(0L)) // not hot → common path, salt 0
             .otherwise(pmod(xxhash64(col("doc_id")),
               ceil(col("bk_n").cast("double") / cap).cast("long")))
             .alias("salt")).alias("bk"))

@@ -41,11 +41,14 @@ object Similarity {
   def boundedBroadcast(
       df: DataFrame,
       maxRows: Int = MaxBroadcastQueries): DataFrame = {
-    val probe = df.limit(maxRows + 1).count()
+    // Materialize once: probing the raw frame would re-evaluate its whole
+    // lineage (scan + projections) a second time when the broadcast builds.
+    val mat = df.localCheckpoint()
+    val probe = mat.limit(maxRows + 1).count()
     require(probe <= maxRows,
       s"broadcast side has > $maxRows rows; too large to broadcast — " +
         "shrink the query set or raise the bound deliberately")
-    broadcast(df)
+    broadcast(mat)
   }
 
   /** Deterministic Rademacher (±1) hyperplanes, seed-fixed; shared verbatim

@@ -155,13 +155,23 @@ object TextAnalysis {
     * downstream can both filter (`WHERE passed`) and audit rejection
     * reasons at scale — one pass, no shuffle.
     */
+  /** Default gate thresholds — single source of truth for both the Column
+    * chain below and the DuckDB oracle twins (SparkEntry interpolates
+    * these, so a threshold change cannot silently split the engines).
+    */
+  val GateMinChars = 64
+  val GateMinTokens = 10
+  val GateMaxStopwordRatio = 0.4
+  val GateMaxPunctRatio = 0.1
+  val GateMaxCharsPerToken = 12.0
+
   def qualityGate(
       docs: DataFrame,
-      minChars: Int = 64,
-      minTokens: Int = 10,
-      maxStopwordRatio: Double = 0.4,
-      maxPunctRatio: Double = 0.1,
-      maxCharsPerToken: Double = 12.0): DataFrame = {
+      minChars: Int = GateMinChars,
+      minTokens: Int = GateMinTokens,
+      maxStopwordRatio: Double = GateMaxStopwordRatio,
+      maxPunctRatio: Double = GateMaxPunctRatio,
+      maxCharsPerToken: Double = GateMaxCharsPerToken): DataFrame = {
     val q = quality(docs)
     val cpt = q("n_chars").cast("double") / greatest(q("n_tokens"), lit(1))
     val reason =
@@ -175,6 +185,68 @@ object TextAnalysis {
       col("doc_id"),
       reason.isNull.alias("passed"),
       reason.alias("reject_reason"))
+  }
+
+  /** Every curation signal — gate verdict, predicted language, token
+    * counts — in ONE staged projection over a single corpus scan: the
+    * fused form of [[qualityGate]] + [[langId]] + [[tokenCounts]] for
+    * pipelines that need all three (a 100 TB curate must not read and
+    * tokenize the corpus once per signal, nor shuffle three doc_id
+    * joins). Signal-for-signal identical to the standalone ops — the
+    * same expressions over the same staged token column.
+    */
+  def curationSignals(
+      docs: DataFrame,
+      minChars: Int = GateMinChars,
+      minTokens: Int = GateMinTokens,
+      maxStopwordRatio: Double = GateMaxStopwordRatio,
+      maxPunctRatio: Double = GateMaxPunctRatio,
+      maxCharsPerToken: Double = GateMaxCharsPerToken): DataFrame = {
+    val stopwords = LangMarkers.flatMap(_._2)
+    val punct = "[.,!?;:]"
+    val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    val nToksDen = greatest(size(col("toks")), lit(1))
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        Dedup.tokens(col("text")).alias("toks"))
+      .select(Seq(
+        col("doc_id"),
+        length(col("text")).alias("n_chars"),
+        size(col("toks")).alias("n_tokens"),
+        round(
+          graft.functions.CountInSet.countInSet(col("toks"), stopwords)
+            .cast("double") / nToksDen, 6).alias("stopword_ratio"),
+        round(
+          (length(col("text")) -
+            length(regexp_replace(col("text"), punct, ""))).cast("double") /
+            greatest(length(col("text")), lit(1)), 6).alias("punct_ratio"),
+        regexp_count(col("text"), lit(bpeish)).alias("bpeish_tokens")) ++
+        LangMarkers.map { case (lang, words) =>
+          (graft.functions.CountInSet.countInSet(col("toks"), words)
+            .cast("double") / nToksDen).alias(s"${lang}_score")
+        }: _*)
+    val cpt = col("n_chars").cast("double") / greatest(col("n_tokens"), lit(1))
+    val reason =
+      when(col("n_chars") < minChars, "too_short")
+        .when(col("n_tokens") < minTokens, "too_few_tokens")
+        .when(col("stopword_ratio") > maxStopwordRatio, "stopword_heavy")
+        .when(col("punct_ratio") > maxPunctRatio, "punct_heavy")
+        .when(cpt > maxCharsPerToken, "tokens_too_long")
+        .otherwise(lit(null))
+    val best = LangMarkers.map { case (lang, _) => col(s"${lang}_score") }
+      .reduce(greatest(_, _))
+    val predicted = LangMarkers.foldRight(lit("unknown")) {
+      case ((lang, _), rest) =>
+        when(col(s"${lang}_score") === best && best > 0, lit(lang))
+          .otherwise(rest)
+    }
+    scored.select(
+      col("doc_id"),
+      reason.isNull.alias("passed"),
+      reason.alias("reject_reason"),
+      predicted.alias("predicted_lang"),
+      col("n_tokens").alias("ws_tokens"),
+      col("bpeish_tokens"))
   }
 
   /** Fingerprint modulus: the largest prime below 10^15, so `h*131 + t`

@@ -91,6 +91,16 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  test("NULL text behaves as an empty document, not a dropped row") {
+    val d = docs((1L, null), (2L, "a b c d"))
+    val grams = Dedup.shingleSets(d).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(grams(1L) === Seq.empty) // [] like the oracle, not NULL
+    val sh = Dedup.simhash(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(1L) === 0L) // empty-doc signature, row preserved
+  }
+
   test("hot-bucket skew guard bounds candidates on a degenerate corpus") {
     // 300 IDENTICAL docs: every band's bucket holds all 300, the worst
     // case for a banded self-join — unguarded it yields C(300,2) = 44 850

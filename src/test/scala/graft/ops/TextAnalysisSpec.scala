@@ -70,4 +70,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) !== out(2L)) // rolling hash: permutation changes it
     assert(out.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
   }
+
+  test("curationSignals matches the standalone gate/langId/tokenCounts ops") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog while autumn " +
+        "winds carry fallen leaves across quiet village streets"),
+      (2L, "short"),
+      (3L, "le chat est sur la table et les oiseaux chantent dans le " +
+        "jardin pendant que la pluie tombe doucement sur les toits"))
+    val fused = TextAnalysis.curationSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        Option(r.getString(2)), r.getString(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    val gate = TextAnalysis.qualityGate(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    val lang = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = TextAnalysis.tokenCounts(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (p, reason, pl, ws, bp) = fused(id)
+      assert((p, reason) === gate(id), s"gate mismatch for $id")
+      assert(pl === lang(id), s"lang mismatch for $id")
+      assert((ws, bp) === toks(id), s"token mismatch for $id")
+    }
+    assert(fused(3L)._3 === "fr") // sanity: the fixture exercises a non-en doc
+  }
 }
