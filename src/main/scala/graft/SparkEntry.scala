@@ -300,6 +300,9 @@ object SparkEntry {
   private def simIvfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(StandIn.embeddings(s, dir), IvfCells, TopK)
 
+  private def simQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeStats(StandIn.embeddings(s, dir))
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -490,6 +493,7 @@ object SparkEntry {
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
+    "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -721,6 +725,30 @@ object SparkEntry {
          |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
          |  FROM pairs)
          |WHERE rank <= $TopK""".stripMargin,
+
+    // Int8 quantization loss audit (Similarity.quantizeStats): same
+    // symmetric scale, round-half-away-from-zero on both engines, and the
+    // mean is the same left fold (list_reduce with a prepended 0).
+    "sim_quantize" ->
+      s"""WITH prep AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), scaled AS (
+         |  SELECT vec_id, vec,
+         |         greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0,
+         |                  1e-12) AS scale
+         |  FROM prep
+         |), errs AS (
+         |  SELECT vec_id, scale, len(vec) AS n,
+         |         list_transform(vec,
+         |           x -> abs(round(x / scale, 0) * scale - x)) AS e
+         |  FROM scaled
+         |)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |       round(list_max(e), 6) AS max_abs_err,
+         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
+         |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
+         |FROM errs""".stripMargin,
 
     "sim_cosine_neardup" ->
       s"""WITH $prepSql, $bucketsSimSql

@@ -181,6 +181,33 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Int8 quantization stats: per vector, the symmetric scale
+    * (max |component| / 127) and the reconstruction error of
+    * `round(v/scale)·scale` — the storage path that shrinks a float32 ANN
+    * index 4× with measured loss. Pure projection (no shuffle); at scale
+    * the index stores the int8 codes + scale, and this op is the loss
+    * audit. `scale` is staged as an attribute before the error lambda
+    * (HOF staging — see Dedup.shingleSets), floored at 1e-12 so an
+    * all-zero vector quantizes to zeros instead of dividing by zero.
+    */
+  def quantizeStats(embeddings: DataFrame): DataFrame = {
+    val prep = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").alias("vec"))
+      .select(col("vec_id"), col("vec"),
+        greatest(
+          array_max(transform(col("vec"), x => abs(x))) / 127.0,
+          lit(1e-12)).alias("scale"))
+    val errs = prep.select(col("vec_id"), col("scale"), col("vec"),
+      transform(col("vec"),
+        x => abs(round(x / col("scale"), 0) * col("scale") - x)).alias("e"))
+    errs.select(
+      col("vec_id"),
+      round(col("scale"), 6).alias("scale"),
+      round(array_max(col("e")), 6).alias("max_abs_err"),
+      round(aggregate(col("e"), lit(0.0), (a, x) => a + x) /
+        greatest(size(col("vec")), lit(1)), 6).alias("mean_abs_err"))
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

@@ -73,6 +73,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planes(4).flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("quantizeStats: exact scale and reconstruction error, float-safe") {
+    // Powers of two are exact in float32, so the doubles are exact too.
+    val out = Similarity.quantizeStats(
+      emb((1L, Seq(1.0, -0.5, 0.25, 0.0)))).collect().head
+    assert(out.getAs[Double]("scale") === 0.007874) // round(1/127, 6)
+    // -0.5/scale = -63.5 → rounds away from zero to -64 → err = 0.5/127.
+    assert(out.getAs[Double]("max_abs_err") === 0.003937)
+    // (0.5/127 + 0.25/127) / 64 dims (0.25 quantizes to 31.75 → 32).
+    assert(out.getAs[Double]("mean_abs_err") === 0.000092)
+    // All-zero vector: scale floor, zero error, no division blowup.
+    val zero = Similarity.quantizeStats(
+      emb((2L, Seq(0.0)))).collect().head
+    assert(zero.getAs[Double]("max_abs_err") === 0.0)
+    assert(zero.getAs[Double]("mean_abs_err") === 0.0)
+  }
+
   test("boundedBroadcast refuses an oversize side and passes a small one") {
     val wide = emb((1L to 20L).map(i => (i, Seq(i.toDouble))): _*)
     val ex = intercept[IllegalArgumentException] {
