@@ -28,13 +28,21 @@ object Bench {
     }
     val results: Map[String, Either[String, Double]] =
       SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune every unused
         // column, erasing the very work a pure-projection query exists to do
         // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
         // fully evaluates every output row while writing nothing.
+        //
+        // Timed on the SECOND run: the first run pays janino codegen
+        // compilation and JIT (~1-2 s for expression-heavy plans) — a fixed
+        // cost that amortizes to nothing at the 100 TB design point, and
+        // which otherwise charges whichever query happens to introduce a
+        // generated class first. Warm numbers measure the engine, not the
+        // compiler.
         val r =
           try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             Right((System.nanoTime() - t0) / 1e9)
           }

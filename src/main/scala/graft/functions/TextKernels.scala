@@ -192,13 +192,32 @@ case class CharNgrams(child: Expression, n: Int = 3)
 
 object CharNgrams {
 
+  /** Byte offset of each code-point start, plus a final end-of-string
+    * sentinel — one linear walk (substringSQL would re-scan from byte 0
+    * per call, making an n-gram sweep quadratic in document length).
+    */
+  private[functions] def codePointStarts(s: UTF8String): (Array[Int], Int) = {
+    val nb = s.numBytes()
+    val starts = new Array[Int](nb + 1)
+    var chars = 0
+    var off = 0
+    while (off < nb) {
+      starts(chars) = off
+      off += UTF8String.numBytesForFirstByte(s.getByte(off))
+      chars += 1
+    }
+    starts(chars) = nb
+    (starts, chars)
+  }
+
   def ngrams(s: UTF8String, n: Int): GenericArrayData = {
-    val chars = s.numChars()
+    val (starts, chars) = codePointStarts(s)
     if (chars < n) return new GenericArrayData(new Array[Any](0))
+    val bytes = s.getBytes // one copy, shared by every gram below
     val out = new Array[Any](chars - n + 1)
     var i = 0
     while (i < chars - n + 1) {
-      out(i) = s.substringSQL(i + 1, n)
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -367,4 +386,100 @@ object MinhashAffine {
   def minhashAffine(hs: Column, params: Seq[(Long, Long)], mod: Long): Column =
     Bridge.column(MinhashAffine(
       Bridge.expression(hs), params.map(_._1), params.map(_._2), mod))
+}
+
+/** Per-profile n-gram hit counts of a string in ONE zero-allocation pass:
+  * result `[total, hits(profile₀), …, hits(profileₖ₋₁)]` where `total` is
+  * the string's n-gram count (`numChars - n + 1`, 0 below n) and
+  * `hits(p)` counts n-grams contained in profile p — exactly
+  * `CountInSet(CharNgrams(str, n), profile)` per profile, but WITHOUT
+  * materializing the n-gram array (for a 2 KB document that array is
+  * ~2000 short-lived strings — pure GC pressure) and without any
+  * per-position substring: grams are matched against the profiles'
+  * UTF-8 bytes in place at code-point boundaries (byte equality ⇔ string
+  * equality for valid UTF-8, the same bytewise rule `UTF8String.equals`
+  * uses).
+  */
+case class NgramProfileCounts(
+    child: Expression,
+    n: Int,
+    profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_profile_counts expects string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vocabBytes: Array[Array[Array[Byte]]] =
+    profiles.map(_.map(_.getBytes("UTF-8")).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramProfileCounts.scan(input.asInstanceOf[UTF8String], n, vocabBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val vocabRef = ctx.addReferenceObj("vocab", vocabBytes, "byte[][][]")
+      val helper = "graft.functions.NgramProfileCounts$.MODULE$"
+      s"${ev.value} = $helper.scan($s, $n, $vocabRef);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramProfileCounts = copy(child = newChild)
+}
+
+object NgramProfileCounts {
+
+  def scan(
+      s: UTF8String,
+      n: Int,
+      vocab: Array[Array[Array[Byte]]]): GenericArrayData = {
+    val (starts, chars) = CharNgrams.codePointStarts(s)
+    val counts = new Array[Int](vocab.length)
+    val total = if (chars < n) 0 else chars - n + 1
+    var i = 0
+    while (i < total) {
+      val gs = starts(i)
+      val glen = starts(i + n) - gs
+      var p = 0
+      while (p < vocab.length) {
+        val prof = vocab(p)
+        var j = 0
+        var matched = false
+        while (!matched && j < prof.length) {
+          val vb = prof(j)
+          if (vb.length == glen) {
+            var k = 0
+            while (k < glen && vb(k) == s.getByte(gs + k)) k += 1
+            if (k == glen) matched = true
+          }
+          j += 1
+        }
+        if (matched) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](vocab.length + 1)
+    out(0) = total
+    var p = 0
+    while (p < vocab.length) { out(p + 1) = counts(p); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  // NULL string ≡ no n-grams (total 0, all counts 0 via the empty string).
+  def ngramProfileCounts(
+      str: Column, n: Int, profiles: Seq[Seq[String]]): Column =
+    Bridge.column(NgramProfileCounts(
+      Bridge.expression(coalesce(str, lit(""))), n, profiles))
 }

@@ -78,17 +78,24 @@ object TextAnalysis {
     * rare (code, tables, short strings).
     */
   def charNgramLangId(docs: DataFrame): DataFrame = {
-    // Native codegen'd trigram kernel (graft.functions.CharNgrams) — the
-    // interpreted substr-per-position HOF was this query's whole cost.
-    val grams = docs
-      .select(col("doc_id"),
-        graft.functions.CharNgrams.charNgrams(lower(col("text")), 3)
-          .alias("tg"))
-    val scored = grams.select(
-      (col("doc_id") +: TrigramProfiles.map { case (lang, prof) =>
-        (graft.functions.CountInSet.countInSet(col("tg"), prof)
-          .cast("double") / greatest(size(col("tg")), lit(1)))
-          .alias(s"${lang}_tg")
+    // Fused zero-allocation kernel (graft.functions.NgramProfileCounts):
+    // one pass over the text yields the total trigram count and each
+    // profile's hits — no materialized trigram array (2 KB of text ≈ 2000
+    // short-lived strings, pure GC pressure) and no per-position substring.
+    // EvalOnce: the argmax CaseWhen below references the score columns from
+    // every branch, and CollapseProject would inline the kernel into each
+    // branch — codegen CSE does not reach into conditionals (the same
+    // duplication the parse chain hits, see EvalOnce). The barrier pins ONE
+    // kernel evaluation per row.
+    val counts = docs.select(col("doc_id"),
+      EvalOnce(graft.functions.NgramProfileCounts.ngramProfileCounts(
+        lower(col("text")), 3, TrigramProfiles.map(_._2))).alias("pc"))
+    val scored = counts.select(
+      (col("doc_id") +: TrigramProfiles.zipWithIndex.map {
+        case ((lang, _), i) =>
+          (element_at(col("pc"), i + 2).cast("double") /
+            greatest(element_at(col("pc"), 1), lit(1)))
+            .alias(s"${lang}_tg")
       }): _*)
     val best = TrigramProfiles.map { case (lang, _) => col(s"${lang}_tg") }
       .reduce(greatest(_, _))

@@ -85,6 +85,32 @@ class TextKernelsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("NgramProfileCounts matches CharNgrams+CountInSet on multi-byte text") {
+    val profiles = Seq(
+      Seq("the", "doc", "jà "), Seq("übe", "déj", " ☃ "), Seq("zzz"))
+    val q = rangeDocs.select(
+      NgramProfileCounts.ngramProfileCounts(lower(col("text")), 3, profiles)
+        .alias("pc"),
+      CharNgrams.charNgrams(lower(col("text")), 3).alias("tg"))
+    q.collect().foreach { r =>
+      val pc = r.getSeq[Int](0)
+      val tg = r.getSeq[String](1)
+      assert(pc.head === tg.size)
+      profiles.zipWithIndex.foreach { case (prof, i) =>
+        assert(pc(i + 1) === tg.count(prof.contains(_)),
+          s"profile $i mismatch on '${tg.mkString}'")
+      }
+    }
+    // short / null inputs: zero total, zero hits
+    val edge = spark.range(1).select(
+      NgramProfileCounts.ngramProfileCounts(lit("ab"), 3, profiles).alias("a"),
+      NgramProfileCounts.ngramProfileCounts(
+        lit(null).cast("string"), 3, profiles).alias("b"))
+      .collect().head
+    assert(edge.getSeq[Int](0) === Seq(0, 0, 0, 0))
+    assert(edge.getSeq[Int](1) === Seq(0, 0, 0, 0))
+  }
+
   test("CountInSet matches the filter/array_contains chain") {
     val vocab = Seq("the", "a", "of", "déjà")
     val toks = rangeDocs.select(Dedup.tokens(
