@@ -97,4 +97,42 @@ class PropertySpec extends SparkSpec {
       assert(sigs(1L).forall(h => h >= 0 && h < Dedup.AffineMod))
     }
   }
+
+  // Mixed-width code points (1-4 bytes, incl. astral-plane emoji): the
+  // byte-offset walk in CharNgrams/NgramProfileCounts must agree with
+  // JVM code-point semantics, never byte or UTF-16-unit counts.
+  private val genUnicode: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("é"),
+    Gen.const("ü"), Gen.const("☃"), Gen.const("𝕏"), Gen.const("🦀")))
+    .map(_.mkString)
+
+  test("property: trigram kernels agree with code-point semantics on unicode") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(20, genUnicode), runs = 3) { texts =>
+      val profiles = Seq(Seq("é☃a", "abc", "🦀🦀🦀"), Seq("𝕏é "))
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          graft.functions.CharNgrams.charNgrams(col("text"), 3).alias("tg"),
+          graft.functions.NgramProfileCounts
+            .ngramProfileCounts(col("text"), 3, profiles).alias("pc"))
+        .collect()
+      rows.foreach { r =>
+        val text = r.getString(1)
+        val tg = r.getSeq[String](2)
+        val pc = r.getSeq[Int](3)
+        // Oracle: JVM code-point sliding window.
+        val cps = text.codePoints().toArray
+        val expected = (0 to cps.length - 3).map(i =>
+          new String(cps, i, 3))
+        assert(tg === expected, s"grams mismatch on '$text'")
+        assert(pc.head === expected.size)
+        profiles.zipWithIndex.foreach { case (p, j) =>
+          assert(pc(j + 1) === expected.count(p.contains(_)),
+            s"profile $j mismatch on '$text'")
+        }
+      }
+    }
+  }
 }
