@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Curation, Dedup, Multimodal, Parse, Similarity, TextAnalysis}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Curation, Dedup, Multimodal, Parse, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -303,6 +303,9 @@ object SparkEntry {
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))
 
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(StandIn.events(s, dir))
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -494,6 +497,7 @@ object SparkEntry {
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
+    "sessionize"          -> ((s, d) => sessionize(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -749,6 +753,35 @@ object SparkEntry {
          |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
          |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
          |FROM errs""".stripMargin,
+
+    // Gaps-and-islands sessionization twin (Sessionize.sessions): epoch
+    // seconds by integer division on both engines, event_id tie-break,
+    // running sum over the same unique ordering.
+    "sessionize" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_sec,
+         |         CASE WHEN lag(ts_sec) OVER
+         |                (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |                IS NULL
+         |              OR ts_sec - lag(ts_sec) OVER
+         |                (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |                > 1800
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |), sess AS (
+         |  SELECT user_id, ts_sec,
+         |         CAST(sum(new_sess) OVER
+         |           (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |           AS INT) AS session_seq
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_seq, CAST(count(*) AS INT) AS n_events,
+         |       min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "sim_cosine_neardup" ->
       s"""WITH $prepSql, $bucketsSimSql

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gaps-and-islands sessionization of an event stream: consecutive events
+  * of a user belong to one session while the inter-event gap stays within
+  * `gapSeconds`; a larger gap opens the next session. The behavioral
+  * staple of training-data pipelines (session-level sampling, dialogue
+  * turn grouping, activity bucketing).
+  *
+  * Scale shape: ONE shuffle, on user_id — the running-sum window sorts
+  * within each user's partition, and the session-level groupBy reuses the
+  * same hash partitioning (its keys start with user_id), so no second
+  * exchange. Per-user event history is the sort unit; a pathologically
+  * hot user (bot traffic) is the skew caveat — cap or pre-split such
+  * users upstream.
+  */
+object Sessionize {
+
+  def sessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    // Epoch seconds: timestamp→long truncates micros, matching the
+    // oracle's integer division of epoch_us.
+    val prep = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").alias("ts_sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id")) // event_id breaks ts ties
+    val newSess =
+      when(lag(col("ts_sec"), 1).over(w).isNull
+        .or(col("ts_sec") - lag(col("ts_sec"), 1).over(w) > gapSeconds), 1)
+        .otherwise(0)
+    prep
+      .select(col("user_id"), col("ts_sec"), newSess.alias("new_sess"),
+        col("event_id"))
+      .select(col("user_id"), col("ts_sec"),
+        sum(col("new_sess")).over(w).cast("int").alias("session_seq"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).cast("int").alias("n_events"),
+        min(col("ts_sec")).alias("start_sec"),
+        max(col("ts_sec")).alias("end_sec"))
+  }
+}
