@@ -306,6 +306,14 @@ object SparkEntry {
   private def sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(StandIn.events(s, dir))
 
+  // Training-mix rates shared by the sampler query and its oracle CASE.
+  private val SampleRates = Seq("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25)
+  private val SampleDefaultRate = 0.1
+
+  private def corpusSample(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleByLanguage(StandIn.documents(s, dir),
+      SampleRates.toMap, SampleDefaultRate)
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -498,6 +506,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
+    "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -753,6 +762,31 @@ object SparkEntry {
          |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
          |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
          |FROM errs""".stripMargin,
+
+    // Deterministic stratified sampler twin (Curation.sampleByLanguage):
+    // same md5-derived bucket, same per-language CASE of rates.
+    "corpus_sample" -> {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best
+         |)
+         |SELECT doc_id, predicted_lang FROM langed
+         |WHERE (${hashSql("'0:'", "CAST(doc_id AS VARCHAR)")} % 10000)
+         |      < 10000 * (CASE predicted_lang $rateCase
+         |                 ELSE $SampleDefaultRate END)""".stripMargin
+    },
 
     // Gaps-and-islands sessionization twin (Sessionize.sessions): epoch
     // seconds by integer division on both engines, event_id tie-break,

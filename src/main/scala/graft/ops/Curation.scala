@@ -50,4 +50,26 @@ object Curation {
       .join(keepers(docs, k, bands, threshold), "doc_id")
       .select(col("doc_id"), col("predicted_lang"),
         col("ws_tokens"), col("bpeish_tokens"))
+
+  /** Deterministic stratified downsampling by language — the "draw the
+    * training mix" step. A document is kept iff its md5-derived hash
+    * bucket (0-9999) falls below `rate(stratum)`·10000: no RNG, so the
+    * sample is reproducible across runs, engines, and partitionings, and
+    * two samples at rates r₁ ≤ r₂ nest (the smaller is a subset of the
+    * larger) — the property a data-mix ablation needs. Unknown strata
+    * default to `defaultRate`. Pure projection + filter; no shuffle.
+    */
+  def sampleByLanguage(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    val lang = TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+    val bucket = pmod(Dedup.hashAt(0, col("doc_id").cast("string")),
+      lit(10000L))
+    val rate = rates.foldRight(lit(defaultRate)) { case ((l, r), rest) =>
+      when(col("predicted_lang") === l, lit(r)).otherwise(rest)
+    }
+    lang.where(bucket < rate * 10000)
+  }
 }

@@ -24,6 +24,20 @@ class CurationSpec extends SparkSpec {
     assert(out === Set(1L, 3L, 4L)) // 2 is the dup of 1; 4 keeps itself
   }
 
+  test("sampleByLanguage: deterministic, nested across rates, rate-exact at 0 and 1") {
+    val corpus = docs((1L to 200L).map(i => (i, good1)): _*) // all 'en'
+    def ids(rates: Map[String, Double], dflt: Double = 0.0): Set[Long] =
+      Curation.sampleByLanguage(corpus, rates, dflt)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(Map("en" -> 1.0)) === (1L to 200L).toSet) // rate 1 keeps all
+    assert(ids(Map("en" -> 0.0)) === Set.empty)          // rate 0 drops all
+    val half = ids(Map("en" -> 0.5))
+    assert(half === ids(Map("en" -> 0.5)))               // no RNG: stable
+    assert(half.subsetOf(ids(Map("en" -> 0.8))))         // samples nest
+    // Hash buckets are near-uniform: 0.5 keeps roughly half.
+    assert(half.size > 60 && half.size < 140, s"got ${half.size}/200")
+  }
+
   test("curate = gate-passing cluster keepers with language and tokens") {
     val rows = Curation.curate(docs(
       (1L, good1), (2L, good1), (3L, good2), (4L, "short")))
