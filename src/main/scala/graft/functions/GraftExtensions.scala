@@ -21,6 +21,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Declarative-to-kernel rewrite: SQL users writing the natural
+    // size(filter(array_contains)) form get the codegen'd CountInSet loop.
+    ext.injectOptimizerRule(_ => KernelSubstitution)
+
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(

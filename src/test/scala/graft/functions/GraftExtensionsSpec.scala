@@ -48,6 +48,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |         AS chain""".stripMargin).collect().head
       assert(h.getSeq[Long](0) === h.getSeq[Long](2))
       assert(h.getSeq[Long](1) === Seq(h.getSeq[Long](2).head & 1073741823L))
+      // Optimizer rule: the declarative vocabulary count compiles down to
+      // the CountInSet kernel (non-literal input so constant folding
+      // cannot evaluate the pattern away before the rewrite is visible).
+      val sub = spark.range(3).selectExpr(
+        """size(filter(array(concat('w', id), 'the', 'a'),
+          |       w -> array_contains(array('the', 'a'), w))) AS c"""
+          .stripMargin)
+      assert(sub.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("countinset"),
+        s"kernel not substituted:\n${sub.queryExecution.optimizedPlan}")
+      assert(sub.collect().map(_.getInt(0)).toSeq === Seq(2, 2, 2))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
