@@ -314,6 +314,9 @@ object SparkEntry {
     Curation.sampleByLanguage(StandIn.documents(s, dir),
       SampleRates.toMap, SampleDefaultRate)
 
+  private def textTfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdf(StandIn.documents(s, dir))
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -507,6 +510,7 @@ object SparkEntry {
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
+    "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -762,6 +766,23 @@ object SparkEntry {
          |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
          |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
          |FROM errs""".stripMargin,
+
+    // TF-IDF twin (TextAnalysis.tfIdf): same ln-based weighting, 6-dp
+    // rounding on both engines.
+    "text_tfidf" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), tfs AS (
+         |  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+         |  FROM ex GROUP BY doc_id, term
+         |), dfs AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |)
+         |SELECT doc_id, term, tf,
+         |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
 
     // Deterministic stratified sampler twin (Curation.sampleByLanguage):
     // same md5-derived bucket, same per-language CASE of rates.

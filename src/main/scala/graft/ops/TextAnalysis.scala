@@ -28,6 +28,29 @@ object TextAnalysis {
         countDistinct(col("doc_id")).alias("doc_freq"),
         count(lit(1)).alias("total_count"))
 
+  /** Per-(document, term) TF-IDF: tf · ln(N / df). The corpus-level
+    * weighting behind keyword extraction and lexical retrieval scoring.
+    *
+    * Scale shape: the explode feeds two map-side-combinable groupBys (tf
+    * by (doc, term), df by term); the df table is vocabulary-sized —
+    * Zipf-bounded, so it broadcasts — and the corpus total is a 1-row
+    * broadcast, keeping the weighting join shuffle-free on the tf side.
+    */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).alias("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("int").alias("tf"))
+    val df = ex.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).alias("df"))
+    val total = docs.agg(count(lit(1)).alias("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .alias("tfidf"))
+  }
+
   /** A small function-word inventory per language — enough signal for a
     * corpus-curation language gate; swap in full profiles for production.
     */

@@ -71,6 +71,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
   }
 
+  test("tfIdf: hand-computed weights; corpus-wide terms score zero") {
+    val out = TextAnalysis.tfIdf(docs(
+      (1L, "spark spark flink"), (2L, "spark beam")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, "spark")) === ((2, 0.0))) // df = N → idf ln(1) = 0
+    assert(out((2L, "spark")) === ((1, 0.0)))
+    assert(out((1L, "flink")) === ((1, ln2))) // df 1 of 2 docs
+    assert(out((2L, "beam")) === ((1, ln2)))
+    assert(out.size === 4)
+  }
+
   test("curationSignals matches the standalone gate/langId/tokenCounts ops") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog while autumn " +
