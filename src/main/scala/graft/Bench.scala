@@ -26,7 +26,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
-    val results: Map[String, Either[String, Double]] =
+    // Right((warmSec, coldSec)); warm is the headline, cold is recorded.
+    val results: Map[String, Either[String, (Double, Double)]] =
       SparkEntry.queries.map { case (name, fn) =>
         // noop sink, not count(): count() lets Catalyst prune every unused
         // column, erasing the very work a pure-projection query exists to do
@@ -41,10 +42,12 @@ object Bench {
         // compiler.
         val r =
           try {
+            val c0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val cold = (System.nanoTime() - c0) / 1e9
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
+            Right(((System.nanoTime() - t0) / 1e9, cold))
           }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -53,12 +56,19 @@ object Bench {
         name -> r
       }
     val qs = results.map {
-      case (k, Right(sec)) => s""""$k":$sec"""
-      case (k, Left(_))    => s""""$k":"err""""
+      case (k, Right((sec, _))) => s""""$k":$sec"""
+      case (k, Left(_))         => s""""$k":"err""""
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case Right(s) => s }.sum
+    // The cold run is already paid for the warm-up — record it too, so a
+    // codegen-compile-time regression (cold ≫ warm) stays visible even
+    // though warm is the headline.
+    val cqs = results.collect {
+      case (k, Right((_, cold))) => s""""$k":$cold"""
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case Right((s, _)) => s }.sum
+    val coldTotal = results.values.collect { case Right((_, c)) => c }.sum
     val nErr = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

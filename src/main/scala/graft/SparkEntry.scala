@@ -785,7 +785,9 @@ object SparkEntry {
          |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
 
     // Deterministic stratified sampler twin (Curation.sampleByLanguage):
-    // same md5-derived bucket, same per-language CASE of rates.
+    // same md5-derived bucket, same per-language CASE of rates. The CAST
+    // AS DOUBLE matters: DuckDB parses 0.07 as DECIMAL, whose exact ·10000
+    // differs from Spark's binary-double product on the boundary bucket.
     "corpus_sample" -> {
       val rateCase = SampleRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
@@ -805,8 +807,8 @@ object SparkEntry {
          |)
          |SELECT doc_id, predicted_lang FROM langed
          |WHERE (${hashSql("'0:'", "CAST(doc_id AS VARCHAR)")} % 10000)
-         |      < 10000 * (CASE predicted_lang $rateCase
-         |                 ELSE $SampleDefaultRate END)""".stripMargin
+         |      < CAST((CASE predicted_lang $rateCase
+         |              ELSE $SampleDefaultRate END) AS DOUBLE) * 10000""".stripMargin
     },
 
     // Gaps-and-islands sessionization twin (Sessionize.sessions): epoch
@@ -817,6 +819,7 @@ object SparkEntry {
          |  SELECT event_id, user_id,
          |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
          |  FROM events
+         |  WHERE ts IS NOT NULL
          |), flagged AS (
          |  SELECT user_id, event_id, ts_sec,
          |         CASE WHEN lag(ts_sec) OVER

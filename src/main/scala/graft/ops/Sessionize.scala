@@ -21,9 +21,14 @@ object Sessionize {
 
   def sessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     // Epoch seconds: timestamp→long truncates micros, matching the
-    // oracle's integer division of epoch_us.
-    val prep = events.select(col("event_id"), col("user_id"),
-      col("ts").cast("long").alias("ts_sec"))
+    // oracle's integer division of epoch_us. Null timestamps are dropped
+    // explicitly — they cannot be ordered into a session, and leaving them
+    // to the window's null ordering silently diverges between engines
+    // (Spark sorts NULLS FIRST ascending, most SQL engines NULLS LAST).
+    val prep = events
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").alias("ts_sec"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_sec"), col("event_id")) // event_id breaks ts ties
     val newSess =

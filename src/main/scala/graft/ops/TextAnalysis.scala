@@ -32,9 +32,12 @@ object TextAnalysis {
     * weighting behind keyword extraction and lexical retrieval scoring.
     *
     * Scale shape: the explode feeds two map-side-combinable groupBys (tf
-    * by (doc, term), df by term); the df table is vocabulary-sized —
-    * Zipf-bounded, so it broadcasts — and the corpus total is a 1-row
-    * broadcast, keeping the weighting join shuffle-free on the tf side.
+    * by (doc, term), df by term). The df side carries NO broadcast hint on
+    * purpose: a clean vocabulary is Zipf-bounded and AQE will broadcast it
+    * from its measured size, but a web corpus's distinct-term table
+    * (typos, numbers, unicode junk) can run to billions of rows — forcing
+    * the hint would OOM the driver exactly where a shuffle join is the
+    * right plan. Only the 1-row corpus total is hint-broadcast.
     */
   def tfIdf(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"),
@@ -44,7 +47,7 @@ object TextAnalysis {
     val df = ex.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).alias("df"))
     val total = docs.agg(count(lit(1)).alias("n_docs"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("term"), col("tf"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)

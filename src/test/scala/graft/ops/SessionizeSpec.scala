@@ -44,6 +44,17 @@ class SessionizeSpec extends SparkSpec {
     assert(out.head.getInt(2) === 2) // both events, one session
   }
 
+  test("null timestamps are dropped, not sessioned by engine-specific null order") {
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, 1L, Some(ts("2026-01-01 10:00:00"))),
+      (2L, 1L, None: Option[Timestamp]))
+      .toDF("event_id", "user_id", "ts")
+    val out = Sessionize.sessions(withNull).collect()
+    assert(out.length === 1)
+    assert(out.head.getInt(2) === 1) // only the timestamped event counted
+  }
+
   test("one shuffle: the session groupBy reuses the window's partitioning") {
     val plan = Sessionize.sessions(events((1L, 1L, "2026-01-01 10:00:00")))
       .queryExecution.executedPlan.toString
