@@ -352,7 +352,13 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
       .localCheckpoint() // candidate graph is tiny relative to the corpus
-    var labels = docs.select(col("doc_id"), col("doc_id").alias("cluster_id"))
+    // Iterate ONLY over candidate-graph nodes: every doc outside the graph
+    // is a singleton whose label never moves, and at corpus scale the graph
+    // is orders of magnitude smaller than the corpus — looping over full
+    // labels would shuffle 100 TB worth of ids per round for nothing.
+    // Singletons are attached once, after convergence.
+    var labels = edges.select(col("a_id").alias("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").alias("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -386,7 +392,12 @@ object Dedup {
           s"($changed labels still moving) — component diameter exceeds " +
           "maxIters; raise it (rounds needed = diameter of the largest " +
           "near-dup chain)")
-    labels
+    // Singletons (docs with no near-dup candidate) self-label — a single
+    // left join, outside the loop.
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
   }
 
   /** Consecutive word bigrams ("w1 w2"), order-preserving — native
