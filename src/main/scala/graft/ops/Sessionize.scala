@@ -46,4 +46,28 @@ object Sessionize {
         min(col("ts_sec")).alias("start_sec"),
         max(col("ts_sec")).alias("end_sec"))
   }
+
+  /** Streaming sessionization on Spark's native session windows: state
+    * merges events within `gap` of each other per user and the window
+    * closes (emits, evicts) once the watermark passes its end — bounded
+    * state for free, the same property [[AlertLifecycle]] needed explicit
+    * timeout plumbing for. Callers must `withWatermark` upstream and use
+    * Append output.
+    *
+    * Boundary nuance vs the batch [[sessions]]: a session window spans
+    * `[first, last + gap)`, so an event arriving at exactly `gap` after
+    * the last one opens a NEW window, where the batch gaps-and-islands
+    * form (`diff > gap` splits) keeps it. Streaming emits
+    * (user_id, window start/end, n_events).
+    */
+  def streamingSessions(
+      events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).cast("int").alias("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").alias("session_start"),
+        col("session_window.end").alias("session_end"),
+        col("n_events"))
 }

@@ -55,6 +55,39 @@ class SessionizeSpec extends SparkSpec {
     assert(out.head.getInt(2) === 1) // only the timestamped event counted
   }
 
+  test("streaming: session windows merge within the gap and emit on watermark") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+    val query = Sessionize.streamingSessions(events, "30 minutes")
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sessions").toString)
+      .start()
+    try {
+      // Two events 10 min apart merge into one session; the third, 40 min
+      // later, opens another. The late 13:00 event advances the watermark
+      // past both windows' ends so both emit.
+      input.addData((1L, ts("2026-01-01 10:00:00")),
+        (1L, ts("2026-01-01 10:10:00")))
+      query.processAllAvailable()
+      input.addData((1L, ts("2026-01-01 10:50:00")))
+      query.processAllAvailable()
+      input.addData((2L, ts("2026-01-01 13:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("session_sink").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getInt(3))).toSet
+      assert(rows === Set(
+        (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:40:00"), 2),
+        (1L, ts("2026-01-01 10:50:00"), ts("2026-01-01 11:20:00"), 1)))
+    } finally query.stop()
+  }
+
   test("one shuffle: the session groupBy reuses the window's partitioning") {
     val plan = Sessionize.sessions(events((1L, 1L, "2026-01-01 10:00:00")))
       .queryExecution.executedPlan.toString
