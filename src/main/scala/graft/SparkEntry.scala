@@ -317,6 +317,9 @@ object SparkEntry {
   private def textTfIdf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdf(StandIn.documents(s, dir))
 
+  private def textTermStatsSketch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termStatsSketch(StandIn.documents(s, dir))
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -511,6 +514,10 @@ object SparkEntry {
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
+    // HLL++ sketch — engine-specific, so no DuckDB twin exists; the driver
+    // records a rows-only check (TextAnalysisSpec bounds the error vs the
+    // exact termStats).
+    "text_term_stats_sketch" -> ((s, d) => textTermStatsSketch(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),

@@ -28,6 +28,24 @@ object TextAnalysis {
         countDistinct(col("doc_id")).alias("doc_freq"),
         count(lit(1)).alias("total_count"))
 
+  /** Sketch-based term statistics: document frequency via HLL++
+    * (`approx_count_distinct`) instead of an exact distinct. At 100 TB the
+    * exact form must carry every (term, doc_id) pair through the shuffle
+    * and de-duplicate them in the aggregation state; the sketch carries a
+    * fixed register set per term regardless of corpus size — the standard
+    * accuracy-for-memory trade (`rsd` = target relative standard
+    * deviation). Engine-specific sketch → no DuckDB twin; the unit test
+    * bounds its error against [[termStats]].
+    */
+  def termStatsSketch(docs: DataFrame, rsd: Double = 0.01): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).alias("toks"))
+      .select(col("doc_id"), explode(col("toks")).alias("term"))
+      .groupBy(col("term"))
+      .agg(
+        approx_count_distinct(col("doc_id"), rsd).alias("doc_freq_approx"),
+        count(lit(1)).alias("total_count"))
+
   /** Per-(document, term) TF-IDF: tf · ln(N / df). The corpus-level
     * weighting behind keyword extraction and lexical retrieval scoring.
     *

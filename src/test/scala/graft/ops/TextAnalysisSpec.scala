@@ -71,6 +71,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
   }
 
+  test("termStatsSketch: HLL doc_freq within rsd bounds of exact; counts equal") {
+    val corpus = docs((1L to 120L).map(i =>
+      (i, s"common shared w${i % 7} w${i % 13}")): _*)
+    val exact = TextAnalysis.termStats(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sketch = TextAnalysis.termStatsSketch(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sketch.keySet === exact.keySet)
+    sketch.foreach { case (term, (approxDf, total)) =>
+      val (df, exactTotal) = exact(term)
+      assert(total === exactTotal) // total_count is exact in both
+      // 1% rsd at these cardinalities: allow 5% + 1 absolute slack.
+      assert(math.abs(approxDf - df) <= math.max(1L, df / 20),
+        s"term $term: approx $approxDf vs exact $df")
+    }
+  }
+
   test("tfIdf: hand-computed weights; corpus-wide terms score zero") {
     val out = TextAnalysis.tfIdf(docs(
       (1L, "spark spark flink"), (2L, "spark beam")))
