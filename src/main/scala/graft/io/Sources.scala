@@ -47,6 +47,17 @@ object Sources {
   def parquetTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Batch JSONL reader for the reference's sensor payloads: one JSON
+    * document per line, pushed through the SAME permissive parse chain as
+    * live Kafka traffic (`Parse.jsonToReadings`), so a dump of raw
+    * payloads replays bit-identically to the stream. Read as text, not
+    * `spark.read.json` — schema inference would take an extra pass over
+    * 100 TB and silently widen types the fixed schema pins down.
+    */
+  def readingsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    graft.ops.Parse.jsonToReadings(
+      spark.read.text(path).withColumnRenamed("value", "json"), "json")
+
   /** Streaming replay of an archived readings directory (the parquet files
     * [[Sinks.parquetArchive]] writes): history flows through the exact same
     * downstream operators as live Kafka traffic. `maxFilesPerTrigger`

@@ -38,6 +38,23 @@ class CurationSpec extends SparkSpec {
     assert(half.size > 60 && half.size < 140, s"got ${half.size}/200")
   }
 
+  test("writeCurated lays out language partitions that prune on read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-curated")
+    Curation.writeCurated(
+      Curation.curate(docs((1L, good1), (2L, good1), (3L, good2))),
+      dir.toString)
+    // Directory layout is one partition per language...
+    assert(new java.io.File(s"$dir/predicted_lang=en").isDirectory)
+    // ...and a one-language read is partition-pruned at the scan.
+    val scan = spark.read.parquet(dir.toString)
+      .where(col("predicted_lang") === "en")
+      .queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).get
+    assert(scan.contains("PartitionFilters: [isnotnull(predicted_lang"),
+      s"partition filter missing:\n$scan")
+  }
+
   test("curate = gate-passing cluster keepers with language and tokens") {
     val rows = Curation.curate(docs(
       (1L, good1), (2L, good1), (3L, good2), (4L, "short")))
