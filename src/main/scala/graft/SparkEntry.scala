@@ -320,6 +320,14 @@ object SparkEntry {
   private def textTermStatsSketch(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termStatsSketch(StandIn.documents(s, dir))
 
+  // Decontamination parameters shared with the oracle twin: benchmark =
+  // every 10th doc, rare = gram df ≤ 20 (the synthetic corpus has a small
+  // shared vocabulary — median gram df is 28 — so "rare" sits below that),
+  // flag at ≥ 3 shared grams.
+  private def decontaminate(s: SparkSession, dir: String): DataFrame =
+    Curation.contamination(StandIn.documents(s, dir),
+      col("doc_id") % 10 === 0, minShared = 3, dfCap = 20)
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -518,6 +526,7 @@ object SparkEntry {
     // records a rows-only check (TextAnalysisSpec bounds the error vs the
     // exact termStats).
     "text_term_stats_sketch" -> ((s, d) => textTermStatsSketch(s, d)),
+    "decontaminate"       -> ((s, d) => decontaminate(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -773,6 +782,26 @@ object SparkEntry {
          |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
          |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
          |FROM errs""".stripMargin,
+
+    // Decontamination twin (Curation.contamination): same rare-gram
+    // df-cap, same benchmark predicate, same ≥3-shared-grams flag.
+    "decontaminate" ->
+      s"""WITH $gramsSql, ex AS (
+         |  SELECT doc_id, unnest(g) AS g FROM grams
+         |), rare AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS gram_df FROM ex GROUP BY g
+         |  ) WHERE gram_df <= 20
+         |), rex AS (
+         |  SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
+         |)
+         |SELECT c.doc_id, b.doc_id AS bench_id,
+         |       CAST(count(DISTINCT c.g) AS INT) AS shared_grams
+         |FROM rex c
+         |JOIN rex b ON c.g = b.g
+         |WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |GROUP BY c.doc_id, b.doc_id
+         |HAVING count(DISTINCT c.g) >= 3""".stripMargin,
 
     // TF-IDF twin (TextAnalysis.tfIdf): same ln-based weighting, 6-dp
     // rounding on both engines.

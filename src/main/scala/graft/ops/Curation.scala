@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composite a training-data pipeline runs
@@ -50,6 +50,42 @@ object Curation {
       .join(keepers(docs, k, bands, threshold), "doc_id")
       .select(col("doc_id"), col("predicted_lang"),
         col("ws_tokens"), col("bpeish_tokens"))
+
+  /** Benchmark decontamination: flags corpus documents sharing at least
+    * `minShared` RARE word-bigrams with any benchmark document — the
+    * standard check that evaluation data has not leaked into training
+    * data. `benchPredicate` marks the benchmark rows inside `docs`.
+    *
+    * Grams occurring in more than `dfCap` documents are dropped first:
+    * common grams ("of the") carry no contamination signal, and they are
+    * exactly the hot join keys that would blow the gram equi-join up at
+    * corpus scale — one filter serves both precision and skew-safety.
+    * Shape: explode → df-filter (map-side-combinable groupBy) → equi-join
+    * on gram → per-pair distinct count. No all-pairs product.
+    */
+  def contamination(
+      docs: DataFrame,
+      benchPredicate: Column,
+      minShared: Int = 3,
+      dfCap: Int = 10): DataFrame = {
+    val exploded = Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("grams")).alias("g"))
+    val rareGrams = exploded.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).alias("gram_df"))
+      .where(col("gram_df") <= dfCap)
+      .select(col("g"))
+    val rare = exploded.join(rareGrams, "g")
+    val bench = docs.where(benchPredicate).select(col("doc_id"))
+    val corpus = docs.where(!benchPredicate).select(col("doc_id"))
+    rare.join(corpus, "doc_id")
+      .join(
+        rare.join(bench, "doc_id")
+          .select(col("g"), col("doc_id").alias("bench_id")),
+        "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("g")).cast("int").alias("shared_grams"))
+      .where(col("shared_grams") >= minShared)
+  }
 
   /** Writes a curated manifest partitioned by predicted language — the
     * storage layout a training-mix sampler scans. A per-language directory

@@ -38,6 +38,20 @@ class CurationSpec extends SparkSpec {
     assert(half.size > 60 && half.size < 140, s"got ${half.size}/200")
   }
 
+  test("contamination flags docs sharing rare n-grams with the benchmark") {
+    import org.apache.spark.sql.functions.col
+    val bench = "zebra quantum falcon orbits the crimson nebula " +
+      "beyond andromeda tonight"
+    val leaked = bench + " exactly" // shares all 9 benchmark bigrams
+    val out = Curation.contamination(
+      docs((100L, bench), (1L, leaked), (2L, good2)),
+      col("doc_id") % 100 === 0, minShared = 3, dfCap = 10)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 100L))) // only the leak is flagged; good2 is clean
+    assert(out.head.getInt(2) === 9)
+  }
+
   test("writeCurated lays out language partitions that prune on read") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-curated")
