@@ -52,6 +52,18 @@ class CurationSpec extends SparkSpec {
     assert(out.head.getInt(2) === 9)
   }
 
+  test("contamination: empty benchmark or no rare overlap yields no rows") {
+    import org.apache.spark.sql.functions.col
+    // No doc id divisible by 100 → benchmark side is empty.
+    val noBench = Curation.contamination(
+      docs((1L, good1), (2L, good2)), col("doc_id") % 100 === 0)
+    assert(noBench.count() === 0)
+    // Benchmark exists but shares no grams with the corpus side.
+    val disjoint = Curation.contamination(
+      docs((100L, good1), (1L, good2)), col("doc_id") % 100 === 0)
+    assert(disjoint.count() === 0)
+  }
+
   test("writeCurated lays out language partitions that prune on read") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-curated")
