@@ -400,6 +400,17 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
   }
 
+  /** Streaming exact deduplication: drops rows whose `keys` repeat within
+    * the watermark horizon, with per-key state evicted once the watermark
+    * passes — the streaming face of [[exact]]/[[contentHash]]. Use a
+    * content hash (sha2) as the key for payload dedup so state carries
+    * fixed-width keys, exactly like the batch variant's shuffle argument.
+    * Callers must `withWatermark` upstream; state is bounded by horizon ×
+    * ingest rate, never corpus size.
+    */
+  def streamingExact(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.dropDuplicatesWithinWatermark(keys)
+
   /** Consecutive word bigrams ("w1 w2"), order-preserving — native
     * codegen'd loop (graft.functions.Bigrams), bit-identical to the
     * interpreted `transform(sequence(...), concat_ws)` chain it replaced

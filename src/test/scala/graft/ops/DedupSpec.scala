@@ -91,6 +91,36 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  test("streaming exact dedup drops repeats within the watermark horizon") {
+    import java.sql.Timestamp
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val stream = input.toDF().toDF("payload", "event_time")
+      .withWatermark("event_time", "10 minutes")
+    val query = Dedup.streamingExact(stream, Seq("payload"))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdedup").toString)
+      .start()
+    try {
+      // Same payload twice in one batch and again in the next: one
+      // survivor — the duplicate state spans micro-batches.
+      input.addData(("a", ts("2026-01-01 10:00:00")),
+        ("a", ts("2026-01-01 10:00:30")))
+      query.processAllAvailable()
+      input.addData(("a", ts("2026-01-01 10:01:00")),
+        ("b", ts("2026-01-01 10:01:00")))
+      query.processAllAvailable()
+      val payloads = spark.table("dedup_sink").collect()
+        .map(_.getString(0)).sorted
+      assert(payloads === Array("a", "b"))
+    } finally query.stop()
+  }
+
   test("NULL text behaves as an empty document, not a dropped row") {
     val d = docs((1L, null), (2L, "a b c d"))
     val grams = Dedup.shingleSets(d).collect()
