@@ -59,6 +59,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .toLowerCase.contains("countinset"),
         s"kernel not substituted:\n${sub.queryExecution.optimizedPlan}")
       assert(sub.collect().map(_.getInt(0)).toSeq === Seq(2, 2, 2))
+      // Guard: a NULL vocab entry makes array_contains three-valued — the
+      // rule must leave the declarative form alone.
+      val keep = spark.range(3).selectExpr(
+        """size(filter(array(concat('w', id), 'the'),
+          |       w -> array_contains(array('the', CAST(NULL AS STRING)), w)))
+          |  AS c""".stripMargin)
+      assert(!keep.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("countinset"),
+        "rule must not rewrite a null-bearing vocabulary")
+      assert(keep.collect().map(_.getInt(0)).toSeq === Seq(1, 1, 1))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
