@@ -328,6 +328,13 @@ object SparkEntry {
     Curation.contamination(StandIn.documents(s, dir),
       col("doc_id") % 10 === 0, minShared = 3, dfCap = 20)
 
+  // Packing parameters shared with the oracle twin.
+  private val PackBudget = 2048
+  private val PackBuckets = 8
+
+  private def corpusPack(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(StandIn.documents(s, dir), PackBudget, PackBuckets)
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
@@ -527,6 +534,7 @@ object SparkEntry {
     // exact termStats).
     "text_term_stats_sketch" -> ((s, d) => textTermStatsSketch(s, d)),
     "decontaminate"       -> ((s, d) => decontaminate(s, d)),
+    "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -782,6 +790,22 @@ object SparkEntry {
          |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
          |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
          |FROM errs""".stripMargin,
+
+    // Sequence-packing twin (Curation.packSequences): same md5-derived
+    // bucket, same running-sum chop at the token budget.
+    "corpus_pack" ->
+      s"""WITH $rawToksSql, tc AS (
+         |  SELECT d.doc_id, CAST(len(k.t) AS INT) AS ws_tokens,
+         |         CAST(${hashSql("'0:'", "CAST(d.doc_id AS VARCHAR)")}
+         |              % $PackBuckets AS INT) AS bucket
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |)
+         |SELECT doc_id, bucket,
+         |       CAST(floor((sum(ws_tokens) OVER
+         |         (PARTITION BY bucket ORDER BY doc_id) - ws_tokens)
+         |         / ${PackBudget.toDouble}) AS INT) AS pack_id,
+         |       ws_tokens
+         |FROM tc""".stripMargin,
 
     // Decontamination twin (Curation.contamination): same rare-gram
     // df-cap, same benchmark predicate, same ≥3-shared-grams flag.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composite a training-data pipeline runs
@@ -50,6 +51,33 @@ object Curation {
       .join(keepers(docs, k, bands, threshold), "doc_id")
       .select(col("doc_id"), col("predicted_lang"),
         col("ws_tokens"), col("bpeish_tokens"))
+
+  /** Sequence packing — "concatenate and chop", the layout GPT-style
+    * pretraining feeds the model: documents are laid end-to-end in a
+    * deterministic order and cut into `budget`-token sequences; each doc
+    * reports the pack its first token lands in. A single global ordering
+    * would funnel the corpus through one window partition, so packing is
+    * done independently inside `buckets` hash-buckets (pack identity =
+    * (bucket, pack_id)) — embarrassingly parallel, deterministic, and at
+    * most one under-filled pack per bucket.
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    val toks = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("ws_tokens"))
+    val bucketed = toks.withColumn("bucket",
+      pmod(Dedup.hashAt(0, col("doc_id").cast("string")),
+        lit(buckets.toLong)).cast("int"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    bucketed
+      .withColumn("cum", sum(col("ws_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"),
+        floor((col("cum") - col("ws_tokens")) / lit(budget.toDouble))
+          .cast("int").alias("pack_id"),
+        col("ws_tokens"))
+  }
 
   /** Benchmark decontamination: flags corpus documents sharing at least
     * `minShared` RARE word-bigrams with any benchmark document — the

@@ -38,6 +38,20 @@ class CurationSpec extends SparkSpec {
     assert(half.size > 60 && half.size < 140, s"got ${half.size}/200")
   }
 
+  test("packSequences chops the running token stream at the budget") {
+    // One bucket → one deterministic stream ordered by doc_id; 4-token
+    // docs against a 10-token budget: starts at 0,4,8,12,16 → packs
+    // 0,0,0,1,1.
+    val corpus = docs((1L to 5L).map(i => (i, "a b c d")): _*)
+    val out = Curation.packSequences(corpus, budget = 10, buckets = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((0, 0, 4)), 2L -> ((0, 0, 4)), 3L -> ((0, 0, 4)),
+      4L -> ((0, 1, 4)), 5L -> ((0, 1, 4))))
+  }
+
   test("contamination flags docs sharing rare n-grams with the benchmark") {
     import org.apache.spark.sql.functions.col
     val bench = "zebra quantum falcon orbits the crimson nebula " +
