@@ -65,6 +65,8 @@ object Curation {
       docs: DataFrame,
       budget: Int = 2048,
       buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
     val toks = TextAnalysis.tokenCounts(docs)
       .select(col("doc_id"), col("ws_tokens"))
     val bucketed = toks.withColumn("bucket",

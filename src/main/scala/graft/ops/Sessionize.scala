@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   def sessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
     // Epoch seconds: timestamp→long truncates micros, matching the
     // oracle's integer division of epoch_us. Null timestamps are dropped
     // explicitly — they cannot be ordered into a session, and leaving them
