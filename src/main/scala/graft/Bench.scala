@@ -55,8 +55,13 @@ object Bench {
           }
         name -> r
       }
+    // The consumer of this line captures only the LAST ~2000 chars of the
+    // run's output, so the line must stay short: 3-decimal values, warm
+    // per-query only. Full unrounded warm+cold detail goes to
+    // BENCH_DETAIL.json beside the build for offline reading.
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map {
-      case (k, Right((sec, _))) => s""""$k":$sec"""
+      case (k, Right((sec, _))) => s""""$k":${f3(sec)}"""
       case (k, Left(_))         => s""""$k":"err""""
     }.mkString("{", ",", "}")
     // The cold run is already paid for the warm-up — record it too, so a
@@ -65,10 +70,18 @@ object Bench {
     val cqs = results.collect {
       case (k, Right((_, cold))) => s""""$k":$cold"""
     }.mkString("{", ",", "}")
+    val fqs = results.collect {
+      case (k, Right((sec, _))) => s""""$k":$sec"""
+    }.mkString("{", ",", "}")
     val total = results.values.collect { case Right((s, _)) => s }.sum
     val coldTotal = results.values.collect { case Right((_, c)) => c }.sum
     val nErr = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$nErr,"sf":"$sfDir"}""")
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        s"""{"warm_total":$total,"cold_total":$coldTotal,"warm_queries":$fqs,"cold_queries":$cqs,"errors":$nErr,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cold_total":${f3(coldTotal)},"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1060,12 +1060,13 @@ object SparkEntry {
 
     // Payload bytes are the documents' UTF-8 text, so byte-prefix sniffs
     // reduce to string prefixes (0x89/0xff can never begin valid UTF-8).
+    // coalesce(text,'') mirrors fromDocuments' NULL ≡ empty-payload contract.
     "mm_metadata" ->
       """SELECT doc_id AS media_id,
         |       'text-blob' AS kind,
-        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |       sha256(text) AS payload_sha256,
-        |       CASE WHEN starts_with(text, 'RIFF') THEN 'riff-wav'
+        |       CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes,
+        |       sha256(coalesce(text, '')) AS payload_sha256,
+        |       CASE WHEN starts_with(coalesce(text, ''), 'RIFF') THEN 'riff-wav'
         |            ELSE 'unknown' END AS sniffed_format
         |FROM documents""".stripMargin,
 
@@ -1081,8 +1082,8 @@ object SparkEntry {
            |  / CAST(greatest(n, 1) AS REAL) AS DOUBLE) AS f$j""".stripMargin
       }.mkString(",\n")
       s"""WITH hx AS (
-         |  SELECT doc_id, hex(encode(text)) AS h,
-         |         octet_length(encode(text)) AS n
+         |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+         |         octet_length(encode(coalesce(text, ''))) AS n
          |  FROM documents
          |), nib AS (
          |  SELECT doc_id, n,
@@ -1100,8 +1101,8 @@ object SparkEntry {
     // valid UTF-8, so frames are compared as uppercase hex on both sides).
     "mm_frames" ->
       s"""WITH b AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx,
-         |         octet_length(encode(text)) AS n
+         |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         |         octet_length(encode(coalesce(text, ''))) AS n
          |  FROM documents
          |), fr AS (
          |  SELECT doc_id, hx,

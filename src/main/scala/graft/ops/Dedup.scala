@@ -333,13 +333,16 @@ object Dedup {
     * candidate graph, each document labeled with the smallest doc_id in its
     * component (singletons label themselves).
     *
-    * Iterative min-label propagation — the standard Pregel-style loop as
-    * plain DataFrame joins. Each round: every node takes the min of its own
-    * label and its neighbors' labels; converges in O(component diameter)
-    * rounds, which for near-dup clusters is tiny. Per-round
-    * `localCheckpoint` truncates the query plan — without it the lineage
-    * (and optimizer time) doubles every iteration. All joins are
-    * hash-partitioned equi-joins on ids.
+    * Iterative min-label propagation WITH POINTER JUMPING — each round a
+    * node takes the min of its own label and its neighbors' labels, then
+    * shortcuts through its label's own label (path compression). The jump
+    * turns O(diameter) rounds into O(log diameter): a 1M-doc near-dup
+    * chain converges in ~20 rounds instead of 1M. Labels only ever
+    * decrease and always name a node of the same component, so the fixed
+    * point is exactly the per-component min id — identical to the
+    * recursive-CTE oracle. Per-round `localCheckpoint` truncates the query
+    * plan — without it the lineage (and optimizer time) doubles every
+    * iteration. All joins are hash-partitioned equi-joins on ids.
     */
   def clusters(
       docs: DataFrame,
@@ -365,21 +368,33 @@ object Dedup {
     // `maxIters` is a runaway guard, not a silent truncation: hitting it
     // with labels still moving means the result would diverge from the
     // exact connected components (and the recursive-CTE oracle), so fail
-    // loudly rather than return wrong cluster ids.
+    // loudly rather than return wrong cluster ids. With pointer jumping the
+    // default 20 rounds covers component diameters up to ~2^20.
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("b_id") === labels("doc_id"))
         .groupBy(edges("a_id").alias("doc_id"))
         .agg(min(col("cluster_id")).alias("nmin"))
-      // Carry the convergence flag in the SAME pass (labels only ever
-      // decrease, so moved ⇔ new < old) — the count below is then a scan
-      // of the checkpointed frame, not another join against old labels.
-      val newLabel =
+      val propagated =
         least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-      val updated = labels.alias("l")
+      val stepped = labels.alias("l")
         .join(neighborMin.alias("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").alias("old_label"),
+          propagated.alias("l1"))
+      // Pointer jump: follow l1 to ITS round-start label. l1 is always a
+      // node id of the same component (own id, or a neighbor's label, which
+      // names a graph node), so the shortcut stays within the component and
+      // only ever decreases the label — correctness is untouched, rounds
+      // drop to O(log diameter). Carry the convergence flag in the SAME
+      // pass (labels only ever decrease, so moved ⇔ new < old) — the count
+      // below is then a scan of the checkpointed frame, not another join.
+      val parent = labels
+        .select(col("doc_id").alias("p_id"), col("cluster_id").alias("p_label"))
+      val newLabel = least(col("l1"), coalesce(col("p_label"), col("l1")))
+      val updated = stepped
+        .join(parent, col("l1") === col("p_id"), "left")
         .select(col("doc_id"), newLabel.alias("new_label"),
-          (newLabel < col("cluster_id")).alias("moved"))
+          (newLabel < col("old_label")).alias("moved"))
         .localCheckpoint()
       changed = updated.where(col("moved")).count()
       labels = updated
@@ -389,9 +404,8 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"Dedup.clusters did not converge in $maxIters rounds " +
-          s"($changed labels still moving) — component diameter exceeds " +
-          "maxIters; raise it (rounds needed = diameter of the largest " +
-          "near-dup chain)")
+          s"($changed labels still moving) — with pointer jumping this " +
+          "needs component diameter > ~2^maxIters; raise maxIters")
     // Singletons (docs with no near-dup candidate) self-label — a single
     // left join, outside the loop.
     docs.select(col("doc_id"))

@@ -42,13 +42,15 @@ object Multimodal {
 
   /** Build a media frame from the documents fixture: UTF-8 bytes as the
     * opaque payload (the container ships no real image/audio fixtures; the
-    * plumbing does not care what the bytes mean).
+    * plumbing does not care what the bytes mean). NULL text follows the
+    * engine-wide "NULL ≡ empty document" contract: the payload coalesces to
+    * zero bytes so the imperative decode stages never see a null array.
     */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").alias("media_id"),
       lit("text-blob").alias("kind"),
-      encode(col("text"), "UTF-8").alias("payload"),
+      coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte])).alias("payload"),
       struct(
         lit("utf8").alias("format"),
         lit(null).cast(IntegerType).alias("width_px"),

@@ -154,4 +154,36 @@ class DedupSpec extends SparkSpec {
     assert(withDefault === withHugeCap)
     assert(withDefault === Set((1L, 2L)))
   }
+
+  test("oracle fixtures never reach the hot-bucket cap (salt-free parity holds)") {
+    // The DuckDB oracle SQL has NO salt step: parity with the Spark side is
+    // only guaranteed while every (band, bucket) population in the fixture
+    // stays under DefaultBucketCap (salt stays 0 → identical pair sets). If
+    // a future fixture regeneration crosses the cap, this test fails with a
+    // clear message instead of the parity harness failing mysteriously.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val path = s"/root/testdata/$sf/documents.parquet"
+      assume(new java.io.File(path).exists())
+      val d = spark.read.parquet(path)
+      val mhMax = Dedup.minhashSignatures(d, 16)
+        .select(explode(Dedup.lshBuckets(col("sig"), 4, 4)).alias("bk"))
+        .groupBy(col("bk")).count().agg(max("count")).head().getLong(0)
+      assert(mhMax < Dedup.DefaultBucketCap,
+        s"$sf minhash hot bucket $mhMax ≥ cap ${Dedup.DefaultBucketCap}: " +
+          "the salt-free oracle SQL no longer matches the salted Spark " +
+          "plan — shrink the fixture or re-derive the oracle with the salt")
+      val shMax = Dedup.shingleSets(d)
+        .select(col("doc_id"),
+          graft.functions.SimhashVote.simhashVote(
+            Dedup.hashArray60(col("grams")), 60).alias("simhash"))
+        .select(explode(array((0 until 4).map(b =>
+          struct(lit(b).alias("band"),
+            shiftright(col("simhash"), b * 15).bitwiseAND((1L << 15) - 1)
+              .alias("bv"))): _*)).alias("bk"))
+        .groupBy(col("bk")).count().agg(max("count")).head().getLong(0)
+      assert(shMax < Dedup.DefaultBucketCap,
+        s"$sf simhash hot band-bucket $shMax ≥ cap ${Dedup.DefaultBucketCap}")
+    }
+  }
 }
