@@ -328,6 +328,37 @@ object SparkEntry {
     Curation.contamination(StandIn.documents(s, dir),
       col("doc_id") % 10 === 0, minShared = 3, dfCap = 20)
 
+  // Bloom-prefiltered decontamination: identical output (the Bloom filter
+  // only prunes the shuffle; false positives die in the exact join), so it
+  // shares decontaminate's oracle SQL verbatim.
+  private def decontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    Curation.contaminationBloom(StandIn.documents(s, dir),
+      col("doc_id") % 10 === 0, minShared = 3, dfCap = 20)
+
+  // Split fractions shared with the oracle twin (integer bucket bounds).
+  private val SplitFractions =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  private def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.assignSplits(StandIn.documents(s, dir), SplitFractions)
+
+  private val ShuffleShards = 16
+
+  private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    Curation.shuffleShards(StandIn.documents(s, dir), ShuffleShards)
+
+  // Per-language token targets shared with the oracle twin: sized against
+  // the fixture's per-language token mass so the mix exercises both >1
+  // whole epochs and a fractional remainder.
+  private val MixTargets =
+    Seq("en" -> 50000L, "fr" -> 12000L, "de" -> 4000L)
+
+  private def corpusMix(s: SparkSession, dir: String): DataFrame =
+    Curation.mixEpochs(StandIn.documents(s, dir), MixTargets.toMap)
+
+  private def textRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(StandIn.documents(s, dir))
+
   // Packing parameters shared with the oracle twin.
   private val PackBudget = 2048
   private val PackBuckets = 8
@@ -534,7 +565,12 @@ object SparkEntry {
     // exact termStats).
     "text_term_stats_sketch" -> ((s, d) => textTermStatsSketch(s, d)),
     "decontaminate"       -> ((s, d) => decontaminate(s, d)),
+    "decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
+    "corpus_split"        -> ((s, d) => corpusSplit(s, d)),
+    "corpus_shuffle"      -> ((s, d) => corpusShuffle(s, d)),
+    "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
+    "text_redact"         -> ((s, d) => textRedact(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -557,6 +593,26 @@ object SparkEntry {
     "mm_features"         -> ((s, d) => mmFeatures(s, d)),
     "mm_frames"           -> ((s, d) => mmFrames(s, d))
   )
+
+  // Shared by decontaminate / decontaminate_bloom: the Bloom variant's
+  // output is exact, so one oracle serves both and they cannot drift.
+  private val decontaminateOracle =
+    s"""WITH $gramsSql, ex AS (
+       |  SELECT doc_id, unnest(g) AS g FROM grams
+       |), rare AS (
+       |  SELECT g FROM (
+       |    SELECT g, count(DISTINCT doc_id) AS gram_df FROM ex GROUP BY g
+       |  ) WHERE gram_df <= 20
+       |), rex AS (
+       |  SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
+       |)
+       |SELECT c.doc_id, b.doc_id AS bench_id,
+       |       CAST(count(DISTINCT c.g) AS INT) AS shared_grams
+       |FROM rex c
+       |JOIN rex b ON c.g = b.g
+       |WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+       |GROUP BY c.doc_id, b.doc_id
+       |HAVING count(DISTINCT c.g) >= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "alerts_classify" -> alertsClassifyOracle,
@@ -809,23 +865,107 @@ object SparkEntry {
 
     // Decontamination twin (Curation.contamination): same rare-gram
     // df-cap, same benchmark predicate, same ≥3-shared-grams flag.
-    "decontaminate" ->
-      s"""WITH $gramsSql, ex AS (
-         |  SELECT doc_id, unnest(g) AS g FROM grams
-         |), rare AS (
-         |  SELECT g FROM (
-         |    SELECT g, count(DISTINCT doc_id) AS gram_df FROM ex GROUP BY g
-         |  ) WHERE gram_df <= 20
-         |), rex AS (
-         |  SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
+    "decontaminate" -> decontaminateOracle,
+
+    // The Bloom-prefiltered variant produces IDENTICAL rows (the filter
+    // only prunes shuffle traffic; the exact join removes false
+    // positives), so it checks against the very same oracle.
+    "decontaminate_bloom" -> decontaminateOracle,
+
+    // Split-assignment twin (Curation.assignSplits): same hash-family
+    // member, same INTEGER bucket boundaries (interpolated from
+    // Curation.splitBounds so float cumulative sums can never split the
+    // engines on a boundary bucket).
+    "corpus_split" -> {
+      val bounds = Curation.splitBounds(SplitFractions)
+      val cases = SplitFractions.init.zip(bounds.init)
+        .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+         |       CASE $cases ELSE '${SplitFractions.last._1}' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |         ${hashSql(s"'${Curation.SplitHashIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+         |  FROM documents
+         |)""".stripMargin
+    },
+
+    // Shuffle-shard twin (Curation.shuffleShards): same two hash-family
+    // members, same row_number ordering with doc_id tie-break.
+    "corpus_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         CAST(${hashSql(s"'${Curation.ShardHashIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS INT)
+         |           AS shard,
+         |         ${hashSql(s"'${Curation.OrderHashIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM documents
          |)
-         |SELECT c.doc_id, b.doc_id AS bench_id,
-         |       CAST(count(DISTINCT c.g) AS INT) AS shared_grams
-         |FROM rex c
-         |JOIN rex b ON c.g = b.g
-         |WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-         |GROUP BY c.doc_id, b.doc_id
-         |HAVING count(DISTINCT c.g) >= 3""".stripMargin,
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER
+         |         (PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
+         |FROM h""".stripMargin,
+
+    // Mix-epochs twin (Curation.mixEpochs): same language scores, same
+    // integer whole-epoch division and cross-multiplied fractional draw —
+    // BIGINT arithmetic end to end, no float boundary anywhere.
+    "corpus_mix" -> {
+      val targetCase = MixTargets
+        .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id, CAST(len(t) AS INT) AS ws_tokens,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT doc_id, ws_tokens,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best
+         |), totals AS (
+         |  SELECT predicted_lang, sum(ws_tokens) AS lang_tokens
+         |  FROM langed GROUP BY predicted_lang
+         |), mixed AS (
+         |  SELECT l.doc_id, l.predicted_lang, l.ws_tokens, t.lang_tokens,
+         |         CAST(CASE l.predicted_lang $targetCase ELSE 0 END AS BIGINT)
+         |           AS target,
+         |         ${hashSql(s"'${Curation.MixHashIndex}:'",
+                      "CAST(l.doc_id AS VARCHAR)")} % 10000 AS b
+         |  FROM langed l JOIN totals t USING (predicted_lang)
+         |)
+         |SELECT doc_id, predicted_lang, ws_tokens,
+         |       CAST(target // greatest(lang_tokens, 1)
+         |         + CASE WHEN b * lang_tokens <
+         |                     (target - (target // greatest(lang_tokens, 1))
+         |                       * lang_tokens) * 10000
+         |                THEN 1 ELSE 0 END AS INT) AS n_epochs
+         |FROM mixed""".stripMargin
+    },
+
+    // Redaction twin (TextAnalysis.redact): same patterns (valid and
+    // equivalent in both Java regex and RE2 — no lookaround), same
+    // replacement order, counts on the original text via
+    // regexp_extract_all ('g' makes replace global like Spark's).
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(
+         |         coalesce(text, ''),
+         |         '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |         '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |         '${TextAnalysis.DigitRunPattern}', '<NUMBER>', 'g')
+         |         AS redacted_text,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''),
+         |         '${TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''),
+         |         '${TextAnalysis.Ipv4Pattern}')) AS INT) AS n_ips,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''),
+         |         '${TextAnalysis.DigitRunPattern}')) AS INT) AS n_digit_runs
+         |FROM documents""".stripMargin,
 
     // TF-IDF twin (TextAnalysis.tfIdf): same ln-based weighting, 6-dp
     // rounding on both engines.

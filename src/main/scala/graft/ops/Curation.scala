@@ -127,6 +127,155 @@ object Curation {
     curated.write.mode("overwrite")
       .partitionBy("predicted_lang").parquet(path)
 
+  /** Deterministic train/val/test assignment: each document's md5-derived
+    * hash bucket (0-9999, family member [[SplitHashIndex]] — deliberately a
+    * DIFFERENT member than [[sampleByLanguage]]'s, so split membership is
+    * independent of sample membership) is cut by the cumulative fraction
+    * boundaries. Reproducible across runs/engines/partitionings, and
+    * growing one split's fraction only migrates documents across the
+    * adjacent boundary — it never reshuffles the interior (the property
+    * that keeps val/test stable while train grows). Pure projection; no
+    * shuffle. Fractions must sum to ≤ 1; any remainder falls into the LAST
+    * named split (boundaries are cumulative-exclusive upper bounds, last
+    * split catches the tail).
+    */
+  def assignSplits(
+      docs: DataFrame,
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${fractions.map(_._2).sum} > 1")
+    val bucket = pmod(
+      Dedup.hashAt(SplitHashIndex, col("doc_id").cast("string")), lit(10000L))
+    // CASE over cumulative upper bounds; the last split is the otherwise
+    // branch so fraction rounding can never produce an unlabeled row. The
+    // boundaries are INTEGER buckets ([[splitBounds]]) — float cumulative
+    // sums (0.9 + 0.05 = 0.9500000000000001) sit exactly on bucket edges
+    // and would let two engines' numeric types disagree on the boundary
+    // document; rounding once, in one place, removes the hazard.
+    val split = fractions.init.zip(splitBounds(fractions).init)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), cut), rest) =>
+        when(bucket < lit(cut), lit(name)).otherwise(rest)
+      }
+    docs.select(col("doc_id"), split.alias("split"))
+  }
+
+  /** Cumulative integer bucket boundaries (of 10000) for [[assignSplits]] —
+    * public so the oracle SQL interpolates the SAME integers.
+    */
+  def splitBounds(fractions: Seq[(String, Double)]): Seq[Long] =
+    fractions.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * 10000))
+
+  /** Hash-family member for [[assignSplits]] — shared with the oracle SQL. */
+  val SplitHashIndex = 7
+
+  /** Deterministic global shuffle for training order: every document gets a
+    * (shard, pos) — shard by one hash-family member, position by
+    * row_number over a SECOND member (doc_id tie-break), so the order is a
+    * reproducible pseudo-random permutation with no RNG state. At 100 TB
+    * pick `nShards` so one shard's manifest fits a window partition
+    * (~corpus/nShards rows of (doc_id, hash) — scalars only, the text
+    * never moves); the per-shard sort is the unavoidable cost of
+    * materializing a training order, and it parallelizes across shards.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    val id = col("doc_id").cast("string")
+    val shard = pmod(Dedup.hashAt(ShardHashIndex, id), lit(nShards.toLong))
+      .cast("int")
+    val order = Dedup.hashAt(OrderHashIndex, id)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    docs.select(col("doc_id"), shard.alias("shard"), order.alias("ord"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Hash-family members for [[shuffleShards]] — shared with the oracle. */
+  val ShardHashIndex = 11
+  val OrderHashIndex = 13
+
+  /** Token-budget mixing with repetition: given a per-language token
+    * target, how many epochs of each document does the mix contain?
+    * Whole epochs are `target div lang_tokens`; the fractional remainder
+    * is realized by giving one extra epoch to the deterministic hash-bucket
+    * prefix of documents covering `remainder/lang_tokens` of the stratum —
+    * integer arithmetic only, so the mix is exact, reproducible, and
+    * engine-independent. Languages without a target get 0 epochs (the
+    * report keeps their rows; the sampler drops them). Shape: one signal
+    * scan, one tiny broadcast join of per-language totals — the corpus
+    * never shuffles.
+    */
+  def mixEpochs(
+      docs: DataFrame,
+      targetTokens: Map[String, Long]): DataFrame = {
+    require(targetTokens.values.forall(_ >= 0), "targets must be ≥ 0")
+    val sig = TextAnalysis.curationSignals(docs)
+      .select(col("doc_id"), col("predicted_lang"), col("ws_tokens"))
+    val totals = sig.groupBy(col("predicted_lang"))
+      .agg(sum(col("ws_tokens")).alias("lang_tokens"))
+    val target = targetTokens.foldRight(lit(0L)) { case ((l, t), rest) =>
+      when(col("predicted_lang") === l, lit(t)).otherwise(rest)
+    }
+    val bucket = pmod(
+      Dedup.hashAt(MixHashIndex, col("doc_id").cast("string")), lit(10000L))
+    sig.join(broadcast(totals), "predicted_lang")
+      .withColumn("target", target)
+      .withColumn("whole", expr("target div greatest(lang_tokens, 1)"))
+      .withColumn("rem", col("target") - col("whole") * col("lang_tokens"))
+      .select(
+        col("doc_id"), col("predicted_lang"), col("ws_tokens"),
+        (col("whole") +
+          when(bucket * col("lang_tokens") < col("rem") * 10000, 1L)
+            .otherwise(0L)).cast("int").alias("n_epochs"))
+  }
+
+  /** Hash-family member for [[mixEpochs]]' fractional draw. */
+  val MixHashIndex = 17
+
+  /** Benchmark decontamination, Bloom-prefiltered — the 100 TB shape of
+    * [[contamination]] with IDENTICAL output. The benchmark's rare-gram
+    * set is tiny (benchmarks are, by definition), so a Bloom filter over it
+    * broadcasts to every executor and pre-drops corpus gram rows before
+    * they reach the shuffle for the gram join: the join's corpus side
+    * shrinks from "every rare gram occurrence in 100 TB" to "occurrences
+    * that MIGHT hit the benchmark" (fpp of everything else). False
+    * positives survive the prefilter but die in the exact equi-join that
+    * follows, so the result is exact, not approximate — the filter only
+    * moves bytes out of the shuffle.
+    */
+  def contaminationBloom(
+      docs: DataFrame,
+      benchPredicate: Column,
+      minShared: Int = 3,
+      dfCap: Int = 10,
+      expectedBenchGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val exploded = Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("grams")).alias("g"))
+    val rareGrams = exploded.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).alias("gram_df"))
+      .where(col("gram_df") <= dfCap)
+      .select(col("g"))
+    val rare = exploded.join(rareGrams, "g")
+    val bench = docs.where(benchPredicate).select(col("doc_id"))
+    val corpus = docs.where(!benchPredicate).select(col("doc_id"))
+    val benchRare = rare.join(bench, "doc_id")
+      .select(col("g"), col("doc_id").alias("bench_id"))
+    val bloom = benchRare.stat.bloomFilter("g", expectedBenchGrams, fpp)
+    // A UDF, deliberately: BloomFilter.mightContain is a few hash probes
+    // per row against a broadcast bitset — the prefilter runs map-side
+    // before any exchange, which is the entire point.
+    val mightHitBench = udf((g: String) => bloom.mightContain(g))
+    rare.join(corpus, "doc_id")
+      .where(mightHitBench(col("g")))
+      .join(benchRare, "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("g")).cast("int").alias("shared_grams"))
+      .where(col("shared_grams") >= minShared)
+  }
+
   /** Deterministic stratified downsampling by language — the "draw the
     * training mix" step. A document is kept iff its md5-derived hash
     * bucket (0-9999) falls below `rate(stratum)`·10000: no RNG, so the

@@ -300,6 +300,42 @@ object TextAnalysis {
       col("bpeish_tokens"))
   }
 
+  /** PII patterns shared verbatim with the oracle SQL — written to behave
+    * identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
+    * no backreferences, greedy quantifiers only. The IPv4 pattern is a
+    * structural match (dotted quads), not a range check — redaction wants
+    * recall, and "999.1.1.1" leaking is worse than over-masking it.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** 8+ chars of digits / spaces / hyphens, digit-anchored both ends —
+    * phone numbers, account ids, card-ish runs.
+    */
+  val DigitRunPattern = "[0-9][0-9 -]{6,}[0-9]"
+
+  /** PII redaction — the scrub a training corpus runs before anything
+    * else ships: emails → `<EMAIL>`, dotted-quad IPs → `<IP>`, long digit
+    * runs → `<NUMBER>`, with per-document match counts (counted on the
+    * ORIGINAL text, so counts do not depend on replacement order) for
+    * audit dashboards. Pure per-row projection: codegen'd regexes, no
+    * shuffle, embarrassingly parallel — the ideal 100 TB operator shape.
+    * Replacement order is fixed (email, IP, digit-run) and mirrored in the
+    * oracle; the patterns cannot overlap each other's replacement tokens.
+    */
+  def redact(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        DigitRunPattern, "<NUMBER>").alias("redacted_text"),
+      regexp_count(text, lit(EmailPattern)).alias("n_emails"),
+      regexp_count(text, lit(Ipv4Pattern)).alias("n_ips"),
+      regexp_count(text, lit(DigitRunPattern)).alias("n_digit_runs"))
+  }
+
   /** Fingerprint modulus: the largest prime below 10^15, so `h*131 + t`
     * stays far inside Long/BIGINT range on both engines (no overflow —
     * DuckDB would raise where the JVM silently wraps).

@@ -104,4 +104,82 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_._2 == "en"))
     assert(rows.forall(_._3 >= 10))
   }
+
+  test("assignSplits: total, deterministic, stable under fraction growth") {
+    val corpus = docs((1L to 400L).map(i => (i, good1)): _*)
+    def splits(fr: Seq[(String, Double)]): Map[Long, String] =
+      Curation.assignSplits(corpus, fr).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(a.size === 400) // every doc labeled, exactly once
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a === splits(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    // Growing train only converts val/test docs near the boundary — no
+    // train doc ever leaves train (monotone boundaries).
+    val b = splits(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(a.collect { case (id, "train") => id }.toSet
+      .subsetOf(b.collect { case (id, "train") => id }.toSet))
+    // Remainder falls in the LAST split: fractions summing under 1 still
+    // label everything.
+    val c = splits(Seq("train" -> 0.5, "rest" -> 0.1))
+    assert(c.size === 400 && c.values.toSet === Set("train", "rest"))
+    assertThrows[IllegalArgumentException] {
+      Curation.assignSplits(corpus, Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
+  test("shuffleShards: a permutation — contiguous positions, deterministic") {
+    val corpus = docs((1L to 300L).map(i => (i, good1)): _*)
+    val out = Curation.shuffleShards(corpus, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length === 300)
+    assert(out.map(_._1).toSet === (1L to 300L).toSet)
+    // Positions are 1..n within every shard, no gaps or ties.
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.length).toArray)
+    }
+    // Deterministic across runs, and the order is NOT the doc_id order
+    // (it is a shuffle) — shard 0's first doc is almost surely not the
+    // globally smallest id in the shard... assert the weaker, exact
+    // property: re-running yields identical (doc_id, shard, pos).
+    val again = Curation.shuffleShards(corpus, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.sorted === again.sorted)
+    val byIdOrder = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
+    assert(byIdOrder !== byIdOrder.sorted) // genuinely permuted
+  }
+
+  test("mixEpochs realizes the token target within one document's tokens") {
+    val corpus = docs((1L to 50L).map(i => (i, good1)): _*) // all 'en'
+    val perDoc = 19L // good1 is 19 ws tokens
+    val total = 50 * perDoc
+    val target = (total * 2.5).toLong // 2 whole epochs + half
+    val out = Curation.mixEpochs(corpus, Map("en" -> target)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_epochs"))).toMap
+    assert(out.size === 50)
+    assert(out.values.forall(e => e == 2 || e == 3)) // whole ± the draw
+    val mixTokens = out.values.map(_ * perDoc).sum
+    // The fractional draw hits the target to within one stratum document.
+    assert(math.abs(mixTokens - target) <= perDoc * 50 / 10) // hash jitter
+    // No target → 0 epochs, rows kept for the report.
+    val none = Curation.mixEpochs(corpus, Map.empty).collect()
+    assert(none.length === 50)
+    assert(none.forall(_.getAs[Int]("n_epochs") === 0))
+  }
+
+  test("bloom-prefiltered contamination equals the exact operator") {
+    val bench = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    val leaked = "intro words then zq1 zq2 zq3 zq4 zq5 zq6 closing words"
+    val clean = "totally unrelated text with distinct vocabulary here now"
+    val corpus = docs((10L, bench), (1L, leaked), (2L, clean),
+      (3L, clean + " more"), (4L, "other unrelated content entirely"))
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(corpus, org.apache.spark.sql.functions.col("doc_id") % 10 === 0, 3, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = run(Curation.contamination(_, _, _, _))
+    val bloom = run(Curation.contaminationBloom(_, _, _, _))
+    assert(bloom === exact)
+    assert(exact.map(t => (t._1, t._2)) === Set((1L, 10L)))
+  }
 }

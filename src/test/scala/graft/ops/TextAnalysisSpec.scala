@@ -129,4 +129,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(fused(3L)._3 === "fr") // sanity: the fixture exercises a non-en doc
   }
+
+  test("redact masks emails, IPs, and digit runs and counts them") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.user+tag@example.co.uk or call 555-123 4567 today"),
+      (2L, "server 192.168.1.100 and 10.0.0.1 are up"),
+      (3L, "no pii here at all"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L)._1 === "mail <EMAIL> or call <NUMBER> today")
+    assert(out(1L)._2 === 1 && out(1L)._4 === 1)
+    assert(out(2L)._1 === "server <IP> and <IP> are up")
+    assert(out(2L)._3 === 2)
+    assert(out(3L) === (("no pii here at all", 0, 0, 0)))
+    assert(out(4L) === (("", 0, 0, 0))) // NULL ≡ empty document
+  }
 }
