@@ -300,6 +300,10 @@ object SparkEntry {
   private def simIvfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(StandIn.embeddings(s, dir), IvfCells, TopK)
 
+  private def simIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIvfTopK(StandIn.embeddings(s, dir), IvfCells,
+      iters = 3, k = TopK, nprobe = 2)
+
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))
 
@@ -556,6 +560,10 @@ object SparkEntry {
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
+    // Lloyd-trained centroids carry float summation-order jitter (±1e-6),
+    // so no bit-exact SQL twin exists; the driver records a rows-only
+    // check and SimilaritySpec bounds recall vs the exact brute force.
+    "sim_ivf_kmeans"      -> ((s, d) => simIvfKmeans(s, d)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),

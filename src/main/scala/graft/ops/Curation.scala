@@ -252,23 +252,33 @@ object Curation {
       dfCap: Int = 10,
       expectedBenchGrams: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    val exploded = Dedup.shingleSets(docs)
+    // Rare-gram vocabulary from the FULL corpus (bench included — df must
+    // count every occurrence), checkpointed: the Bloom build below is an
+    // eager action, and without the checkpoint the df-cap groupBy (a full
+    // corpus pass) would run twice — once for the filter bits, once for
+    // the main query. The list is vocabulary-bounded (distinct grams with
+    // df ≤ cap), orders of magnitude smaller than the occurrence stream.
+    val rareGrams = Dedup.shingleSets(docs)
       .select(col("doc_id"), explode(col("grams")).alias("g"))
-    val rareGrams = exploded.groupBy(col("g"))
+      .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).alias("gram_df"))
       .where(col("gram_df") <= dfCap)
       .select(col("g"))
-    val rare = exploded.join(rareGrams, "g")
-    val bench = docs.where(benchPredicate).select(col("doc_id"))
-    val corpus = docs.where(!benchPredicate).select(col("doc_id"))
-    val benchRare = rare.join(bench, "doc_id")
+      .localCheckpoint()
+    // Shingle the two doc populations separately so the bench predicate
+    // reaches the scan: the Bloom-build pass reads ONLY benchmark rows,
+    // never the corpus.
+    def rareOf(part: DataFrame): DataFrame = part
+      .select(col("doc_id"), explode(col("grams")).alias("g"))
+      .join(rareGrams, "g")
+    val benchRare = rareOf(Dedup.shingleSets(docs.where(benchPredicate)))
       .select(col("g"), col("doc_id").alias("bench_id"))
     val bloom = benchRare.stat.bloomFilter("g", expectedBenchGrams, fpp)
     // A UDF, deliberately: BloomFilter.mightContain is a few hash probes
     // per row against a broadcast bitset — the prefilter runs map-side
     // before any exchange, which is the entire point.
     val mightHitBench = udf((g: String) => bloom.mightContain(g))
-    rare.join(corpus, "doc_id")
+    rareOf(Dedup.shingleSets(docs.where(!benchPredicate)))
       .where(mightHitBench(col("g")))
       .join(benchRare, "g")
       .groupBy(col("doc_id"), col("bench_id"))

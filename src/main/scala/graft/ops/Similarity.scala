@@ -159,6 +159,122 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Cells of a centroid set ordered by squared-L2 distance to `vec`
+    * (1-based ids, distance rounded to 6 dp, cell id tie-break via struct
+    * sort). `‖v−c‖² = ‖v‖² − 2v·c + ‖c‖²` — the norms are staged/constant,
+    * so the per-centroid cost is one codegen'd dot product.
+    */
+  private def cellsByDistance(
+      vec: Column, norm: Column, centroids: Seq[Seq[Double]]): Column = {
+    val entries = centroids.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        round(norm * norm - lit(2.0) * dot(vec, typedlit(c)) + lit(cn2), 6)
+          .alias("d"),
+        lit(i + 1).alias("cell"))
+    }
+    transform(array_sort(array(entries: _*)), e => e.getField("cell"))
+  }
+
+  /** Minimum squared-L2 distance from `vec` to any of `centroids` —
+    * the farthest-point seeding objective.
+    */
+  private def minDistTo(
+      vec: Column, norm: Column, centroids: Seq[Seq[Double]]): Column =
+    centroids.map { c =>
+      val cn2 = c.map(x => x * x).sum
+      round(norm * norm - lit(2.0) * dot(vec, typedlit(c)) + lit(cn2), 6)
+    }.reduce(least(_, _))
+
+  /** Lloyd-trained k-means centroids over a [[prepared]] frame — the
+    * trained coarse quantizer behind [[kmeansIvfTopK]]. Seeding is
+    * deterministic farthest-point: the first seed is the vector with the
+    * smallest md5-derived id hash, each next seed the vector farthest
+    * from all chosen seeds (id tie-break) — a hash draw alone can land
+    * two seeds in one natural cluster and leave another unclaimed, which
+    * Lloyd cannot repair. Each round then assigns
+    * every vector to its nearest centroid (one broadcast-literal
+    * projection — the corpus never shuffles for assignment) and recomputes
+    * per-cell means via posexplode → (cell, dim) partial-aggregating
+    * groupBy, k·dim rows out. Centroids live driver-side between rounds —
+    * they ARE the model, k·dim doubles — and are rounded to 6 dp each
+    * round to damp float summation-order jitter. Empty cells keep their
+    * previous centroid. Cost: `iters` corpus passes; at 100 TB train on a
+    * [[Curation.sampleByLanguage]]-style deterministic sample instead of
+    * the full corpus — the quantizer only needs the density shape.
+    */
+  def kmeansCentroids(
+      prep: DataFrame, cells: Int = 8, iters: Int = 5): Seq[Seq[Double]] = {
+    require(cells > 0 && iters >= 0, s"bad kmeans params: $cells/$iters")
+    val first = prep
+      .withColumn("h", Dedup.hashAt(23, col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(first.nonEmpty, "kmeans needs a non-empty embedding set")
+    var centroids = first
+    while (centroids.length < cells) {
+      val next = prep
+        .withColumn("md", minDistTo(col("vec"), col("norm"), centroids))
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      centroids = centroids ++ next
+    }
+    for (_ <- 0 until iters) {
+      val means = prep
+        .withColumn("cell",
+          element_at(cellsByDistance(col("vec"), col("norm"), centroids), 1))
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).alias("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .alias("ps"))
+        .select(col("cell"),
+          transform(col("ps"), p => round(p.getField("m"), 6)).alias("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i + 1, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF top-k with TRAINED centroids: [[ivfTopK]]'s query shape (cell
+    * equi-join, never a product) with Lloyd-trained cells and multi-probe
+    * queries — each query probes its `nprobe` nearest cells, the standard
+    * recall lever when a neighbor sits just across a cell boundary. Data
+    * vectors index into exactly one cell (the stored inverted list);
+    * trained cells follow the data density, which is what lifts recall
+    * over the seed-vector quantizer at equal probe cost. Float jitter in
+    * training can move a centroid ±1e-6, so this op is checked by recall
+    * bounds (unit test vs [[bruteForceTopK]]) rather than a bit-exact SQL
+    * twin — the driver records a rows-only check.
+    */
+  def kmeansIvfTopK(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      iters: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    // Checkpoint: training iterates over this frame `iters` times and the
+    // query plan reuses it twice more — without it every pass re-reads and
+    // re-projects the source.
+    val prep = prepared(embeddings).localCheckpoint()
+    val cs = kmeansCentroids(prep, cells, iters)
+    val byDist = cellsByDistance(col("vec"), col("norm"), cs)
+    val data = prep.withColumn("cell", element_at(byDist, 1))
+    val queries = prep.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+        col("norm").alias("q_norm"),
+        explode(slice(byDist, 1, nprobe)).alias("cell"))
+    // No dedup needed: a data vector lives in exactly ONE cell, so a
+    // (query, vector) pair can match at most one of the probed cells.
+    val pairs = data.join(boundedBroadcast(queries), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+        cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+          .alias("cos_sim"))
+    topK(pairs, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket-sharing pairs with
     * cosine ≥ threshold (the embedding-space member of the dedup family).
     */

@@ -98,4 +98,52 @@ class SimilaritySpec extends SparkSpec {
     // Under the bound: passes through with the hint, rows intact.
     assert(Similarity.boundedBroadcast(wide, maxRows = 20).count() === 20L)
   }
+
+  // Three well-separated synthetic clusters (seeded, deterministic): the
+  // shape where a trained quantizer should recover near-perfect recall.
+  private def clusteredEmb(perCluster: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(7)
+    val centers = Seq(
+      Seq.tabulate(Similarity.Dim)(i => if (i % 3 == 0) 5.0 else 0.0),
+      Seq.tabulate(Similarity.Dim)(i => if (i % 3 == 1) -5.0 else 0.0),
+      Seq.tabulate(Similarity.Dim)(i => if (i % 3 == 2) 5.0 else 0.5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until perCluster
+    } yield ((ci * perCluster + j).toLong,
+      c.map(x => x + rng.nextGaussian() * 0.3))
+    emb(rows: _*)
+  }
+
+  test("kmeans centroids: one per cell, near the true cluster centers") {
+    val data = clusteredEmb(40)
+    val cs = Similarity.kmeansCentroids(
+      Similarity.prepared(data).localCheckpoint(), cells = 3, iters = 4)
+    assert(cs.length === 3)
+    assert(cs.forall(_.length === Similarity.Dim))
+    // Every trained centroid sits close to SOME true center (distance far
+    // below the 8.6 inter-center gap).
+    val centers = Seq(
+      Seq.tabulate(Similarity.Dim)(i => if (i % 3 == 0) 5.0 else 0.0),
+      Seq.tabulate(Similarity.Dim)(i => if (i % 3 == 1) -5.0 else 0.0),
+      Seq.tabulate(Similarity.Dim)(i => if (i % 3 == 2) 5.0 else 0.5))
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    cs.foreach { c =>
+      assert(centers.map(dist(c, _)).min < 1.0,
+        s"centroid strayed ${centers.map(dist(c, _)).min} from every center")
+    }
+  }
+
+  test("trained IVF recall vs brute force is high on clustered data") {
+    val data = clusteredEmb(40) // queries = vec_id % 100 == 0 → id 0
+    val exact = Similarity.bruteForceTopK(data, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.kmeansIvfTopK(
+      data, cells = 3, iters = 4, k = 5, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exact.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained-IVF recall $recall below 0.8")
+  }
 }
