@@ -560,9 +560,9 @@ object SparkEntry {
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
-    // Lloyd-trained centroids carry float summation-order jitter (±1e-6),
-    // so no bit-exact SQL twin exists; the driver records a rows-only
-    // check and SimilaritySpec bounds recall vs the exact brute force.
+    // K-means training is an imperative iterative fit with no practical
+    // SQL twin; the driver records a rows-only check and SimilaritySpec
+    // bounds recall vs the exact brute force.
     "sim_ivf_kmeans"      -> ((s, d) => simIvfKmeans(s, d)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "sessionize"          -> ((s, d) => sessionize(s, d)),

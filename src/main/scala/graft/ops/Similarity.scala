@@ -176,65 +176,72 @@ object Similarity {
     transform(array_sort(array(entries: _*)), e => e.getField("cell"))
   }
 
-  /** Minimum squared-L2 distance from `vec` to any of `centroids` —
-    * the farthest-point seeding objective.
+  /** Sample-size bound for quantizer training: 16k × 64 doubles ≈ 8 MB on
+    * the driver — the model-fitting analogue of [[MaxBroadcastQueries]].
     */
-  private def minDistTo(
-      vec: Column, norm: Column, centroids: Seq[Seq[Double]]): Column =
-    centroids.map { c =>
-      val cn2 = c.map(x => x * x).sum
-      round(norm * norm - lit(2.0) * dot(vec, typedlit(c)) + lit(cn2), 6)
-    }.reduce(least(_, _))
+  val MaxTrainSample = 16384
 
   /** Lloyd-trained k-means centroids over a [[prepared]] frame — the
-    * trained coarse quantizer behind [[kmeansIvfTopK]]. Seeding is
-    * deterministic farthest-point: the first seed is the vector with the
-    * smallest md5-derived id hash, each next seed the vector farthest
-    * from all chosen seeds (id tie-break) — a hash draw alone can land
-    * two seeds in one natural cluster and leave another unclaimed, which
-    * Lloyd cannot repair. Each round then assigns
-    * every vector to its nearest centroid (one broadcast-literal
-    * projection — the corpus never shuffles for assignment) and recomputes
-    * per-cell means via posexplode → (cell, dim) partial-aggregating
-    * groupBy, k·dim rows out. Centroids live driver-side between rounds —
-    * they ARE the model, k·dim doubles — and are rounded to 6 dp each
-    * round to damp float summation-order jitter. Empty cells keep their
-    * previous centroid. Cost: `iters` corpus passes; at 100 TB train on a
-    * [[Curation.sampleByLanguage]]-style deterministic sample instead of
-    * the full corpus — the quantizer only needs the density shape.
+    * trained coarse quantizer behind [[kmeansIvfTopK]].
+    *
+    * Training runs DRIVER-SIDE over a bounded deterministic sample: the
+    * `sampleSize` vectors with the smallest md5-derived id hash (a
+    * reproducible pseudo-random draw — ONE distributed top-k pass over the
+    * corpus, nothing else). A coarse quantizer only needs the density
+    * shape, which a hash sample preserves; this is how production ANN
+    * indexes train (FAISS fits IVF cells on a slice, not the corpus), and
+    * it turns what would be `seeds + iters` full distributed passes into
+    * one. Driver arithmetic is also ORDER-DETERMINISTIC — same sample,
+    * same centroids, bit for bit — where distributed averaging would
+    * jitter with partial-aggregation order.
+    *
+    * Seeding is deterministic farthest-point (first = lowest id hash,
+    * then repeatedly the sample vector farthest from all chosen seeds):
+    * a pure hash draw can land two seeds in one natural cluster and
+    * leave another unclaimed, which Lloyd cannot repair. Empty cells
+    * keep their previous centroid; means are rounded to 6 dp.
     */
   def kmeansCentroids(
-      prep: DataFrame, cells: Int = 8, iters: Int = 5): Seq[Seq[Double]] = {
+      prep: DataFrame,
+      cells: Int = 8,
+      iters: Int = 5,
+      sampleSize: Int = MaxTrainSample): Seq[Seq[Double]] = {
     require(cells > 0 && iters >= 0, s"bad kmeans params: $cells/$iters")
-    val first = prep
+    require(sampleSize <= MaxTrainSample,
+      s"training sample $sampleSize exceeds driver bound $MaxTrainSample")
+    val sample: Array[Array[Double]] = prep
       .withColumn("h", Dedup.hashAt(23, col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(1)
-      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    require(first.nonEmpty, "kmeans needs a non-empty embedding set")
-    var centroids = first
-    while (centroids.length < cells) {
-      val next = prep
-        .withColumn("md", minDistTo(col("vec"), col("norm"), centroids))
-        .orderBy(col("md").desc, col("vec_id")).limit(1)
-        .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-      centroids = centroids ++ next
+      .orderBy(col("h"), col("vec_id")).limit(sampleSize)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "kmeans needs a non-empty embedding set")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
+    // Farthest-point seeding over the sample (sample order is the
+    // hash-then-id order, so ties break deterministically).
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (seeds.length < math.min(cells, sample.length)) {
+      seeds += sample.maxBy(v => seeds.map(d2(v, _)).min)
+    }
+    var centroids = seeds.toArray
     for (_ <- 0 until iters) {
-      val means = prep
-        .withColumn("cell",
-          element_at(cellsByDistance(col("vec"), col("norm"), centroids), 1))
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).alias("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .alias("ps"))
-        .select(col("cell"),
-          transform(col("ps"), p => round(p.getField("m"), 6)).alias("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      centroids = centroids.indices
-        .map(i => means.getOrElse(i + 1, centroids(i)))
+      val sums = Array.fill(centroids.length)(new Array[Double](sample(0).length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val cell = centroids.indices.minBy(i => d2(v, centroids(i)))
+        counts(cell) += 1
+        var i = 0
+        while (i < v.length) { sums(cell)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x =>
+          math.rint(x / counts(c) * 1e6) / 1e6)
+      }.toArray
     }
-    centroids
+    centroids.map(_.toSeq).toSeq
   }
 
   /** IVF top-k with TRAINED centroids: [[ivfTopK]]'s query shape (cell
@@ -243,10 +250,10 @@ object Similarity {
     * recall lever when a neighbor sits just across a cell boundary. Data
     * vectors index into exactly one cell (the stored inverted list);
     * trained cells follow the data density, which is what lifts recall
-    * over the seed-vector quantizer at equal probe cost. Float jitter in
-    * training can move a centroid ±1e-6, so this op is checked by recall
-    * bounds (unit test vs [[bruteForceTopK]]) rather than a bit-exact SQL
-    * twin — the driver records a rows-only check.
+    * over the seed-vector quantizer at equal probe cost. Training is an
+    * imperative iterative fit, not a SQL-expressible query, so this op is
+    * checked by recall bounds (unit test vs [[bruteForceTopK]]) rather
+    * than a DuckDB twin — the driver records a rows-only check.
     */
   def kmeansIvfTopK(
       embeddings: DataFrame,
