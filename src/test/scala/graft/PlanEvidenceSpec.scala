@@ -42,4 +42,37 @@ class PlanEvidenceSpec extends SparkSpec {
     val scan = scanLine("text_token_counts")
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("corpus_split / corpus_shuffle: scans read ONLY doc_id — text never leaves the file") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // Pure id-hash operators: at 100 TB the difference between reading a
+    // bigint column and reading the documents is the whole game.
+    for (q <- Seq("corpus_split", "corpus_shuffle")) {
+      val scan = scanLine(q)
+      assert(scan.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"$q scan reads more than doc_id: $scan")
+    }
+  }
+
+  test("corpus_shuffle: exactly one exchange — the per-shard rank shuffle") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // Over a raw scan (StandIn adds a round-robin repartition to spread
+    // the tiny fixture, which is harness, not operator): the only shuffle
+    // the operator itself needs is the hash exchange feeding the window.
+    val plan = graft.ops.Curation.shuffleShards(
+      spark.read.parquet(s"$dir/documents.parquet"), 16)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The bloom build reads ONLY benchmark rows: the doc_id % 10 = 0
+    // predicate must appear as a pushed data filter on some documents scan.
+    assert(plan.contains("(doc_id#") && plan.contains("% 10)"),
+      s"benchmark predicate not pushed into a scan:\n$plan")
+  }
 }
