@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Curation, Dedup, Multimodal, Parse, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -363,6 +363,19 @@ object SparkEntry {
   private def textRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(StandIn.documents(s, dir))
 
+  private def profileEvents(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(StandIn.events(s, dir))
+
+  // (column, is-numeric) of StandIn.events — drives the oracle's UNION.
+  private val ProfileEventCols = Seq(
+    "event_id" -> true, "ts" -> false, "user_id" -> true,
+    "event_type" -> false, "value" -> true, "props" -> false)
+
+  private val QualityPs = Seq(0.5, 0.9, 0.99)
+
+  private def textQualityPercentiles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPercentiles(StandIn.documents(s, dir), QualityPs)
+
   // Packing parameters shared with the oracle twin.
   private val PackBudget = 2048
   private val PackBuckets = 8
@@ -579,6 +592,8 @@ object SparkEntry {
     "corpus_shuffle"      -> ((s, d) => corpusShuffle(s, d)),
     "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
     "text_redact"         -> ((s, d) => textRedact(s, d)),
+    "profile_events"      -> ((s, d) => profileEvents(s, d)),
+    "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -953,6 +968,54 @@ object SparkEntry {
          |                       * lang_tokens) * 10000
          |                THEN 1 ELSE 0 END AS INT) AS n_epochs
          |FROM mixed""".stripMargin
+    },
+
+    // Profiler twin (Profile.profile): one UNION ALL branch per column —
+    // the declarative restatement of the one-pass Expand aggregate.
+    "profile_events" -> {
+      val branches = ProfileEventCols.map { case (c, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       $mn AS min_value, $mx AS max_value FROM ev""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+         |         event_type, value, props
+         |  FROM events
+         |)
+         |$branches""".stripMargin
+    },
+
+    // Percentile twin (TextAnalysis.qualityPercentiles): DuckDB's
+    // quantile_cont uses the same sorted-linear-interpolation definition
+    // as Spark's exact percentile; both sides round to 6 dp.
+    "text_quality_percentiles" -> {
+      val pcols = Seq("n_tokens", "stopword_ratio", "punct_ratio").flatMap {
+        m => QualityPs.map { p =>
+          s"round(quantile_cont($m, $p), 6) AS p${(p * 100).toInt}_$m"
+        }
+      }.mkString(",\n       ")
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best
+         |), $gateSql
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |       $pcols
+         |FROM langed JOIN q USING (doc_id)
+         |GROUP BY predicted_lang""".stripMargin
     },
 
     // Redaction twin (TextAnalysis.redact): same patterns (valid and

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** One-pass table profiling: per column, row/null/distinct counts and
+  * numeric min/max — the ANALYZE-style scan an engine runs before
+  * planning a curation job over an unknown 100 TB input.
+  *
+  * Shape: ONE aggregation over the table computes every column's stats
+  * together (multiple exact distincts expand the input `n_cols`-fold
+  * map-side — Spark's Expand — but the table itself is scanned once and
+  * shuffled once), then the single result row unpivots into one row per
+  * column. At extreme scale swap `countDistinct` for
+  * `approx_count_distinct` — the plan shape is unchanged and the Expand
+  * disappears; the exact form is kept here because it is what the oracle
+  * can check bit-for-bit.
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "cannot profile a zero-column frame")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) =
+        if (f.dataType.isInstanceOf[NumericType])
+          (min(c).cast("double"), max(c).cast("double"))
+        else
+          (min(lit(null).cast("double")), max(lit(null).cast("double")))
+      Seq(
+        count(c).alias(s"${f.name}__nn"),
+        countDistinct(c).alias(s"${f.name}__nd"),
+        mn.alias(s"${f.name}__min"),
+        mx.alias(s"${f.name}__max"))
+    }
+    val one = df.agg(count(lit(1)).alias("__n"), aggs: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).alias("column_name"),
+        col("__n").alias("n_rows"),
+        (col("__n") - col(s"${f.name}__nn")).alias("n_null"),
+        col(s"${f.name}__nd").alias("n_distinct"),
+        col(s"${f.name}__min").alias("min_value"),
+        col(s"${f.name}__max").alias("max_value"))
+    }
+    one.select(explode(array(entries: _*)).alias("p")).select(col("p.*"))
+  }
+}

@@ -300,6 +300,31 @@ object TextAnalysis {
       col("bpeish_tokens"))
   }
 
+  /** Per-language EXACT quality percentiles — the distribution report a
+    * curation run reads before picking gate thresholds (where does the
+    * p99 of stopword density sit for German?). Exact `percentile` (sorted
+    * + linear interpolation, the same definition DuckDB's `quantile_cont`
+    * uses, so the twin matches) rather than `approx_percentile`: strata
+    * counts are per-language, small enough to sort; flip to the approx
+    * form at extreme cardinality — same plan shape, no oracle.
+    */
+  def qualityPercentiles(
+      docs: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val sig = langId(docs).select(col("doc_id"), col("predicted_lang"))
+      .join(quality(docs), "doc_id")
+    def pct(c: String) = expr(
+      s"percentile($c, array(${ps.mkString(", ")}))")
+    val pcols = Seq("n_tokens", "stopword_ratio", "punct_ratio").flatMap { m =>
+      ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(pct(m), i + 1), 6)
+          .alias(s"p${(p * 100).toInt}_$m")
+      }
+    }
+    sig.groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).alias("n_docs"), pcols: _*)
+  }
+
   /** PII patterns shared verbatim with the oracle SQL — written to behave
     * identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
     * no backreferences, greedy quantifiers only. The IPv4 pattern is a

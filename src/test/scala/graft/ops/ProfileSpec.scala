@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit spec for the one-pass table profiler. */
+class ProfileSpec extends SparkSpec {
+
+  test("profile: counts, nulls, distincts, numeric min/max per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("a")),
+      (2L, None, Some("b")),
+      (3L, Some(-1.0), Some("a")),
+      (4L, Some(2.5), None)).toDF("id", "x", "s")
+    val out = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("id", "x", "s"))
+    val id = out("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L && id.getLong(3) === 4L)
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 4.0)
+    val x = out("x")
+    assert(x.getLong(2) === 1L)      // one null
+    assert(x.getLong(3) === 2L)      // distinct ignores null: {2.5, -1.0}
+    assert(x.getDouble(4) === -1.0 && x.getDouble(5) === 2.5)
+    val s = out("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5)) // non-numeric: no min/max
+  }
+
+  test("profile is a single aggregation: one scan, one shuffle stage pair") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    // Multiple exact distincts plan as ONE aggregate over an Expand —
+    // not one aggregation per column.
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("Join"), s"profiler must not join per-column:\n$plan")
+  }
+
+  test("qualityPercentiles: exact interpolated percentiles per language") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 4 English docs with token counts 12, 14, 16, 18 → p50 = 15 (midpoint
+    // interpolation), p90 = 17.4, p99 = 17.94.
+    val docs = Seq(
+      (1L, "the and for are with this that have from they " + "w " * 2),
+      (2L, "the and for are with this that have from they " + "w " * 4),
+      (3L, "the and for are with this that have from they " + "w " * 6),
+      (4L, "the and for are with this that have from they " + "w " * 8))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.qualityPercentiles(docs)
+      .where(col("predicted_lang") === "en").collect().head
+    assert(row.getAs[Long]("n_docs") === 4L)
+    assert(row.getAs[Double]("p50_n_tokens") === 15.0)
+    assert(math.abs(row.getAs[Double]("p90_n_tokens") - 17.4) < 1e-9)
+    assert(math.abs(row.getAs[Double]("p99_n_tokens") - 17.94) < 1e-9)
+  }
+}
