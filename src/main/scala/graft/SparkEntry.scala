@@ -962,11 +962,13 @@ object SparkEntry {
          |  FROM langed l JOIN totals t USING (predicted_lang)
          |)
          |SELECT doc_id, predicted_lang, ws_tokens,
-         |       CAST(target // greatest(lang_tokens, 1)
+         |       CAST(CASE WHEN lang_tokens > 0 THEN
+         |         target // lang_tokens
          |         + CASE WHEN b * lang_tokens <
-         |                     (target - (target // greatest(lang_tokens, 1))
+         |                     (target - (target // lang_tokens)
          |                       * lang_tokens) * 10000
-         |                THEN 1 ELSE 0 END AS INT) AS n_epochs
+         |                THEN 1 ELSE 0 END
+         |         ELSE 0 END AS INT) AS n_epochs
          |FROM mixed""".stripMargin
     },
 

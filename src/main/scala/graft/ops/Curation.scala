@@ -144,6 +144,9 @@ object Curation {
       fractions: Seq[(String, Double)] = Seq(
         "train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
     require(fractions.nonEmpty, "at least one split required")
+    require(fractions.forall(_._2 >= 0),
+      s"negative split fraction in $fractions — the cumulative boundaries " +
+        "would go non-monotonic and silently empty a split")
     require(fractions.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions sum to ${fractions.map(_._2).sum} > 1")
     val bucket = pmod(
@@ -220,15 +223,22 @@ object Curation {
     }
     val bucket = pmod(
       Dedup.hashAt(MixHashIndex, col("doc_id").cast("string")), lit(10000L))
+    // A zero-token stratum cannot realize ANY token target — gate the whole
+    // epoch expression on lang_tokens > 0 (the div guard alone would hand
+    // such a stratum `target` whole epochs and the draw would always fire).
+    // A target language with no corpus rows yields no rows, by design: the
+    // report mixes what exists; validate requested languages upstream.
     sig.join(broadcast(totals), "predicted_lang")
       .withColumn("target", target)
       .withColumn("whole", expr("target div greatest(lang_tokens, 1)"))
       .withColumn("rem", col("target") - col("whole") * col("lang_tokens"))
       .select(
         col("doc_id"), col("predicted_lang"), col("ws_tokens"),
-        (col("whole") +
-          when(bucket * col("lang_tokens") < col("rem") * 10000, 1L)
-            .otherwise(0L)).cast("int").alias("n_epochs"))
+        when(col("lang_tokens") > 0,
+          col("whole") +
+            when(bucket * col("lang_tokens") < col("rem") * 10000, 1L)
+              .otherwise(0L))
+          .otherwise(0L).cast("int").alias("n_epochs"))
   }
 
   /** Hash-family member for [[mixEpochs]]' fractional draw. */

@@ -22,8 +22,12 @@ object Profile {
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "cannot profile a zero-column frame")
+    // Backtick-quote every reference: a profiler exists for UNKNOWN input
+    // tables, where a column named "user.name" must profile as a column,
+    // not misparse as a nested-field path.
+    def q(name: String) = col(s"`$name`")
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      val c = q(f.name)
       val (mn, mx) =
         if (f.dataType.isInstanceOf[NumericType])
           (min(c).cast("double"), max(c).cast("double"))
@@ -40,10 +44,10 @@ object Profile {
       struct(
         lit(f.name).alias("column_name"),
         col("__n").alias("n_rows"),
-        (col("__n") - col(s"${f.name}__nn")).alias("n_null"),
-        col(s"${f.name}__nd").alias("n_distinct"),
-        col(s"${f.name}__min").alias("min_value"),
-        col(s"${f.name}__max").alias("max_value"))
+        (col("__n") - col(s"`${f.name}__nn`")).alias("n_null"),
+        col(s"`${f.name}__nd`").alias("n_distinct"),
+        col(s"`${f.name}__min`").alias("min_value"),
+        col(s"`${f.name}__max`").alias("max_value"))
     }
     one.select(explode(array(entries: _*)).alias("p")).select(col("p.*"))
   }

@@ -311,8 +311,36 @@ object TextAnalysis {
   def qualityPercentiles(
       docs: DataFrame,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    val sig = langId(docs).select(col("doc_id"), col("predicted_lang"))
-      .join(quality(docs), "doc_id")
+    // ONE staged scan computes language + the quality ratios together
+    // (the curationSignals discipline: never read and tokenize the corpus
+    // once per signal, never join signals on doc_id) — the only shuffle is
+    // the per-language aggregation itself.
+    val stopwords = LangMarkers.flatMap(_._2)
+    val punct = "[.,!?;:]"
+    val nToksDen = greatest(size(col("toks")), lit(1))
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        Dedup.tokens(col("text")).alias("toks"))
+      .select(Seq(
+        size(col("toks")).alias("n_tokens"),
+        round(
+          graft.functions.CountInSet.countInSet(col("toks"), stopwords)
+            .cast("double") / nToksDen, 6).alias("stopword_ratio"),
+        round(
+          (length(col("text")) -
+            length(regexp_replace(col("text"), punct, ""))).cast("double") /
+            greatest(length(col("text")), lit(1)), 6).alias("punct_ratio")) ++
+        LangMarkers.map { case (lang, words) =>
+          (graft.functions.CountInSet.countInSet(col("toks"), words)
+            .cast("double") / nToksDen).alias(s"${lang}_score")
+        }: _*)
+    val best = LangMarkers.map { case (lang, _) => col(s"${lang}_score") }
+      .reduce(greatest(_, _))
+    val predicted = LangMarkers.foldRight(lit("unknown")) {
+      case ((lang, _), rest) =>
+        when(col(s"${lang}_score") === best && best > 0, lit(lang))
+          .otherwise(rest)
+    }
     def pct(c: String) = expr(
       s"percentile($c, array(${ps.mkString(", ")}))")
     val pcols = Seq("n_tokens", "stopword_ratio", "punct_ratio").flatMap { m =>
@@ -321,7 +349,9 @@ object TextAnalysis {
           .alias(s"p${(p * 100).toInt}_$m")
       }
     }
-    sig.groupBy(col("predicted_lang"))
+    scored.select(predicted.alias("predicted_lang"), col("n_tokens"),
+      col("stopword_ratio"), col("punct_ratio"))
+      .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).alias("n_docs"), pcols: _*)
   }
 

@@ -27,6 +27,14 @@ class ProfileSpec extends SparkSpec {
     assert(s.isNullAt(4) && s.isNullAt(5)) // non-numeric: no min/max
   }
 
+  test("profile handles column names containing dots") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("user.id", "payload.body")
+    val out = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("user.id" -> 2L, "payload.body" -> 2L))
+  }
+
   test("profile is a single aggregation: one scan, one shuffle stage pair") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
