@@ -366,6 +366,9 @@ object SparkEntry {
   private def profileEvents(s: SparkSession, dir: String): DataFrame =
     Profile.profile(StandIn.events(s, dir))
 
+  private def asofPurchaseView(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AsOf.purchasesWithLatestView(StandIn.events(s, dir))
+
   // (column, is-numeric) of StandIn.events — drives the oracle's UNION.
   private val ProfileEventCols = Seq(
     "event_id" -> true, "ts" -> false, "user_id" -> true,
@@ -594,6 +597,7 @@ object SparkEntry {
     "text_redact"         -> ((s, d) => textRedact(s, d)),
     "profile_events"      -> ((s, d) => profileEvents(s, d)),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
+    "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -1019,6 +1023,31 @@ object SparkEntry {
          |FROM langed JOIN q USING (doc_id)
          |GROUP BY predicted_lang""".stripMargin
     },
+
+    // AS-OF twin (AsOf.purchasesWithLatestView): DuckDB's NATIVE ASOF
+    // LEFT JOIN checks the union-window implementation against an
+    // independent algorithm — same inclusive `l.ts >= r.ts` semantics,
+    // same (user_id, ts)-dedup of the view side by max event_id.
+    "asof_purchase_view" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type, value
+        |  FROM events WHERE ts IS NOT NULL
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM ev WHERE event_type = 'purchase'
+        |), v0 AS (
+        |  SELECT event_id AS view_id, user_id, ts, value AS view_value,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE event_type = 'view'
+        |), v AS (
+        |  SELECT view_id, user_id, ts, view_value FROM v0 WHERE rn = 1
+        |)
+        |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       v.view_id, v.view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     // Redaction twin (TextAnalysis.redact): same patterns (valid and
     // equivalent in both Java regex and RE2 — no lookaround), same

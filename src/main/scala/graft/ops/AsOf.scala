@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for every left row, the latest right row at-or-before its
+  * timestamp with the same key. The classic time-series operator Spark has
+  * no native form of (and the naive `l.ts >= r.ts` range join devolves to
+  * a per-key cartesian).
+  *
+  * Implemented with the UNION-WINDOW trick, per the engine's custom-op
+  * preference order (compose existing operators first): tag right rows 0
+  * and left rows 1, union them, and running-`last(right_payload,
+  * ignoreNulls)` over `(key ORDER BY ts, side)` — at each left row that
+  * is exactly "the latest right row at-or-before me" (ties on ts resolve
+  * right-before-left, i.e. an equal-timestamp right row DOES match,
+  * matching DuckDB's `ON l.ts >= r.ts` ASOF semantics). Cost: ONE shuffle
+  * of `|L|+|R|` rows and a per-key sort — O(n log n) where the range join
+  * is O(n²) per key; this is how you as-of join at 100 TB.
+  */
+object AsOf {
+
+  /** Generic as-of join. `payload` columns are taken from `right` and
+    * appear nulled on unmatched left rows (left-outer semantics). Right
+    * rows must be unique per (key, ts) — pre-dedupe upstream (see
+    * [[latestPerKeyTs]]) so "the latest right row" is well defined; the
+    * window tie-break would otherwise pick silently.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String]): DataFrame = {
+    val pStruct = struct(payload.map(right(_)): _*)
+    val lStruct = struct(left.columns.map(left(_)).toSeq: _*)
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rU = right.select(
+      right(key).alias("__k"), right(ts).alias("__t"),
+      lit(0).alias("__side"), pStruct.alias("__p"),
+      lit(null).cast(lType).alias("__l"))
+    val lU = left.select(
+      left(key).alias("__k"), left(ts).alias("__t"),
+      lit(1).alias("__side"), lit(null).cast(pType).alias("__p"),
+      lStruct.alias("__l"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.toSeq.map(c => col(s"__l.`$c`").alias(c))
+    val matchCols = payload.map(c => col(s"__m.`$c`").alias(s"asof_$c"))
+    rU.union(lU)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols ++ matchCols: _*)
+  }
+
+  /** One right row per (key, ts): the highest `tieBreak` wins — makes the
+    * as-of target deterministic before the join.
+    */
+  def latestPerKeyTs(
+      right: DataFrame, key: String, ts: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key), col(ts))
+      .orderBy(col(tieBreak).desc)
+    right.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The benchmark query: each purchase event joined to the user's latest
+    * view at-or-before it (views deduped per (user, ts) by max event_id).
+    */
+  def purchasesWithLatestView(events: DataFrame): DataFrame = {
+    val ev = events.where(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"), col("user_id"), col("ts"))
+    val views = latestPerKeyTs(
+      ev.where(col("event_type") === "view"), "user_id", "ts", "event_id")
+      .select(col("event_id").alias("view_id"), col("user_id"),
+        col("ts"), col("value").alias("view_value"))
+    asofJoin(purchases, views, "user_id", "ts", Seq("view_id", "view_value"))
+      .select(col("purchase_id"), col("user_id"),
+        col("ts").alias("purchase_ts"),
+        col("asof_view_id").alias("view_id"),
+        col("asof_view_value").alias("view_value"))
+  }
+}
