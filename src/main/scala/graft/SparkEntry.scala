@@ -369,6 +369,9 @@ object SparkEntry {
   private def asofPurchaseView(s: SparkSession, dir: String): DataFrame =
     graft.ops.AsOf.purchasesWithLatestView(StandIn.events(s, dir))
 
+  private def rangeSessionPurchases(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RangeJoin.purchasesInSessions(StandIn.events(s, dir))
+
   // (column, is-numeric) of StandIn.events — drives the oracle's UNION.
   private val ProfileEventCols = Seq(
     "event_id" -> true, "ts" -> false, "user_id" -> true,
@@ -598,6 +601,7 @@ object SparkEntry {
     "profile_events"      -> ((s, d) => profileEvents(s, d)),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
+    "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -620,6 +624,32 @@ object SparkEntry {
     "mm_features"         -> ((s, d) => mmFeatures(s, d)),
     "mm_frames"           -> ((s, d) => mmFrames(s, d))
   )
+
+  // Gaps-and-islands session CTEs (twin of Sessionize.sessions) — shared
+  // by sessionize / range_session_purchases so the two cannot drift.
+  private val sessionCtesSql =
+    """ev AS (
+      |  SELECT event_id, user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+      |  FROM events
+      |  WHERE ts IS NOT NULL
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |         CASE WHEN lag(ts_sec) OVER
+      |                (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |                IS NULL
+      |              OR ts_sec - lag(ts_sec) OVER
+      |                (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |                > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |), sess AS (
+      |  SELECT user_id, ts_sec,
+      |         CAST(sum(new_sess) OVER
+      |           (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |           AS INT) AS session_seq
+      |  FROM flagged
+      |)""".stripMargin
 
   // Shared by decontaminate / decontaminate_bloom: the Bloom variant's
   // output is exact, so one oracle serves both and they cannot drift.
@@ -1117,31 +1147,32 @@ object SparkEntry {
     // seconds by integer division on both engines, event_id tie-break,
     // running sum over the same unique ordering.
     "sessionize" ->
-      s"""WITH ev AS (
-         |  SELECT event_id, user_id,
-         |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
-         |  FROM events
-         |  WHERE ts IS NOT NULL
-         |), flagged AS (
-         |  SELECT user_id, event_id, ts_sec,
-         |         CASE WHEN lag(ts_sec) OVER
-         |                (PARTITION BY user_id ORDER BY ts_sec, event_id)
-         |                IS NULL
-         |              OR ts_sec - lag(ts_sec) OVER
-         |                (PARTITION BY user_id ORDER BY ts_sec, event_id)
-         |                > 1800
-         |              THEN 1 ELSE 0 END AS new_sess
-         |  FROM ev
-         |), sess AS (
-         |  SELECT user_id, ts_sec,
-         |         CAST(sum(new_sess) OVER
-         |           (PARTITION BY user_id ORDER BY ts_sec, event_id)
-         |           AS INT) AS session_seq
-         |  FROM flagged
-         |)
+      s"""WITH $sessionCtesSql
          |SELECT user_id, session_seq, CAST(count(*) AS INT) AS n_events,
          |       min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
          |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    // Range-join twin (RangeJoin.pointInInterval over sessions): DuckDB
+    // expresses the interval containment DIRECTLY (join ... BETWEEN),
+    // checking the bin-bucketed equi-join implementation against the
+    // declarative definition. Shares the sessionize CTEs so the interval
+    // source cannot drift between the two oracles.
+    "range_session_purchases" ->
+      s"""WITH $sessionCtesSql, sessions AS (
+         |  SELECT user_id, session_seq,
+         |         min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+         |  FROM sess GROUP BY user_id, session_seq
+         |), pp AS (
+         |  SELECT event_id, user_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type = 'purchase'
+         |)
+         |SELECT p.event_id, p.user_id, s.session_seq
+         |FROM pp p
+         |JOIN sessions s
+         |  ON p.user_id = s.user_id
+         | AND p.ts_sec BETWEEN s.start_sec AND s.end_sec""".stripMargin,
 
     "sim_cosine_neardup" ->
       s"""WITH $prepSql, $bucketsSimSql

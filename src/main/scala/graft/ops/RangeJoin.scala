@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join: match each point to the interval(s)
+  * of the same key that contain it — the other time-series join Spark has
+  * no native operator for. The naive formulation (`p.ts BETWEEN i.start
+  * AND i.end` as a join condition) plans a per-key nested loop: quadratic
+  * in the key's row count, hopeless at scale.
+  *
+  * Implemented with BIN BUCKETING: time is cut into fixed bins, every
+  * interval is exploded to the bins it overlaps, every point maps to its
+  * single bin, and the match becomes a hash equi-join on (key, bin)
+  * followed by the exact BETWEEN filter. A point's bin is covered by every
+  * interval containing it, so recall is exact; a point matches a
+  * containing interval in EXACTLY one bin (its own), so no dedup is
+  * needed. Cost: shuffle of points + intervals×(span/binSize) rows —
+  * choose `binSize` near the typical interval span so the explosion
+  * factor stays O(1) (a bin much smaller than intervals multiplies the
+  * interval side; much larger, and each bin holds many intervals and the
+  * post-filter does the work).
+  */
+object RangeJoin {
+
+  /** Points `(key, ts, ...)` joined to intervals `(key, start, end, ...)`
+    * with `start ≤ ts ≤ end` (inclusive both ends). All of `ts`, `start`,
+    * `end` are epoch-second longs; interval columns are carried through
+    * unprefixed, so callers project/rename beforehand to avoid collisions.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      ts: String,
+      start: String,
+      end: String,
+      binSize: Long = 3600L): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        expr(s"$start div $binSize"), expr(s"$end div $binSize"))))
+    val pts = points.withColumn("__bin", expr(s"$ts div $binSize"))
+    pts.join(binned, Seq(key, "__bin"))
+      .where(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop("__bin")
+  }
+
+  /** The benchmark query: purchase events matched to the gaps-and-islands
+    * session containing them (sessions from [[Sessionize.sessions]] of the
+    * SAME event stream, so every purchase lands in exactly one session —
+    * the join is a total function here, and the oracle checks it against
+    * DuckDB's declarative BETWEEN join).
+    */
+  def purchasesInSessions(events: DataFrame): DataFrame = {
+    val sessions = Sessionize.sessions(events)
+      .select(col("user_id"), col("session_seq"),
+        col("start_sec"), col("end_sec"))
+    val purchases = events
+      .where(col("ts").isNotNull && col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").alias("ts_sec"))
+    pointInInterval(purchases, sessions,
+      key = "user_id", ts = "ts_sec", start = "start_sec", end = "end_sec",
+      binSize = 1800L)
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+}

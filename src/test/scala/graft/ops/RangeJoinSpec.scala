@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit spec for the bin-bucketed interval-containment join. */
+class RangeJoinSpec extends SparkSpec {
+
+  test("pointInInterval: inclusive bounds, exact recall across bins, no dups") {
+    import spark.implicits._
+    // Interval spans 3 bins of 10 (15..35); points probe the boundaries.
+    val intervals = Seq((1L, 15L, 35L, 7), (2L, 0L, 5L, 8))
+      .toDF("k", "s", "e", "iv")
+    val points = Seq(
+      (100L, 1L, 15L), // on start: matches
+      (101L, 1L, 35L), // on end: matches
+      (102L, 1L, 25L), // interior, different bin than endpoints
+      (103L, 1L, 36L), // just outside
+      (104L, 2L, 3L),  // other key
+      (105L, 1L, 3L))  // in [0,5] range but key 1: no match
+      .toDF("pid", "k", "t")
+    val out = RangeJoin.pointInInterval(
+      points, intervals, "k", "t", "s", "e", binSize = 10L)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Int]("iv")))
+    assert(out.toSet === Set((100L, 7), (101L, 7), (102L, 7), (104L, 8)))
+    assert(out.length === 4) // exactly-once: no cross-bin duplicates
+  }
+
+  test("pointInInterval plans equi-joins only — no nested loop") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val points = Seq((1L, 1L, 5L)).toDF("pid", "k", "t")
+    val plan = RangeJoin.pointInInterval(
+      points, intervals, "k", "t", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("purchasesInSessions: every purchase lands in exactly one session") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2026-01-01 10:10:00"), 1L, "purchase", 2.0),
+      (3L, ts("2026-01-01 12:00:00"), 1L, "purchase", 3.0), // new session
+      (4L, ts("2026-01-01 09:00:00"), 2L, "purchase", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = RangeJoin.purchasesInSessions(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((2L, 1L, 1), (3L, 1L, 2), (4L, 2L, 1)))
+  }
+}
