@@ -372,6 +372,12 @@ object SparkEntry {
   private def rangeSessionPurchases(s: SparkSession, dir: String): DataFrame =
     graft.ops.RangeJoin.purchasesInSessions(StandIn.events(s, dir))
 
+  private def olapPivotEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.pivotEventCounts(StandIn.events(s, dir))
+
+  private def olapRollupEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.rollupEventStats(StandIn.events(s, dir))
+
   // (column, is-numeric) of StandIn.events — drives the oracle's UNION.
   private val ProfileEventCols = Seq(
     "event_id" -> true, "ts" -> false, "user_id" -> true,
@@ -602,6 +608,8 @@ object SparkEntry {
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
+    "olap_pivot_events"   -> ((s, d) => olapPivotEvents(s, d)),
+    "olap_rollup_events"  -> ((s, d) => olapRollupEvents(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -1053,6 +1061,32 @@ object SparkEntry {
          |FROM langed JOIN q USING (doc_id)
          |GROUP BY predicted_lang""".stripMargin
     },
+
+    // Pivot twin (Olap.pivotEventCounts): conditional aggregation — the
+    // declarative restatement of an explicit-values pivot.
+    "olap_pivot_events" -> {
+      val cols = graft.ops.Olap.EventTypes.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n       ")
+      s"""SELECT user_id,
+         |       $cols
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+
+    // Rollup twin (Olap.rollupEventStats): GROUP BY ROLLUP with grouping
+    // flags; sum rounded to 4 dp on both sides to absorb float summation
+    // order (the agg_sensor_stats precedent).
+    "olap_rollup_events" ->
+      """SELECT event_type, value_band,
+        |       CAST(grouping(event_type) AS INT) AS g_type,
+        |       CAST(grouping(value_band) AS INT) AS g_band,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT event_type, CAST(floor(value / 10) AS INT) AS value_band,
+        |         value
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |GROUP BY ROLLUP (event_type, value_band)""".stripMargin,
 
     // AS-OF twin (AsOf.purchasesWithLatestView): DuckDB's NATIVE ASOF
     // LEFT JOIN checks the union-window implementation against an
