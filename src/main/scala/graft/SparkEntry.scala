@@ -375,6 +375,17 @@ object SparkEntry {
   private def olapPivotEvents(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.pivotEventCounts(StandIn.events(s, dir))
 
+  private def windowMovingStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowOps.movingStats(StandIn.events(s, dir))
+
+  // Approx-quantile sketch variant of qualityPercentiles — the
+  // extreme-cardinality path. Engine-specific sketch (Greenwald-Khanna in
+  // Spark), so no DuckDB twin; rows-only driver check + an error-bound
+  // unit test vs the exact percentiles (ProfileSpec).
+  private def textQualityPercentilesApprox(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPercentilesApprox(StandIn.documents(s, dir), QualityPs)
+
   private def olapRollupEvents(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.rollupEventStats(StandIn.events(s, dir))
 
@@ -610,6 +621,9 @@ object SparkEntry {
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
     "olap_pivot_events"   -> ((s, d) => olapPivotEvents(s, d)),
     "olap_rollup_events"  -> ((s, d) => olapRollupEvents(s, d)),
+    "window_moving_stats" -> ((s, d) => windowMovingStats(s, d)),
+    "text_quality_percentiles_approx" ->
+      ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
@@ -1087,6 +1101,21 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL
         |)
         |GROUP BY ROLLUP (event_type, value_band)""".stripMargin,
+
+    // Moving-window twin (WindowOps.movingStats): identical frame spec;
+    // 6-dp rounding absorbs sliding-aggregation summation order.
+    "window_moving_stats" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+        |       round(avg(value) OVER
+        |         (PARTITION BY user_id
+        |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+        |       round(value - lag(value) OVER
+        |         (PARTITION BY user_id
+        |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000, event_id),
+        |         6) AS delta
+        |FROM events WHERE ts IS NOT NULL""".stripMargin,
 
     // AS-OF twin (AsOf.purchasesWithLatestView): DuckDB's NATIVE ASOF
     // LEFT JOIN checks the union-window implementation against an

@@ -310,11 +310,33 @@ object TextAnalysis {
     */
   def qualityPercentiles(
       docs: DataFrame,
-      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    // ONE staged scan computes language + the quality ratios together
-    // (the curationSignals discipline: never read and tokenize the corpus
-    // once per signal, never join signals on doc_id) — the only shuffle is
-    // the per-language aggregation itself.
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    percentileReport(docs, ps,
+      c => s"percentile($c, array(${ps.mkString(", ")}))")
+
+  /** [[qualityPercentiles]] with the Greenwald-Khanna sketch
+    * (`approx_percentile`) — the extreme-cardinality path: bounded memory
+    * per stratum instead of a sort, the same report schema. Sketch
+    * internals are engine-specific, so no DuckDB twin exists; the unit
+    * test bounds its error against the exact form.
+    */
+  def qualityPercentilesApprox(
+      docs: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame =
+    percentileReport(docs, ps,
+      c => s"approx_percentile($c, array(${ps.mkString(", ")}), $accuracy)")
+
+  /** Shared body: ONE staged scan computes language + the quality ratios
+    * together (the curationSignals discipline: never read and tokenize
+    * the corpus once per signal, never join signals on doc_id) — the only
+    * shuffle is the per-language aggregation itself, with the percentile
+    * estimator pluggable.
+    */
+  private def percentileReport(
+      docs: DataFrame,
+      ps: Seq[Double],
+      pctSql: String => String): DataFrame = {
     val stopwords = LangMarkers.flatMap(_._2)
     val punct = "[.,!?;:]"
     val nToksDen = greatest(size(col("toks")), lit(1))
@@ -341,11 +363,9 @@ object TextAnalysis {
         when(col(s"${lang}_score") === best && best > 0, lit(lang))
           .otherwise(rest)
     }
-    def pct(c: String) = expr(
-      s"percentile($c, array(${ps.mkString(", ")}))")
     val pcols = Seq("n_tokens", "stopword_ratio", "punct_ratio").flatMap { m =>
       ps.zipWithIndex.map { case (p, i) =>
-        round(element_at(pct(m), i + 1), 6)
+        round(element_at(expr(pctSql(m)), i + 1).cast("double"), 6)
           .alias(s"p${(p * 100).toInt}_$m")
       }
     }

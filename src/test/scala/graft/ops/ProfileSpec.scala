@@ -45,6 +45,46 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"profiler must not join per-column:\n$plan")
   }
 
+  test("approx percentiles track the exact report within sketch tolerance") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 200 English docs with linearly growing token counts — enough spread
+    // that a grossly wrong sketch would miss by far more than the bound.
+    val docs = (1 to 200).map(i =>
+      (i.toLong, "the and for are with this that have from they " + "w " * i))
+      .toDF("doc_id", "text")
+    def report(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(docs).where(col("predicted_lang") === "en").collect().head
+    val exact = report(TextAnalysis.qualityPercentiles(_))
+    val approx = report(TextAnalysis.qualityPercentilesApprox(_))
+    for (c <- Seq("p50_n_tokens", "p90_n_tokens", "p99_n_tokens")) {
+      val e = exact.getAs[Double](c); val a = approx.getAs[Double](c)
+      // GK sketch at accuracy 10000 over 200 rows is near-exact; the
+      // bound below is loose (±1 rank step of ~2 tokens) on purpose.
+      assert(math.abs(e - a) <= 4.0, s"$c: exact $e vs approx $a")
+    }
+  }
+
+  test("movingStats: frame average and lag delta, deterministic tie order") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 10.0),
+      (2L, ts("2026-01-01 10:00:30"), 1L, "view", 20.0),
+      (3L, ts("2026-01-01 10:01:00"), 1L, "view", 60.0),
+      (9L, ts("2026-01-01 10:00:00"), 2L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = WindowOps.movingStats(events).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("ma5"), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) === ((10.0, None)))          // first row: no lag
+    assert(out(2L) === ((15.0, Some(10.0))))    // avg(10,20), delta 20-10
+    assert(out(3L) === ((30.0, Some(40.0))))    // avg(10,20,60)
+    assert(out(9L) === ((5.0, None)))           // other user isolated
+  }
+
   test("qualityPercentiles: exact interpolated percentiles per language") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
