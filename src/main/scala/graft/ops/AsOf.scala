@@ -26,6 +26,11 @@ object AsOf {
     * rows must be unique per (key, ts) — pre-dedupe upstream (see
     * [[latestPerKeyTs]]) so "the latest right row" is well defined; the
     * window tie-break would otherwise pick silently.
+    *
+    * NULL keys follow SQL join semantics: a NULL-keyed right row matches
+    * nothing (window partitioning would group NULLs together, which is
+    * NOT what `ON l.k = r.k` means), and a NULL-keyed left row passes
+    * through unmatched.
     */
   def asofJoin(
       left: DataFrame,
@@ -38,7 +43,7 @@ object AsOf {
     val pType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c)))
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
-    val rU = right.select(
+    val rU = right.where(right(key).isNotNull).select(
       right(key).alias("__k"), right(ts).alias("__t"),
       lit(0).alias("__side"), pStruct.alias("__p"),
       lit(null).cast(lType).alias("__l"))

@@ -28,6 +28,13 @@ object RangeJoin {
     * `end` are epoch-second longs; interval columns are carried through
     * unprefixed, so callers project/rename beforehand to avoid collisions.
     */
+  /** Per-interval explosion cap: an interval spanning more bins than this
+    * (a sentinel end like Long.MaxValue, or a binSize wildly smaller than
+    * real spans) fails LOUDLY at that row instead of OOMing the stage or
+    * silently multiplying the interval side thousands-fold.
+    */
+  val MaxBinsPerInterval = 10000L
+
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -35,11 +42,21 @@ object RangeJoin {
       ts: String,
       start: String,
       end: String,
-      binSize: Long = 3600L): DataFrame = {
+      binSize: Long = 3600L,
+      maxBins: Long = MaxBinsPerInterval): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    val startBin = expr(s"$start div $binSize")
+    val endBin = expr(s"$end div $binSize")
+    // The guard lives INSIDE the sequence bound so column pruning cannot
+    // drop it: raise_error fires on the offending row, naming the span.
+    val endBinGuarded = when(endBin - startBin < lit(maxBins), endBin)
+      .otherwise(raise_error(concat(
+        lit(s"interval spans ≥ $maxBins bins of $binSize s (start="),
+        col(start), lit(", end="), col(end),
+        lit(") — widen binSize or split the interval"))).cast("long"))
     val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        expr(s"$start div $binSize"), expr(s"$end div $binSize"))))
+      explode(sequence(startBin, endBinGuarded)))
     val pts = points.withColumn("__bin", expr(s"$ts div $binSize"))
     pts.join(binned, Seq(key, "__bin"))
       .where(col(ts) >= col(start) && col(ts) <= col(end))

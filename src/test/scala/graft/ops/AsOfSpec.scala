@@ -41,6 +41,23 @@ class AsOfSpec extends SparkSpec {
     assert(exchanges === 1, s"expected the single window exchange:\n$plan")
   }
 
+  test("NULL keys never match — SQL join semantics, not window-partition grouping") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, Some(1L), ts("2026-01-01 10:00:00")),
+      (101L, None, ts("2026-01-01 10:00:00"))) // NULL-keyed left row
+      .toDF("lid", "user_id", "ts")
+    val right = Seq(
+      (200L, None, ts("2026-01-01 09:00:00"), 1.0), // NULL-keyed right row
+      (201L, Some(1L), ts("2026-01-01 09:30:00"), 2.0))
+      .toDF("rid", "user_id", "ts", "v")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", Seq("rid", "v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(100L) === Some(201L))
+    assert(out(101L) === None) // passes through unmatched, not NULL=NULL
+  }
+
   test("latestPerKeyTs keeps the highest tie-break per (key, ts)") {
     import spark.implicits._
     val r = Seq(

@@ -36,6 +36,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("a sentinel-wide interval fails loudly instead of exploding the stage") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, Long.MaxValue)).toDF("k", "s", "e")
+    val points = Seq((1L, 1L, 5L)).toDF("pid", "k", "t")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("widen binSize")), ex.toString)
+  }
+
   test("purchasesInSessions: every purchase lands in exactly one session") {
     import java.sql.Timestamp
     import spark.implicits._
