@@ -49,6 +49,12 @@ object SparkEntry {
       .withColumn("avg_value", round(col("avg_value"), 4))
   }
 
+  private def aggSlidingStats(s: SparkSession, dir: String): DataFrame =
+    Aggregates.slidingStats(
+      StandIn.readingsFromEvents(StandIn.events(s, dir)),
+      timeCol = "event_time", keys = Seq("sensor_id", "sensor_type"),
+      valueCol = "value")
+
   /** P2: bare from_json field extraction. */
   private def jsonParse(s: SparkSession, dir: String): DataFrame =
     StandIn.events(s, dir).select(
@@ -577,6 +583,7 @@ object SparkEntry {
     "alerts_classify"   -> ((s, d) => alertsClassify(s, d)),
     "parse_readings"    -> ((s, d) => parseReadings(s, d)),
     "agg_sensor_stats"  -> ((s, d) => aggSensorStats(s, d)),
+    "agg_sliding_stats" -> ((s, d) => aggSlidingStats(s, d)),
     "json_parse"        -> ((s, d) => jsonParse(s, d)),
     "json_roundtrip"    -> ((s, d) => jsonRoundtrip(s, d)),
     "cast_timestamp"    -> ((s, d) => castTimestamp(s, d)),
@@ -715,6 +722,26 @@ object SparkEntry {
          |       count(*) AS count
          |FROM readings
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Sliding-window twin (Aggregates.slidingStats): each event is
+    // replicated into window/slide = 4 overlapping windows whose starts
+    // are the slide-aligned epochs at or before it — the same window
+    // assignment Spark's window(ts, dur, slide) performs.
+    "agg_sliding_stats" ->
+      s"""$R, wins AS (
+         |  SELECT sensor_id, sensor_type, value,
+         |         (epoch_us(event_time) // 60000000) * 60000000
+         |           - k.k * 60000000 AS ws
+         |  FROM readings
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+         |)
+         |SELECT sensor_id, sensor_type,
+         |       make_timestamp(ws) AS window_start,
+         |       make_timestamp(ws + 240000000) AS window_end,
+         |       round(avg(value), 4) AS avg_value,
+         |       count(*) AS count
+         |FROM wins
+         |GROUP BY sensor_id, sensor_type, ws""".stripMargin,
 
     "json_parse" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",

@@ -63,4 +63,36 @@ object Aggregates {
       valueCol = "value",
       windowDur = "4 minutes",
       watermarkDelay = if (streaming) Some("1 minute") else None)
+
+  /** SLIDING-window stats — the smoothed dashboard view (each event lands
+    * in `windowDur / slideDur` overlapping windows; Spark's `window()`
+    * with a slide plans the replication map-side, state stays
+    * (keys × windows-in-flight) like the tumbling form). Completes the
+    * windowing family: tumbling ([[windowedStats]]), session
+    * (Sessionize.streamingSessions), sliding (here) — all three run
+    * identically in batch and streaming.
+    */
+  def slidingStats(
+      df: DataFrame,
+      timeCol: String,
+      keys: Seq[String],
+      valueCol: String,
+      windowDur: String = "4 minutes",
+      slideDur: String = "1 minute",
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val base = watermarkDelay.fold(df)(d => df.withWatermark(timeCol, d))
+    val groupCols: Seq[Column] =
+      window(col(timeCol), windowDur, slideDur) +: keys.map(col)
+    base
+      .groupBy(groupCols: _*)
+      .agg(
+        round(avg(valueCol), 4).alias("avg_value"),
+        count(lit(1)).alias("count"))
+      .select(
+        (keys.map(col) ++
+          Seq(
+            col("window.start").alias("window_start"),
+            col("window.end").alias("window_end"),
+            col("avg_value"), col("count"))): _*)
+  }
 }

@@ -68,4 +68,45 @@ class AggregatesSpec extends SparkSpec {
     assert(plan.contains("EventTimeWatermark"))
     assert(plan.contains("1 minutes") || plan.contains("1 minute"))
   }
+
+  test("sliding windows: each event lands in window/slide overlapping buckets") {
+    val df = readings(("2026-01-01 00:05:30", "s1", 8.0))
+    val out = Aggregates.slidingStats(df, "event_time",
+      Seq("sensor_id", "sensor_type"), "value").collect()
+    // 4-minute window sliding by 1 minute: starts 00:02..00:05 cover 00:05:30.
+    assert(out.length === 4)
+    val starts = out.map(_.getAs[Timestamp]("window_start").toString).sorted
+    assert(starts === Array(
+      "2026-01-01 00:02:00.0", "2026-01-01 00:03:00.0",
+      "2026-01-01 00:04:00.0", "2026-01-01 00:05:00.0"))
+    assert(out.forall(_.getAs[Double]("avg_value") === 8.0))
+  }
+
+  test("sliding windows stream in append mode: finalized windows emit once") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Double)](spark)
+    val stream = input.toDF().toDF("event_time", "value")
+      .selectExpr("event_time", "'s1' AS sensor_id",
+        "'temperature' AS sensor_type", "value")
+    val query = Aggregates.slidingStats(stream, "event_time",
+      Seq("sensor_id", "sensor_type"), "value",
+      watermarkDelay = Some("1 minute"))
+      .writeStream.format("memory").queryName("sliding_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sliding").toString)
+      .start()
+    try {
+      input.addData((ts("2026-01-01 00:05:30"), 8.0))
+      query.processAllAvailable()
+      // Advance the watermark far past every window containing 00:05:30.
+      input.addData((ts("2026-01-01 01:00:00"), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sliding_sink").collect()
+      assert(rows.length === 4) // the four finalized overlapping windows
+      assert(rows.forall(_.getAs[Double]("avg_value") === 8.0))
+    } finally query.stop()
+  }
 }
