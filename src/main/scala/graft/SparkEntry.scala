@@ -395,6 +395,11 @@ object SparkEntry {
   private def olapRollupEvents(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.rollupEventStats(StandIn.events(s, dir))
 
+  private val SkewTopK = 10
+
+  private def profileKeySkew(s: SparkSession, dir: String): DataFrame =
+    Profile.keySkew(StandIn.events(s, dir), "event_type", SkewTopK)
+
   // (column, is-numeric) of StandIn.events — drives the oracle's UNION.
   private val ProfileEventCols = Seq(
     "event_id" -> true, "ts" -> false, "user_id" -> true,
@@ -623,6 +628,7 @@ object SparkEntry {
     "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
     "text_redact"         -> ((s, d) => textRedact(s, d)),
     "profile_events"      -> ((s, d) => profileEvents(s, d)),
+    "profile_key_skew"    -> ((s, d) => profileKeySkew(s, d)),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
@@ -1073,6 +1079,20 @@ object SparkEntry {
          |)
          |$branches""".stripMargin
     },
+
+    // Key-skew twin (Profile.keySkew): identical top-k, ties by key value.
+    "profile_key_skew" ->
+      s"""WITH c AS (
+         |  SELECT CAST(event_type AS VARCHAR) AS key_value,
+         |         count(*) AS n
+         |  FROM events GROUP BY event_type
+         |), tot AS (SELECT count(*) AS t FROM events)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, key_value) AS INT)
+         |         AS rank,
+         |       key_value, n,
+         |       round(n / CAST(greatest(t, 1) AS DOUBLE), 6) AS share
+         |FROM c, tot
+         |ORDER BY n DESC, key_value LIMIT $SkewTopK""".stripMargin,
 
     // Percentile twin (TextAnalysis.qualityPercentiles): DuckDB's
     // quantile_cont uses the same sorted-linear-interpolation definition

@@ -51,4 +51,32 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).alias("p")).select(col("p.*"))
   }
+
+  /** Key-skew report: the top-`k` heaviest values of a prospective
+    * shuffle/join key with their share of the table — the diagnostic run
+    * before choosing a partitioning (a key whose top value holds 30 % of
+    * 100 TB needs salting — see Dedup.saltHotBuckets — or a broadcast,
+    * and it is far cheaper to learn that here than from a straggler
+    * task). One partial-aggregating groupBy then a top-k over the tiny
+    * (distinct-key-sized) count table; ties break by key value so the
+    * report is deterministic.
+    */
+  def keySkew(df: DataFrame, key: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val total = df.count()
+    val counts = df.groupBy(col(s"`$key`").cast("string").alias("key_value"))
+      .agg(count(lit(1)).alias("n"))
+    // limit-after-sort plans a distributed TakeOrdered — the count table
+    // (distinct-key-sized, potentially huge) never funnels through one
+    // partition; the rank window then runs over only the k survivors.
+    counts
+      .orderBy(col("n").desc, col("key_value"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key_value"))))
+      .select(col("rank"), col("key_value"), col("n"),
+        round(col("n") / lit(math.max(total, 1L).toDouble), 6)
+          .alias("share"))
+  }
 }

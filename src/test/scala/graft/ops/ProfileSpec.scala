@@ -45,6 +45,19 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"profiler must not join per-column:\n$plan")
   }
 
+  test("keySkew ranks the heaviest key values with deterministic ties") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
+      Seq.fill(3)("tepid") ++ Seq("cold")).map(Tuple1(_)).toDF("k")
+    val out = Profile.keySkew(df, "k", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1, "hot", 6L, 0.461538),     // 6/13
+      (2, "tepid", 3L, 0.230769),   // tie with warm → key order
+      (3, "warm", 3L, 0.230769)))
+  }
+
   test("approx percentiles track the exact report within sketch tolerance") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
