@@ -63,20 +63,24 @@ object Profile {
     */
   def keySkew(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     require(k > 0, s"top-k must be positive, got $k")
-    val total = df.count()
     val counts = df.groupBy(col(s"`$key`").cast("string").alias("key_value"))
       .agg(count(lit(1)).alias("n"))
+    // The groupBy partitions the table, so the total row count is the sum
+    // of the (distinct-key-sized) count table — ONE pass over the data,
+    // not a separate count() action. The 1-row total broadcasts back.
+    val total = counts.agg(sum(col("n")).alias("t"))
     // limit-after-sort plans a distributed TakeOrdered — the count table
     // (distinct-key-sized, potentially huge) never funnels through one
     // partition; the rank window then runs over only the k survivors.
     counts
       .orderBy(col("n").desc, col("key_value"))
       .limit(k)
+      .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("key_value"))))
       .select(col("rank"), col("key_value"), col("n"),
-        round(col("n") / lit(math.max(total, 1L).toDouble), 6)
+        round(col("n") / greatest(col("t"), lit(1L)).cast("double"), 6)
           .alias("share"))
   }
 }
