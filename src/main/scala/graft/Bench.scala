@@ -16,7 +16,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the consumer tails the run's output, and DAGScheduler
+    // "broadcasting large task binary" WARN lines would crowd out the one
+    // JSON result line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Absorb session/codegen/Hadoop warmup so the first measured query is
     // not charged ~3 s of one-time setup. Best-effort: a missing warmup
     // table must not abort the benchmark.
