@@ -384,6 +384,21 @@ object SparkEntry {
   private def windowMovingStats(s: SparkSession, dir: String): DataFrame =
     graft.ops.WindowOps.movingStats(StandIn.events(s, dir))
 
+  private def olapCubeEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.cubeEventStats(StandIn.events(s, dir))
+
+  private def windowLagLead(s: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowOps.lagLeadStats(StandIn.events(s, dir))
+
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.conversion(StandIn.events(s, dir))
+
+  private def aggDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.dailyActiveUsers(StandIn.events(s, dir))
+
+  private def aggDistinctHll(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.dailyActiveUsersApprox(StandIn.events(s, dir))
+
   // Approx-quantile sketch variant of qualityPercentiles — the
   // extreme-cardinality path. Engine-specific sketch (Greenwald-Khanna in
   // Spark), so no DuckDB twin; rows-only driver check + an error-bound
@@ -634,7 +649,15 @@ object SparkEntry {
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
     "olap_pivot_events"   -> ((s, d) => olapPivotEvents(s, d)),
     "olap_rollup_events"  -> ((s, d) => olapRollupEvents(s, d)),
+    "olap_cube_events"    -> ((s, d) => olapCubeEvents(s, d)),
     "window_moving_stats" -> ((s, d) => windowMovingStats(s, d)),
+    "window_lag_lead"     -> ((s, d) => windowLagLead(s, d)),
+    "funnel_conversion"   -> ((s, d) => funnelConversion(s, d)),
+    "agg_distinct_users"  -> ((s, d) => aggDistinctUsers(s, d)),
+    // HLL++ sketch counts — engine-specific, so no DuckDB twin; rows-only
+    // driver check (group keys are deterministic, so the row COUNT matches
+    // the exact variant) + an error-bound unit test in OlapSpec.
+    "agg_distinct_hll"    -> ((s, d) => aggDistinctHll(s, d)),
     "text_quality_percentiles_approx" ->
       ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
@@ -1148,6 +1171,78 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL
         |)
         |GROUP BY ROLLUP (event_type, value_band)""".stripMargin,
+
+    // Cube twin (Olap.cubeEventStats): GROUP BY CUBE, same flags/rounding
+    // as the rollup twin.
+    "olap_cube_events" ->
+      """SELECT event_type, value_band,
+        |       CAST(grouping(event_type) AS INT) AS g_type,
+        |       CAST(grouping(value_band) AS INT) AS g_band,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT event_type, CAST(floor(value / 10) AS INT) AS value_band,
+        |         value
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |GROUP BY CUBE (event_type, value_band)""".stripMargin,
+
+    // Ranking-family twin (WindowOps.lagLeadStats): one shared WINDOW
+    // spec; the event_id tie-break makes ntile/percent_rank deterministic.
+    "window_lag_lead" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+        |       lag(event_type) OVER w AS prev_type,
+        |       lead(event_type) OVER w AS next_type,
+        |       CAST(row_number() OVER w AS INT) AS rn,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM events WHERE ts IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
+        |                      event_id)""".stripMargin,
+
+    // Funnel twin (Funnel.conversion): the same three chained
+    // whole-partition window minimums, collapsed per user.
+    "funnel_conversion" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+        |  FROM events WHERE ts IS NOT NULL
+        |), v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |              OVER (PARTITION BY user_id) AS view_s
+        |  FROM ev
+        |), c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec >= view_s
+        |                     THEN ts_sec END)
+        |              OVER (PARTITION BY user_id) AS click_s
+        |  FROM v
+        |), p AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec >= click_s
+        |                     THEN ts_sec END)
+        |              OVER (PARTITION BY user_id) AS purchase_s
+        |  FROM c
+        |)
+        |SELECT user_id,
+        |       max(view_s) AS first_view_s,
+        |       max(click_s) AS first_click_s,
+        |       max(purchase_s) AS first_purchase_s,
+        |       CAST(CASE WHEN max(purchase_s) IS NOT NULL THEN 3
+        |                 WHEN max(click_s) IS NOT NULL THEN 2
+        |                 WHEN max(view_s) IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INT) AS stage
+        |FROM p GROUP BY user_id""".stripMargin,
+
+    // Daily-active-users twin (Olap.dailyActiveUsers): exact distinct.
+    "agg_distinct_users" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |       event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // Moving-window twin (WindowOps.movingStats): identical frame spec;
     // 6-dp rounding absorbs sliding-aggregation summation order.

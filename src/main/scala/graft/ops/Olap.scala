@@ -48,4 +48,53 @@ object Olap {
         round(sum(col("value")), 4).alias("sum_value"))
       .select(col("event_type"), col("value_band"),
         col("g_type"), col("g_band"), col("n"), col("sum_value"))
+
+  /** Every subtotal combination — rollup's lattice completed with the
+    * per-band-across-types slice. Same one-Expand plan (4 grouping sets
+    * instead of rollup's 3); the Expand factor is the number of sets, so
+    * cube's cost grows 2^keys — keep the key list short by design.
+    */
+  def cubeEventStats(events: DataFrame): DataFrame =
+    events
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / 10).cast("int").alias("value_band"),
+        col("value"))
+      .cube(col("event_type"), col("value_band"))
+      .agg(
+        grouping(col("event_type")).cast("int").alias("g_type"),
+        grouping(col("value_band")).cast("int").alias("g_band"),
+        count(lit(1)).alias("n"),
+        round(sum(col("value")), 4).alias("sum_value"))
+      .select(col("event_type"), col("value_band"),
+        col("g_type"), col("g_band"), col("n"), col("sum_value"))
+
+  /** Daily active users: per (day, event_type), the exact distinct user
+    * count plus raw event count. Spark plans the distinct as two
+    * aggregations (partial on (day, type, user), then the final count) —
+    * both map-side-combinable, so the shuffle carries one row per distinct
+    * triple, not one per event. The exact twin of [[dailyActiveUsersApprox]].
+    */
+  def dailyActiveUsers(events: DataFrame): DataFrame =
+    events.where(col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").alias("day"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).alias("n_users"),
+        count(lit(1)).alias("n_events"))
+
+  /** [[dailyActiveUsers]] with an HLL++ sketch instead of the exact
+    * distinct: ONE aggregation pass whose state is a fixed-size sketch per
+    * group — at 100 TB the exact variant's expanded (day, type, user)
+    * shuffle is the dominant cost and the sketch removes it entirely, at
+    * `rsd` relative error. Engine-specific sketch, so no DuckDB twin;
+    * OlapSpec bounds the error against the exact counts.
+    */
+  def dailyActiveUsersApprox(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.where(col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").alias("day"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).alias("n_users_approx"),
+        count(lit(1)).alias("n_events"))
 }

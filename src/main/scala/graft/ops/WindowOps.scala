@@ -31,4 +31,30 @@ object WindowOps {
         round(avg(col("value")).over(frame), 6).alias(s"ma$frameRows"),
         round(col("value") - lag(col("value"), 1).over(w), 6).alias("delta"))
   }
+
+  /** Per user, ordered by (ts_sec, event_id): neighbor context (lag/lead
+    * of the event type), absolute position (row_number), quartile bucket
+    * (ntile 4) and normalized position (percent_rank, cume_dist) — the
+    * full ranking-function family off ONE shuffle and ONE sort; every
+    * metric shares the same window spec, so Catalyst plans a single
+    * Window operator. The event_id tie-break keeps ntile/rank assignment
+    * deterministic across engines and partitionings.
+    */
+  def lagLeadStats(events: DataFrame, tiles: Int = 4): DataFrame = {
+    require(tiles > 0, s"ntile bucket count must be positive, got $tiles")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    events
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").alias("ts_sec"), col("event_type"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_sec"),
+        lag(col("event_type"), 1).over(w).alias("prev_type"),
+        lead(col("event_type"), 1).over(w).alias("next_type"),
+        row_number().over(w).alias("rn"),
+        ntile(tiles).over(w).alias("quartile"),
+        round(percent_rank().over(w), 6).alias("pct_rank"),
+        round(cume_dist().over(w), 6).alias("cume"))
+  }
 }

@@ -47,4 +47,57 @@ class OlapSpec extends SparkSpec {
     assert(plan.contains("Expand"))
     assert(!plan.contains("Union"), s"rollup must not union per-level scans:\n$plan")
   }
+
+  test("cube adds the per-band slice rollup lacks, same grand total") {
+    val rows = Olap.cubeEventStats(events).collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4)))
+    // The cube-only grouping set: band present, type rolled up.
+    assert(rows.count { case (t, b, gt, gb, n) =>
+      t.isEmpty && b.contains(0) && gt == 1 && gb == 0 && n == 3L } === 1)
+    // Grand total identical to rollup's.
+    assert(rows.count { case (t, b, gt, gb, n) =>
+      t.isEmpty && b.isEmpty && gt == 1 && gb == 1 && n == 5L } === 1)
+    assert(!Olap.cubeEventStats(events)
+      .queryExecution.executedPlan.toString.contains("Union"))
+  }
+
+  private def tsEvents = {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2026-01-01 11:00:00"), 1L, "click"),  // same user, same day
+      (3L, ts("2026-01-01 12:00:00"), 2L, "click"),
+      (4L, ts("2026-01-02 10:00:00"), 1L, "click"),
+      (5L, ts("2026-01-02 10:00:00"), 1L, "view"),
+      (6L, null.asInstanceOf[Timestamp], 9L, "click")) // null ts dropped
+      .toDF("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("dailyActiveUsers: exact distinct per (day, type), null ts dropped") {
+    val out = Olap.dailyActiveUsers(tsEvents).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("2026-01-01", "click") -> ((2L, 3L)),  // users {1,2}, 3 events
+      ("2026-01-02", "click") -> ((1L, 1L)),
+      ("2026-01-02", "view")  -> ((1L, 1L))))
+  }
+
+  test("HLL daily-active sketch tracks the exact counts within its rsd") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 500 distinct users on one day — enough cardinality that a broken
+    // sketch misses by far more than the 5% rsd bound tested here.
+    val ev = (1 to 500).map(u =>
+      (u.toLong, Timestamp.valueOf("2026-01-01 10:00:00"), u.toLong, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val exact = Olap.dailyActiveUsers(ev).collect().head.getLong(2)
+    val approx = Olap.dailyActiveUsersApprox(ev).collect().head.getLong(2)
+    assert(exact === 500L)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"sketch $approx vs exact $exact drifted past 3×rsd")
+  }
 }
