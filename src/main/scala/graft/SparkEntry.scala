@@ -616,6 +616,9 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
+    "dedup_clusters_bigstar" -> ((s, d) =>
+      Dedup.clustersBigStar(StandIn.documents(s, d),
+        MinhashK, MinhashBands, MinhashEstThreshold)),
     "dedup_simhash_pairs" -> ((s, d) => dedupSimhashNearDup(s, d)),
     "dedup_keepers"       -> ((s, d) => dedupKeepers(s, d)),
     "corpus_curate"       -> ((s, d) => corpusCurate(s, d)),
@@ -627,6 +630,10 @@ object SparkEntry {
     // SQL twin; the driver records a rows-only check and SimilaritySpec
     // bounds recall vs the exact brute force.
     "sim_ivf_kmeans"      -> ((s, d) => simIvfKmeans(s, d)),
+    // PQ training is the same imperative fit — rows-only check;
+    // SimilaritySpec bounds ADC recall against the exact baseline.
+    "sim_pq_topk"         -> ((s, d) =>
+      Similarity.pqTopK(StandIn.embeddings(s, d), k = TopK)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
@@ -664,6 +671,8 @@ object SparkEntry {
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
+    "text_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(StandIn.documents(s, d))),
     "text_quality_gate"   -> ((s, d) => textQualityGate(s, d)),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
@@ -711,6 +720,14 @@ object SparkEntry {
 
   // Shared by decontaminate / decontaminate_bloom: the Bloom variant's
   // output is exact, so one oracle serves both and they cannot drift.
+  // Shared by dedup_clusters / dedup_clusters_bigstar: both implement
+  // "label every doc with its component's min id" over the SAME candidate
+  // graph, so one recursive-CTE oracle checks both.
+  private lazy val clustersOracle =
+    s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+       |$componentsSql
+       |SELECT doc_id, cluster_id FROM labels""".stripMargin
+
   private val decontaminateOracle =
     s"""WITH $gramsSql, ex AS (
        |  SELECT doc_id, unnest(g) AS g FROM grams
@@ -878,10 +895,12 @@ object SparkEntry {
 
     // Recursive-CTE twin of Dedup.clusters: every label reachable over the
     // (bidirectional) candidate edges; component id = min reachable label.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
-         |$componentsSql
-         |SELECT doc_id, cluster_id FROM labels""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+
+    // Same contract, same parameters — the big-star variant must agree
+    // with label propagation bit-for-bit, so ONE oracle serves both and
+    // the two implementations cannot drift.
+    "dedup_clusters_bigstar" -> clustersOracle,
 
     // Keeper = the doc whose id IS its component's min label.
     "dedup_keepers" ->
@@ -1320,6 +1339,27 @@ object SparkEntry {
          |SELECT doc_id, term, tf,
          |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
          |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
+
+    // Unigram-LM twin (TextAnalysis.unigramLogProb): same add-one-smoothed
+    // distribution, 6-dp rounding absorbs double-summation order.
+    "text_unigram_logprob" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), freq AS (
+         |  SELECT term, count(*) AS tc FROM ex GROUP BY term
+         |), consts AS (
+         |  SELECT sum(tc) AS total, count(*) AS vocab FROM freq
+         |), scored AS (
+         |  SELECT doc_id,
+         |         round(avg(log10(CAST(tc + 1 AS DOUBLE) / (total + vocab))),
+         |               6) AS avg_logprob,
+         |         CAST(count(*) AS INT) AS n_tokens
+         |  FROM ex JOIN freq USING (term), consts
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, avg_logprob,
+         |       coalesce(n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
 
     // Deterministic stratified sampler twin (Curation.sampleByLanguage):
     // same md5-derived bucket, same per-language CASE of rates. The CAST

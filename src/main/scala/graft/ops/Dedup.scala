@@ -414,6 +414,102 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
   }
 
+  /** Connected components via alternating large-star / small-star — the
+    * Kiveris et al. "Connected Components in MapReduce and Beyond"
+    * algorithm, the industry-standard CC at web scale and an alternative
+    * to [[clusters]]' label propagation. Same contract: every document
+    * labeled with its component's minimum doc_id.
+    *
+    *   - large-star: each node connects its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: each node connects its smaller-or-self closure to
+    *     that minimum.
+    *
+    * Both phases are a symmetrize → groupBy(min) → equi-join — no
+    * cartesian anywhere — and each round strictly shrinks the potential
+    * function of the paper, converging in O(log² n) rounds regardless of
+    * component diameter (where plain propagation without pointer jumping
+    * needs O(diameter)). Convergence is detected by a (count, hash-sum)
+    * checksum of the edge set staying fixed across a round — the
+    * GraphFrames-style criterion; a collision would need two distinct
+    * edge sets with equal count AND equal 64-bit hash XOR in the same
+    * round, vanishingly unlikely and caught by the oracle on fixtures.
+    * Per-round `localCheckpoint` truncates lineage exactly like
+    * [[clusters]].
+    */
+  def clustersBigStar(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxIters: Int = 50): DataFrame = {
+    // Candidate edges, normalized a < b, deduplicated.
+    var edges = minhashCandidates(docs, k, bands, threshold)
+      .select(least(col("a_id"), col("b_id")).alias("a"),
+        greatest(col("a_id"), col("b_id")).alias("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+
+    // XOR, not SUM: a 64-bit sum overflows under ANSI mode, and XOR is
+    // just as order-independent. Duplicate-pair cancellation cannot occur
+    // (the edge set is distinct by construction).
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // Large-star: for every node u (over the symmetrized adjacency), emit
+    // (min(N(u) ∪ {u}), v) for each neighbor v > u. Output stays a-< b
+    // normalized because m ≤ u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").alias("u"), col("b").alias("v"))
+        .union(e.select(col("b").alias("u"), col("a").alias("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).alias("mv"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(least(col("u"), col("mv")).alias("a"), col("v").alias("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // Small-star: per node u over its SMALLER neighbors N = {v < u},
+    // m = min(N); emit (m, v) for v ∈ N and (m, u). Self-loops (v = m)
+    // drop; all outputs keep a < b because m is the minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("b").alias("u")).agg(min(col("a")).alias("m"))
+      val joined = e.select(col("b").alias("u"), col("a").alias("v"))
+        .join(mins, "u")
+      joined.select(col("v").alias("x"), col("m"))
+        .union(joined.select(col("u").alias("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("m").alias("a"), col("x").alias("b"))
+        .distinct()
+    }
+
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = prev._1 == 0L // no edges → everything is a singleton
+    while (!converged && iter < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cs = checksum(edges)
+      converged = cs == prev
+      prev = cs
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clustersBigStar did not converge in $maxIters rounds — " +
+          "far past the O(log² n) bound; raise maxIters")
+    // Fixpoint edges form stars (component_min, member); singletons
+    // self-label via the left join.
+    docs.select(col("doc_id"))
+      .join(edges.select(col("b").alias("doc_id"), col("a").alias("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
+  }
+
   /** Streaming exact deduplication: drops rows whose `keys` repeat within
     * the watermark horizon, with per-key state evicted once the watermark
     * passes — the streaming face of [[exact]]/[[contentHash]]. Use a

@@ -205,15 +205,33 @@ object Similarity {
       prep: DataFrame,
       cells: Int = 8,
       iters: Int = 5,
-      sampleSize: Int = MaxTrainSample): Seq[Seq[Double]] = {
-    require(cells > 0 && iters >= 0, s"bad kmeans params: $cells/$iters")
+      sampleSize: Int = MaxTrainSample): Seq[Seq[Double]] =
+    lloydFit(trainSample(prep, sampleSize), cells, iters).map(_.toSeq).toSeq
+
+  /** The bounded deterministic training draw shared by the k-means IVF and
+    * PQ fits: the `sampleSize` vectors with the smallest md5-derived id
+    * hash — ONE distributed top-k pass, reproducible across partitionings.
+    */
+  private def trainSample(
+      prep: DataFrame, sampleSize: Int): Array[Array[Double]] = {
     require(sampleSize <= MaxTrainSample,
       s"training sample $sampleSize exceeds driver bound $MaxTrainSample")
     val sample: Array[Array[Double]] = prep
       .withColumn("h", Dedup.hashAt(23, col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(sampleSize)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "kmeans needs a non-empty embedding set")
+    require(sample.nonEmpty, "quantizer training needs a non-empty sample")
+    sample
+  }
+
+  /** Deterministic Lloyd fit (farthest-point seeded) over a driver-side
+    * sample — see [[kmeansCentroids]] for why training is driver-side.
+    */
+  private def lloydFit(
+      sample: Array[Array[Double]],
+      cells: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(cells > 0 && iters >= 0, s"bad kmeans params: $cells/$iters")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -241,7 +259,7 @@ object Similarity {
           math.rint(x / counts(c) * 1e6) / 1e6)
       }.toArray
     }
-    centroids.map(_.toSeq).toSeq
+    centroids
   }
 
   /** IVF top-k with TRAINED centroids: [[ivfTopK]]'s query shape (cell
@@ -280,6 +298,118 @@ object Similarity {
         cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
           .alias("cos_sim"))
     topK(pairs, k)
+  }
+
+  /** Product-quantization codebooks: the `Dim`-dimensional space split
+    * into `m` contiguous subspaces of `Dim/m` dims, each with its own
+    * `codes`-entry Lloyd-fit codebook over the shared driver-side sample.
+    * PQ is the memory workhorse of billion-scale ANN (FAISS IVFPQ): a
+    * 64-float vector compresses to `m` byte-ish codes, and search scans
+    * codes with table lookups instead of float multiplies.
+    */
+  def pqCodebooks(
+      prep: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      sampleSize: Int = MaxTrainSample): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
+    val sample = trainSample(prep, sampleSize)
+    val sub = Dim / m
+    (0 until m).map { j =>
+      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), codes, iters)
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ-ADC top-k with exact re-ranking. Data vectors are encoded once
+    * (per subspace, the argmin-distance code — `‖c‖² − 2·s·c`, the `‖s‖²`
+    * term dropped as constant under argmin); each query precomputes an
+    * `m × codes` lookup table of subspace dot products, and the scan
+    * scores a (query, vector) pair with `m` TABLE LOOKUPS instead of
+    * `Dim` multiplies — the asymmetric-distance-computation trade. The
+    * top `refine·k` per query by approximate cosine (reconstructed-norm
+    * denominator) are re-ranked with the exact vectors; output matches
+    * the [[bruteForceTopK]] shape.
+    *
+    * At 100 TB the encoded table IS the stored index (m small ints per
+    * vector, 16× smaller than the floats); the scan shape is the same
+    * broadcast-query pass as [[bruteForceTopK]] but at lookup cost, and
+    * composes with the IVF cell join for sublinear candidate counts.
+    * Training is imperative (no SQL twin) → rows-only driver check;
+    * SimilaritySpec bounds recall against the exact baseline.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      k: Int = 5,
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
+    val sub = Dim / m
+    val prep = prepared(embeddings).localCheckpoint()
+    val books = pqCodebooks(prep, m, codes, iters)
+    // Stage subvector slices as attributes before any per-centroid math
+    // (HOF/codegen staging — see Dedup.shingleSets).
+    def withSubs(df: DataFrame, prefix: String): DataFrame =
+      df.select(df.columns.map(col) ++
+        (0 until m).map(j =>
+          slice(col(if (prefix == "q") "q_vec" else "vec"),
+            j * sub + 1, sub).alias(s"$prefix$j")): _*)
+    // Encode: per subspace the 0-based argmin code; reconstructed norm²
+    // accumulates the chosen centroids' norms (cross-subspace terms are
+    // zero because subspaces are disjoint coordinate blocks).
+    val encoded = {
+      val staged = withSubs(prep.select(col("vec_id"), col("vec")), "s")
+      val codeCols = (0 until m).map { j =>
+        val entries = books(j).zipWithIndex.map { case (c, i) =>
+          val cn2 = c.map(x => x * x).sum
+          struct(
+            round(lit(cn2) - lit(2.0) * dot(col(s"s$j"), typedlit(c)), 6)
+              .alias("d"),
+            lit(i).alias("code"))
+        }
+        element_at(transform(array_sort(array(entries: _*)),
+          e => e.getField("code")), 1).alias(s"c$j")
+      }
+      val normSq = (0 until m).map { j =>
+        element_at(
+          typedlit(books(j).map(c => c.map(x => x * x).sum)), col(s"c$j") + 1)
+      }.reduce(_ + _)
+      staged.select(col("vec_id") +: codeCols: _*)
+        .withColumn("recon_norm", sqrt(normSq))
+    }
+    // Query-side ADC tables: t_j[c] = q_subspace_j · codebook_j[c].
+    val queries = {
+      val staged = withSubs(querySet(prep), "q")
+      staged.select(col("q_id") +: col("q_norm") +:
+        (0 until m).map(j =>
+          array(books(j).map(c => dot(col(s"q$j"), typedlit(c))): _*)
+            .alias(s"t$j")): _*)
+    }
+    val adcDot = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val shortlist = topK(
+      encoded.crossJoin(boundedBroadcast(queries))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_norm"), col("vec_id").alias("neighbor_id"),
+          (adcDot / (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))))
+            .alias("cos_sim")),
+      refine * k)
+      .select(col("q_id"), col("neighbor_id"))
+    // Exact re-rank of the shortlist only: two slim equi-joins back to the
+    // prepared vectors, then the final top-k.
+    topK(
+      shortlist
+        .join(prep.select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+          col("norm").alias("q_norm")), "q_id")
+        .join(prep.select(col("vec_id").alias("neighbor_id"), col("vec"),
+          col("norm")), "neighbor_id")
+        .select(col("q_id"), col("neighbor_id"),
+          cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+            .alias("cos_sim")),
+      k)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket-sharing pairs with

@@ -72,6 +72,38 @@ object TextAnalysis {
           .alias("tfidf"))
   }
 
+  /** Unigram language-model fluency score — the "perplexity-ish" quality
+    * signal: each document's per-token mean log10 probability under the
+    * corpus's OWN add-one-smoothed unigram distribution,
+    * `avg over tokens w of log10((count(w)+1) / (total+|V|))`. Gibberish
+    * and boilerplate-free natural text separate cleanly on this axis, which
+    * is why it is a standard pretraining-corpus filter.
+    *
+    * Scale shape: one explode feeding a map-side-combinable term-count
+    * groupBy, an equi-join of the token stream back to that vocabulary
+    * (Zipf-bounded; no broadcast hint — the tfIdf reasoning), and a per-doc
+    * average. The two corpus-wide scalars (total, |V|) ride a 1-row
+    * broadcast. Empty/NULL documents keep their row: null score, 0 tokens.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).alias("term"))
+    val freq = ex.groupBy(col("term")).agg(count(lit(1)).alias("tc"))
+    val consts = freq.agg(
+      sum(col("tc")).alias("total"), count(lit(1)).alias("vocab"))
+    val scored = ex.join(freq, "term")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(
+        // 6-dp rounding absorbs double-summation order across engines.
+        round(avg(log10((col("tc") + 1).cast("double") /
+          (col("total") + col("vocab")))), 6).alias("avg_logprob"),
+        count(lit(1)).cast("int").alias("n_tokens"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("avg_logprob"),
+        coalesce(col("n_tokens"), lit(0)).alias("n_tokens"))
+  }
+
   /** A small function-word inventory per language — enough signal for a
     * corpus-curation language gate; swap in full profiles for production.
     */

@@ -84,6 +84,30 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === 2L)
   }
 
+  test("clustersBigStar agrees with label propagation on a chained corpus") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = docs(
+      (5L, base),
+      (7L, base + " extra"),
+      (9L, base + " extra more"),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" ")),
+      (11L, base),  // exact dup of 5 → same component
+      (3L, ""))     // empty doc stays a singleton
+    val prop = Dedup.clusters(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.clustersBigStar(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star(9L) === 5L && star(2L) === 2L && star(3L) === 3L)
+  }
+
+  test("clustersBigStar handles an edgeless corpus (all singletons)") {
+    val out = Dedup.clustersBigStar(docs(
+      (1L, "a b c d e"), (2L, "v w x y z")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("lsh plan has no cartesian product") {
     val plan = Dedup.minhashCandidates(docs((1L, "a b c"), (2L, "d e f")))
       .queryExecution.executedPlan.toString

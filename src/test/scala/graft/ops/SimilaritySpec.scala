@@ -146,4 +146,40 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"trained-IVF recall $recall below 0.8")
   }
+
+  test("pq codebooks: one per subspace, right arity") {
+    val books = Similarity.pqCodebooks(
+      Similarity.prepared(clusteredEmb(40)).localCheckpoint(),
+      m = 8, codes = 4, iters = 3)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 4))
+    assert(books.forall(_.forall(_.length === Similarity.Dim / 8)))
+  }
+
+  test("pq ADC recall vs brute force is high on clustered data") {
+    val data = clusteredEmb(40)
+    val exact = Similarity.bruteForceTopK(data, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.pqTopK(data, m = 8, codes = 8, iters = 4, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exact.nonEmpty)
+    // The exact re-rank stage means errors only come from ADC shortlist
+    // misses; on well-separated clusters the shortlist should rarely miss.
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ-ADC recall $recall below 0.8")
+  }
+
+  test("pq top-k output ranks by exact cosine after the re-rank") {
+    val data = clusteredEmb(40)
+    val rows = Similarity.pqTopK(data, m = 8, codes = 8, iters = 4, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cos_sim")))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"cos_sim must be non-increasing in rank: ${byRank.toSeq}")
+    }
+  }
 }

@@ -147,4 +147,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === (("no pii here at all", 0, 0, 0)))
     assert(out(4L) === (("", 0, 0, 0))) // NULL ≡ empty document
   }
+
+  test("unigramLogProb: hand-computed smoothed scores; empty doc keeps row") {
+    import spark.implicits._
+    // Corpus: "a a b" + "a" → counts a=3, b=1; total=4, |V|=2.
+    val d = Seq(
+      (1L, "a a b"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getInt(2)))).toMap
+    val pa = math.log10(4.0 / 6)  // (3+1)/(4+2)
+    val pb = math.log10(2.0 / 6)  // (1+1)/(4+2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L)._2 === 3)
+    assert(math.abs(out(1L)._1.get - r6((2 * pa + pb) / 3)) < 1e-9)
+    assert(out(2L) === ((Some(r6(pa)), 1)))
+    assert(out(3L) === ((None, 0))) // NULL text ≡ empty: row kept, null score
+  }
+
+  test("unigramLogProb ranks common-word text above rare-word gibberish") {
+    import spark.implicits._
+    val common = "the the the and and of"
+    val d = (Seq((1L, "zq1 zq2 zq3")) ++ (2 to 20).map(i => (i.toLong, common)))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < out(2L), s"gibberish ${out(1L)} must score below ${out(2L)}")
+  }
 }
