@@ -208,6 +208,54 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming curation: redact → quality gate runs per-batch on a doc stream") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    // The same pure-projection curation ops the batch path uses, composed
+    // on an unbounded frame: redaction feeds the gate's text input. No
+    // aggregation/join in the chain, so append mode streams it unchanged —
+    // the evidence that per-document curation is streaming-safe as-is.
+    val gated = TextAnalysis.qualityGate(
+      TextAnalysis.redact(docs)
+        .select(col("doc_id"), col("redacted_text").alias("text")))
+    assert(gated.isStreaming)
+    val query = gated.writeStream.format("memory").queryName("curation_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-curation-ckpt").toString)
+      .start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog and then " +
+        "keeps going with plenty of ordinary readable english words in it " +
+        "until the gate is satisfied about length and token shape overall"
+      input.addData(
+        (1L, good),
+        (2L, "contact a.user@example.com or 192.168.0.1 now"), // short → reject
+        (3L, good + " reach me at a.user@example.com"))
+      query.processAllAvailable()
+      val out = spark.table("curation_sink").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+        .toMap
+      assert(out(1L) === ((true, None)))
+      assert(out(2L) === ((false, Some("too_short"))))
+      assert(out(3L)._1 === true) // redacted email must not fail the gate
+      // Streaming result ≡ batch result on identical input — same ops,
+      // same answers, per the engine's batch/streaming parity contract.
+      val batch = TextAnalysis.qualityGate(
+        TextAnalysis.redact(Seq(
+          (1L, good),
+          (2L, "contact a.user@example.com or 192.168.0.1 now"),
+          (3L, good + " reach me at a.user@example.com")).toDF("doc_id", "text"))
+          .select(col("doc_id"), col("redacted_text").alias("text")))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+        .toMap
+      assert(out === batch)
+    } finally query.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
