@@ -399,6 +399,17 @@ object SparkEntry {
   private def aggDistinctHll(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.dailyActiveUsersApprox(StandIn.events(s, dir))
 
+  private def olapPricingSummary(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.pricingSummary(StandIn.table(s, dir, "lineitem"))
+
+  private def joinRevenueNation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.revenueByNation(
+      StandIn.table(s, dir, "lineitem"),
+      StandIn.table(s, dir, "orders"),
+      StandIn.table(s, dir, "customer"),
+      StandIn.table(s, dir, "nation"),
+      StandIn.table(s, dir, "region"))
+
   // Approx-quantile sketch variant of qualityPercentiles — the
   // extreme-cardinality path. Engine-specific sketch (Greenwald-Khanna in
   // Spark), so no DuckDB twin; rows-only driver check + an error-bound
@@ -665,6 +676,8 @@ object SparkEntry {
     // driver check (group keys are deterministic, so the row COUNT matches
     // the exact variant) + an error-bound unit test in OlapSpec.
     "agg_distinct_hll"    -> ((s, d) => aggDistinctHll(s, d)),
+    "olap_pricing"        -> ((s, d) => olapPricingSummary(s, d)),
+    "join_revenue_nation" -> ((s, d) => joinRevenueNation(s, d)),
     "text_quality_percentiles_approx" ->
       ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
@@ -1253,6 +1266,48 @@ object SparkEntry {
         |                 WHEN max(view_s) IS NOT NULL THEN 1
         |                 ELSE 0 END AS INT) AS stage
         |FROM p GROUP BY user_id""".stripMargin,
+
+    // Q1-style pricing twin (Olap.pricingSummary): identical DECIMAL
+    // intermediates make every sum exact and order-independent on both
+    // engines — the averages derive from the exact sums.
+    "olap_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
+        |       AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)) *
+        |           CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2)))
+        |       AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |        / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |        / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |        / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Q5-style twin (Olap.revenueByNation): declarative joins; DuckDB
+    // picks its own join order — agreement checks the RESULT, not the plan.
+    "join_revenue_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     // Daily-active-users twin (Olap.dailyActiveUsers): exact distinct.
     "agg_distinct_users" ->

@@ -83,6 +83,82 @@ object Olap {
       .agg(countDistinct(col("user_id")).alias("n_users"),
         count(lit(1)).alias("n_events"))
 
+  /** TPC-H Q1-style pricing summary over `lineitem` — the canonical
+    * scan-heavy aggregate (a handful of groups over the whole fact table).
+    * Money/quantity columns are summed as DECIMAL, not double: a
+    * four-group sum over a 100 TB fact table accumulates ~n·ε·Σ|x| of
+    * float error — far beyond any rounding a result column could absorb —
+    * while decimal sums are exact, order-independent, and identical on
+    * every engine. The per-group averages then derive from the exact sums
+    * (one division, not a second aggregate). Plan: partial aggregation
+    * map-side, a 6-row shuffle — the scan is the whole cost, as it should
+    * be.
+    */
+  def pricingSummary(
+      lineitem: DataFrame,
+      shipdateCutoff: String = "1998-09-02"): DataFrame = {
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    // 2-dp inputs → (1−disc)/(1+tax) are exactly 2-dp; the explicit cast
+    // pins the intermediate type so both engines multiply identical
+    // decimals (Spark would otherwise widen the literal 1 to decimal(10,0)
+    // and overflow 38 digits in the triple product, losing exactness).
+    val discFactor = (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      .cast("decimal(5,2)")
+    val taxFactor = (lit(1) + col("l_tax").cast("decimal(4,2)"))
+      .cast("decimal(5,2)")
+    lineitem
+      .where(col("l_shipdate") <= lit(shipdateCutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").alias("sum_qty"),
+        sum(price).cast("double").alias("sum_base_price"),
+        sum(price * discFactor).cast("double").alias("sum_disc_price"),
+        sum(price * discFactor * taxFactor).cast("double").alias("sum_charge"),
+        sum(col("l_discount").cast("decimal(4,2)")).cast("double")
+          .alias("sum_disc"),
+        count(lit(1)).alias("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+        col("sum_charge"),
+        round(col("sum_qty") / col("count_order"), 6).alias("avg_qty"),
+        round(col("sum_base_price") / col("count_order"), 6).alias("avg_price"),
+        round(col("sum_disc") / col("count_order"), 6).alias("avg_disc"),
+        col("count_order"))
+  }
+
+  /** TPC-H Q5-style revenue by nation for one region — the canonical
+    * fact-to-fact shuffle join with broadcast dimensions. Join order and
+    * strategy are the 100 TB shape: lineitem⋈orders shuffles on orderkey,
+    * ⋈customer on custkey (both fact-sized, hash exchange each), while
+    * nation/region ride explicit `broadcast()` hints — dimension tables
+    * never justify an exchange. The region filter prunes before the
+    * broadcast (Catalyst pushes it into the dimension scan). Revenue sums
+    * as DECIMAL for the same exactness argument as [[pricingSummary]].
+    */
+  def revenueByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String = "ASIA"): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discFactor = (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      .cast("decimal(5,2)")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === regionName)
+      .groupBy(col("n_name"))
+      .agg(
+        sum(price * discFactor).cast("double").alias("revenue"),
+        count(lit(1)).alias("n_items"))
+  }
+
   /** [[dailyActiveUsers]] with an HLL++ sketch instead of the exact
     * distinct: ONE aggregation pass whose state is a fixed-size sketch per
     * group — at 100 TB the exact variant's expanded (day, type, user)

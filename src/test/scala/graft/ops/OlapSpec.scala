@@ -86,6 +86,48 @@ class OlapSpec extends SparkSpec {
       ("2026-01-02", "view")  -> ((1L, 1L))))
   }
 
+  test("pricingSummary: exact decimal sums and derived averages") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val li = Seq(
+      (Timestamp.valueOf("1997-01-01 00:00:00"), "R", "F", 10.0, 100.10, 0.05, 0.02),
+      (Timestamp.valueOf("1997-06-01 00:00:00"), "R", "F", 20.0, 200.20, 0.10, 0.04),
+      (Timestamp.valueOf("1999-01-01 00:00:00"), "R", "F", 99.0, 999.99, 0.00, 0.00)) // past cutoff
+      .toDF("l_shipdate", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val r = Olap.pricingSummary(li).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Double]("sum_qty") === 30.0)
+    assert(row.getAs[Double]("sum_base_price") === 300.30)
+    // 100.10·0.95 + 200.20·0.90 = 95.095 + 180.18 = 275.275 — exact.
+    assert(row.getAs[Double]("sum_disc_price") === 275.275)
+    // 95.095·1.02 + 180.18·1.04 = 96.9969 + 187.3872 = 284.3841 — exact.
+    assert(row.getAs[Double]("sum_charge") === 284.3841)
+    assert(row.getAs[Double]("avg_qty") === 15.0)
+    assert(row.getAs[Double]("avg_disc") === 0.075)
+    assert(row.getAs[Long]("count_order") === 2L)
+  }
+
+  test("revenueByNation broadcasts the dims and joins facts by hash") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val li = Seq((1L, Timestamp.valueOf("1997-01-01 00:00:00"), 100.0, 0.10))
+      .toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 7L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((7L, 3)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((3, "NATION_3", 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((2, "ASIA"), (4, "EUROPE")).toDF("r_regionkey", "r_name")
+    val q = Olap.revenueByNation(li, ord, cust, nat, reg)
+    val out = q.collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "NATION_3")
+    assert(out.head.getDouble(1) === 90.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("Cartesian"), s"no cartesian allowed:\n$plan")
+  }
+
   test("HLL daily-active sketch tracks the exact counts within its rsd") {
     import spark.implicits._
     import java.sql.Timestamp
