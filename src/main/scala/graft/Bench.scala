@@ -62,7 +62,9 @@ object Bench {
     // run's output, so the line must stay short: 3-decimal values, warm
     // per-query only. Full unrounded warm+cold detail goes to
     // BENCH_DETAIL.json beside the build for offline reading.
-    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // 2 decimals (10 ms resolution): at ~67 queries every byte of the
+    // one-line JSON counts against the consumer's 2 kB tail.
+    def f3(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map {
       case (k, Right((sec, _))) => s""""$k":${f3(sec)}"""
       case (k, Left(_))         => s""""$k":"err""""
@@ -84,7 +86,11 @@ object Bench {
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         s"""{"warm_total":$total,"cold_total":$coldTotal,"warm_queries":$fqs,"cold_queries":$cqs,"errors":$nErr,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cold_total":${f3(coldTotal)},"errors":$nErr,"sf":"$sfDir"}""")
+    // The sf prints as its bare numeric suffix ("0.1") when the dir is
+    // sf-suffixed — a few more bytes saved off the line.
+    val sfShort = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cold_total":${f3(coldTotal)},"errors":$nErr,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -678,6 +678,13 @@ object SparkEntry {
     "agg_distinct_hll"    -> ((s, d) => aggDistinctHll(s, d)),
     "olap_pricing"        -> ((s, d) => olapPricingSummary(s, d)),
     "join_revenue_nation" -> ((s, d) => joinRevenueNation(s, d)),
+    "window_topn"         -> ((s, d) =>
+      graft.ops.WindowOps.topNPerUser(StandIn.events(s, d))),
+    "join_anti_orders"    -> ((s, d) =>
+      graft.ops.SetOps.customersWithoutBigOrders(
+        StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
+    "set_except_users"    -> ((s, d) =>
+      graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
     "text_quality_percentiles_approx" ->
       ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
@@ -1308,6 +1315,31 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    // Top-N twin (WindowOps.topNPerUser): same rank, same tie-break.
+    "window_topn" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+        |  SELECT user_id, event_id, value,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |              ORDER BY value DESC, event_id) AS INT) AS rnk
+        |  FROM events WHERE value IS NOT NULL
+        |) WHERE rnk <= 3""".stripMargin,
+
+    // Anti-join twin (SetOps.customersWithoutBigOrders): NOT EXISTS.
+    "join_anti_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"""
+        .stripMargin,
+
+    // EXCEPT twin (SetOps.clickersNotBuyers): identical set semantics.
+    "set_except_users" ->
+      """SELECT user_id FROM events
+        |WHERE event_type = 'click' AND value > 95
+        |EXCEPT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 95""".stripMargin,
 
     // Daily-active-users twin (Olap.dailyActiveUsers): exact distinct.
     "agg_distinct_users" ->

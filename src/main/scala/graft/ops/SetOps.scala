@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semi/anti-join and set-operation members of the relational inventory —
+  * the "which rows have (no) counterpart" family every curation pipeline
+  * leans on (decontamination is exactly an anti join at heart).
+  *
+  * Scale shape: both ops plan as hash-partitioned LeftAnti joins on the
+  * key — the probe side streams, only keys shuffle, and no payload ever
+  * crosses the exchange for non-matches. Nothing here collects, products,
+  * or broadcasts the fact side.
+  */
+object SetOps {
+
+  /** Customers with no order above `minTotal` — LEFT ANTI join, the
+    * relational NOT EXISTS. The price filter pushes into the orders scan
+    * BEFORE the exchange, and Catalyst prunes the orders side to its join
+    * key — only qualifying keys ever shuffle. (`minTotal = 0` degenerates
+    * to "customers with no orders at all".)
+    */
+  def customersWithoutBigOrders(
+      customer: DataFrame,
+      orders: DataFrame,
+      minTotal: Double = 300000.0): DataFrame =
+    customer
+      .join(orders.where(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Users with a high-value click but no high-value purchase — EXCEPT
+    * (set-distinct semantics), the audience-carving staple. Plans as
+    * aggregate + anti join; both sides reduce to distinct keys map-side
+    * first.
+    */
+  def clickersNotBuyers(
+      events: DataFrame, minValue: Double = 95.0): DataFrame =
+    events.where(col("event_type") === "click" && col("value") > minValue)
+      .select(col("user_id"))
+      .except(
+        events.where(col("event_type") === "purchase" &&
+            col("value") > minValue)
+          .select(col("user_id")))
+}

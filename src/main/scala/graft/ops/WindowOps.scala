@@ -57,4 +57,22 @@ object WindowOps {
         round(percent_rank().over(w), 6).alias("pct_rank"),
         round(cume_dist().over(w), 6).alias("cume"))
   }
+
+  /** Top-N events by value per user — the classic rank-and-filter. The
+    * `rnk <= n` predicate pushes INTO the window exec (Spark's
+    * WindowGroupLimit): each partition keeps a running top-N heap instead
+    * of materializing and ranking every row, which is the difference
+    * between O(N) and O(rows) state per key at 100 TB. The event_id
+    * tie-break keeps the cut deterministic.
+    */
+  def topNPerUser(events: DataFrame, n: Int = 3): DataFrame = {
+    require(n > 0, s"top-N must be positive, got $n")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= n)
+  }
 }

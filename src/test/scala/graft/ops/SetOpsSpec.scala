@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit spec for anti-join / set-operation ops and the top-N window. */
+class SetOpsSpec extends SparkSpec {
+
+  test("customersWithoutBigOrders: anti join honors the pushed threshold") {
+    import spark.implicits._
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ord = Seq((10L, 1L, 400000.0), (11L, 1L, 100.0), (12L, 3L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    // 3's only order is small, 2 has none → both qualify; 1 does not.
+    val q = SetOps.customersWithoutBigOrders(cust, ord)
+    val out = q.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === Set((2L, "b"), (3L, "c")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"must plan an anti join:\n$plan")
+  }
+
+  test("clickersNotBuyers: EXCEPT distinct semantics over the value carve") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 99.0), (1L, "click", 98.0), // duplicate clicker collapses
+      (2L, "click", 99.0), (2L, "purchase", 99.0),
+      (3L, "purchase", 99.0), (4L, "view", 99.0),
+      (5L, "click", 10.0)) // below the carve
+      .toDF("user_id", "event_type", "value")
+    val out = SetOps.clickersNotBuyers(ev).collect().map(_.getLong(0))
+    assert(out.toSeq.sorted === Seq(1L)) // one row despite two clicks
+  }
+
+  test("topNPerUser keeps n rows per user with a pushed group limit") {
+    import spark.implicits._
+    val ev = (1 to 10).map(i => (7L, i.toLong, i.toDouble)) :+
+      ((8L, 99L, 5.0))
+    val df = ev.toDF("user_id", "event_id", "value")
+    val out = WindowOps.topNPerUser(df, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.count(_._1 == 7L) === 3)
+    assert(out.filter(_._1 == 7L).map(_._2).toSet === Set(10L, 9L, 8L))
+    assert(out.count(_._1 == 8L) === 1)
+    // The rank filter must push into the window as a running group limit —
+    // the O(N)-state-per-key shape, not rank-everything-then-filter.
+    val plan = WindowOps.topNPerUser(df, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk<=n must push into the window exec:\n$plan")
+  }
+}
