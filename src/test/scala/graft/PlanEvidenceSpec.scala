@@ -66,6 +66,38 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
   }
 
+  test("olap_pricing: shipdate predicate pushed, key columns pruned from scan") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val scan = scanLine("olap_pricing")
+    // The cutoff reaches the parquet reader (row-group pruning at scale)...
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$scan")
+    assert(scan.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate cutoff not pushed:\n$scan")
+    // ...and join keys / unused columns never leave the file.
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      assert(!scan.contains(c), s"unused column $c not pruned from scan")
+  }
+
+  test("join_revenue_nation: dims broadcast, facts hash-join, no cartesian") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = SparkEntry.queries("join_revenue_nation")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"no product joins allowed:\n$plan")
+    // The region filter prunes inside the dimension scan, not post-join.
+    assert(plan.contains("r_name"), plan)
+  }
+
+  test("window_topn: the rank predicate pushes into the window as a group limit") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("window_topn")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk<=n must run as a running per-key top-N:\n$plan")
+  }
+
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)
