@@ -685,6 +685,8 @@ object SparkEntry {
         StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
     "set_except_users"    -> ((s, d) =>
       graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
+    "stat_moments"        -> ((s, d) =>
+      Profile.valueMoments(StandIn.table(s, d, "lineitem"))),
     "text_quality_percentiles_approx" ->
       ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
@@ -1340,6 +1342,23 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events
         |WHERE event_type = 'purchase' AND value > 95""".stripMargin,
+
+    // Moments twin (Profile.valueMoments): the same exact decimal Σx/Σx²,
+    // the same one double expression for the derived moments.
+    "stat_moments" ->
+      """SELECT l_returnflag, n,
+        |       round(s1 / n, 6) AS mean_qty,
+        |       round(CASE WHEN n > 1
+        |             THEN (s2 - s1 * s1 / n) / (n - 1) END, 6) AS var_qty,
+        |       round(sqrt(CASE WHEN n > 1
+        |             THEN (s2 - s1 * s1 / n) / (n - 1) END), 6) AS std_qty
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |                  CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag
+        |)""".stripMargin,
 
     // Daily-active-users twin (Olap.dailyActiveUsers): exact distinct.
     "agg_distinct_users" ->

@@ -83,4 +83,32 @@ object Profile {
         round(col("n") / greatest(col("t"), lit(1L)).cast("double"), 6)
           .alias("share"))
   }
+
+  /** Exact single-pass distribution moments of `l_quantity` per return
+    * flag: n, mean, sample variance, stddev. The sums (Σx, Σx²) accumulate
+    * as DECIMAL — exact and order-independent across any partitioning,
+    * where a naive double Σx² over a 100 TB fact table drifts with
+    * partial-aggregation order and `var_samp`'s streaming formula differs
+    * engine to engine. The moments then derive from the two exact sums in
+    * ONE double expression (identical on both engines), so the report is
+    * bit-stable: same data, same answer, any cluster size. Shape: one scan,
+    * map-side partial sums, a few-group shuffle.
+    */
+  def valueMoments(lineitem: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("decimal(12,2)")
+    // Explicit n>1 gate: a single-row group reports null variance instead
+    // of tripping ANSI divide-by-zero on (n-1).
+    val variance = when(col("n") > 1,
+      (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(q).cast("double").alias("s1"),
+        sum(q * q).cast("double").alias("s2"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("s1") / col("n"), 6).alias("mean_qty"),
+        round(variance, 6).alias("var_qty"),
+        round(sqrt(variance), 6).alias("std_qty"))
+  }
 }

@@ -78,6 +78,22 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("valueMoments: exact moments from decimal sums, hand-checked") {
+    import spark.implicits._
+    // Quantities 2, 4, 6 → mean 4, sample variance 4, stddev 2.
+    val li = Seq(("R", 2.0), ("R", 4.0), ("R", 6.0), ("A", 5.0))
+      .toDF("l_returnflag", "l_quantity")
+    val out = Profile.valueMoments(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rrow = out("R")
+    assert(rrow.getLong(1) === 3L)
+    assert(rrow.getDouble(2) === 4.0)
+    assert(rrow.getDouble(3) === 4.0)
+    assert(rrow.getDouble(4) === 2.0)
+    // Single-row group: variance is null (n-1 = 0), not a crash.
+    assert(out("A").isNullAt(3) && out("A").isNullAt(4))
+  }
+
   test("movingStats: frame average and lag delta, deterministic tie order") {
     import java.sql.Timestamp
     import spark.implicits._
