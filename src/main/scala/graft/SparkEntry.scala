@@ -440,6 +440,10 @@ object SparkEntry {
   private val PackBudget = 2048
   private val PackBuckets = 8
 
+  // Chunking parameters shared with the oracle twin.
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
   private def corpusPack(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(StandIn.documents(s, dir), PackBudget, PackBuckets)
 
@@ -687,6 +691,10 @@ object SparkEntry {
       graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
     "stat_moments"        -> ((s, d) =>
       Profile.valueMoments(StandIn.table(s, d, "lineitem"))),
+    "corpus_chunk"        -> ((s, d) =>
+      Curation.chunkDocuments(StandIn.documents(s, d), ChunkSize, ChunkStride)),
+    "text_repetition"     -> ((s, d) =>
+      TextAnalysis.repetition(StandIn.documents(s, d))),
     "text_quality_percentiles_approx" ->
       ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
@@ -1445,6 +1453,48 @@ object SparkEntry {
          |SELECT doc_id, term, tf,
          |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
          |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
+
+    // Chunking twin (Curation.chunkDocuments): same token windows —
+    // DuckDB's inclusive 1-based list slice mirrors Spark's slice(t, s+1, k).
+    "corpus_chunk" ->
+      s"""WITH $rawToksSql, nn AS (
+         |  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+         |), st AS (
+         |  SELECT doc_id, t, unnest(range(0, n, $ChunkStride)) AS s FROM nn
+         |)
+         |SELECT doc_id,
+         |       CAST(s // $ChunkStride AS INT) AS chunk_id,
+         |       CAST(len(t[s + 1 : s + $ChunkSize]) AS INT) AS n_chunk_tokens,
+         |       array_to_string(t[s + 1 : s + $ChunkSize], ' ') AS chunk_text
+         |FROM st""".stripMargin,
+
+    // Repetition twin (TextAnalysis.repetition): non-distinct bigrams,
+    // two-level aggregation, same null→0 policy for short docs.
+    "text_repetition" ->
+      s"""WITH $rawToksSql, bg AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 2
+         |           THEN list_transform(range(1, len(t)),
+         |                i -> concat(t[CAST(i AS INT)], ' ',
+         |                            t[CAST(i AS INT) + 1]))
+         |           ELSE [] END AS g
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(g) AS g FROM bg
+         |), pg AS (
+         |  SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g
+         |), pd AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |         max(c) AS top_n
+         |  FROM pg GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(top_n, 0) AS top_bigram_n,
+         |       CASE WHEN n_bigrams IS NOT NULL
+         |            THEN round(CAST(top_n AS DOUBLE) / n_bigrams, 6)
+         |            ELSE 0.0 END AS top_bigram_share
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
     // Unigram-LM twin (TextAnalysis.unigramLogProb): same add-one-smoothed
     // distribution, 6-dp rounding absorbs double-summation order.

@@ -81,6 +81,35 @@ object Curation {
         col("ws_tokens"))
   }
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * every RAG/pretraining pipeline runs on long documents: windows of
+    * `chunkSize` tokens starting every `stride` tokens (overlap =
+    * chunkSize − stride). Pure projection + generator: tokens staged once,
+    * chunk starts from a `sequence`, one `posexplode` — no shuffle, no
+    * state; at 100 TB this is a map-only pass whose output is the chunk
+    * table. Empty documents yield no chunks (nothing to window).
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0, s"chunk size must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).alias("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").alias("chunk_id"),
+        slice(col("t"), col("col") + 1, lit(chunkSize)).alias("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).alias("n_chunk_tokens"),
+        array_join(col("chunk"), " ").alias("chunk_text"))
+  }
+
   /** Benchmark decontamination: flags corpus documents sharing at least
     * `minShared` RARE word-bigrams with any benchmark document — the
     * standard check that evaluation data has not leaked into training

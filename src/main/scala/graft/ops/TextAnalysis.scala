@@ -104,6 +104,33 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0)).alias("n_tokens"))
   }
 
+  /** Gopher-style repetition signal: the share of a document's word
+    * bigrams taken by its single most frequent bigram. Boilerplate, spam,
+    * and degenerate generations repeat — natural text does not — which
+    * makes this ratio a standard pretraining quality rule (Rae et al.,
+    * Gopher, analyzes exactly this duplicate-n-gram family). Shape:
+    * non-distinct bigrams explode into a two-level map-side-combinable
+    * aggregation keyed by (doc, gram) then doc; the doc_id in every key
+    * keeps the shuffle skew-free regardless of corpus-wide hot phrases.
+    * Documents with no bigram (< 2 tokens) keep their row with a 0 ratio.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val perGram = docs
+      .select(col("doc_id"), Dedup.bigrams(col("text")).alias("grams"))
+      .select(col("doc_id"), explode(col("grams")).alias("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).alias("c"))
+    val perDoc = perGram.groupBy(col("doc_id"))
+      .agg(sum(col("c")).alias("n_bigrams"), max(col("c")).alias("top_n"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).alias("n_bigrams"),
+        coalesce(col("top_n"), lit(0L)).alias("top_bigram_n"),
+        when(col("n_bigrams").isNotNull,
+          round(col("top_n").cast("double") / col("n_bigrams"), 6))
+          .otherwise(0.0).alias("top_bigram_share"))
+  }
+
   /** A small function-word inventory per language — enough signal for a
     * corpus-curation language gate; swap in full profiles for production.
     */

@@ -167,6 +167,22 @@ class CurationSpec extends SparkSpec {
     assert(none.forall(_.getAs[Int]("n_epochs") === 0))
   }
 
+  test("chunkDocuments: overlapping windows, clamped tail, empty docs dropped") {
+    val d = docs(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),
+      (3L, ""))
+    // chunkSize 4, stride 3 → starts 0,3,6,9: windows of 4,4,4 and tail 1.
+    val out = Curation.chunkDocuments(d, chunkSize = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    assert(out((1L, 0)) === ((4, "w1 w2 w3 w4")))
+    assert(out((1L, 1)) === ((4, "w4 w5 w6 w7"))) // overlap of 1 token
+    assert(out((1L, 3)) === ((1, "w10")))         // clamped tail window
+    assert(out((2L, 0)) === ((2, "a b")))
+    assert(!out.keySet.exists(_._1 == 3L))        // empty doc: no chunks
+  }
+
   test("bloom-prefiltered contamination equals the exact operator") {
     val bench = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
     val leaked = "intro words then zq1 zq2 zq3 zq4 zq5 zq6 closing words"

@@ -166,6 +166,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((None, 0))) // NULL text ≡ empty: row kept, null score
   }
 
+  test("repetition: degenerate loops score high, varied text low, short docs 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"),      // "buy now" dominates
+      (2L, "one two three four five six seven"),    // all bigrams unique
+      (3L, "word"),                                 // < 2 tokens
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._1 === 7L)                 // 7 bigrams total
+    assert(out(1L)._2 === 4L)                 // "buy now" ×4
+    assert(out(1L)._3 === math.rint(4.0 / 7 * 1e6) / 1e6)
+    assert(out(2L)._3 === math.rint(1.0 / 6 * 1e6) / 1e6)
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+  }
+
   test("unigramLogProb ranks common-word text above rare-word gibberish") {
     import spark.implicits._
     val common = "the the the and and of"
