@@ -675,6 +675,8 @@ object SparkEntry {
     "window_moving_stats" -> ((s, d) => windowMovingStats(s, d)),
     "window_lag_lead"     -> ((s, d) => windowLagLead(s, d)),
     "funnel_conversion"   -> ((s, d) => funnelConversion(s, d)),
+    "funnel_stages"       -> ((s, d) =>
+      graft.ops.Funnel.streamingConversion(StandIn.events(s, d)).toDF()),
     "agg_distinct_users"  -> ((s, d) => aggDistinctUsers(s, d)),
     // HLL++ sketch counts — engine-specific, so no DuckDB twin; rows-only
     // driver check (group keys are deterministic, so the row COUNT matches
@@ -750,6 +752,29 @@ object SparkEntry {
 
   // Shared by decontaminate / decontaminate_bloom: the Bloom variant's
   // output is exact, so one oracle serves both and they cannot drift.
+  // Funnel stage CTEs — shared by funnel_conversion / funnel_stages so the
+  // snapshot and incremental twins cannot drift.
+  private val funnelCtes =
+    """ev AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+      |  FROM events WHERE ts IS NOT NULL
+      |), v AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+      |              OVER (PARTITION BY user_id) AS view_s
+      |  FROM ev
+      |), c AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec >= view_s
+      |                     THEN ts_sec END)
+      |              OVER (PARTITION BY user_id) AS click_s
+      |  FROM v
+      |), p AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec >= click_s
+      |                     THEN ts_sec END)
+      |              OVER (PARTITION BY user_id) AS purchase_s
+      |  FROM c
+      |)""".stripMargin
+
   // Shared by dedup_clusters / dedup_clusters_bigstar: both implement
   // "label every doc with its component's min id" over the SAME candidate
   // graph, so one recursive-CTE oracle checks both.
@@ -1255,34 +1280,33 @@ object SparkEntry {
     // Funnel twin (Funnel.conversion): the same three chained
     // whole-partition window minimums, collapsed per user.
     "funnel_conversion" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
-        |  FROM events WHERE ts IS NOT NULL
-        |), v AS (
-        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
-        |              OVER (PARTITION BY user_id) AS view_s
-        |  FROM ev
-        |), c AS (
-        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec >= view_s
-        |                     THEN ts_sec END)
-        |              OVER (PARTITION BY user_id) AS click_s
-        |  FROM v
-        |), p AS (
-        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec >= click_s
-        |                     THEN ts_sec END)
-        |              OVER (PARTITION BY user_id) AS purchase_s
-        |  FROM c
-        |)
-        |SELECT user_id,
-        |       max(view_s) AS first_view_s,
-        |       max(click_s) AS first_click_s,
-        |       max(purchase_s) AS first_purchase_s,
-        |       CAST(CASE WHEN max(purchase_s) IS NOT NULL THEN 3
-        |                 WHEN max(click_s) IS NOT NULL THEN 2
-        |                 WHEN max(view_s) IS NOT NULL THEN 1
-        |                 ELSE 0 END AS INT) AS stage
-        |FROM p GROUP BY user_id""".stripMargin,
+      s"""WITH $funnelCtes
+         |SELECT user_id,
+         |       max(view_s) AS first_view_s,
+         |       max(click_s) AS first_click_s,
+         |       max(purchase_s) AS first_purchase_s,
+         |       CAST(CASE WHEN max(purchase_s) IS NOT NULL THEN 3
+         |                 WHEN max(click_s) IS NOT NULL THEN 2
+         |                 WHEN max(view_s) IS NOT NULL THEN 1
+         |                 ELSE 0 END AS INT) AS stage
+         |FROM p GROUP BY user_id""".stripMargin,
+
+    // Streaming-funnel twin (Funnel.streamingConversion, batch-run): on a
+    // complete replay the stage advances are exactly the batch funnel's
+    // non-null stage timestamps — the same CTEs, unioned per stage. A
+    // cross-paradigm check of the state machine, like alert_lifecycle.
+    "funnel_stages" ->
+      s"""WITH $funnelCtes, f AS (
+         |  SELECT user_id,
+         |         max(view_s) AS v, max(click_s) AS c, max(purchase_s) AS pu
+         |  FROM p GROUP BY user_id
+         |)
+         |SELECT user_id, 1 AS stage, v AS at_s FROM f WHERE v IS NOT NULL
+         |UNION ALL
+         |SELECT user_id, 2 AS stage, c AS at_s FROM f WHERE c IS NOT NULL
+         |UNION ALL
+         |SELECT user_id, 3 AS stage, pu AS at_s FROM f WHERE pu IS NOT NULL"""
+        .stripMargin,
 
     // Q1-style pricing twin (Olap.pricingSummary): identical DECIMAL
     // intermediates make every sum exact and order-independent on both

@@ -256,6 +256,43 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel: stage advances across micro-batches, forward-only") {
+    import graft.ops.Funnel
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val q = Funnel.streamingConversion(events, idleTimeout = Some(3600000L))
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-funnel-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // Batch 1: click arrives BEFORE view within the batch (out of order
+      // in arrival, in order in event time) → both stages advance.
+      input.addData(
+        (1L, t("2026-01-01 10:01:00"), "click"),
+        (1L, t("2026-01-01 10:00:00"), "view"),
+        (2L, t("2026-01-01 10:00:00"), "purchase")) // no prior stages: ignored
+      q.processAllAvailable()
+      // Batch 2: the purchase lands → stage 3; user 2's late view opens
+      // stage 1 only (their earlier purchase is not rewound into rank).
+      input.addData(
+        (1L, t("2026-01-01 10:02:00"), "purchase"),
+        (2L, t("2026-01-01 10:03:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_sink").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val base = t("2026-01-01 10:00:00").getTime / 1000
+      assert(rows === Set(
+        (1L, 1, base), (1L, 2, base + 60), (1L, 3, base + 120),
+        (2L, 1, base + 180)))
+    } finally q.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)

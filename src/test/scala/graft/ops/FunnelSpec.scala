@@ -56,6 +56,31 @@ class FunnelSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one hash exchange, got $exchanges:\n$plan")
   }
 
+  test("streamingConversion on a batch replay equals the snapshot funnel") {
+    val advances = Funnel.streamingConversion(events).collect()
+      .map(a => (a.user_id, a.stage, a.at_s)).toSet
+    val snapshot = Funnel.conversion(events).collect().flatMap { r =>
+      Seq(1, 2, 3).flatMap { s =>
+        Option(r.get(s)).map(t => (r.getLong(0), s, t.asInstanceOf[Long]))
+      }
+    }.toSet
+    assert(advances === snapshot)
+    assert(advances.exists(_._2 == 3)) // user 1 completes
+  }
+
+  test("streamingConversion: a completed funnel does not reopen on a later view") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2026-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2026-01-01 10:02:00"), 1L, "purchase"),
+      (4L, ts("2026-01-01 11:00:00"), 1L, "view")) // after completion
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val advances = Funnel.streamingConversion(ev).collect()
+      .map(a => (a.stage, a.at_s))
+    assert(advances.length === 3) // no phantom second journey
+  }
+
   test("lagLeadStats: neighbors, rank, ntile and normalized positions") {
     import spark.implicits._
     val ev = Seq(
