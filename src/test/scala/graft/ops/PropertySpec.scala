@@ -106,6 +106,51 @@ class PropertySpec extends SparkSpec {
     Gen.const("ü"), Gen.const("☃"), Gen.const("𝕏"), Gen.const("🦀")))
     .map(_.mkString)
 
+  test("property: big-star CC ≡ label propagation on random near-dup corpora") {
+    import spark.implicits._
+    // Random corpora drawn from a tiny template pool: heavy duplication and
+    // chained overlaps, so the candidate graphs have real multi-node
+    // components whose shape varies per seed.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val templates = Seq(
+      base, base + " x", base + " x y", base + " x y z",
+      (1 to 30).map(i => s"q$i").mkString(" "),
+      (1 to 30).map(i => s"q$i").mkString(" ") + " tail", "")
+    forAllSeeded(Gen.listOfN(24, Gen.choose(0, templates.size - 1)),
+        runs = 3) { picks =>
+      val corpus = picks.zipWithIndex
+        .map { case (t, i) => (i.toLong, templates(t)) }
+        .toDF("doc_id", "text")
+      val prop = Dedup.clusters(corpus)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.clustersBigStar(corpus)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"CC algorithms disagree on picks $picks")
+    }
+  }
+
+  test("property: chunking covers every token exactly once at stride = size") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(8, Gen.chooseNum(0, 40)), runs = 3) { lens =>
+      val corpus = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+        .toDF("doc_id", "text")
+      // Non-overlapping chunks partition the token stream: total chunk
+      // tokens = document tokens, and chunk ids are dense from 0.
+      val out = Curation.chunkDocuments(corpus, chunkSize = 7, stride = 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val byDoc = out.groupBy(_._1)
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val chunks = byDoc.getOrElse(i.toLong, Array.empty)
+        assert(chunks.map(_._3).sum === n, s"doc $i: token coverage")
+        assert(chunks.map(_._2).sorted.toSeq === chunks.indices.toSeq,
+          s"doc $i: chunk ids not dense")
+      }
+    }
+  }
+
   test("property: trigram kernels agree with code-point semantics on unicode") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
