@@ -59,14 +59,12 @@ object Bench {
         name -> r
       }
     // The consumer of this line captures only the LAST ~2000 chars of the
-    // run's output, so the line must stay short: 3-decimal values, warm
-    // per-query only. Full unrounded warm+cold detail goes to
-    // BENCH_DETAIL.json beside the build for offline reading.
-    // 2 decimals (10 ms resolution): at ~67 queries every byte of the
-    // one-line JSON counts against the consumer's 2 kB tail.
-    def f3(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    // run's output, so the line must stay short: 2-decimal values (10 ms
+    // resolution), warm per-query only. Full unrounded warm+cold detail
+    // goes to BENCH_DETAIL.json beside the build for offline reading.
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map {
-      case (k, Right((sec, _))) => s""""$k":${f3(sec)}"""
+      case (k, Right((sec, _))) => s""""$k":${f2(sec)}"""
       case (k, Left(_))         => s""""$k":"err""""
     }.mkString("{", ",", "}")
     // The cold run is already paid for the warm-up — record it too, so a
@@ -90,7 +88,7 @@ object Bench {
     // sf-suffixed — a few more bytes saved off the line.
     val sfShort = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cold_total":${f3(coldTotal)},"errors":$nErr,"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"cold_total":${f2(coldTotal)},"errors":$nErr,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -750,8 +750,6 @@ object SparkEntry {
       |  FROM flagged
       |)""".stripMargin
 
-  // Shared by decontaminate / decontaminate_bloom: the Bloom variant's
-  // output is exact, so one oracle serves both and they cannot drift.
   // Funnel stage CTEs — shared by funnel_conversion / funnel_stages so the
   // snapshot and incremental twins cannot drift.
   private val funnelCtes =
@@ -783,6 +781,8 @@ object SparkEntry {
        |$componentsSql
        |SELECT doc_id, cluster_id FROM labels""".stripMargin
 
+  // Shared by decontaminate / decontaminate_bloom: the Bloom variant's
+  // output is exact, so one oracle serves both and they cannot drift.
   private val decontaminateOracle =
     s"""WITH $gramsSql, ex AS (
        |  SELECT doc_id, unnest(g) AS g FROM grams
@@ -1381,9 +1381,11 @@ object SparkEntry {
       """SELECT l_returnflag, n,
         |       round(s1 / n, 6) AS mean_qty,
         |       round(CASE WHEN n > 1
-        |             THEN (s2 - s1 * s1 / n) / (n - 1) END, 6) AS var_qty,
+        |             THEN greatest((s2 - s1 * s1 / n) / (n - 1), 0)
+        |             END, 6) AS var_qty,
         |       round(sqrt(CASE WHEN n > 1
-        |             THEN (s2 - s1 * s1 / n) / (n - 1) END), 6) AS std_qty
+        |             THEN greatest((s2 - s1 * s1 / n) / (n - 1), 0)
+        |             END), 6) AS std_qty
         |FROM (
         |  SELECT l_returnflag, count(*) AS n,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,

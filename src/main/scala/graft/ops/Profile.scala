@@ -97,9 +97,12 @@ object Profile {
   def valueMoments(lineitem: DataFrame): DataFrame = {
     val q = col("l_quantity").cast("decimal(12,2)")
     // Explicit n>1 gate: a single-row group reports null variance instead
-    // of tripping ANSI divide-by-zero on (n-1).
-    val variance = when(col("n") > 1,
-      (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    // of tripping ANSI divide-by-zero on (n-1). The 0 clamp matters for
+    // zero-variance groups: the double expression can land at -1e-18,
+    // where sqrt gives NaN on Spark and an ERROR in DuckDB.
+    val variance = when(col("n") > 1, greatest(
+      (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+      lit(0.0)))
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(

@@ -205,8 +205,12 @@ object Similarity {
       prep: DataFrame,
       cells: Int = 8,
       iters: Int = 5,
-      sampleSize: Int = MaxTrainSample): Seq[Seq[Double]] =
+      sampleSize: Int = MaxTrainSample): Seq[Seq[Double]] = {
+    // Validate BEFORE the distributed sample pass — bad params must fail
+    // in microseconds, not after a cluster top-k and an 8 MB collect.
+    require(cells > 0 && iters >= 0, s"bad kmeans params: $cells/$iters")
     lloydFit(trainSample(prep, sampleSize), cells, iters).map(_.toSeq).toSeq
+  }
 
   /** The bounded deterministic training draw shared by the k-means IVF and
     * PQ fits: the `sampleSize` vectors with the smallest md5-derived id
@@ -314,6 +318,7 @@ object Similarity {
       iters: Int = 5,
       sampleSize: Int = MaxTrainSample): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
+    require(codes > 0 && iters >= 0, s"bad pq params: $codes/$iters")
     val sample = trainSample(prep, sampleSize)
     val sub = Dim / m
     (0 until m).map { j =>

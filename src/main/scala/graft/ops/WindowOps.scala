@@ -40,8 +40,7 @@ object WindowOps {
     * Window operator. The event_id tie-break keeps ntile/rank assignment
     * deterministic across engines and partitionings.
     */
-  def lagLeadStats(events: DataFrame, tiles: Int = 4): DataFrame = {
-    require(tiles > 0, s"ntile bucket count must be positive, got $tiles")
+  def lagLeadStats(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_sec"), col("event_id"))
     events
@@ -53,7 +52,9 @@ object WindowOps {
         lag(col("event_type"), 1).over(w).alias("prev_type"),
         lead(col("event_type"), 1).over(w).alias("next_type"),
         row_number().over(w).alias("rn"),
-        ntile(tiles).over(w).alias("quartile"),
+        // Fixed at 4 tiles — the column NAME carries the bucket semantics
+        // (and the oracle twin pins the same constant).
+        ntile(4).over(w).alias("quartile"),
         round(percent_rank().over(w), 6).alias("pct_rank"),
         round(cume_dist().over(w), 6).alias("cume"))
   }

@@ -50,9 +50,7 @@ class FunnelSpec extends SparkSpec {
   test("conversion plans exactly one exchange — stages chain, not rejoin") {
     val plan = Funnel.conversion(events).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
-    val exchanges = "Exchange hashpartitioning".r
-      .findAllIn(plan.replace("Exchange hashpartitioning", "Exchange hashpartitioning"))
-      .size
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected one hash exchange, got $exchanges:\n$plan")
   }
 

@@ -94,6 +94,17 @@ class ProfileSpec extends SparkSpec {
     assert(out("A").isNullAt(3) && out("A").isNullAt(4))
   }
 
+  test("valueMoments: zero-variance group is exactly 0, never NaN") {
+    import spark.implicits._
+    // Two equal 0.1 rows: s1*s1/n = 0.020000000000000004 > s2 = 0.02 in
+    // doubles — unclamped, variance goes -3.5e-18 and sqrt turns NaN (and
+    // the DuckDB twin ERRORS on a negative sqrt).
+    val li = Seq(("R", 0.1), ("R", 0.1)).toDF("l_returnflag", "l_quantity")
+    val row = Profile.valueMoments(li).collect().head
+    assert(row.getDouble(3) === 0.0)
+    assert(row.getDouble(4) === 0.0)
+  }
+
   test("movingStats: frame average and lag delta, deterministic tie order") {
     import java.sql.Timestamp
     import spark.implicits._
