@@ -293,6 +293,44 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: idle eviction frees a completed user for a new journey") {
+    import graft.ops.Funnel
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "1 minute")
+    // 1-hour idle horizon: state (even a completed funnel) drops once the
+    // watermark passes last-event + horizon.
+    val q = Funnel.streamingConversion(events, idleTimeout = Some(3600000L))
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_evict_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-funnel-evict-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (1L, t("2026-01-01 10:00:00"), "view"),
+        (1L, t("2026-01-01 10:00:30"), "click"),
+        (1L, t("2026-01-01 10:01:00"), "purchase"))
+      q.processAllAvailable()
+      // Another user's much later event pushes the watermark far past user
+      // 1's idle horizon → user 1's completed state evicts.
+      input.addData((2L, t("2026-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      // With state evicted, a fresh view opens a NEW journey (stage 1
+      // again). Were the completed state still held, this would emit
+      // nothing — the eviction is what makes the row observable.
+      input.addData((1L, t("2026-01-01 13:05:00"), "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_evict_sink").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(2)))
+      assert(u1.count(_._1 == 1) === 2, s"expected a second journey: ${u1.toSeq}")
+      assert(u1.length === 4) // stages 1,2,3 then the new stage-1
+    } finally q.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
