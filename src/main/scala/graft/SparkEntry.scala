@@ -693,6 +693,8 @@ object SparkEntry {
       graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
     "stat_moments"        -> ((s, d) =>
       Profile.valueMoments(StandIn.table(s, d, "lineitem"))),
+    "join_attribution"    -> ((s, d) =>
+      graft.ops.StreamJoin.purchaseAttribution(StandIn.events(s, d))),
     "corpus_chunk"        -> ((s, d) =>
       Curation.chunkDocuments(StandIn.documents(s, d), ChunkSize, ChunkStride)),
     "text_repetition"     -> ((s, d) =>
@@ -1479,6 +1481,24 @@ object SparkEntry {
          |SELECT doc_id, term, tf,
          |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
          |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
+
+    // Attribution twin (StreamJoin.purchaseAttribution, batch face): the
+    // same inclusive time-range join, declaratively.
+    "join_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       epoch_us(p.ts) // 1000000 AS purchase_s,
+        |       v.event_id AS view_id,
+        |       epoch_us(v.ts) // 1000000 AS view_s,
+        |       epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000 AS lag_s
+        |FROM ev p JOIN ev v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 60 MINUTE
+        | AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
 
     // Chunking twin (Curation.chunkDocuments): same token windows —
     // DuckDB's inclusive 1-based list slice mirrors Spark's slice(t, s+1, k).

@@ -331,6 +331,35 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches across micro-batches") {
+    import graft.ops.StreamJoin
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String)](spark)
+    // ONE watermarked stream, self-joined: both derived sides inherit the
+    // watermark, and the range condition bounds each side's state.
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val q = StreamJoin.purchaseAttribution(events)
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-attr-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((1L, t("2026-01-01 10:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      // The purchase arrives a BATCH LATER — the held view state matches.
+      input.addData(
+        (2L, t("2026-01-01 10:30:00"), 1L, "purchase"),
+        (3L, t("2026-01-01 10:15:00"), 2L, "purchase")) // user 2: no view
+      q.processAllAvailable()
+      val rows = spark.table("attr_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+      assert(rows.toSet === Set((2L, 1L, 1800L)))
+    } finally q.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
