@@ -649,6 +649,10 @@ object SparkEntry {
     // SimilaritySpec bounds ADC recall against the exact baseline.
     "sim_pq_topk"         -> ((s, d) =>
       Similarity.pqTopK(StandIn.embeddings(s, d), k = TopK)),
+    // IVFPQ (coarse cells + residual PQ, the FAISS IVFADC shape) — same
+    // imperative-training caveat → rows-only + recall-bounded unit test.
+    "sim_ivfpq"           -> ((s, d) =>
+      Similarity.ivfPqTopK(StandIn.embeddings(s, d), IvfCells, k = TopK)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),

@@ -316,10 +316,19 @@ object Similarity {
       m: Int = 8,
       codes: Int = 16,
       iters: Int = 5,
-      sampleSize: Int = MaxTrainSample): Seq[Seq[Seq[Double]]] = {
+      sampleSize: Int = MaxTrainSample): Seq[Seq[Seq[Double]]] =
+    pqFit(trainSample(prep, sampleSize), m, codes, iters)
+
+  /** Per-subspace Lloyd codebooks over an in-memory sample — shared by the
+    * raw-vector PQ and the residual-encoded IVFPQ trainers.
+    */
+  private def pqFit(
+      sample: Array[Array[Double]],
+      m: Int,
+      codes: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
     require(codes > 0 && iters >= 0, s"bad pq params: $codes/$iters")
-    val sample = trainSample(prep, sampleSize)
     val sub = Dim / m
     (0 until m).map { j =>
       lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), codes, iters)
@@ -405,6 +414,145 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     // Exact re-rank of the shortlist only: two slim equi-joins back to the
     // prepared vectors, then the final top-k.
+    topK(
+      shortlist
+        .join(prep.select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+          col("norm").alias("q_norm")), "q_id")
+        .join(prep.select(col("vec_id").alias("neighbor_id"), col("vec"),
+          col("norm")), "neighbor_id")
+        .select(col("q_id"), col("neighbor_id"),
+          cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+            .alias("cos_sim")),
+      k)
+  }
+
+  /** IVFPQ — the FAISS IVFADC architecture, composed from the engine's
+    * own pieces: a Lloyd-trained coarse quantizer partitions vectors into
+    * cells (the inverted lists), and each vector's RESIDUAL against its
+    * cell centroid is PQ-encoded. Search probes `nprobe` cells (equi-join,
+    * never a product), scores candidates with table lookups via the dot
+    * decomposition `q·v = q·c + q·r̂ = q·c + Σⱼ tⱼ[cⱼ]`, and exactly
+    * re-ranks the `refine·k` shortlist.
+    *
+    * Residual encoding is what lifts PQ recall here: residuals are
+    * near-zero-centered with far less variance than raw vectors, so the
+    * same code budget quantizes them much more finely. The reconstructed
+    * norm `‖c+r̂‖` (for the cosine denominator) derives entirely from
+    * per-(cell, code) literal tables at encode time — subspaces are
+    * disjoint coordinate blocks, so cross terms reduce to per-subspace
+    * sums. At 100 TB the stored index is (cell, m codes, recon_norm) per
+    * vector; the scan cost per candidate is m lookups + one add.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2,
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
+    require(nprobe >= 1 && nprobe <= cells, s"bad nprobe $nprobe for $cells")
+    val sub = Dim / m
+    val prep = prepared(embeddings).localCheckpoint()
+    val cs = kmeansCentroids(prep, cells, iters)
+    // Residual codebooks: assign each training vector to its nearest
+    // coarse centroid driver-side and fit PQ on (v − c).
+    val sample = trainSample(prep, MaxTrainSample)
+    def d2(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val residuals = sample.map { v =>
+      val c = cs.minBy(d2(v, _))
+      v.indices.map(i => v(i) - c(i)).toArray
+    }
+    val books = pqFit(residuals, m, codes, iters)
+
+    // CASE chain selecting the (1-based) cell's centroid as a literal.
+    def centroidOf(cell: Column): Column =
+      cs.zipWithIndex.map { case (c, i) =>
+        (i + 1, typedlit(c))
+      }.foldRight(typedlit(cs.head): Column) { case ((id, c), rest) =>
+        when(cell === id, c).otherwise(rest)
+      }
+
+    val byDist = cellsByDistance(col("vec"), col("norm"), cs)
+    // Encode: cell, residual subspace slices staged, per-subspace argmin
+    // code, and the reconstructed norm from literal lookup tables.
+    val encoded = {
+      val celled = prep
+        .withColumn("cell", element_at(byDist, 1))
+        .withColumn("resid",
+          zip_with(col("vec"), centroidOf(col("cell")), (a, b) => a - b))
+      val staged = celled.select(col("vec_id") +: col("cell") +:
+        (0 until m).map(j =>
+          slice(col("resid"), j * sub + 1, sub).alias(s"r$j")): _*)
+      val codeCols = (0 until m).map { j =>
+        val entries = books(j).zipWithIndex.map { case (c, i) =>
+          val cn2 = c.map(x => x * x).sum
+          struct(
+            round(lit(cn2) - lit(2.0) * dot(col(s"r$j"), typedlit(c)), 6)
+              .alias("d"),
+            lit(i).alias("code"))
+        }
+        element_at(transform(array_sort(array(entries: _*)),
+          e => e.getField("code")), 1).alias(s"c$j")
+      }
+      val coded = staged.select(col("vec_id") +: col("cell") +: codeCols: _*)
+      // ‖c+r̂‖² = ‖c‖² + Σⱼ (2·c_subⱼ·bookⱼ[cⱼ] + ‖bookⱼ[cⱼ]‖²): all three
+      // terms are (cell, code)-indexed literals. comb(j)(cell-1)(code)
+      // folds the last two together.
+      val cn2Of: Column = cs.zipWithIndex.map { case (c, i) =>
+        (i + 1, lit(c.map(x => x * x).sum))
+      }.foldRight(lit(0.0)) { case ((id, v), rest) =>
+        when(col("cell") === id, v).otherwise(rest)
+      }
+      val combTerm = (0 until m).map { j =>
+        val tables = cs.zipWithIndex.map { case (c, ci) =>
+          val cSub = c.slice(j * sub, (j + 1) * sub)
+          (ci + 1, typedlit(books(j).map { b =>
+            2.0 * cSub.zip(b).map { case (x, y) => x * y }.sum +
+              b.map(x => x * x).sum
+          }))
+        }.foldRight(typedlit(Seq.fill(codes)(0.0)): Column) {
+          case ((id, t), rest) => when(col("cell") === id, t).otherwise(rest)
+        }
+        element_at(tables, col(s"c$j") + 1)
+      }.reduce(_ + _)
+      // greatest(…, 0): the exact value is ≥ 0, but double fold order can
+      // land a hair below zero for near-zero vectors — sqrt must not NaN.
+      coded.withColumn("recon_norm",
+        sqrt(greatest(cn2Of + combTerm, lit(0.0))))
+    }
+    // Queries: probe the nprobe nearest cells; ADC tables tⱼ from the RAW
+    // query subvectors (q·r̂ needs q, not a residual), plus the per-probe
+    // coarse term q·c.
+    val queries = {
+      val probed = querySet(prep)
+        .withColumn("cell",
+          explode(slice(cellsByDistance(col("q_vec"), col("q_norm"), cs),
+            1, nprobe)))
+        .withColumn("qc", dot(col("q_vec"), centroidOf(col("cell"))))
+      probed.select(col("q_id") +: col("q_norm") +: col("cell") +: col("qc") +:
+        (0 until m).map(j =>
+          array(books(j).map(b =>
+            dot(slice(col("q_vec"), j * sub + 1, sub), typedlit(b))): _*)
+            .alias(s"t$j")): _*)
+    }
+    val adcDot = col("qc") +
+      (0 until m).map(j => element_at(col(s"t$j"), col(s"c$j") + 1))
+        .reduce(_ + _)
+    val shortlist = topK(
+      encoded.join(boundedBroadcast(queries), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+          (adcDot / (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))))
+            .alias("cos_sim")),
+      refine * k)
+      .select(col("q_id"), col("neighbor_id"))
     topK(
       shortlist
         .join(prep.select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),

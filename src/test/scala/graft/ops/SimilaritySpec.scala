@@ -170,6 +170,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ-ADC recall $recall below 0.8")
   }
 
+  test("ivfpq: residual-coded ADC recall vs brute force on clustered data") {
+    val data = clusteredEmb(40)
+    val exact = Similarity.bruteForceTopK(data, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = Similarity.ivfPqTopK(
+      data, cells = 3, m = 8, codes = 8, iters = 4, k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exact.nonEmpty)
+    val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVFPQ recall $recall below 0.8")
+  }
+
   test("pq top-k output ranks by exact cosine after the re-rank") {
     val data = clusteredEmb(40)
     val rows = Similarity.pqTopK(data, m = 8, codes = 8, iters = 4, k = 5)
