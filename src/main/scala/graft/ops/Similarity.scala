@@ -316,8 +316,13 @@ object Similarity {
       m: Int = 8,
       codes: Int = 16,
       iters: Int = 5,
-      sampleSize: Int = MaxTrainSample): Seq[Seq[Seq[Double]]] =
+      sampleSize: Int = MaxTrainSample): Seq[Seq[Seq[Double]]] = {
+    // Validate BEFORE the distributed sample pass — bad params must fail
+    // in microseconds, not after a cluster top-k and an 8 MB collect.
+    require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
+    require(codes > 0 && iters >= 0, s"bad pq params: $codes/$iters")
     pqFit(trainSample(prep, sampleSize), m, codes, iters)
+  }
 
   /** Per-subspace Lloyd codebooks over an in-memory sample — shared by the
     * raw-vector PQ and the residual-encoded IVFPQ trainers.
@@ -335,6 +340,41 @@ object Similarity {
         .map(_.toSeq).toSeq
     }
   }
+
+  /** Per-subspace 0-based argmin codes `c0..c{m-1}` over staged
+    * `<prefix>0..<prefix>{m-1}` subvector slices: argmin of
+    * `‖c‖² − 2·s·c` (the `‖s‖²` term is constant under argmin), 6-dp
+    * rounded with code-index tie-break. Shared by PQ and IVFPQ encode.
+    */
+  private def pqCodeColumns(
+      books: Seq[Seq[Seq[Double]]], prefix: String): Seq[Column] =
+    books.indices.map { j =>
+      val entries = books(j).zipWithIndex.map { case (c, i) =>
+        val cn2 = c.map(x => x * x).sum
+        struct(
+          round(lit(cn2) - lit(2.0) * dot(col(s"$prefix$j"), typedlit(c)), 6)
+            .alias("d"),
+          lit(i).alias("code"))
+      }
+      element_at(transform(array_sort(array(entries: _*)),
+        e => e.getField("code")), 1).alias(s"c$j")
+    }
+
+  /** Exact cosine re-rank of a `(q_id, neighbor_id)` shortlist: two slim
+    * equi-joins back to the prepared vectors, then the final top-k.
+    */
+  private def exactReRank(
+      shortlist: DataFrame, prep: DataFrame, k: Int): DataFrame =
+    topK(
+      shortlist
+        .join(prep.select(col("vec_id").alias("q_id"),
+          col("vec").alias("q_vec"), col("norm").alias("q_norm")), "q_id")
+        .join(prep.select(col("vec_id").alias("neighbor_id"), col("vec"),
+          col("norm")), "neighbor_id")
+        .select(col("q_id"), col("neighbor_id"),
+          cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
+            .alias("cos_sim")),
+      k)
 
   /** PQ-ADC top-k with exact re-ranking. Data vectors are encoded once
     * (per subspace, the argmin-distance code — `‖c‖² − 2·s·c`, the `‖s‖²`
@@ -376,22 +416,11 @@ object Similarity {
     // zero because subspaces are disjoint coordinate blocks).
     val encoded = {
       val staged = withSubs(prep.select(col("vec_id"), col("vec")), "s")
-      val codeCols = (0 until m).map { j =>
-        val entries = books(j).zipWithIndex.map { case (c, i) =>
-          val cn2 = c.map(x => x * x).sum
-          struct(
-            round(lit(cn2) - lit(2.0) * dot(col(s"s$j"), typedlit(c)), 6)
-              .alias("d"),
-            lit(i).alias("code"))
-        }
-        element_at(transform(array_sort(array(entries: _*)),
-          e => e.getField("code")), 1).alias(s"c$j")
-      }
       val normSq = (0 until m).map { j =>
         element_at(
           typedlit(books(j).map(c => c.map(x => x * x).sum)), col(s"c$j") + 1)
       }.reduce(_ + _)
-      staged.select(col("vec_id") +: codeCols: _*)
+      staged.select(col("vec_id") +: pqCodeColumns(books, "s"): _*)
         .withColumn("recon_norm", sqrt(normSq))
     }
     // Query-side ADC tables: t_j[c] = q_subspace_j · codebook_j[c].
@@ -412,18 +441,7 @@ object Similarity {
             .alias("cos_sim")),
       refine * k)
       .select(col("q_id"), col("neighbor_id"))
-    // Exact re-rank of the shortlist only: two slim equi-joins back to the
-    // prepared vectors, then the final top-k.
-    topK(
-      shortlist
-        .join(prep.select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
-          col("norm").alias("q_norm")), "q_id")
-        .join(prep.select(col("vec_id").alias("neighbor_id"), col("vec"),
-          col("norm")), "neighbor_id")
-        .select(col("q_id"), col("neighbor_id"),
-          cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
-            .alias("cos_sim")),
-      k)
+    exactReRank(shortlist, prep, k)
   }
 
   /** IVFPQ — the FAISS IVFADC architecture, composed from the engine's
@@ -452,21 +470,33 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       refine: Int = 4): DataFrame = {
+    // Full fail-fast validation BEFORE any distributed pass.
     require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
     require(nprobe >= 1 && nprobe <= cells, s"bad nprobe $nprobe for $cells")
+    require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
+    require(cells > 0 && codes > 0 && iters >= 0,
+      s"bad ivfpq params: $cells/$codes/$iters")
     val sub = Dim / m
     val prep = prepared(embeddings).localCheckpoint()
-    val cs = kmeansCentroids(prep, cells, iters)
-    // Residual codebooks: assign each training vector to its nearest
-    // coarse centroid driver-side and fit PQ on (v − c).
+    // ONE sample collect feeds both trainers: the coarse Lloyd fit and the
+    // residual codebooks (the draw is deterministic, so a second pass
+    // would fetch the identical rows for double the cluster work).
     val sample = trainSample(prep, MaxTrainSample)
+    val cs = lloydFit(sample, cells, iters).map(_.toSeq).toSeq
+    // Residual codebooks: assign each training vector to its coarse cell
+    // with the same 6-dp-rounded, lowest-index-tie rule SHAPE as the
+    // distributed encode (cellsByDistance). Bit-exact agreement is not
+    // required — a boundary vector assigned differently only perturbs the
+    // codebook fit, never an output row — but matching the rounding
+    // removes the systematic disagreement an unrounded argmin would have.
     def d2(a: Array[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
     val residuals = sample.map { v =>
-      val c = cs.minBy(d2(v, _))
+      val c = cs.zipWithIndex
+        .minBy { case (cc, i) => (math.rint(d2(v, cc) * 1e6) / 1e6, i) }._1
       v.indices.map(i => v(i) - c(i)).toArray
     }
     val books = pqFit(residuals, m, codes, iters)
@@ -490,18 +520,8 @@ object Similarity {
       val staged = celled.select(col("vec_id") +: col("cell") +:
         (0 until m).map(j =>
           slice(col("resid"), j * sub + 1, sub).alias(s"r$j")): _*)
-      val codeCols = (0 until m).map { j =>
-        val entries = books(j).zipWithIndex.map { case (c, i) =>
-          val cn2 = c.map(x => x * x).sum
-          struct(
-            round(lit(cn2) - lit(2.0) * dot(col(s"r$j"), typedlit(c)), 6)
-              .alias("d"),
-            lit(i).alias("code"))
-        }
-        element_at(transform(array_sort(array(entries: _*)),
-          e => e.getField("code")), 1).alias(s"c$j")
-      }
-      val coded = staged.select(col("vec_id") +: col("cell") +: codeCols: _*)
+      val coded = staged.select(
+        col("vec_id") +: col("cell") +: pqCodeColumns(books, "r"): _*)
       // ‖c+r̂‖² = ‖c‖² + Σⱼ (2·c_subⱼ·bookⱼ[cⱼ] + ‖bookⱼ[cⱼ]‖²): all three
       // terms are (cell, code)-indexed literals. comb(j)(cell-1)(code)
       // folds the last two together.
@@ -527,20 +547,23 @@ object Similarity {
       coded.withColumn("recon_norm",
         sqrt(greatest(cn2Of + combTerm, lit(0.0))))
     }
-    // Queries: probe the nprobe nearest cells; ADC tables tⱼ from the RAW
-    // query subvectors (q·r̂ needs q, not a residual), plus the per-probe
-    // coarse term q·c.
+    // Queries: ADC tables tⱼ from the RAW query subvectors (q·r̂ needs q,
+    // not a residual) — computed BEFORE the probe explode so the m×codes
+    // dot products run once per query, not once per probed cell — then
+    // the nprobe nearest cells with their per-probe coarse term q·c.
     val queries = {
-      val probed = querySet(prep)
+      val tabled = querySet(prep).select(
+        col("q_id") +: col("q_vec") +: col("q_norm") +:
+          (0 until m).map(j =>
+            array(books(j).map(b =>
+              dot(slice(col("q_vec"), j * sub + 1, sub), typedlit(b))): _*)
+              .alias(s"t$j")): _*)
+      tabled
         .withColumn("cell",
           explode(slice(cellsByDistance(col("q_vec"), col("q_norm"), cs),
             1, nprobe)))
         .withColumn("qc", dot(col("q_vec"), centroidOf(col("cell"))))
-      probed.select(col("q_id") +: col("q_norm") +: col("cell") +: col("qc") +:
-        (0 until m).map(j =>
-          array(books(j).map(b =>
-            dot(slice(col("q_vec"), j * sub + 1, sub), typedlit(b))): _*)
-            .alias(s"t$j")): _*)
+        .drop("q_vec")
     }
     val adcDot = col("qc") +
       (0 until m).map(j => element_at(col(s"t$j"), col(s"c$j") + 1))
@@ -553,16 +576,7 @@ object Similarity {
             .alias("cos_sim")),
       refine * k)
       .select(col("q_id"), col("neighbor_id"))
-    topK(
-      shortlist
-        .join(prep.select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
-          col("norm").alias("q_norm")), "q_id")
-        .join(prep.select(col("vec_id").alias("neighbor_id"), col("vec"),
-          col("norm")), "neighbor_id")
-        .select(col("q_id"), col("neighbor_id"),
-          cosine(col("q_vec"), col("q_norm"), col("vec"), col("norm"))
-            .alias("cos_sim")),
-      k)
+    exactReRank(shortlist, prep, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket-sharing pairs with
