@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Ordered window analytics over the event stream — the moving-average /
   * delta family every monitoring dashboard computes. One shuffle (the
@@ -75,5 +78,80 @@ object WindowOps {
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= n)
+  }
+
+  case class ScoredEvent(
+      user_id: Long, event_id: Long, value: Double, event_time: Timestamp)
+
+  /** One refreshed leaderboard row; `as_of_s` stamps which event's arrival
+    * produced this ranking snapshot (the max event-time seen so far).
+    */
+  case class RankedEntry(
+      user_id: Long, rnk: Int, event_id: Long, value: Double, as_of_s: Long)
+
+  /** Streaming leaderboard — the streaming face of [[topNPerUser]]:
+    * per-key top-N by value maintained incrementally in
+    * `flatMapGroupsWithState`. State per key is the N (value, event_id)
+    * pairs and a high-water event time — BOUNDED regardless of stream
+    * length, the property that makes a per-key leaderboard viable at
+    * 100 TB/day (rank windows are unsupported over unbounded streams for
+    * exactly this reason; the bounded heap is the standard workaround).
+    * Emits the FULL refreshed top-N whenever a batch changes it, nothing
+    * when it doesn't. Same (value desc, event_id asc) tie order as the
+    * batch operator; `idleTimeout` evicts keys that go silent.
+    */
+  def streamingTopN(
+      events: DataFrame,
+      n: Int = 3,
+      idleTimeout: Option[Long] = None): Dataset[RankedEntry] = {
+    require(n > 0, s"top-N must be positive, got $n")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def step(
+        userId: Long,
+        batch: Iterator[ScoredEvent],
+        state: GroupState[Seq[(Double, Long, Long)]]): Iterator[RankedEntry] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val incoming = batch.toSeq
+      val prev = state.getOption.getOrElse(Seq.empty)
+      // Merge, re-rank, cap: value desc, event_id asc — the batch
+      // operator's exact tie order. asOf carries the high-water mark.
+      val merged = (prev ++ incoming.map(e =>
+          (e.value, e.event_id, e.event_time.getTime / 1000)))
+        .sortBy { case (v, id, _) => (-v, id) }
+        .take(n)
+      val asOf = merged.map(_._3).max
+      if (merged.map(t => (t._1, t._2)) == prev.map(t => (t._1, t._2))) {
+        // Ranking unchanged: keep state (refresh the high-water mark only).
+        state.update(merged)
+        armTimeout(state, asOf)
+        Iterator.empty
+      } else {
+        state.update(merged)
+        armTimeout(state, asOf)
+        merged.zipWithIndex.iterator.map { case ((v, id, _), i) =>
+          RankedEntry(userId, i + 1, id, v, asOf)
+        }
+      }
+    }
+
+    def armTimeout(
+        state: GroupState[Seq[(Double, Long, Long)]], lastS: Long): Unit =
+      idleTimeout.foreach { ms =>
+        state.setTimeoutTimestamp(
+          math.max(lastS * 1000 + ms, state.getCurrentWatermarkMs() + 1))
+      }
+
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .where(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").alias("event_time"))
+      .as[ScoredEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(step)
   }
 }

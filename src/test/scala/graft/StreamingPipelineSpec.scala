@@ -360,6 +360,40 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-N leaderboard refreshes only when a batch changes it") {
+    import graft.ops.WindowOps
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = WindowOps.streamingTopN(events, n = 2).toDF()
+      .writeStream.format("memory").queryName("topn_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-topn-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (1L, t("2026-01-01 10:00:00"), 7L, 10.0),
+        (2L, t("2026-01-01 10:01:00"), 7L, 30.0))
+      q.processAllAvailable()
+      // A displacing value re-emits the refreshed board...
+      input.addData((3L, t("2026-01-01 10:02:00"), 7L, 20.0))
+      q.processAllAvailable()
+      // ...a non-qualifying one emits nothing.
+      input.addData((4L, t("2026-01-01 10:03:00"), 7L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("topn_sink").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      val base = t("2026-01-01 10:00:00").getTime / 1000
+      // Batch 1 board: [30 (id 2), 10 (id 1)]; batch 2: [30, 20 (id 3)].
+      assert(rows.toSet === Set(
+        (1, 2L, 30.0, base + 60), (2, 1L, 10.0, base + 60),
+        (1, 2L, 30.0, base + 120), (2, 3L, 20.0, base + 120)))
+    } finally q.stop()
+  }
+
   test("mail notifier e2e: iot-alert payload → severity filter → formatted email") {
     import spark.implicits._
     val input = MemoryStream[String](spark)

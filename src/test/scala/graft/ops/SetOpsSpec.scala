@@ -30,6 +30,22 @@ class SetOpsSpec extends SparkSpec {
     assert(out.toSeq.sorted === Seq(1L)) // one row despite two clicks
   }
 
+  test("streamingTopN on a batch replay equals the batch rank-and-filter") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val ev = ((1 to 10).map(i =>
+      (i.toLong, Timestamp.valueOf(s"2026-01-01 10:00:0${i % 10}"), 7L,
+        (i % 5).toDouble)) :+
+      ((99L, Timestamp.valueOf("2026-01-01 11:00:00"), 8L, 5.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val stream = WindowOps.streamingTopN(ev, n = 3).collect()
+      .map(r => (r.user_id, r.rnk, r.event_id, r.value)).toSet
+    val batch = WindowOps.topNPerUser(ev, n = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(stream === batch)
+  }
+
   test("topNPerUser keeps n rows per user with a pushed group limit") {
     import spark.implicits._
     val ev = (1 to 10).map(i => (7L, i.toLong, i.toDouble)) :+
