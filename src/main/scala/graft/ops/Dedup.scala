@@ -316,8 +316,11 @@ object Dedup {
     val grams = shingleSets(docs)
     val cands = minhashCandidates(docs, k, bands, estThreshold)
       .select(col("a_id"), col("b_id"))
-    val inter = size(filter(col("grams_a"),
-      g => array_contains(col("grams_b"), g)))
+    // Built-in array_intersect: hash-based and codegen'd, O(|A|+|B|) per
+    // pair — vs the interpreted HOF filter/array_contains form, which is
+    // O(|A|·|B|) and CodegenFallback. Shingle sets are distinct (the
+    // shingleSets contract), so intersect size == match count exactly.
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
     val jac = inter.cast("double") /
       (size(col("grams_a")) + size(col("grams_b")) - inter)
     cands

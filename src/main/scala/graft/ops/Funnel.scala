@@ -59,8 +59,14 @@ object Funnel {
   case class FunnelEvent(
       user_id: Long, event_time: Timestamp, event_type: String)
 
+  /** `lastSeenMs` is the per-key event-time high-water mark — the idle
+    * timeout arms from it, so a batch of purely LATE events (older than
+    * anything already seen) can never re-arm the timeout EARLIER and evict
+    * state sooner than "last-seen event + idleTimeout" promises.
+    */
   case class FunnelState(
-      viewS: Option[Long], clickS: Option[Long], purchaseS: Option[Long])
+      viewS: Option[Long], clickS: Option[Long], purchaseS: Option[Long],
+      lastSeenMs: Long = Long.MinValue)
 
   /** One row per stage ADVANCE: the user reached `stage` at epoch-second
     * `at_s`. The incremental face of [[conversion]]'s snapshot.
@@ -107,12 +113,17 @@ object Funnel {
     }
     // Completed funnels KEEP their state (prevents a later view from
     // opening a phantom second journey) until the idle timeout evicts it.
+    // The high-water mark takes max(stored, batch max): sorted is
+    // event-time ordered, so sorted.last is this batch's max.
+    val hwm = math.max(st.lastSeenMs,
+      sorted.lastOption.map(_.event_time.getTime).getOrElse(Long.MinValue))
+    st = st.copy(lastSeenMs = hwm)
     state.update(st)
     idleTimeoutMs.foreach { ms =>
-      val last = sorted.lastOption.map(_.event_time.getTime)
-        .getOrElse(state.getCurrentWatermarkMs())
+      val base = if (hwm == Long.MinValue) state.getCurrentWatermarkMs()
+                 else hwm
       state.setTimeoutTimestamp(
-        math.max(last + ms, state.getCurrentWatermarkMs() + 1))
+        math.max(base + ms, state.getCurrentWatermarkMs() + 1))
     }
     out.iterator
   }

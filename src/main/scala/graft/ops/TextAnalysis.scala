@@ -36,8 +36,17 @@ object TextAnalysis {
     * accuracy-for-memory trade (`rsd` = target relative standard
     * deviation). Engine-specific sketch → no DuckDB twin; the unit test
     * bounds its error against [[termStats]].
+    *
+    * Default `rsd` is Spark's 0.05 (~2^10 HLL registers per term key), not
+    * 0.01 (~2^14): on a Zipf vocabulary almost every term has tiny doc
+    * frequency, so at 0.01 the per-group sketch state dwarfs the exact
+    * distinct it replaces and the sketch LOSES the memory trade it exists
+    * for. The crossover: the sketch only beats exact on head terms whose
+    * (term, doc_id) pair count exceeds the register footprint — at 0.05
+    * that's ~1k pairs, at 0.01 it's ~16k. Callers profiling head terms
+    * only may still pass a tighter rsd explicitly.
     */
-  def termStatsSketch(docs: DataFrame, rsd: Double = 0.01): DataFrame =
+  def termStatsSketch(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs
       .select(col("doc_id"), Dedup.tokens(col("text")).alias("toks"))
       .select(col("doc_id"), explode(col("toks")).alias("term"))

@@ -83,8 +83,10 @@ object WindowOps {
   case class ScoredEvent(
       user_id: Long, event_id: Long, value: Double, event_time: Timestamp)
 
-  /** One refreshed leaderboard row; `as_of_s` stamps which event's arrival
-    * produced this ranking snapshot (the max event-time seen so far).
+  /** One refreshed leaderboard row; `as_of_s` stamps the key's event-time
+    * high-water mark at emission (max event-time seen so far across ALL
+    * events, board-changing or not) — monotone per key, so downstream
+    * consumers can order snapshots by it.
     */
   case class RankedEntry(
       user_id: Long, rnk: Int, event_id: Long, value: Double, as_of_s: Long)
@@ -92,13 +94,21 @@ object WindowOps {
   /** Streaming leaderboard — the streaming face of [[topNPerUser]]:
     * per-key top-N by value maintained incrementally in
     * `flatMapGroupsWithState`. State per key is the N (value, event_id)
-    * pairs and a high-water event time — BOUNDED regardless of stream
+    * pairs plus one high-water event-time — BOUNDED regardless of stream
     * length, the property that makes a per-key leaderboard viable at
     * 100 TB/day (rank windows are unsupported over unbounded streams for
     * exactly this reason; the bounded heap is the standard workaround).
     * Emits the FULL refreshed top-N whenever a batch changes it, nothing
     * when it doesn't. Same (value desc, event_id asc) tie order as the
-    * batch operator; `idleTimeout` evicts keys that go silent.
+    * batch operator.
+    *
+    * The high-water mark is tracked SEPARATELY from the board entries and
+    * advances on every incoming event — including events that don't make
+    * the board. That keeps two promises the board-derived timestamp can't:
+    * (1) with `idleTimeout` set, a key receiving a steady stream of
+    * non-qualifying events is still "active" and never evicted; (2)
+    * `as_of_s` is monotone per key even when a displacing event carries an
+    * older timestamp than the entry it evicts.
     */
   def streamingTopN(
       events: DataFrame,
@@ -108,40 +118,32 @@ object WindowOps {
     val spark = events.sparkSession
     import spark.implicits._
 
+    // State = (board of (value, event_id), high-water event-time seconds).
     def step(
         userId: Long,
         batch: Iterator[ScoredEvent],
-        state: GroupState[Seq[(Double, Long, Long)]]): Iterator[RankedEntry] = {
+        state: GroupState[(Seq[(Double, Long)], Long)]): Iterator[RankedEntry] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val incoming = batch.toSeq
-      val prev = state.getOption.getOrElse(Seq.empty)
+      val (prevBoard, prevHwm) =
+        state.getOption.getOrElse((Seq.empty[(Double, Long)], Long.MinValue))
+      val hwmS =
+        (prevHwm +: incoming.map(_.event_time.getTime / 1000)).max
       // Merge, re-rank, cap: value desc, event_id asc — the batch
-      // operator's exact tie order. asOf carries the high-water mark.
-      val merged = (prev ++ incoming.map(e =>
-          (e.value, e.event_id, e.event_time.getTime / 1000)))
-        .sortBy { case (v, id, _) => (-v, id) }
+      // operator's exact tie order.
+      val merged = (prevBoard ++ incoming.map(e => (e.value, e.event_id)))
+        .sortBy { case (v, id) => (-v, id) }
         .take(n)
-      val asOf = merged.map(_._3).max
-      if (merged.map(t => (t._1, t._2)) == prev.map(t => (t._1, t._2))) {
-        // Ranking unchanged: keep state (refresh the high-water mark only).
-        state.update(merged)
-        armTimeout(state, asOf)
-        Iterator.empty
-      } else {
-        state.update(merged)
-        armTimeout(state, asOf)
-        merged.zipWithIndex.iterator.map { case ((v, id, _), i) =>
-          RankedEntry(userId, i + 1, id, v, asOf)
-        }
-      }
-    }
-
-    def armTimeout(
-        state: GroupState[Seq[(Double, Long, Long)]], lastS: Long): Unit =
+      state.update((merged, hwmS))
       idleTimeout.foreach { ms =>
         state.setTimeoutTimestamp(
-          math.max(lastS * 1000 + ms, state.getCurrentWatermarkMs() + 1))
+          math.max(hwmS * 1000 + ms, state.getCurrentWatermarkMs() + 1))
       }
+      if (merged == prevBoard) Iterator.empty
+      else merged.zipWithIndex.iterator.map { case ((v, id), i) =>
+        RankedEntry(userId, i + 1, id, v, hwmS)
+      }
+    }
 
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout

@@ -430,4 +430,85 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(mail.recipient === "ops@example.com")
     } finally query.stop()
   }
+
+  test("streaming top-N: non-qualifying events keep a key alive past the idle horizon") {
+    import graft.ops.WindowOps
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "1 minute")
+    // n=1, 5-minute idle horizon. User 7's board is set once; every later
+    // event is non-qualifying. The high-water mark must advance on those
+    // events anyway — were the timeout armed from the (unchanged) board's
+    // timestamps, the stale 10:05 deadline would evict user 7 at batch 4
+    // and batch 5's non-qualifying 2.0 would WRONGLY rebuild and emit.
+    val q = WindowOps.streamingTopN(events, n = 1,
+        idleTimeout = Some(300000L)).toDF()
+      .writeStream.format("memory").queryName("topn_alive_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-topn-alive-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((1L, t("2026-01-01 10:00:00"), 7L, 100.0))
+      q.processAllAvailable()
+      input.addData((2L, t("2026-01-01 10:04:00"), 7L, 1.0)) // board unchanged
+      q.processAllAvailable()
+      input.addData((3L, t("2026-01-01 10:07:00"), 8L, 50.0))
+      q.processAllAvailable()
+      // Watermark now 10:06 — past the stale 10:05 deadline, before the
+      // refreshed 10:09 one.
+      input.addData((4L, t("2026-01-01 10:08:00"), 8L, 60.0))
+      q.processAllAvailable()
+      input.addData((5L, t("2026-01-01 10:08:30"), 7L, 2.0)) // non-qualifying
+      q.processAllAvailable()
+      val u7 = spark.table("topn_alive_sink").collect()
+        .filter(_.getLong(0) == 7L)
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      val base = t("2026-01-01 10:00:00").getTime / 1000
+      assert(u7.toSet === Set((1, 1L, 100.0, base)),
+        s"user 7 must emit exactly the initial board: ${u7.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: a late-only batch cannot re-arm the idle timeout earlier") {
+    import graft.ops.Funnel
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "1 minute")
+    // 5-minute idle horizon. User 1's high-water mark is 10:10; batch 2 is
+    // a purely-late duplicate at 10:00. Armed from the batch max alone the
+    // deadline would REWIND to ~10:05 and user 1 would evict at batch 4
+    // (watermark 10:11), letting batch 5's view open a phantom second
+    // journey. Armed from max(stored, batch) the deadline stays 10:15.
+    val q = Funnel.streamingConversion(events, idleTimeout = Some(300000L))
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_late_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-funnel-late-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((1L, t("2026-01-01 10:10:00"), "view"))
+      q.processAllAvailable()
+      input.addData((1L, t("2026-01-01 10:00:00"), "view")) // late duplicate
+      q.processAllAvailable()
+      input.addData((2L, t("2026-01-01 10:12:00"), "view"))
+      q.processAllAvailable()
+      // Watermark now 10:11 — past the rewound ~10:05 deadline the bug
+      // would have armed, before the correct 10:15 one.
+      input.addData((2L, t("2026-01-01 10:13:00"), "click"))
+      q.processAllAvailable()
+      input.addData((1L, t("2026-01-01 10:12:30"), "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_late_sink").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(2)))
+      val base = t("2026-01-01 10:10:00").getTime / 1000
+      assert(u1.toSeq === Seq((1, base)),
+        s"user 1 must keep its state (no phantom second journey): ${u1.toSeq}")
+    } finally q.stop()
+  }
 }
