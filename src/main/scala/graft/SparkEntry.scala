@@ -310,6 +310,18 @@ object SparkEntry {
     Similarity.kmeansIvfTopK(StandIn.embeddings(s, dir), IvfCells,
       iters = 3, k = TopK, nprobe = 2)
 
+  // Recall@k of the trained-IVF result vs the exact brute force, as one
+  // deterministic (hits, expected, recall) row. Both sides are
+  // deterministic, so the driver's rows-only check pins the row COUNT and
+  // SimilaritySpec pins the recall floor; a quantizer regression flips the
+  // unit test red instead of hiding behind a rows-only count.
+  private def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = StandIn.embeddings(s, dir)
+    Similarity.recallAtK(
+      Similarity.kmeansIvfTopK(emb, IvfCells, iters = 3, k = TopK, nprobe = 2),
+      Similarity.bruteForceTopK(emb, TopK))
+  }
+
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))
 
@@ -645,6 +657,9 @@ object SparkEntry {
     // SQL twin; the driver records a rows-only check and SimilaritySpec
     // bounds recall vs the exact brute force.
     "sim_ivf_kmeans"      -> ((s, d) => simIvfKmeans(s, d)),
+    // Trained-quantizer recall vs brute force — rows-only (the IVF side
+    // has no SQL twin) but 1-row deterministic; SimilaritySpec bounds it.
+    "sim_ivf_recall"      -> ((s, d) => simIvfRecall(s, d)),
     // PQ training is the same imperative fit — rows-only check;
     // SimilaritySpec bounds ADC recall against the exact baseline.
     "sim_pq_topk"         -> ((s, d) =>
@@ -695,6 +710,8 @@ object SparkEntry {
         StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
     "set_except_users"    -> ((s, d) =>
       graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
+    "set_intersect_users" -> ((s, d) =>
+      graft.ops.SetOps.clickersAlsoBuyers(StandIn.events(s, d))),
     "stat_moments"        -> ((s, d) =>
       Profile.valueMoments(StandIn.table(s, d, "lineitem"))),
     "join_attribution"    -> ((s, d) =>
@@ -1378,6 +1395,14 @@ object SparkEntry {
       """SELECT user_id FROM events
         |WHERE event_type = 'click' AND value > 95
         |EXCEPT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 95""".stripMargin,
+
+    // INTERSECT twin (SetOps.clickersAlsoBuyers): identical set semantics.
+    "set_intersect_users" ->
+      """SELECT user_id FROM events
+        |WHERE event_type = 'click' AND value > 95
+        |INTERSECT
         |SELECT user_id FROM events
         |WHERE event_type = 'purchase' AND value > 95""".stripMargin,
 

@@ -42,4 +42,19 @@ object SetOps {
         events.where(col("event_type") === "purchase" &&
             col("value") > minValue)
           .select(col("user_id")))
+
+  /** Users with BOTH a high-value click and a high-value purchase —
+    * INTERSECT (set-distinct semantics), [[clickersNotBuyers]]'s
+    * complement and the last set-op member of the inventory. Plans as
+    * aggregate + LEFT SEMI join: both sides reduce to distinct keys
+    * map-side before the exchange, and only keys ever shuffle.
+    */
+  def clickersAlsoBuyers(
+      events: DataFrame, minValue: Double = 95.0): DataFrame =
+    events.where(col("event_type") === "click" && col("value") > minValue)
+      .select(col("user_id"))
+      .intersect(
+        events.where(col("event_type") === "purchase" &&
+            col("value") > minValue)
+          .select(col("user_id")))
 }

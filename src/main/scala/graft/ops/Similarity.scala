@@ -304,6 +304,28 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Recall@k of an ANN result against the exact baseline, as ONE checkable
+    * row `(hits, expected, recall)`. Both inputs are `(q_id, neighbor_id,
+    * …)` top-k frames; hits counts approx pairs present in the exact set
+    * via a semi join on the pair key — the check shuffles only
+    * 2 × |queries| × k id pairs, nothing that scales with the corpus.
+    * Registered as a verify query so a recall regression in a trained
+    * quantizer FAILS the round's deterministic-rows check visibly instead
+    * of silently degrading behind a rows-only count.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("neighbor_id"))
+    val hits = approx.select(col("q_id"), col("neighbor_id"))
+      .join(e, Seq("q_id", "neighbor_id"), "left_semi")
+    hits.agg(count(lit(1)).alias("hits"))
+      // 1-row × 1-row scalar product — the same bounded shape as the
+      // corpus-total broadcasts in TextAnalysis.
+      .crossJoin(e.agg(count(lit(1)).alias("expected")))
+      .select(col("hits"), col("expected"),
+        round(col("hits").cast("double") / col("expected"), 6)
+          .alias("recall"))
+  }
+
   /** Product-quantization codebooks: the `Dim`-dimensional space split
     * into `m` contiguous subspaces of `Dim/m` dims, each with its own
     * `codes`-entry Lloyd-fit codebook over the shared driver-side sample.

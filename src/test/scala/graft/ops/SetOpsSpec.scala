@@ -30,6 +30,22 @@ class SetOpsSpec extends SparkSpec {
     assert(out.toSeq.sorted === Seq(1L)) // one row despite two clicks
   }
 
+  test("clickersAlsoBuyers: INTERSECT distinct semantics, semi-join plan") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 99.0), (1L, "click", 98.0), // clicker only
+      (2L, "click", 99.0), (2L, "purchase", 99.0), // both → qualifies
+      (2L, "purchase", 97.0), // duplicate buyer collapses
+      (3L, "purchase", 99.0), (4L, "view", 99.0),
+      (5L, "click", 99.0), (5L, "purchase", 10.0)) // purchase below carve
+      .toDF("user_id", "event_type", "value")
+    val q = SetOps.clickersAlsoBuyers(ev)
+    val out = q.collect().map(_.getLong(0))
+    assert(out.toSeq.sorted === Seq(2L)) // one row despite duplicates
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"must plan a semi join:\n$plan")
+  }
+
   test("streamingTopN on a batch replay equals the batch rank-and-filter") {
     import java.sql.Timestamp
     import spark.implicits._

@@ -147,6 +147,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"trained-IVF recall $recall below 0.8")
   }
 
+  test("recallAtK emits one (hits, expected, recall) row holding the 0.8 floor") {
+    val data = clusteredEmb(40)
+    val rows = Similarity.recallAtK(
+      Similarity.kmeansIvfTopK(data, cells = 3, iters = 4, k = 5, nprobe = 2),
+      Similarity.bruteForceTopK(data, k = 5)).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("expected") === 10L) // queries (ids 0, 100) × k=5
+    assert(r.getAs[Long]("hits") <= r.getAs[Long]("expected"))
+    assert(r.getAs[Double]("recall") >= 0.8,
+      s"registered recall row below the floor: $r")
+  }
+
   test("pq codebooks: one per subspace, right arity") {
     val books = Similarity.pqCodebooks(
       Similarity.prepared(clusteredEmb(40)).localCheckpoint(),
