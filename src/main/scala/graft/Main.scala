@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.config.PipelineConfig
-import graft.io.LoggingNotifier
+import graft.io.AlertNotifier
 
 /** Production entry point: start all four streaming units against the
   * configured Kafka/Postgres endpoints and supervise until termination
@@ -26,7 +26,8 @@ object Main {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pipeline = new Pipeline(spark, cfg, new LoggingNotifier)
+    // ALERT_NOTIFIER=smtp wires real delivery; default stays log-only.
+    val pipeline = new Pipeline(spark, cfg, AlertNotifier.forConfig(cfg))
     try {
       val queries = pipeline.startAll()
       println(s"Started ${queries.size} streaming queries; awaiting termination")

@@ -29,7 +29,18 @@ final case class SmtpConfig(
     host: String,
     port: Int,
     user: String,
-    recipient: String)
+    password: String,
+    recipient: String,
+    /** "smtp" wires the real socket notifier (reference parity:
+      * gestionnaire_mail.py actually sends); default "log" is the safe
+      * no-relay mode every test/offline environment needs.
+      */
+    notifier: String = "log",
+    /** STARTTLS upgrade before auth — the reference's `server.starttls()`.
+      * Disable only against a relay that speaks plaintext (e.g. a test
+      * server or a localhost forwarder).
+      */
+    startTls: Boolean = true)
 
 final case class PipelineConfig(
     kafka: KafkaConfig,
@@ -66,7 +77,10 @@ object PipelineConfig {
         host = get("SMTP_HOST", "localhost"),
         port = get("SMTP_PORT", "587").toInt,
         user = get("SMTP_USER", "alerts@example.com"),
-        recipient = get("ALERT_RECIPIENT", "ops@example.com")),
+        password = get("SMTP_PASS", ""),
+        recipient = get("ALERT_RECIPIENT", "ops@example.com"),
+        notifier = get("ALERT_NOTIFIER", "log"),
+        startTls = get("SMTP_STARTTLS", "true").toBoolean),
       checkpointRoot = get("CHECKPOINT_ROOT", "/tmp/checkpoints/graft"),
       watermarkDelay = get("WATERMARK_DELAY", "1 minute"),
       windowDuration = get("WINDOW_DURATION", "4 minutes"))

@@ -74,3 +74,136 @@ final class InMemoryNotifier extends AlertNotifier {
     sent.asScala.toSeq
   }
 }
+
+object AlertNotifier {
+
+  /** Config-gated wiring: `ALERT_NOTIFIER=smtp` selects real delivery
+    * (reference parity — gestionnaire_mail.py actually sends); anything
+    * else is log-only, the safe default for every environment without a
+    * relay.
+    */
+  def forConfig(cfg: graft.config.PipelineConfig): AlertNotifier =
+    if (cfg.smtp.notifier == "smtp")
+      new SmtpNotifier(cfg.smtp.host, cfg.smtp.port, cfg.smtp.user,
+        cfg.smtp.password, cfg.smtp.startTls)
+    else new LoggingNotifier
+}
+
+/** Production SMTP delivery over a raw socket — the reference's
+  * `smtplib.SMTP(host, port)` → `starttls()` → `login()` →
+  * `send_message(MIMEText(body, _charset="utf-8"))` sequence
+  * (gestionnaire_mail.py:22-26, 70-74) re-implemented on
+  * `java.net`/`javax.net.ssl` with zero mail-library dependency. The
+  * message mirrors MIMEText's on-the-wire shape: base64
+  * content-transfer-encoding, RFC 2047 encoded-word subject (the French
+  * alert subjects are non-ASCII), From = the authenticated user,
+  * To = the per-email recipient.
+  *
+  * One connection per send, not one held open: the notifier runs from
+  * `foreachBatch` on whichever executor the micro-batch lands, and a
+  * held-open connection dies with the first network blip — the
+  * reference's module-scope `server` does exactly that (its documented
+  * fragility). Alert traffic is severity-filtered to ~1% upstream, so
+  * per-send handshakes are noise.
+  *
+  * `password.isEmpty` skips AUTH (open relay / test server);
+  * `startTls = false` skips the TLS upgrade (plaintext relay / test
+  * server). Any unexpected reply code throws — a silently dropped
+  * critical alert is the one unacceptable failure mode.
+  */
+final class SmtpNotifier(
+    host: String,
+    port: Int,
+    user: String,
+    password: String = "",
+    startTls: Boolean = true,
+    timeoutMs: Int = 10000) extends AlertNotifier {
+
+  import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+  import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+  override def send(email: AlertEmail): Unit = {
+    val plain = new java.net.Socket()
+    plain.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    plain.setSoTimeout(timeoutMs)
+    var socket: java.net.Socket = plain
+    try {
+      var io = wrap(socket)
+      expect(readReply(io._1), "220", "greeting")
+      command(io, s"EHLO graft.local", "250")
+      if (startTls) {
+        command(io, "STARTTLS", "220")
+        val ssl = javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+          .createSocket(socket, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.startHandshake()
+        socket = ssl
+        io = wrap(socket)
+        command(io, s"EHLO graft.local", "250") // capabilities reset by TLS
+      }
+      if (password.nonEmpty) {
+        val b64 = java.util.Base64.getEncoder
+        command(io, "AUTH LOGIN", "334")
+        command(io, b64.encodeToString(user.getBytes(UTF_8)), "334")
+        command(io, b64.encodeToString(password.getBytes(UTF_8)), "235")
+      }
+      command(io, s"MAIL FROM:<$user>", "250")
+      command(io, s"RCPT TO:<${email.recipient}>", "250")
+      command(io, "DATA", "354")
+      io._2.write(mimeMessage(email))
+      command(io, "\r\n.", "250") // end-of-data; reply confirms acceptance
+      command(io, "QUIT", "221")
+    } finally socket.close()
+  }
+
+  /** MIMEText(body, _charset="utf-8") equivalent. Base64 body lines never
+    * begin with '.' (not in the alphabet) and no header does, so no
+    * dot-stuffing is ever needed on this message shape.
+    */
+  private[io] def mimeMessage(email: AlertEmail): String = {
+    val subject = "=?UTF-8?B?" + java.util.Base64.getEncoder
+      .encodeToString(email.subject.getBytes(UTF_8)) + "?="
+    val body = new String(
+      java.util.Base64.getMimeEncoder(76, Array[Byte]('\r', '\n'))
+        .encode(email.body.getBytes(UTF_8)), ISO_8859_1)
+    Seq(
+      s"From: $user",
+      s"To: ${email.recipient}",
+      s"Subject: $subject",
+      "MIME-Version: 1.0",
+      "Content-Type: text/plain; charset=utf-8",
+      "Content-Transfer-Encoding: base64",
+      "",
+      body).mkString("\r\n")
+  }
+
+  private type Io = (BufferedReader, BufferedWriter)
+
+  private def wrap(s: java.net.Socket): Io = (
+    new BufferedReader(new InputStreamReader(s.getInputStream, ISO_8859_1)),
+    new BufferedWriter(new OutputStreamWriter(s.getOutputStream, ISO_8859_1)))
+
+  private def command(io: Io, line: String, code: String): String = {
+    io._2.write(line); io._2.write("\r\n"); io._2.flush()
+    expect(readReply(io._1), code, line.takeWhile(_ != ':'))
+  }
+
+  /** Reads one (possibly multi-line `250-...`/`250 ...`) SMTP reply. */
+  private def readReply(in: BufferedReader): String = {
+    val sb = new StringBuilder
+    var line = in.readLine()
+    while (line != null && line.length > 3 && line.charAt(3) == '-') {
+      sb.append(line).append('\n')
+      line = in.readLine()
+    }
+    if (line == null) throw new java.io.IOException("SMTP peer closed stream")
+    sb.append(line).toString
+  }
+
+  private def expect(reply: String, code: String, ctx: String): String = {
+    if (!reply.startsWith(code))
+      throw new java.io.IOException(s"SMTP $ctx: expected $code, got: $reply")
+    reply
+  }
+}

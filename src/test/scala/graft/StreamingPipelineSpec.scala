@@ -115,6 +115,54 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed aggregation runs green under the RocksDB state store provider") {
+    import spark.implicits._
+    // The documented 100 TB posture (SURVEY §4.2, Main.GRAFT_ROCKSDB_STATE):
+    // off-heap bounded-memory state instead of the default HDFS-backed
+    // in-memory maps. The provider is read per query start, so scoping the
+    // conf around this one query exercises it without touching the suite.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val readings = input.toDF()
+      .toDF("event_time", "sensor_id", "value")
+      .withColumn("sensor_type", lit("temperature"))
+    val query = Aggregates.sensorStats(readings, streaming = true)
+      .writeStream.format("memory")
+      .queryName("agg_rocksdb_sink").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-agg-rocks").toString)
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (ts("2026-01-01 00:00:30"), "s1", 10.0),
+        (ts("2026-01-01 00:01:30"), "s1", 20.0))
+      query.processAllAvailable()
+      input.addData((ts("2026-01-01 00:05:30"), "s1", 30.0))
+      query.processAllAvailable()
+      val rows = spark.table("agg_rocksdb_sink").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Double]("avg_value") === 15.0)
+      assert(rows.head.getAs[Long]("count") === 2L)
+      // Evidence the provider actually engaged: RocksDB publishes its own
+      // custom state-operator metrics (e.g. rocksdbGetCount).
+      val metrics = query.lastProgress.stateOperators.apply(0)
+        .customMetrics.keySet()
+      import scala.jdk.CollectionConverters._
+      assert(metrics.asScala.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got: $metrics")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("late data beyond the 1-minute watermark is dropped") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](spark)
