@@ -422,6 +422,14 @@ object SparkEntry {
       StandIn.table(s, dir, "nation"),
       StandIn.table(s, dir, "region"))
 
+  private def olapRevenueShare(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Olap.revenueShareByNation(
+      StandIn.table(s, dir, "lineitem"),
+      StandIn.table(s, dir, "orders"),
+      StandIn.table(s, dir, "customer"),
+      StandIn.table(s, dir, "nation"),
+      StandIn.table(s, dir, "region"))
+
   // Approx-quantile sketch variant of qualityPercentiles — the
   // extreme-cardinality path. Engine-specific sketch (Greenwald-Khanna in
   // Spark), so no DuckDB twin; rows-only driver check + an error-bound
@@ -714,6 +722,17 @@ object SparkEntry {
       graft.ops.SetOps.clickersAlsoBuyers(StandIn.events(s, d))),
     "stat_moments"        -> ((s, d) =>
       Profile.valueMoments(StandIn.table(s, d, "lineitem"))),
+    "stat_pair_moments"   -> ((s, d) =>
+      Profile.pairMoments(StandIn.table(s, d, "lineitem"))),
+    "stat_zscore"         -> ((s, d) =>
+      Profile.zscoreOutliers(StandIn.events(s, d))),
+    "olap_retention"      -> ((s, d) =>
+      graft.ops.Olap.retentionCohorts(StandIn.events(s, d))),
+    "olap_histogram"      -> ((s, d) =>
+      graft.ops.Olap.valueHistogram(StandIn.events(s, d))),
+    "olap_revenue_share"  -> ((s, d) => olapRevenueShare(s, d)),
+    "text_normalize"      -> ((s, d) =>
+      TextAnalysis.normalize(StandIn.documents(s, d))),
     "join_attribution"    -> ((s, d) =>
       graft.ops.StreamJoin.purchaseAttribution(StandIn.events(s, d))),
     "corpus_chunk"        -> ((s, d) =>
@@ -1424,6 +1443,112 @@ object SparkEntry {
         |                  CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag
         |)""".stripMargin,
+
+    // Pair-moments twin (Profile.pairMoments): the same exact decimal
+    // Σx/Σy/Σxy/Σx²/Σy², the same one double expression for cov/corr.
+    "stat_pair_moments" ->
+      """SELECT l_returnflag, n,
+        |       round(CASE WHEN n > 1
+        |             THEN (sxy - sx * sy / n) / (n - 1) END, 4)
+        |         AS cov_qty_price,
+        |       round(CASE WHEN n > 1
+        |              AND greatest((sxx - sx * sx / n) / (n - 1), 0) > 0
+        |              AND greatest((syy - sy * sy / n) / (n - 1), 0) > 0
+        |             THEN ((sxy - sx * sy / n) / (n - 1)) /
+        |                  sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0) *
+        |                       greatest((syy - sy * sy / n) / (n - 1), 0))
+        |             END, 6) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |                  CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)""".stripMargin,
+
+    // Z-score twin (Profile.zscoreOutliers): exact decimal(14,4) sums →
+    // identical mean/std doubles → identical flagged set on both engines.
+    "stat_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type AS t,
+        |         s1 / n AS mean_v,
+        |         sqrt(CASE WHEN n > 1
+        |              THEN greatest((s2 - s1 * s1 / n) / (n - 1), 0)
+        |              END) AS std_v
+        |  FROM (
+        |    SELECT event_type, count(*) AS n,
+        |           CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS s1,
+        |           CAST(sum(CAST(value AS DECIMAL(14,4)) *
+        |                    CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS s2
+        |    FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |  )
+        |)
+        |SELECT event_id, event_type, value,
+        |       round((value - mean_v) / std_v, 6) AS zscore
+        |FROM events JOIN stats ON event_type = t
+        |WHERE value IS NOT NULL AND std_v > 0
+        |  AND abs((value - mean_v) / std_v) > 3.0""".stripMargin,
+
+    // Retention twin (Olap.retentionCohorts).
+    "olap_retention" ->
+      """WITH dated AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events WHERE ts IS NOT NULL
+        |), first_seen AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM dated GROUP BY user_id
+        |)
+        |SELECT CAST(f.cohort_d AS VARCHAR) AS cohort_day,
+        |       CAST(datediff('day', f.cohort_d, t.d) AS INT) AS day_offset,
+        |       count(DISTINCT t.user_id) AS active_users
+        |FROM dated t JOIN first_seen f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Histogram twin (Olap.valueHistogram): lo=0, hi=100, bins=20 → width 5.
+    "olap_histogram" ->
+      """WITH c AS (
+        |  SELECT least(19, greatest(0,
+        |           CAST(floor((value - 0.0) / 5.0) AS INT))) AS bin,
+        |         count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), t AS (SELECT sum(n) AS t FROM c)
+        |SELECT bin, round(0.0 + bin * 5.0, 6) AS bin_lo, n,
+        |       round(n / CAST(t.t AS DOUBLE), 6) AS share
+        |FROM c, t""".stripMargin,
+
+    // Revenue-share twin (Olap.revenueShareByNation): the Q5 aggregate
+    // plus percent-of-total over the 5-row result.
+    "olap_revenue_share" ->
+      """WITH r AS (
+        |  SELECT n_name,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
+        |         AS DOUBLE) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, revenue, n_items,
+        |       round(revenue / sum(revenue) OVER (), 6) AS share
+        |FROM r""".stripMargin,
+
+    // Normalization twin (TextAnalysis.normalize).
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
+        |         AS norm_text,
+        |       length(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+        |         AS n_chars_norm
+        |FROM documents""".stripMargin,
 
     // Daily-active-users twin (Olap.dailyActiveUsers): exact distinct.
     "agg_distinct_users" ->

@@ -159,6 +159,81 @@ object Olap {
         count(lit(1)).alias("n_items"))
   }
 
+  /** Cohort retention: users grouped by first-activity day (their cohort),
+    * counted on each later activity day as a day offset — the
+    * product-analytics retention triangle, and the training-data analogue
+    * of "how much of each crawl snapshot survives into later epochs".
+    *
+    * Shape: two aggregations and one join, ALL keyed by or through
+    * user_id — the first-seen groupBy partitions by user_id and the
+    * events-side join reuses that key, so the fact table shuffles once on
+    * user_id and once on the (cohort, offset) pair (tiny: days²/2 groups).
+    * No window over the whole table, no self-join on the fact.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val dated = events.where(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).alias("d"))
+    val firstSeen = dated.groupBy(col("user_id"))
+      .agg(min(col("d")).alias("cohort_d"))
+    dated
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).alias("day_offset"))
+      .agg(countDistinct(col("user_id")).alias("active_users"))
+      .select(col("cohort_d").cast("string").alias("cohort_day"),
+        col("day_offset"), col("active_users"))
+  }
+
+  /** Fixed-width histogram of `value` with each bin's share of the total —
+    * the distribution report every threshold decision starts from.
+    * Out-of-range values clamp into the edge bins (a histogram that
+    * silently drops rows misreports the distribution it exists to show).
+    *
+    * Shape: one scan, a map-side-combinable groupBy on the bin id
+    * (`bins` groups), and the 1-row total broadcast back for the share —
+    * the same bounded scalar-broadcast pattern as [[Profile.keySkew]].
+    */
+  def valueHistogram(
+      events: DataFrame,
+      lo: Double = 0.0,
+      hi: Double = 100.0,
+      bins: Int = 20): DataFrame = {
+    require(bins > 0 && hi > lo, s"bad histogram params: [$lo,$hi)/$bins")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col("value") - lit(lo)) / lit(width)).cast("int")))
+    val counts = events.where(col("value").isNotNull)
+      .groupBy(bin.alias("bin"))
+      .agg(count(lit(1)).alias("n"))
+    val total = counts.agg(sum(col("n")).alias("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * lit(width), 6).alias("bin_lo"),
+        col("n"),
+        round(col("n") / col("t").cast("double"), 6).alias("share"))
+  }
+
+  /** [[revenueByNation]] extended with each nation's share of the regional
+    * total — percent-of-total over an aggregate via ONE unpartitioned
+    * window. Safe ONLY because it runs over the aggregated frame (one row
+    * per nation, dimension-bounded); the same window over a fact table
+    * would funnel 100 TB through one partition.
+    */
+  def revenueShareByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String = "ASIA"): DataFrame = {
+    val byNation = revenueByNation(
+      lineitem, orders, customer, nation, region, regionName)
+    // No orderBy → the frame is the whole (nation-count-bounded) partition.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    byNation.select(col("n_name"), col("revenue"), col("n_items"),
+      round(col("revenue") / sum(col("revenue")).over(w), 6).alias("share"))
+  }
+
   /** [[dailyActiveUsers]] with an HLL++ sketch instead of the exact
     * distinct: ONE aggregation pass whose state is a fixed-size sketch per
     * group — at 100 TB the exact variant's expanded (day, type, user)

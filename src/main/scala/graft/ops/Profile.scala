@@ -94,6 +94,79 @@ object Profile {
     * bit-stable: same data, same answer, any cluster size. Shape: one scan,
     * map-side partial sums, a few-group shuffle.
     */
+  /** Exact single-pass PAIR moments of (l_quantity, l_extendedprice) per
+    * return flag: n, sample covariance, Pearson correlation. Same design
+    * as [[valueMoments]]: the five sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * as DECIMAL — exact and order-independent at any scale, where
+    * `covar_samp`/`corr` built-ins use streaming co-moment formulas that
+    * drift with partial-aggregation order and differ engine to engine —
+    * then covariance and correlation derive from the exact sums in one
+    * double expression identical on both engines. One scan, map-side
+    * partial sums, a few-group shuffle.
+    */
+  def pairMoments(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(12,2)")
+    val y = col("l_extendedprice").cast("decimal(14,2)")
+    val cov = when(col("n") > 1,
+      (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+    // Zero-variance guards: clamp the tiny negative float residue (see
+    // valueMoments) and null the correlation when either variance is 0.
+    val vx = greatest(
+      (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+      lit(0.0))
+    val vy = greatest(
+      (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1),
+      lit(0.0))
+    val corr = when(col("n") > 1 && vx > 0 && vy > 0,
+      cov / sqrt(vx * vy))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(x).cast("double").alias("sx"),
+        sum(y).cast("double").alias("sy"),
+        sum(x * y).cast("double").alias("sxy"),
+        sum(x * x).cast("double").alias("sxx"),
+        sum(y * y).cast("double").alias("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(cov, 4).alias("cov_qty_price"),
+        round(corr, 6).alias("corr_qty_price"))
+  }
+
+  /** Z-score outliers: events whose `value` sits more than `threshold`
+    * sample standard deviations from their event_type's mean — the
+    * distribution-based anomaly screen (the statistical face of the alert
+    * engine's fixed thresholds). Per-group mean/std derive from exact
+    * DECIMAL sums ([[valueMoments]]'s argument), so the flagged set is
+    * deterministic across engines and partitionings.
+    *
+    * Shape: one aggregation pass builds the per-type stats (a handful of
+    * rows — groups are bounded by the type vocabulary), which broadcast
+    * back onto the fact scan; the facts themselves never shuffle.
+    */
+  def zscoreOutliers(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val v = col("value").cast("decimal(14,4)")
+    val variance = when(col("n") > 1, greatest(
+      (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+      lit(0.0)))
+    val stats = events.where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(v).cast("double").alias("s1"),
+        sum(v * v).cast("double").alias("s2"))
+      .select(col("event_type").alias("t"),
+        (col("s1") / col("n")).alias("mean_v"),
+        sqrt(variance).alias("std_v"))
+    val z = (col("value") - col("mean_v")) / col("std_v")
+    events.where(col("value").isNotNull)
+      .join(broadcast(stats), col("event_type") === col("t"))
+      .where(col("std_v") > 0 && abs(z) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 6).alias("zscore"))
+  }
+
   def valueMoments(lineitem: DataFrame): DataFrame = {
     val q = col("l_quantity").cast("decimal(12,2)")
     // Explicit n>1 gate: a single-row group reports null variance instead

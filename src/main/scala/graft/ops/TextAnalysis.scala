@@ -456,6 +456,19 @@ object TextAnalysis {
     */
   val DigitRunPattern = "[0-9][0-9 -]{6,}[0-9]"
 
+  /** Canonical text normalization: lowercase, trim, collapse every
+    * internal whitespace run to one space — the stage-zero cleanup of any
+    * dedup/quality pipeline (exact-duplicate rates are meaningless on
+    * un-normalized text: "A  b" and "a b" must hash equal). Pure
+    * codegen'd projection — no shuffle, no UDF, embarrassingly parallel.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(
+      regexp_replace(coalesce(col("text"), lit("")), "\\s+", " ")))
+    docs.select(col("doc_id"), norm.alias("norm_text"),
+      length(norm).alias("n_chars_norm"))
+  }
+
   /** PII redaction — the scrub a training corpus runs before anything
     * else ships: emails → `<EMAIL>`, dotted-quad IPs → `<IP>`, long digit
     * runs → `<NUMBER>`, with per-document match counts (counted on the

@@ -128,6 +128,58 @@ class OlapSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), s"no cartesian allowed:\n$plan")
   }
 
+  test("retentionCohorts: users land in their first-day cohort at each offset") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1: days 1,1,3 → cohort d1, offsets 0 and 2. u2: days 1,2 → cohort
+    // d1, offsets 0 and 1. u3: day 2 only → cohort d2, offset 0.
+    val ev = Seq(
+      (1L, t("2026-01-01 09:00:00"), 1L, "view", 1.0),
+      (2L, t("2026-01-01 18:00:00"), 1L, "click", 1.0),
+      (3L, t("2026-01-03 09:00:00"), 1L, "view", 1.0),
+      (4L, t("2026-01-01 09:00:00"), 2L, "view", 1.0),
+      (5L, t("2026-01-02 09:00:00"), 2L, "view", 1.0),
+      (6L, t("2026-01-02 09:00:00"), 3L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Olap.retentionCohorts(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2026-01-01", 0) -> 2L, ("2026-01-01", 1) -> 1L,
+      ("2026-01-01", 2) -> 1L, ("2026-01-02", 0) -> 1L))
+  }
+
+  test("valueHistogram: bins, clamped edges, shares summing to one") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    // -5 clamps into bin 0, 250 into bin 19; 12 → bin 2, 14 → bin 2.
+    val ev = Seq(-5.0, 250.0, 12.0, 14.0, 3.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, t0, 1L, "click", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Olap.valueHistogram(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0) === ((0.0, 2L, 0.4)))   // -5 clamped + 3.0
+    assert(out(2) === ((10.0, 2L, 0.4)))  // 12, 14
+    assert(out(19) === ((95.0, 1L, 0.2))) // 250 clamped
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("revenueShareByNation: shares sum to one over the regional total") {
+    import spark.implicits._
+    val li = Seq((10L, 100.0, 0.0), (20L, 300.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((1L, 11L), (2L, 12L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((11L, 1L, "FRANCE"), (12L, 1L, "GERMANY"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+    val reg = Seq((1L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val out = Olap.revenueShareByNation(li, ord, cust, nat, reg, "EUROPE")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out === Map("FRANCE" -> 0.25, "GERMANY" -> 0.75))
+  }
+
   test("HLL daily-active sketch tracks the exact counts within its rsd") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -105,6 +105,43 @@ class ProfileSpec extends SparkSpec {
     assert(row.getDouble(4) === 0.0)
   }
 
+  test("pairMoments: covariance and correlation from exact sums, hand-checked") {
+    import spark.implicits._
+    // Group A: (1,2),(2,4),(3,6) — perfectly linear → corr 1, cov 2.
+    // Group B: (1,10),(2,10) — zero y-variance → corr null, cov 0.
+    // Group C: single row — both null.
+    val li = Seq(
+      ("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 6.0),
+      ("B", 1.0, 10.0), ("B", 2.0, 10.0),
+      ("C", 5.0, 5.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = Profile.pairMoments(li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("A") === ((3L, Some(2.0), Some(1.0))))
+    assert(out("B") === ((2L, Some(0.0), None)))
+    assert(out("C") === ((1L, None, None)))
+  }
+
+  test("zscoreOutliers flags only beyond-threshold rows, stats broadcast") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 clicks at 10.0 and one at 1000.0: the spike's z is ~3.02σ (the
+    // outlier inflates σ itself), the baseline rows sit at ~-0.3σ.
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val ev = ((1 to 10).map(i => (i.toLong, t0, i.toLong, "click", 10.0)) :+
+      ((99L, t0, 99L, "click", 1000.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Profile.zscoreOutliers(ev, threshold = 3.0)
+    val out = q.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.length === 1)
+    assert(out.head._1 === 99L)
+    assert(out.head._2 > 3.0 && out.head._2 < 3.2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast back, not shuffle the facts:\n$plan")
+  }
+
   test("movingStats: frame average and lag delta, deterministic tie order") {
     import java.sql.Timestamp
     import spark.implicits._

@@ -71,6 +71,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(v => v >= 0 && v < TextAnalysis.FingerprintMod))
   }
 
+  test("normalize: lowercase, trim, collapsed whitespace, null-safe") {
+    import spark.implicits._
+    val out = TextAnalysis.normalize(Seq(
+      (1L, "  Hello\t\tWORLD  \n again "),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("hello world again", 17)))
+    assert(out(2L) === (("", 0)))
+  }
+
   test("termStatsSketch: HLL doc_freq within rsd bounds of exact; counts equal") {
     val corpus = docs((1L to 120L).map(i =>
       (i, s"common shared w${i % 7} w${i % 13}")): _*)
