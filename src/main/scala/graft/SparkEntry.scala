@@ -699,6 +699,8 @@ object SparkEntry {
     "olap_pivot_events"   -> ((s, d) => olapPivotEvents(s, d)),
     "olap_rollup_events"  -> ((s, d) => olapRollupEvents(s, d)),
     "olap_cube_events"    -> ((s, d) => olapCubeEvents(s, d)),
+    "olap_grouping_sets"  -> ((s, d) =>
+      graft.ops.Olap.groupingSetsStats(StandIn.events(s, d))),
     "window_moving_stats" -> ((s, d) => windowMovingStats(s, d)),
     "window_lag_lead"     -> ((s, d) => windowLagLead(s, d)),
     "funnel_conversion"   -> ((s, d) => funnelConversion(s, d)),
@@ -1302,6 +1304,22 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL
         |)
         |GROUP BY CUBE (event_type, value_band)""".stripMargin,
+
+    // Grouping-sets twin (Olap.groupingSetsStats): leaf + both one-key
+    // slices, no grand total — the lattice rollup/cube cannot express.
+    "olap_grouping_sets" ->
+      """SELECT event_type, value_band,
+        |       CAST(grouping(event_type) AS INT) AS g_type,
+        |       CAST(grouping(value_band) AS INT) AS g_band,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT event_type, CAST(floor(value / 10) AS INT) AS value_band,
+        |         value
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |GROUP BY GROUPING SETS ((event_type, value_band), (event_type),
+        |                        (value_band))""".stripMargin,
 
     // Ranking-family twin (WindowOps.lagLeadStats): one shared WINDOW
     // spec; the event_id tie-break makes ntile/percent_rank deterministic.

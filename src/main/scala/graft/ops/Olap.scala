@@ -69,6 +69,35 @@ object Olap {
       .select(col("event_type"), col("value_band"),
         col("g_type"), col("g_band"), col("n"), col("sum_value"))
 
+  /** Arbitrary subtotal sets — the general form rollup and cube are
+    * special cases of: here (type, band) leaf cells plus BOTH one-key
+    * slices, but NO grand total — a lattice neither rollup (no band
+    * slice) nor cube (forces the grand total) can express. Still ONE
+    * Expand aggregate; the Expand factor is the number of sets (3), so
+    * cost is explicit and chosen, not 2^keys.
+    */
+  def groupingSetsStats(events: DataFrame): DataFrame = {
+    val typed = events
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / 10).cast("int").alias("value_band"),
+        col("value"))
+    typed
+      .groupingSets(
+        Seq(
+          Seq(col("event_type"), col("value_band")),
+          Seq(col("event_type")),
+          Seq(col("value_band"))),
+        col("event_type"), col("value_band"))
+      .agg(
+        grouping(col("event_type")).cast("int").alias("g_type"),
+        grouping(col("value_band")).cast("int").alias("g_band"),
+        count(lit(1)).alias("n"),
+        round(sum(col("value")), 4).alias("sum_value"))
+      .select(col("event_type"), col("value_band"),
+        col("g_type"), col("g_band"), col("n"), col("sum_value"))
+  }
+
   /** Daily active users: per (day, event_type), the exact distinct user
     * count plus raw event count. Spark plans the distinct as two
     * aggregations (partial on (day, type, user), then the final count) —

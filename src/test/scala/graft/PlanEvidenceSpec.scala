@@ -98,6 +98,37 @@ class PlanEvidenceSpec extends SparkSpec {
       s"rnk<=n must run as a running per-key top-N:\n$plan")
   }
 
+  test("bucketed tables co-locate: the fact-fact join plans ZERO exchanges") {
+    import spark.implicits._
+    // The 100 TB co-location story: two tables bucketed on the join key
+    // into the same bucket count join WITHOUT any shuffle — the bucket
+    // layout IS the exchange, paid once at write time and amortized over
+    // every subsequent join. Broadcast is disabled so the test can't pass
+    // by broadcasting the small fixture.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bkt_a")
+      (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bkt_b")
+      val q = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(q.count() === 100L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join over bucketed scans:\n$plan")
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)

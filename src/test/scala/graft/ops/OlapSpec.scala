@@ -62,6 +62,29 @@ class OlapSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Union"))
   }
 
+  test("groupingSets: leaf + both one-key slices, no grand total, one Expand") {
+    val rows = Olap.groupingSetsStats(events).collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4)))
+    // The cube-only band slice IS present (type rolled up, band 0 → n=3)...
+    assert(rows.count { case (t, b, gt, gb, n) =>
+      t.isEmpty && b.contains(0) && gt == 1 && gb == 0 && n == 3L } === 1)
+    // ...the per-type slice too (click across bands → n=2)...
+    assert(rows.count { case (t, b, gt, gb, n) =>
+      t.contains("click") && b.isEmpty && gt == 0 && gb == 1 && n == 2L } === 1)
+    // ...but NO grand total — the set neither rollup nor cube can express.
+    assert(rows.count { case (t, b, _, _, _) =>
+      t.isEmpty && b.isEmpty } === 0)
+    // Leaf cells intact.
+    assert(rows.count { case (t, b, gt, gb, n) =>
+      t.contains("click") && b.contains(1) && gt == 0 && gb == 0 && n == 1L }
+      === 1)
+    val plan = Olap.groupingSetsStats(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"),
+      s"grouping sets must plan one Expand aggregate:\n$plan")
+  }
+
   private def tsEvents = {
     import spark.implicits._
     import java.sql.Timestamp
