@@ -735,6 +735,15 @@ object SparkEntry {
     "olap_revenue_share"  -> ((s, d) => olapRevenueShare(s, d)),
     "text_normalize"      -> ((s, d) =>
       TextAnalysis.normalize(StandIn.documents(s, d))),
+    "ts_resample_ffill"   -> ((s, d) =>
+      graft.ops.Resample.hourlyFfill(StandIn.events(s, d))),
+    "stat_winsorize"      -> ((s, d) =>
+      graft.ops.Resample.winsorize(StandIn.events(s, d))),
+    // Streaming running-stats anomaly detector, batch-replay face: the
+    // exact-decimal prefix sums make the replay reproduce the SQL
+    // prefix-window oracle bit for bit (cross-paradigm, like funnel_stages).
+    "stream_anomaly"      -> ((s, d) =>
+      graft.ops.Anomaly.streamingOutliers(StandIn.events(s, d)).toDF()),
     "join_attribution"    -> ((s, d) =>
       graft.ops.StreamJoin.purchaseAttribution(StandIn.events(s, d))),
     "corpus_chunk"        -> ((s, d) =>
@@ -1558,6 +1567,76 @@ object SparkEntry {
         |SELECT n_name, revenue, n_items,
         |       round(revenue / sum(revenue) OVER (), 6) AS share
         |FROM r""".stripMargin,
+
+    // Streaming-anomaly twin (Anomaly.streamingOutliers batch replay):
+    // prefix-window decimal sums → the same one double expression.
+    "stream_anomaly" ->
+      """WITH ordered AS (
+        |  SELECT event_id, event_type, value,
+        |         row_number() OVER w - 1 AS n_seen,
+        |         CAST(sum(CAST(value AS DECIMAL(14,4))) OVER wp AS DOUBLE)
+        |           AS s1,
+        |         CAST(sum(CAST(value AS DECIMAL(14,4)) *
+        |                  CAST(value AS DECIMAL(14,4))) OVER wp AS DOUBLE)
+        |           AS s2
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |         wp AS (PARTITION BY event_type
+        |                ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), scored AS (
+        |  SELECT event_id, event_type, value, n_seen,
+        |         s1 / n_seen AS mean_v,
+        |         (s2 - s1 * s1 / n_seen) / (n_seen - 1) AS var_v
+        |  FROM ordered WHERE n_seen >= 10
+        |)
+        |SELECT event_id, event_type, value, n_seen,
+        |       CASE WHEN var_v > 0
+        |            THEN round((value - mean_v) / sqrt(var_v), 6)
+        |            END AS z_score
+        |FROM scored
+        |WHERE (var_v > 0 AND abs((value - mean_v) / sqrt(var_v)) > 3.0)
+        |   OR (var_v <= 0 AND value <> mean_v)""".stripMargin,
+
+    // Resample twin (Resample.hourlyFfill): per-user hourly grid via
+    // generate_series, forward-fill via last_value IGNORE NULLS.
+    "ts_resample_ffill" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+        |               / count(*), 6) AS avg_v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM spans
+        |)
+        |SELECT g.user_id, CAST(g.h AS VARCHAR) AS hour,
+        |       o.avg_v IS NOT NULL AS observed,
+        |       last_value(o.avg_v IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS value_ffill
+        |FROM grid g
+        |LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h""".stripMargin,
+
+    // Winsorize twin (Resample.winsorize): quantile_cont matches Spark's
+    // exact interpolated percentile (same selection-based definition).
+    "stat_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT event_type AS t,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT event_id, event_type, value,
+        |       round(least(greatest(value, lo), hi), 6) AS clipped_value,
+        |       (value < lo OR value > hi) AS was_clipped
+        |FROM events JOIN bounds ON event_type = t
+        |WHERE value IS NOT NULL""".stripMargin,
 
     // Normalization twin (TextAnalysis.normalize).
     "text_normalize" ->

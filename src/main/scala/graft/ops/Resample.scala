@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream onto a
+  * fixed per-key grid and forward-fill the gaps — the prep step between
+  * raw sensor/event data and anything windowed (models, dashboards,
+  * joins on aligned timestamps all want a regular grid).
+  *
+  * Scale shape: one groupBy builds the observed buckets (map-side
+  * combinable, (key, bucket)-sized output), one tiny per-key span
+  * aggregate generates the grid rows map-side via `sequence`/`explode`
+  * (grid size = keys × span/resolution — the resolution is chosen so the
+  * grid is SMALLER than the raw stream, which is the point of
+  * resampling), and the gap-fill window rides the same (key) hash
+  * partitioning as the grid join — two shuffles total, none fact-sized
+  * after the first aggregate.
+  */
+object Resample {
+
+  /** Hourly grid per user over each user's own [first, last] observed
+    * hour: `observed` marks buckets with real data, `value_ffill` carries
+    * the last observed hourly average forward across gaps (the leading
+    * bucket is always observed by construction of the span).
+    *
+    * The hourly average is derived from an exact DECIMAL sum ÷ count, not
+    * `avg(double)` — partial-aggregation order would otherwise make the
+    * filled values drift between engines/partitionings (see
+    * Profile.valueMoments for the full argument).
+    */
+  def hourlyFfill(events: DataFrame): DataFrame = {
+    val v = col("value").cast("decimal(14,4)")
+    val observed = events
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), date_trunc("hour", col("ts")).alias("h"), v)
+      .groupBy(col("user_id"), col("h"))
+      .agg(round(sum(v).cast("double") / count(lit(1)), 6).alias("avg_v"))
+    val grid = observed
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).alias("h0"), max(col("h")).alias("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .alias("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(observed, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        col("avg_v").isNotNull.alias("observed"),
+        last(col("avg_v"), ignoreNulls = true).over(w).alias("value_ffill"))
+      .select(col("user_id"), col("h").cast("string").alias("hour"),
+        col("observed"), col("value_ffill"))
+  }
+
+  /** Winsorization: clip `value` to its event_type's [p_lo, p_hi] exact
+    * interpolated percentiles — the outlier treatment a feature pipeline
+    * applies before normalization (clipping preserves row count where a
+    * filter would bias the sample). Exact `percentile` interpolation is
+    * selection-based — deterministic under any partitioning, and it
+    * matches DuckDB's `quantile_cont` bit for bit (the same property
+    * TextAnalysis.qualityPercentiles relies on). The per-type bounds
+    * (vocabulary-sized) broadcast back onto the fact scan; the facts
+    * never shuffle.
+    */
+  def winsorize(
+      events: DataFrame,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad percentiles: $pLo/$pHi")
+    val bounds = events.where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(pLo)).alias("lo"),
+        percentile(col("value"), lit(pHi)).alias("hi"))
+      .withColumnRenamed("event_type", "t")
+    val clipped = least(greatest(col("value"), col("lo")), col("hi"))
+    events.where(col("value").isNotNull)
+      .join(broadcast(bounds), col("event_type") === col("t"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(clipped, 6).alias("clipped_value"),
+        (col("value") < col("lo") || col("value") > col("hi"))
+          .alias("was_clipped"))
+  }
+}
