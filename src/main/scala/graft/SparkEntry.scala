@@ -735,6 +735,11 @@ object SparkEntry {
     "olap_revenue_share"  -> ((s, d) => olapRevenueShare(s, d)),
     "text_normalize"      -> ((s, d) =>
       TextAnalysis.normalize(StandIn.documents(s, d))),
+    // Misra-Gries heavy hitters — counts are merge-order-dependent lower
+    // bounds (no SQL twin); rows-only (row count = langs × min(k, distinct))
+    // + bound-pinning unit tests in MisraGriesSpec.
+    "text_heavy_terms"    -> ((s, d) =>
+      TextAnalysis.heavyTerms(StandIn.documents(s, d))),
     "ts_resample_ffill"   -> ((s, d) =>
       graft.ops.Resample.hourlyFfill(StandIn.events(s, d))),
     "stat_winsorize"      -> ((s, d) =>

@@ -91,6 +91,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("approx_top_items"),
+      new ExpressionInfo(
+        classOf[MisraGries].getName,
+        null,
+        "approx_top_items",
+        "approx_top_items(col, k) - Misra-Gries heavy hitters: bounded " +
+          "k-counter approximate top-k frequency aggregate",
+        ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, kExpr) if kExpr.foldable &&
+            kExpr.eval().isInstanceOf[Number] =>
+          MisraGries(c, kExpr.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "approx_top_items expects (string column, constant int k)")
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(
         classOf[CharNgrams].getName,

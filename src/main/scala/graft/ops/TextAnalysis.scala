@@ -456,6 +456,22 @@ object TextAnalysis {
     */
   val DigitRunPattern = "[0-9][0-9 -]{6,}[0-9]"
 
+  /** Per-language heavy-hitter terms via the native Misra-Gries aggregate
+    * ([[graft.functions.MisraGries]]): bounded k-counter state per group
+    * where [[termStats]]' exact distinct table is corpus-sized. Output is
+    * one row per (lang, rank ≤ k). Counts are ε-bounded lower estimates
+    * (merge-order dependent within `true − n/(k+1) ≤ est ≤ true`) — the
+    * driver records rows-only; the MisraGriesSpec pins the bounds.
+    */
+  def heavyTerms(docs: DataFrame, k: Int = 10): DataFrame =
+    docs
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).alias("term"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.MisraGries.topItems(col("term"), k).alias("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").alias("rank"),
+        col("col.item").alias("term"), col("col.count_est"))
+
   /** Canonical text normalization: lowercase, trim, collapse every
     * internal whitespace run to one space — the stage-zero cleanup of any
     * dedup/quality pipeline (exact-duplicate rates are meaningless on

@@ -69,6 +69,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .toLowerCase.contains("countinset"),
         "rule must not rewrite a null-bearing vocabulary")
       assert(keep.collect().map(_.getInt(0)).toSeq === Seq(1, 1, 1))
+
+      // approx_top_items: the Misra-Gries aggregate from plain SQL.
+      val mg = spark.sql(
+        """SELECT approx_top_items(item, 4) AS top FROM VALUES
+          |  ('a'), ('a'), ('a'), ('b'), ('c') AS t(item)""".stripMargin)
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(mg === Seq("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      val mgErr = intercept[Exception] {
+        spark.sql("SELECT approx_top_items(item, item) FROM VALUES ('a') AS t(item)")
+          .collect()
+      }
+      assert(mgErr.getMessage.contains("constant int k"))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
