@@ -1604,8 +1604,9 @@ object SparkEntry {
         |WHERE (var_v > 0 AND abs((value - mean_v) / sqrt(var_v)) > 3.0)
         |   OR (var_v <= 0 AND value <> mean_v)""".stripMargin,
 
-    // Resample twin (Resample.hourlyFfill): per-user hourly grid via
-    // generate_series, forward-fill via last_value IGNORE NULLS.
+    // Resample twin (Resample.hourlyFfill): each observed bucket
+    // generates its own filled rows up to the next observed bucket —
+    // the same join-free lead+generate shape as the operator.
     "ts_resample_ffill" ->
       """WITH obs AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
@@ -1613,20 +1614,20 @@ object SparkEntry {
         |               / count(*), 6) AS avg_v
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         |  GROUP BY 1, 2
-        |), spans AS (
-        |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
-        |), grid AS (
-        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-        |  FROM spans
+        |), led AS (
+        |  SELECT user_id, h, avg_v,
+        |         lead(h) OVER (PARTITION BY user_id ORDER BY h) AS next_h
+        |  FROM obs
+        |), gen AS (
+        |  SELECT user_id, h, avg_v,
+        |         unnest(generate_series(
+        |           h, coalesce(next_h - INTERVAL 1 HOUR, h),
+        |           INTERVAL 1 HOUR)) AS gh
+        |  FROM led
         |)
-        |SELECT g.user_id, CAST(g.h AS VARCHAR) AS hour,
-        |       o.avg_v IS NOT NULL AS observed,
-        |       last_value(o.avg_v IGNORE NULLS) OVER (
-        |         PARTITION BY g.user_id ORDER BY g.h
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS value_ffill
-        |FROM grid g
-        |LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h""".stripMargin,
+        |SELECT user_id, CAST(gh AS VARCHAR) AS hour,
+        |       gh = h AS observed, avg_v AS value_ffill
+        |FROM gen""".stripMargin,
 
     // Winsorize twin (Resample.winsorize): quantile_cont matches Spark's
     // exact interpolated percentile (same selection-based definition).

@@ -29,6 +29,15 @@ object Resample {
     * `avg(double)` — partial-aggregation order would otherwise make the
     * filled values drift between engines/partitionings (see
     * Profile.valueMoments for the full argument).
+    *
+    * JOIN-FREE fill: `lead(h)` tells each observed bucket exactly how far
+    * its value carries (up to the next observed bucket), so each bucket
+    * GENERATES its own filled rows via `sequence`/`explode` — the
+    * grid-join-then-window formulation needs a third shuffle of the
+    * grid itself (the largest intermediate) because co-partitioned joins
+    * hash the full key set; this shape is two exchanges total — the
+    * bucket aggregate and the per-key lead window — and the generate
+    * stage is map-side.
     */
   def hourlyFfill(events: DataFrame): DataFrame = {
     val v = col("value").cast("decimal(14,4)")
@@ -37,21 +46,17 @@ object Resample {
       .select(col("user_id"), date_trunc("hour", col("ts")).alias("h"), v)
       .groupBy(col("user_id"), col("h"))
       .agg(round(sum(v).cast("double") / count(lit(1)), 6).alias("avg_v"))
-    val grid = observed
-      .groupBy(col("user_id"))
-      .agg(min(col("h")).alias("h0"), max(col("h")).alias("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
-          .alias("h"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(observed, Seq("user_id", "h"), "left")
-      .select(col("user_id"), col("h"),
-        col("avg_v").isNotNull.alias("observed"),
-        last(col("avg_v"), ignoreNulls = true).over(w).alias("value_ffill"))
-      .select(col("user_id"), col("h").cast("string").alias("hour"),
-        col("observed"), col("value_ffill"))
+    observed
+      .withColumn("next_h", lead(col("h"), 1).over(w))
+      .select(col("user_id"), col("h"), col("avg_v"),
+        explode(sequence(
+          col("h"),
+          coalesce(col("next_h") - expr("interval 1 hour"), col("h")),
+          expr("interval 1 hour"))).alias("gh"))
+      .select(col("user_id"), col("gh").cast("string").alias("hour"),
+        (col("gh") === col("h")).alias("observed"),
+        col("avg_v").alias("value_ffill"))
   }
 
   /** Winsorization: clip `value` to its event_type's [p_lo, p_hi] exact

@@ -45,6 +45,27 @@ class ResampleSpec extends SparkSpec {
     assert(out.values.count(_._2) === 2)
   }
 
+  test("hourlyFfill: join and fill window reuse the grid's partitioning") {
+    import spark.implicits._
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1") // force the at-scale join strategy
+    try {
+      val ev = (1 to 50).map(i =>
+        (i.toLong, t(f"2026-01-01 ${9 + i % 3}%02d:00:00"), (i % 5).toLong,
+          "click", i.toDouble))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val plan = Resample.hourlyFfill(ev)
+        .queryExecution.executedPlan.toString
+      // obs agg (user,h) + the lead window (user) — and nothing more: the
+      // fill rows are GENERATED map-side from each bucket, so there is no
+      // grid join and no third shuffle.
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges === 2, s"expected 2 shuffles, saw $exchanges:\n$plan")
+      assert(!plan.contains("Join"), s"fill must be join-free:\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("winsorize: per-type stats broadcast back, facts never shuffle") {
     import spark.implicits._
     val ev = (1 to 20).map(i =>
