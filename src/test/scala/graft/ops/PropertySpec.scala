@@ -151,6 +151,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: normalize is idempotent and produces single-spaced lowercase") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const("  "), Gen.const("\t"),
+      Gen.const("\n"), Gen.const("ÉÀ"), Gen.const("Mixed Case")))
+      .map(_.mkString)
+    forAllSeeded(Gen.listOfN(25, genText), runs = 3) { texts =>
+      val once = TextAnalysis.normalize(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // Idempotence: a second pass over the normalized text is identity.
+      val twice = TextAnalysis.normalize(
+        once.toSeq.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(twice === once)
+      once.values.foreach { s =>
+        assert(!s.contains("  ") && s == s.toLowerCase &&
+          s == s.trim, s"not canonical: '$s'")
+      }
+    }
+  }
+
+  test("property: winsorize output always lies within the clip bounds, idempotent-ish") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    forAllSeeded(Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6)), runs = 3) { vs =>
+      val ev = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, t0, 1L, "click", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val rows = Resample.winsorize(ev).collect()
+      assert(rows.length === vs.length) // never drops a row
+      val clipped = rows.map(_.getDouble(3))
+      val sorted = vs.sorted
+      // Clipped values stay within the observed value range and are
+      // monotone vs the raw order statistics.
+      assert(clipped.min >= sorted.head && clipped.max <= sorted.last)
+      // At most 10% of rows flagged at p05/p95 (plus interpolation ties).
+      val flagged = rows.count(_.getBoolean(4))
+      assert(flagged <= math.ceil(vs.length * 0.1).toInt + 2,
+        s"too many clipped: $flagged of ${vs.length}")
+    }
+  }
+
+  test("property: MG estimates never exceed truth under random partitioning") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val genItems = Gen.listOfN(300, Gen.oneOf(
+      Gen.const("hot"), Gen.const("warm"),
+      Gen.choose(1, 50).map(i => s"r$i")))
+    forAllSeeded(genItems, runs = 3) { items =>
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val out = items.toDF("item").repartition(7)
+        .agg(graft.functions.MisraGries.topItems(col("item"), 6).alias("t"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1))
+      out.foreach { case (item, est) =>
+        assert(est <= exact(item), s"$item overestimated: $est")
+        assert(est >= exact(item) - items.size / 7,
+          s"$item under the n/(k+1) floor")
+      }
+    }
+  }
+
   test("property: trigram kernels agree with code-point semantics on unicode") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
