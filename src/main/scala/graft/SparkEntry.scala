@@ -722,6 +722,8 @@ object SparkEntry {
       graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
     "set_intersect_users" -> ((s, d) =>
       graft.ops.SetOps.clickersAlsoBuyers(StandIn.events(s, d))),
+    "join_full_outer"     -> ((s, d) =>
+      graft.ops.SetOps.dailyClickPurchaseMatrix(StandIn.events(s, d))),
     "stat_moments"        -> ((s, d) =>
       Profile.valueMoments(StandIn.table(s, d, "lineitem"))),
     "stat_pair_moments"   -> ((s, d) =>
@@ -1456,6 +1458,26 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events
         |WHERE event_type = 'purchase' AND value > 95""".stripMargin,
+
+    // Full-outer twin (SetOps.dailyClickPurchaseMatrix).
+    "join_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |       CAST(coalesce(c.day, p.day) AS VARCHAR) AS day,
+        |       coalesce(c.n_clicks, 0) AS n_clicks,
+        |       coalesce(p.n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p
+        |  ON c.user_id = p.user_id AND c.day = p.day""".stripMargin,
 
     // Moments twin (Profile.valueMoments): the same exact decimal Σx/Σx²,
     // the same one double expression for the derived moments.

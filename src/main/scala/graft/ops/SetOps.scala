@@ -57,4 +57,23 @@ object SetOps {
         events.where(col("event_type") === "purchase" &&
             col("value") > minValue)
           .select(col("user_id")))
+
+  /** Per (user, day): click count vs purchase count, FULL OUTER joined —
+    * the reconciliation shape (neither side may drop rows the other
+    * lacks: a click day with no purchases and a purchase day with no
+    * clicks both appear, zero-filled). Both sides aggregate FIRST (map-
+    * side combinable, (user, day)-sized), so the full-outer join runs
+    * over two pre-shrunk frames on the same key — never fact-to-fact.
+    */
+  def dailyClickPurchaseMatrix(events: DataFrame): DataFrame = {
+    def side(eventType: String, alias: String): DataFrame =
+      events.where(col("event_type") === eventType && col("ts").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).alias("day"))
+        .agg(count(lit(1)).alias(alias))
+    side("click", "n_clicks")
+      .join(side("purchase", "n_purchases"), Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day").cast("string").alias("day"),
+        coalesce(col("n_clicks"), lit(0L)).alias("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).alias("n_purchases"))
+  }
 }

@@ -46,6 +46,27 @@ class SetOpsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"must plan a semi join:\n$plan")
   }
 
+  test("dailyClickPurchaseMatrix: full outer keeps one-sided days, zero-filled") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, t("2026-01-01 11:00:00"), 1L, "click", 1.0),
+      (3L, t("2026-01-01 12:00:00"), 1L, "purchase", 1.0), // both-sides day
+      (4L, t("2026-01-02 10:00:00"), 1L, "click", 1.0),    // click-only day
+      (5L, t("2026-01-03 10:00:00"), 1L, "purchase", 1.0), // purchase-only day
+      (6L, t("2026-01-01 10:00:00"), 2L, "view", 1.0))     // never appears
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = SetOps.dailyClickPurchaseMatrix(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      (1L, "2026-01-01") -> ((2L, 1L)),
+      (1L, "2026-01-02") -> ((1L, 0L)),
+      (1L, "2026-01-03") -> ((0L, 1L))))
+  }
+
   test("streamingTopN on a batch replay equals the batch rank-and-filter") {
     import java.sql.Timestamp
     import spark.implicits._
