@@ -479,6 +479,41 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed distinct: HLL state merges across batches, append on watermark") {
+    import graft.ops.Aggregates
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String)](spark)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = Aggregates.windowedDistinct(events,
+        timeCol = "ts", idCol = "user_id", keys = Seq("event_type"),
+        windowDur = "1 hour", watermarkDelay = Some("1 minute"))
+      .writeStream.format("memory").queryName("dau_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dau-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // Two batches contribute to the SAME hour window: the sketch state
+      // must merge user 1's duplicate away across the trigger boundary.
+      input.addData(
+        (1L, t("2026-01-01 10:05:00"), 1L, "click"),
+        (2L, t("2026-01-01 10:10:00"), 2L, "click"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, t("2026-01-01 10:20:00"), 1L, "click"), // duplicate user
+        (4L, t("2026-01-01 10:30:00"), 3L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("dau_sink").count() === 0) // window still open
+      input.addData((5L, t("2026-01-01 11:05:00"), 9L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("dau_sink").collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      // HLL is exact at this cardinality: 3 distinct users, 4 events.
+      assert(rows.toSeq === Seq(("click", 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming top-N: non-qualifying events keep a key alive past the idle horizon") {
     import graft.ops.WindowOps
     import spark.implicits._
