@@ -555,6 +555,53 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: funnel state survives a stop/restart cycle") {
+    import graft.ops.Funnel
+    import spark.implicits._
+    // The reference has NO recovery story (§2.9.3: latest offsets, no
+    // checkpoints — state dies with the process). This pins ours: a
+    // restarted query resumes from the checkpoint with its per-user state
+    // intact, proven by a stage-2 advance that is only legal if the
+    // stage-1 state crossed the restart.
+    val ckpt = Files.createTempDirectory("graft-funnel-restart").toString
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    // The memory sink refuses checkpoint recovery; foreachBatch — the
+    // production sink shape (Sinks.jdbcStream) — supports it.
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long)]()
+    def startQuery() = Funnel.streamingConversion(
+        input.toDF().toDF("user_id", "ts", "event_type")
+          .withWatermark("ts", "10 minutes"))
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          received.add((r.getLong(0), r.getInt(1), r.getLong(2))))
+      }
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    val q1 = startQuery()
+    try {
+      input.addData((1L, t("2026-01-01 10:00:00"), "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = received.size()
+    val q2 = startQuery()
+    try {
+      input.addData((1L, t("2026-01-01 10:05:00"), "click"))
+      q2.processAllAvailable()
+      val base = t("2026-01-01 10:00:00").getTime / 1000
+      import scala.jdk.CollectionConverters._
+      val rows = received.asScala.toSeq
+      assert(afterFirst === 1 && rows.head === ((1L, 1, base)))
+      // Stage 2 requires the restored stage-1 state: a click with no
+      // prior view emits nothing, so this row proves recovery.
+      assert(rows.drop(1) === Seq((1L, 2, base + 300)),
+        s"stage-2 advance must prove restored state: $rows")
+    } finally q2.stop()
+  }
+
   test("streaming funnel: a late-only batch cannot re-arm the idle timeout earlier") {
     import graft.ops.Funnel
     import spark.implicits._
