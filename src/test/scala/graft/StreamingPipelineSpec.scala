@@ -555,6 +555,40 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly monitor unit: raw JSON readings → per-type statistical outliers") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val pipeline = new Pipeline(spark, cfg)
+    val q = pipeline.anomalyFrame(input.toDF())
+      .writeStream.format("memory").queryName("anomaly_unit_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-anomaly-unit-ckpt").toString)
+      .start()
+    try {
+      // 30-reading baseline alternating 20/22 °C (variance > 0, all within
+      // the fixed-threshold engine's legal band), then a 100 °C departure:
+      // the adaptive screen flags what AlertRules' static thresholds also
+      // would here, but it learned the band from the data.
+      val baseline = (0 until 30).map(i => readingJson(
+        "temperature", if (i % 2 == 0) 20.0 else 22.0,
+        ts = f"2026-01-01T12:00:$i%02d.000000"))
+      input.addData(baseline: _*)
+      q.processAllAvailable()
+      assert(spark.table("anomaly_unit_sink").count() === 0) // warmup
+      input.addData(readingJson(
+        "temperature", 100.0, ts = "2026-01-01T12:01:00.000000"))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_unit_sink").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[String]("sensor_type") === "temperature")
+      assert(r.getAs[Double]("value") === 100.0)
+      assert(r.getAs[Long]("n_seen") === 30L)
+      assert(r.getAs[Double]("z_score") > 3.0)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: funnel state survives a stop/restart cycle") {
     import graft.ops.Funnel
     import spark.implicits._
