@@ -105,6 +105,17 @@ class ProfileSpec extends SparkSpec {
     assert(row.getDouble(4) === 0.0)
   }
 
+  test("valueMoments fast path: double sums agree with exact at small scale") {
+    import spark.implicits._
+    val li = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 5.0))
+      .toDF("l_returnflag", "l_quantity")
+    def rows(exact: Boolean) = Profile.valueMoments(li, exact).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+    assert(rows(exact = true) === rows(exact = false))
+    assert(rows(exact = false)("A") === ((3L, 2.0, Some(1.0))))
+  }
+
   test("pairMoments: covariance and correlation from exact sums, hand-checked") {
     import spark.implicits._
     // Group A: (1,2),(2,4),(3,6) — perfectly linear → corr 1, cov 2.
