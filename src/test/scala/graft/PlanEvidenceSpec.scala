@@ -129,6 +129,29 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("round-8 queries: scans read only the columns they aggregate") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    // Histogram touches ONE column; retention two; zscore three + the id.
+    // A regression that drags props (the wide column) or event_id into
+    // these scans multiplies the 100 TB read volume for nothing.
+    val histogram = scanLine("olap_histogram")
+    assert(histogram.contains("ReadSchema: struct<value:double>"),
+      s"histogram must scan value only: $histogram")
+    val retention = scanLine("olap_retention")
+    assert(retention.contains("ts#") && retention.contains("user_id"))
+    for (c <- Seq("event_id", "props", "value"))
+      assert(!retention.contains(c), s"retention scan reads $c: $retention")
+    val zscore = scanLine("stat_zscore")
+    for (c <- Seq("props", "user_id"))
+      assert(!zscore.contains(c), s"zscore scan reads $c: $zscore")
+    val resample = scanLine("ts_resample_ffill")
+    for (c <- Seq("event_id", "props", "event_type"))
+      assert(!resample.contains(c), s"resample scan reads $c: $resample")
+    val normalize = scanLine("text_normalize")
+    assert(normalize.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"normalize must scan (doc_id, text) only: $normalize")
+  }
+
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)
