@@ -20,6 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // The short ExpressionInfo constructors are deprecated; the full-form
+  // constructor with empty optional fields is the supported way to carry
+  // a usage string into DESCRIBE FUNCTION.
+  private def info(className: String, name: String, usage: String) =
+    new ExpressionInfo(className, null, name, usage,
+      "", "", "", "", "", "", "")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Declarative-to-kernel rewrite: SQL users writing the natural
     // size(filter(array_contains)) form get the codegen'd CountInSet loop.
@@ -27,12 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(
-        classOf[DotProduct].getName,
-        null,
-        "dot_product",
-        "dot_product(a, b) - dot product of two array<double> columns",
-        ""),
+      info(classOf[DotProduct].getName, "dot_product",
+          "dot_product(a, b) - dot product of two array<double> columns"),
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
@@ -41,13 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       new FunctionIdentifier("hash_family60"),
-      new ExpressionInfo(
-        classOf[HashArray].getName,
-        null,
-        "hash_family60",
-        "hash_family60(arr[, mask]) - per-element 60-bit md5 family hash " +
-          "of an array<string>, optionally masked",
-        ""),
+      info(classOf[HashArray].getName, "hash_family60",
+          "hash_family60(arr[, mask]) - per-element 60-bit md5 family hash " +
+          "of an array<string>, optionally masked"),
       (children: Seq[Expression]) => children match {
         case Seq(a) => HashArray(a)
         // The isInstanceOf guard rejects NULL / non-numeric constants with
@@ -60,13 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       new FunctionIdentifier("simhash_vote"),
-      new ExpressionInfo(
-        classOf[SimhashVote].getName,
-        null,
-        "simhash_vote",
-        "simhash_vote(hashes[, bits]) - majority-vote simhash of an " +
-          "array<long> of element hashes",
-        ""),
+      info(classOf[SimhashVote].getName, "simhash_vote",
+          "simhash_vote(hashes[, bits]) - majority-vote simhash of an " +
+          "array<long> of element hashes"),
       (children: Seq[Expression]) => children match {
         case Seq(a) => SimhashVote(a)
         case Seq(a, b) if b.foldable && b.eval().isInstanceOf[Number] =>
@@ -77,13 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       new FunctionIdentifier("word_bigrams"),
-      new ExpressionInfo(
-        classOf[Bigrams].getName,
-        null,
-        "word_bigrams",
-        "word_bigrams(toks) - consecutive 'w1 w2' bigrams of an " +
-          "array<string>",
-        ""),
+      info(classOf[Bigrams].getName, "word_bigrams",
+          "word_bigrams(toks) - consecutive 'w1 w2' bigrams of an " +
+          "array<string>"),
       (children: Seq[Expression]) => children match {
         case Seq(a) => Bigrams(a)
         case _ => throw new IllegalArgumentException(
@@ -92,13 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       new FunctionIdentifier("approx_top_items"),
-      new ExpressionInfo(
-        classOf[MisraGries].getName,
-        null,
-        "approx_top_items",
-        "approx_top_items(col, k) - Misra-Gries heavy hitters: bounded " +
-          "k-counter approximate top-k frequency aggregate",
-        ""),
+      info(classOf[MisraGries].getName, "approx_top_items",
+          "approx_top_items(col, k) - Misra-Gries heavy hitters: bounded " +
+          "k-counter approximate top-k frequency aggregate"),
       (children: Seq[Expression]) => children match {
         case Seq(c, kExpr) if kExpr.foldable &&
             kExpr.eval().isInstanceOf[Number] =>
@@ -109,13 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
-      new ExpressionInfo(
-        classOf[CharNgrams].getName,
-        null,
-        "char_ngrams",
-        "char_ngrams(str[, n]) - character n-grams (default trigrams) of " +
-          "a string",
-        ""),
+      info(classOf[CharNgrams].getName, "char_ngrams",
+          "char_ngrams(str[, n]) - character n-grams (default trigrams) of " +
+          "a string"),
       (children: Seq[Expression]) => children match {
         case Seq(a) => CharNgrams(a)
         case Seq(a, b) if b.foldable && b.eval().isInstanceOf[Number] =>

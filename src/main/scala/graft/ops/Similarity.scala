@@ -429,7 +429,7 @@ object Similarity {
     // Stage subvector slices as attributes before any per-centroid math
     // (HOF/codegen staging — see Dedup.shingleSets).
     def withSubs(df: DataFrame, prefix: String): DataFrame =
-      df.select(df.columns.map(col) ++
+      df.select(df.columns.toIndexedSeq.map(col) ++
         (0 until m).map(j =>
           slice(col(if (prefix == "q") "q_vec" else "vec"),
             j * sub + 1, sub).alias(s"$prefix$j")): _*)
