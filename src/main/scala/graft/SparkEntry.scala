@@ -311,16 +311,14 @@ object SparkEntry {
       iters = 3, k = TopK, nprobe = 2)
 
   // Recall@k of the trained-IVF result vs the exact brute force, as one
-  // deterministic (hits, expected, recall) row. Both sides are
-  // deterministic, so the driver's rows-only check pins the row COUNT and
-  // SimilaritySpec pins the recall floor; a quantizer regression flips the
-  // unit test red instead of hiding behind a rows-only count.
-  private def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = StandIn.embeddings(s, dir)
-    Similarity.recallAtK(
-      Similarity.kmeansIvfTopK(emb, IvfCells, iters = 3, k = TopK, nprobe = 2),
-      Similarity.bruteForceTopK(emb, TopK))
-  }
+  // deterministic (hits, expected, recall) row over ONE shared prepared
+  // frame. Both sides are deterministic, so the driver's rows-only check
+  // pins the row COUNT and SimilaritySpec pins the recall floor; a
+  // quantizer regression flips the unit test red instead of hiding behind
+  // a rows-only count.
+  private def simIvfRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallReport(StandIn.embeddings(s, dir),
+      IvfCells, iters = 3, k = TopK, nprobe = 2)
 
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))

@@ -97,8 +97,10 @@ object Similarity {
         col("norm").alias("q_norm"))
 
   /** Exact cosine top-k per query, query set broadcast. */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val prep = prepared(embeddings)
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame =
+    bruteForceTopKPrepared(prepared(embeddings), k)
+
+  private def bruteForceTopKPrepared(prep: DataFrame, k: Int): DataFrame = {
     val pairs = prep.crossJoin(boundedBroadcast(querySet(prep)))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").alias("neighbor_id"),
@@ -282,11 +284,19 @@ object Similarity {
       cells: Int = 8,
       iters: Int = 5,
       k: Int = 5,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
     // Checkpoint: training iterates over this frame `iters` times and the
     // query plan reuses it twice more — without it every pass re-reads and
     // re-projects the source.
-    val prep = prepared(embeddings).localCheckpoint()
+    kmeansIvfTopKPrepared(
+      prepared(embeddings).localCheckpoint(), cells, iters, k, nprobe)
+
+  private def kmeansIvfTopKPrepared(
+      prep: DataFrame,
+      cells: Int,
+      iters: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
     val cs = kmeansCentroids(prep, cells, iters)
     val byDist = cellsByDistance(col("vec"), col("norm"), cs)
     val data = prep.withColumn("cell", element_at(byDist, 1))
@@ -324,6 +334,23 @@ object Similarity {
       .select(col("hits"), col("expected"),
         round(col("hits").cast("double") / col("expected"), 6)
           .alias("recall"))
+  }
+
+  /** [[recallAtK]] of the trained IVF vs brute force over ONE shared
+    * prepared/checkpointed frame — both sides (and the quantizer training)
+    * reuse the same materialized vectors instead of each re-preparing the
+    * source, halving the scan work of the registered recall query.
+    */
+  def ivfRecallReport(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      iters: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val prep = prepared(embeddings).localCheckpoint()
+    recallAtK(
+      kmeansIvfTopKPrepared(prep, cells, iters, k, nprobe),
+      bruteForceTopKPrepared(prep, k))
   }
 
   /** Product-quantization codebooks: the `Dim`-dimensional space split
