@@ -555,6 +555,57 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode: running aggregates re-emit only changed keys per batch") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    // Unwindowed running counts are exactly the aggregation shape append
+    // mode REFUSES (no watermark can ever finalize them); update mode is
+    // the correct third face next to append (windows) and complete
+    // (leaderboards).
+    val q = input.toDF().toDF("event_id", "event_type")
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("upd_sink")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-upd-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "click"), (2L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      input.addData((4L, "click")) // only click's count changes
+      q.processAllAvailable()
+      val rows = spark.table("upd_sink").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // The memory sink accumulates update-mode emissions: batch 1 emits
+      // both keys, batch 2 re-emits ONLY the changed key.
+      assert(rows.toSet === Set(("click", 2L), ("view", 1L), ("click", 3L)))
+      assert(rows.count(_._1 == "view") === 1, "unchanged key must not re-emit")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // The operational batch-drain: process everything available, then
+    // stop — the catch-up / backfill trigger a scheduled pipeline uses
+    // instead of running forever.
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    input.addData(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), "click"),
+      (2L, Timestamp.valueOf("2026-01-01 10:01:00"), "view"))
+    val q = input.toDF().toDF("event_id", "ts", "event_type")
+      .writeStream.format("memory").queryName("drain_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-drain-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "drain must self-terminate")
+      assert(spark.table("drain_sink").count() === 2)
+    } finally q.stop()
+  }
+
   test("anomaly monitor unit: raw JSON readings → per-type statistical outliers") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
