@@ -137,6 +137,12 @@ final class SmtpNotifier(
           .asInstanceOf[javax.net.ssl.SSLSocketFactory]
           .createSocket(socket, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
+        // Raw SSLSockets do NOT verify the peer's hostname by default
+        // (only HttpsURLConnection does) — without this a MITM with any
+        // valid certificate could read the relay credentials.
+        val params = ssl.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(params)
         ssl.startHandshake()
         socket = ssl
         io = wrap(socket)

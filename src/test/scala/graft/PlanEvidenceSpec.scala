@@ -129,6 +129,18 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("join_full_outer: both sides aggregate before the join, never fact-to-fact") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("join_full_outer")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"must plan a full outer join:\n$plan")
+    // Two partial+final aggregate pairs feed the join — the events table
+    // itself never meets itself.
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"both sides must pre-aggregate ($aggs aggs):\n$plan")
+    assert(!plan.contains("Cartesian"), s"no product join:\n$plan")
+  }
+
   test("round-8 queries: scans read only the columns they aggregate") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     // Histogram touches ONE column; retention two; zscore three + the id.
