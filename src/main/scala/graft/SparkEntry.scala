@@ -699,6 +699,8 @@ object SparkEntry {
     "olap_cube_events"    -> ((s, d) => olapCubeEvents(s, d)),
     "olap_grouping_sets"  -> ((s, d) =>
       graft.ops.Olap.groupingSetsStats(StandIn.events(s, d))),
+    "olap_unpivot"        -> ((s, d) =>
+      graft.ops.Olap.unpivotMeasures(StandIn.table(s, d, "lineitem"))),
     "window_moving_stats" -> ((s, d) => windowMovingStats(s, d)),
     "window_lag_lead"     -> ((s, d) => windowLagLead(s, d)),
     "funnel_conversion"   -> ((s, d) => funnelConversion(s, d)),
@@ -1334,6 +1336,21 @@ object SparkEntry {
         |)
         |GROUP BY GROUPING SETS ((event_type, value_band), (event_type),
         |                        (value_band))""".stripMargin,
+
+    // Unpivot twin (Olap.unpivotMeasures): portable UNION ALL melt.
+    "olap_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+        |)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+        |         AS sum_value
+        |FROM m GROUP BY l_returnflag, measure""".stripMargin,
 
     // Ranking-family twin (WindowOps.lagLeadStats): one shared WINDOW
     // spec; the event_id tie-break makes ntile/percent_rank deterministic.

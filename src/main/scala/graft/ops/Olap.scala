@@ -29,6 +29,29 @@ object Olap {
       .select(col("user_id") +: EventTypes.map(t =>
         col(s"`$t`").alias(s"n_$t")): _*)
 
+  /** Wide → long, [[pivotEventCounts]]' inverse: the lineitem measure
+    * columns melt into (measure, value) rows and aggregate per
+    * (returnflag, measure) — the reshape feeding any "one metric per row"
+    * report or metric store. `unpivot` plans as an Expand (map-side row
+    * replication, factor = #measures, no shuffle of its own); the only
+    * exchange is the few-group aggregate after it. Sums are decimal-exact
+    * per the usual cross-engine argument.
+    */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(col("value").cast("decimal(14,4)")).cast("double")
+          .alias("sum_value"))
+
   /** Hierarchical subtotals: (event_type, value-band) → event_type →
     * grand total, in ONE pass (Expand), with `grouping(...)` flags so a
     * consumer can tell a subtotal row from a data row whose key is null.

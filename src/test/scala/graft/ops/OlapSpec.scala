@@ -62,6 +62,23 @@ class OlapSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Union"))
   }
 
+  test("unpivot: measures melt to rows, Expand plan, exact sums") {
+    import spark.implicits._
+    val li = Seq(("A", 2.0, 0.1, 0.05), ("A", 3.0, 0.2, 0.05))
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_tax")
+    val q = Olap.unpivotMeasures(li)
+    val out = q.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("A", "l_quantity") -> ((2L, 5.0)),
+      ("A", "l_discount") -> ((2L, 0.3)),
+      ("A", "l_tax") -> ((2L, 0.1))))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot must plan as Expand:\n$plan")
+    assert(!plan.contains("Union"), s"not a union of scans:\n$plan")
+  }
+
   test("groupingSets: leaf + both one-key slices, no grand total, one Expand") {
     val rows = Olap.groupingSetsStats(events).collect()
       .map(r => (Option(r.getString(0)), Option(r.get(1)),
