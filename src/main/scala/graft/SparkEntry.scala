@@ -701,6 +701,8 @@ object SparkEntry {
       graft.ops.Olap.groupingSetsStats(StandIn.events(s, d))),
     "olap_unpivot"        -> ((s, d) =>
       graft.ops.Olap.unpivotMeasures(StandIn.table(s, d, "lineitem"))),
+    "json_props_stats"    -> ((s, d) =>
+      Parse.propsKeyStats(StandIn.events(s, d))),
     "window_moving_stats" -> ((s, d) => windowMovingStats(s, d)),
     "window_lag_lead"     -> ((s, d) => windowLagLead(s, d)),
     "funnel_conversion"   -> ((s, d) => funnelConversion(s, d)),
@@ -1336,6 +1338,22 @@ object SparkEntry {
         |)
         |GROUP BY GROUPING SETS ((event_type, value_band), (event_type),
         |                        (value_band))""".stripMargin,
+
+    // Props-extraction twin (Parse.propsKeyStats): the same single-path
+    // regex probe, no JSON extension required.
+    "json_props_stats" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+        |              THEN CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+        |                        AS INT) END AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+        |       count(*) - count(k) AS n_missing,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM x GROUP BY event_type""".stripMargin,
 
     // Unpivot twin (Olap.unpivotMeasures): portable UNION ALL melt.
     "olap_unpivot" ->

@@ -62,4 +62,26 @@ object Parse {
       col("unit"),
       struct(col("battery_level"), col("signal_strength")).alias("metadata")
     )).alias("json_str"))
+
+  /** Semi-structured extraction over the fact table: pull the integer `k`
+    * out of the events `props` JSON and aggregate per event_type — the
+    * "query the payload you never flattened" pattern. Extraction is a
+    * codegen'd regex on purpose (portable to the oracle with no JSON
+    * extension, and at 100 TB a single-path probe beats a full JSON parse
+    * by the width of the document); rows whose payload lacks the path
+    * count as `n_missing` instead of silently vanishing.
+    */
+  def propsKeyStats(events: DataFrame): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1)
+    val kInt = when(k =!= "", k.cast("int"))
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).alias("n"),
+        count(kInt).alias("n_with_k"),
+        (count(lit(1)) - count(kInt)).alias("n_missing"),
+        sum(kInt).alias("sum_k"),
+        min(kInt).alias("min_k"),
+        max(kInt).alias("max_k"))
+  }
 }

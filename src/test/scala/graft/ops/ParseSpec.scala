@@ -67,6 +67,23 @@ class ParseSpec extends SparkSpec {
       "2026-01-01T12:00:00Z")
   }
 
+  test("propsKeyStats: path probe with missing/null/negative payloads accounted") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", """{"k": 10}"""),
+      (2L, "click", """{"k":-3}"""),      // no space, negative
+      (3L, "click", """{"other": 1}"""),  // path absent
+      (4L, "view", null.asInstanceOf[String]), // null payload
+      (5L, "view", """{"k": 7}"""))
+      .toDF("event_id", "event_type", "props")
+    val out = Parse.propsKeyStats(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    assert(out("click") === ((3L, 2L, 1L, 7L, -3, 10)))
+    assert(out("view") === ((2L, 1L, 1L, 7L, 7, 7)))
+  }
+
   test("EvalOnce barrier keeps exactly one from_json in the optimized alert plan") {
     // A range-backed frame with non-foldable JSON, so neither
     // ConvertToLocalRelation nor ConstantFolding can pre-evaluate the parse.
