@@ -116,11 +116,19 @@ case class MisraGries(
     new GenericArrayData(rows.toArray[Any])
   }
 
+  // Length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF throws past 64 KB
+  // per string, and a generic aggregate must not crash on a long item (a
+  // URL, a whole document used as a key).
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    buf.foreach { case (item, c) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -130,7 +138,13 @@ case class MisraGries(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) =
+        in.readLong()
+      i += 1
+    }
     buf
   }
 

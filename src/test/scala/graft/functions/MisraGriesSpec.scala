@@ -52,6 +52,17 @@ class MisraGriesSpec extends SparkSpec {
     assert(out === Map("a" -> 2L))
   }
 
+  test("items past the 64KB writeUTF limit survive the partial-state roundtrip") {
+    import spark.implicits._
+    // repartition forces serialize/deserialize of partial states carrying
+    // the oversized item — writeUTF would throw UTFDataFormatException.
+    val big = "x" * 70000
+    val df = (Seq.fill(3)(big) ++ Seq("small")).toDF("item").repartition(3)
+    val out = summarize(
+      df.agg(MisraGries.topItems(col("item"), 4).alias("top")).collect())
+    assert(out === Map(big -> 3L, "small" -> 1L))
+  }
+
   test("per-group summaries stay independent") {
     import spark.implicits._
     val df = (Seq.fill(3)(("g1", "x")) ++ Seq.fill(2)(("g2", "y")))
