@@ -468,7 +468,7 @@ object SparkEntry {
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private val prepSql =
-    """prep AS (
+    s"""prep AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |  FROM embeddings
       |), prepn AS (
@@ -478,7 +478,10 @@ object SparkEntry {
       |  FROM prep
       |), queries AS (
       |  SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm
-      |  FROM prepn WHERE vec_id % 100 = 0
+      |  FROM prepn
+      |  ORDER BY ${hashSql(s"'${Similarity.QueryHashMember}:'",
+                            "CAST(vec_id AS VARCHAR)")}, vec_id
+      |  LIMIT ${Similarity.NumQueries}
       |)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
@@ -1069,7 +1072,8 @@ object SparkEntry {
          |  FROM bsim p
          |  JOIN (SELECT b.bucket, b.vec_id AS q_id, b.vec AS q_vec,
          |               b.norm AS q_norm
-         |        FROM bsim b WHERE b.vec_id % 100 = 0) q
+         |        FROM bsim b
+         |        WHERE b.vec_id IN (SELECT q_id FROM queries)) q
          |    ON p.bucket = q.bucket AND p.vec_id <> q.q_id
          |)
          |SELECT q_id, rank, neighbor_id, cos_sim FROM (
@@ -1085,7 +1089,8 @@ object SparkEntry {
          |  FROM ivf p
          |  JOIN (SELECT b.cell, b.vec_id AS q_id, b.vec AS q_vec,
          |               b.norm AS q_norm
-         |        FROM ivf b WHERE b.vec_id % 100 = 0) q
+         |        FROM ivf b
+         |        WHERE b.vec_id IN (SELECT q_id FROM queries)) q
          |    ON p.cell = q.cell AND p.vec_id <> q.q_id
          |)
          |SELECT q_id, rank, neighbor_id, cos_sim FROM (

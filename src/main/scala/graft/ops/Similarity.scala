@@ -32,11 +32,12 @@ object Similarity {
   val MaxBroadcastQueries = 50000
 
   /** Broadcast with a stated bound. Every ANN path here assumes the query
-    * set is SMALL; that held by construction of the `vec_id % 100` fixture,
-    * but a degenerate distribution (or a caller handing in the whole
-    * corpus) must fail loudly rather than broadcast the world to every
-    * executor. The probe scans at most `maxRows + 1` rows (limit is pushed
-    * into the scan), so its cost is bounded by the cap, not the corpus.
+    * set is SMALL; [[queryDraw]] guarantees that by construction (constant
+    * [[NumQueries]] rows whatever the corpus size), but a caller handing in
+    * its own over-large frame must fail loudly rather than broadcast the
+    * world to every executor. The probe scans at most `maxRows + 1` rows
+    * (limit is pushed into the scan), so its cost is bounded by the cap,
+    * not the corpus.
     */
   def boundedBroadcast(
       df: DataFrame,
@@ -88,11 +89,40 @@ object Similarity {
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** The benchmark's query set: every 100th vector. Small by construction —
-    * the broadcast side of the baseline.
+  /** Size of the benchmark query set. A CONSTANT, not a fraction: the old
+    * `vec_id % 100` draw grew linearly with the corpus and would blow the
+    * [[MaxBroadcastQueries]] bound ~50× over at 100× scale. 50 matches the
+    * old draw's size at the sf0.1 bench point, so like-for-like timings
+    * carry across rounds.
+    */
+  val NumQueries = 50
+
+  /** Hash-family member for the query draw — distinct from the member 23
+    * used by [[trainSample]], so the query set is not a subset of the
+    * quantizer training sample (which would flatter trained-IVF recall).
+    */
+  val QueryHashMember = 29
+
+  /** Fixed-size deterministic query draw: the [[NumQueries]] vectors with
+    * the smallest md5-derived id hash (id tie-break) — the same
+    * reproducible pseudo-random draw shape as [[trainSample]]. One
+    * distributed top-k pass (TakeOrdered, no full sort), output bounded by
+    * a CONSTANT regardless of corpus size, so every ANN broadcast below is
+    * scale-safe by construction. Works on any frame carrying `vec_id`
+    * (prepared, bucketed, or celled) — the draw depends only on the id, so
+    * the same rows are selected whichever frame it is applied to.
+    */
+  def queryDraw(df: DataFrame, n: Int = NumQueries): DataFrame =
+    df.withColumn("__qh",
+        Dedup.hashAt(QueryHashMember, col("vec_id").cast("string")))
+      .orderBy(col("__qh"), col("vec_id")).limit(n)
+      .drop("__qh")
+
+  /** The benchmark's query set: the fixed-size deterministic draw, in the
+    * (q_id, q_vec, q_norm) broadcast shape.
     */
   def querySet(prep: DataFrame): DataFrame =
-    prep.where(col("vec_id") % 100 === 0)
+    queryDraw(prep)
       .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
         col("norm").alias("q_norm"))
 
@@ -117,7 +147,7 @@ object Similarity {
     val ps = planes(bits)
     val prep = prepared(embeddings)
       .withColumn("bucket", srpBucket(col("vec"), ps))
-    val queries = prep.where(col("vec_id") % 100 === 0)
+    val queries = queryDraw(prep)
       .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
         col("norm").alias("q_norm"), col("bucket"))
     val pairs = prep.join(boundedBroadcast(queries), "bucket")
@@ -150,7 +180,7 @@ object Similarity {
     val seeds = planes(cells, seed = 7L)
     val prep = prepared(embeddings)
       .withColumn("cell", ivfCell(col("vec"), seeds))
-    val queries = prep.where(col("vec_id") % 100 === 0)
+    val queries = queryDraw(prep)
       .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
         col("norm").alias("q_norm"), col("cell"))
     val pairs = prep.join(boundedBroadcast(queries), "cell")
@@ -300,7 +330,7 @@ object Similarity {
     val cs = kmeansCentroids(prep, cells, iters)
     val byDist = cellsByDistance(col("vec"), col("norm"), cs)
     val data = prep.withColumn("cell", element_at(byDist, 1))
-    val queries = prep.where(col("vec_id") % 100 === 0)
+    val queries = queryDraw(prep)
       .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
         col("norm").alias("q_norm"),
         explode(slice(byDist, 1, nprobe)).alias("cell"))

@@ -15,17 +15,37 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("brute-force top-k ranks by exact cosine, excluding the query itself") {
-    val out = Similarity.bruteForceTopK(emb(
-      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // the query (vec_id % 100 == 0)
-      (1L, Seq(0.9, 0.1, 0.0, 0.0)),   // closest
+    // Fewer vectors than NumQueries, so the fixed-size draw makes EVERY
+    // vector a query; assertions pin query 0's ranking.
+    val all = Similarity.bruteForceTopK(emb(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),   // closest to 0
       (2L, Seq(0.5, 0.5, 0.0, 0.0)),
-      (3L, Seq(-1.0, 0.0, 0.0, 0.0))), // opposite
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))), // opposite of 0
       k = 3).collect()
-    assert(out.map(_.getAs[Long]("q_id")).toSet === Set(0L))
+    assert(all.map(_.getAs[Long]("q_id")).toSet === Set(0L, 1L, 2L, 3L))
+    val out = all.filter(_.getAs[Long]("q_id") == 0L)
     assert(out.sortBy(_.getAs[Int]("rank"))
       .map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
     val top = out.find(_.getAs[Int]("rank") == 1).get
     assert(math.abs(top.getAs[Double]("cos_sim") - 0.993884) < 1e-6)
+  }
+
+  test("queryDraw is a fixed-size deterministic draw, corpus-size-independent") {
+    val big = emb((1L to 120L).map(i => (i, Seq(i.toDouble))): _*)
+    val prep = Similarity.prepared(big)
+    val drawn = Similarity.queryDraw(prep, n = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(drawn.length === 10)
+    // Same draw on a rerun and on a frame with extra columns.
+    val again = Similarity.queryDraw(prep.withColumn("extra",
+        org.apache.spark.sql.functions.lit(1)), n = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(drawn.sorted === again.sorted)
+    // Growing the corpus cannot grow the draw (the 100TB guarantee).
+    val bigger = emb((1L to 500L).map(i => (i, Seq(i.toDouble))): _*)
+    assert(Similarity.queryDraw(Similarity.prepared(bigger), n = 10)
+      .count() === 10L)
   }
 
   test("identical vectors have cosine 1.0 and share an SRP bucket") {
@@ -57,13 +77,15 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivf: identical vectors land in the same cell; top-k excludes the query") {
     val v = Seq(0.4, -0.2, 0.8, 0.1)
-    val out = Similarity.ivfTopK(emb(
-      (0L, v),                           // query
+    val all = Similarity.ivfTopK(emb(
+      (0L, v),
       (1L, v.map(_ * 0.99)),             // same direction → same cell
       (2L, v)), cells = 4, k = 5).collect()
-    assert(out.nonEmpty)
-    assert(out.forall(_.getAs[Long]("q_id") == 0L))
-    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+    assert(all.nonEmpty)
+    // Every vector is a query (n < NumQueries); none may be its own neighbor.
+    assert(all.forall(r =>
+      r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+    val out = all.filter(_.getAs[Long]("q_id") == 0L)
     val top = out.minBy(_.getAs[Int]("rank"))
     assert(top.getAs[Double]("cos_sim") === 1.0) // parallel vectors
   }
@@ -136,7 +158,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("trained IVF recall vs brute force is high on clustered data") {
-    val data = clusteredEmb(40) // queries = vec_id % 100 == 0 → id 0
+    val data = clusteredEmb(40) // 120 vecs → 50 hash-drawn queries
     val exact = Similarity.bruteForceTopK(data, k = 5).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
     val ivf = Similarity.kmeansIvfTopK(
@@ -154,7 +176,8 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceTopK(data, k = 5)).collect()
     assert(rows.length === 1)
     val r = rows.head
-    assert(r.getAs[Long]("expected") === 10L) // queries (ids 0, 100) × k=5
+    // 120 vecs → NumQueries hash-drawn queries × k=5 exact neighbors.
+    assert(r.getAs[Long]("expected") === Similarity.NumQueries * 5L)
     assert(r.getAs[Long]("hits") <= r.getAs[Long]("expected"))
     assert(r.getAs[Double]("recall") >= 0.8,
       s"registered recall row below the floor: $r")
@@ -173,7 +196,12 @@ class SimilaritySpec extends SparkSpec {
     val data = clusteredEmb(40)
     val exact = Similarity.bruteForceTopK(data, k = 5).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val pq = Similarity.pqTopK(data, m = 8, codes = 8, iters = 4, k = 5)
+    // refine=8: with 50 hash-drawn queries the recall average is much less
+    // forgiving than the old 1-query draw, and raw-vector PQ at codes=8 is
+    // coarse — a wider shortlist (40 of 119 candidates) is the documented
+    // recall lever for it.
+    val pq = Similarity.pqTopK(data, m = 8, codes = 8, iters = 4, k = 5,
+        refine = 8)
       .collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(exact.nonEmpty)
