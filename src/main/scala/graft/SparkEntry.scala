@@ -382,6 +382,12 @@ object SparkEntry {
   private def profileEvents(s: SparkSession, dir: String): DataFrame =
     Profile.profile(StandIn.events(s, dir))
 
+  // The 100 TB default: HLL distincts, no Expand, no per-column reshuffle
+  // of the fact table. Sketch output → rows-only driver check; the exact
+  // twin above keeps the bit-for-bit oracle.
+  private def profileEventsApprox(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(StandIn.events(s, dir), exact = false)
+
   private def asofPurchaseView(s: SparkSession, dir: String): DataFrame =
     graft.ops.AsOf.purchasesWithLatestView(StandIn.events(s, dir))
 
@@ -693,6 +699,7 @@ object SparkEntry {
     "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
     "text_redact"         -> ((s, d) => textRedact(s, d)),
     "profile_events"      -> ((s, d) => profileEvents(s, d)),
+    "profile_events_approx" -> ((s, d) => profileEventsApprox(s, d)),
     "profile_key_skew"    -> ((s, d) => profileKeySkew(s, d)),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),

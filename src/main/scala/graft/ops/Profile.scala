@@ -9,17 +9,20 @@ import org.apache.spark.sql.types.NumericType
   * planning a curation job over an unknown 100 TB input.
   *
   * Shape: ONE aggregation over the table computes every column's stats
-  * together (multiple exact distincts expand the input `n_cols`-fold
-  * map-side — Spark's Expand — but the table itself is scanned once and
-  * shuffled once), then the single result row unpivots into one row per
-  * column. At extreme scale swap `countDistinct` for
-  * `approx_count_distinct` — the plan shape is unchanged and the Expand
-  * disappears; the exact form is kept here because it is what the oracle
-  * can check bit-for-bit.
+  * together, then the single result row unpivots into one row per column.
   */
 object Profile {
 
-  def profile(df: DataFrame): DataFrame = {
+  /** @param exact `true` (the oracle face) counts distincts exactly: the
+    *   plan Expands the input `n_cols`-fold map-side and shuffles every
+    *   row once per column — bit-checkable, but the wrong default against
+    *   100 TB, where a distinct over a unique key (event_id) reshuffles
+    *   the whole table. `exact = false` swaps in `approx_count_distinct`
+    *   (HyperLogLog++, ~2 % error): the Expand disappears, the shuffle
+    *   carries only n_cols fixed-size sketches, and the scan is the only
+    *   full pass — the profile you actually run before planning a job.
+    */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "cannot profile a zero-column frame")
     // Backtick-quote every reference: a profiler exists for UNKNOWN input
@@ -35,7 +38,8 @@ object Profile {
           (min(lit(null).cast("double")), max(lit(null).cast("double")))
       Seq(
         count(c).alias(s"${f.name}__nn"),
-        countDistinct(c).alias(s"${f.name}__nd"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .alias(s"${f.name}__nd"),
         mn.alias(s"${f.name}__min"),
         mx.alias(s"${f.name}__max"))
     }
@@ -84,16 +88,6 @@ object Profile {
           .alias("share"))
   }
 
-  /** Exact single-pass distribution moments of `l_quantity` per return
-    * flag: n, mean, sample variance, stddev. The sums (Σx, Σx²) accumulate
-    * as DECIMAL — exact and order-independent across any partitioning,
-    * where a naive double Σx² over a 100 TB fact table drifts with
-    * partial-aggregation order and `var_samp`'s streaming formula differs
-    * engine to engine. The moments then derive from the two exact sums in
-    * ONE double expression (identical on both engines), so the report is
-    * bit-stable: same data, same answer, any cluster size. Shape: one scan,
-    * map-side partial sums, a few-group shuffle.
-    */
   /** Exact single-pass PAIR moments of (l_quantity, l_extendedprice) per
     * return flag: n, sample covariance, Pearson correlation. Same design
     * as [[valueMoments]]: the five sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
@@ -167,7 +161,17 @@ object Profile {
         round(z, 6).alias("zscore"))
   }
 
-  /** @param exact decimal-exact sums (default: bit-stable across engines
+  /** Single-pass distribution moments of `l_quantity` per return flag:
+    * n, mean, sample variance, stddev. The sums (Σx, Σx²) accumulate as
+    * DECIMAL — exact and order-independent across any partitioning, where
+    * a naive double Σx² over a 100 TB fact table drifts with
+    * partial-aggregation order and `var_samp`'s streaming formula differs
+    * engine to engine. The moments then derive from the two exact sums in
+    * ONE double expression (identical on both engines), so the report is
+    * bit-stable: same data, same answer, any cluster size. Shape: one scan,
+    * map-side partial sums, a few-group shuffle.
+    *
+    * @param exact decimal-exact sums (default: bit-stable across engines
     *   and partitionings — the oracle face). `exact = false` accumulates
     *   plain doubles — ~4× cheaper per row (no BigDecimal path) at the
     *   cost of partial-aggregation-order jitter in the last float bits;

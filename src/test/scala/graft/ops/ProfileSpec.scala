@@ -45,6 +45,29 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"profiler must not join per-column:\n$plan")
   }
 
+  test("approx profile: no Expand in the plan, counts exact, distincts close") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toString))
+      .toDF("id", "s")
+    val q = Profile.profile(df, exact = false)
+    val plan = q.queryExecution.executedPlan.toString
+    // The whole point of the approx path: the n_cols-fold Expand (and with
+    // it the per-column reshuffle of every row) is gone.
+    assert(!plan.contains("Expand"),
+      s"approx profile must not Expand the input:\n$plan")
+    assert(!plan.contains("Join"), s"profiler must not join per-column:\n$plan")
+    val out = q.collect().map(r => r.getString(0) -> r).toMap
+    // Row/null counts and min/max stay exact — only distincts are sketched.
+    assert(out("id").getLong(1) === 500L && out("id").getLong(2) === 0L)
+    assert(out("id").getDouble(4) === 1.0 && out("id").getDouble(5) === 500.0)
+    // HLL++ at default rsd (5 %): both true cardinalities are tiny enough
+    // that a loose ±10 % band would only fail on a real sketch bug.
+    assert(math.abs(out("id").getLong(3) - 500L) <= 50,
+      s"id distinct estimate too far: ${out("id").getLong(3)}")
+    assert(math.abs(out("s").getLong(3) - 37L) <= 4,
+      s"s distinct estimate too far: ${out("s").getLong(3)}")
+  }
+
   test("keySkew ranks the heaviest key values with deterministic ties") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
