@@ -1,0 +1,91 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.config.JdbcConfig
+
+/** Real-JDBC round trip through Spark's `format("jdbc")` against embedded
+  * Derby (in-process, zero network — the same driver/url/dbtable option
+  * surface the production Postgres wiring uses; reference:
+  * data_persistance.py:39-58). The injected-writer e2e tests elsewhere pin
+  * the foreachBatch semantics; this spec pins that the DEFAULT writers'
+  * JDBC options actually create a table, append to it, and read back.
+  */
+class JdbcSinkSpec extends SparkSpec {
+
+  // Keep derby.log (and any relative databases) out of the repo root.
+  System.setProperty("derby.system.home",
+    Files.createTempDirectory("graft-derby").toString)
+
+  private def derbyCfg(): JdbcConfig = {
+    val db = Files.createTempDirectory("graft-derby-db").resolve("db")
+    JdbcConfig(
+      url = s"jdbc:derby:$db;create=true",
+      user = "",
+      password = "",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      readingsTable = "sensor_readings",
+      alertsTable = "alerts",
+      aggregatesTable = "aggregated_stats")
+  }
+
+  private def readBack(cfg: JdbcConfig, table: String) =
+    spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", table)
+      .option("driver", cfg.driver)
+      .load()
+
+  test("jdbcAppend: first write creates the table, re-run appends (at-least-once)") {
+    import spark.implicits._
+    val cfg = derbyCfg()
+    val batch = Seq(
+      ("A_1_100_temperature", "temperature", 32.5),
+      ("A_1_101_humidity", "humidity", 71.0))
+      .toDF("sensor_id", "sensor_type", "value")
+
+    Sinks.jdbcAppend(batch, cfg, cfg.readingsTable)
+    val first = readBack(cfg, cfg.readingsTable)
+    assert(first.columns.map(_.toLowerCase).sorted ===
+      Array("sensor_id", "sensor_type", "value"))
+    // Filter after collect: Derby stores StringType as CLOB, which rejects
+    // a pushed-down string equality predicate.
+    val rows = first.collect()
+      .map(r => r.getAs[String]("sensor_type") -> r.getAs[Double]("value"))
+      .toMap
+    assert(rows === Map("temperature" -> 32.5, "humidity" -> 71.0))
+
+    // Append mode is at-least-once by design (Sinks scaladoc): a re-run of
+    // the same batch must land as additional rows, never error or upsert.
+    Sinks.jdbcAppend(batch, cfg, cfg.readingsTable)
+    assert(readBack(cfg, cfg.readingsTable).count() === 4L)
+  }
+
+  test("jdbcStream default writer: stream → real JDBC table → read back") {
+    import spark.implicits._
+    val cfg = derbyCfg()
+    val input = MemoryStream[(String, Double)](spark)
+    val stream = input.toDF().toDF("sensor_id", "value")
+    // writer = null → the REAL jdbcAppend path (url/driver/dbtable options).
+    val query = Sinks.jdbcStream(
+      stream, cfg, cfg.aggregatesTable,
+      checkpoint = Files.createTempDirectory("graft-jdbc-ckpt").toString,
+      queryName = "jdbc_e2e")
+    try {
+      input.addData(("s1", 1.5), ("s2", 2.5))
+      query.processAllAvailable()
+      val rows = readBack(cfg, cfg.aggregatesTable)
+      assert(rows.count() === 2L)
+      assert(rows.select("sensor_id").as[String].collect().sorted ===
+        Array("s1", "s2"))
+
+      // Second micro-batch appends to the same table.
+      input.addData(("s3", 3.5))
+      query.processAllAvailable()
+      assert(readBack(cfg, cfg.aggregatesTable).count() === 3L)
+    } finally query.stop()
+  }
+}
