@@ -723,6 +723,10 @@ object SparkEntry {
     // driver check (group keys are deterministic, so the row COUNT matches
     // the exact variant) + an error-bound unit test in OlapSpec.
     "agg_distinct_hll"    -> ((s, d) => aggDistinctHll(s, d)),
+    // Bounded-error contract for the sketch above, fully oracle-checked:
+    // exact keys/counts + a within-3·rsd boolean the oracle pins to TRUE.
+    "agg_distinct_hll_audit" -> ((s, d) =>
+      graft.ops.Olap.dailyActiveUsersAudit(StandIn.events(s, d))),
     "olap_pricing"        -> ((s, d) => olapPricingSummary(s, d)),
     "join_revenue_nation" -> ((s, d) => joinRevenueNation(s, d)),
     "window_topn"         -> ((s, d) =>
@@ -750,10 +754,13 @@ object SparkEntry {
     "text_normalize"      -> ((s, d) =>
       TextAnalysis.normalize(StandIn.documents(s, d))),
     // Misra-Gries heavy hitters — counts are merge-order-dependent lower
-    // bounds (no SQL twin); rows-only (row count = langs × min(k, distinct))
-    // + bound-pinning unit tests in MisraGriesSpec.
+    // bounds (no SQL twin); rows-only (count stabilized by the 4k-capacity
+    // sketch + top-k truncation) + bound-pinning unit tests in
+    // MisraGriesSpec. text_heavy_terms_exact is the oracle-checked twin.
     "text_heavy_terms"    -> ((s, d) =>
       TextAnalysis.heavyTerms(StandIn.documents(s, d))),
+    "text_heavy_terms_exact" -> ((s, d) =>
+      TextAnalysis.heavyTermsExact(StandIn.documents(s, d))),
     "ts_resample_ffill"   -> ((s, d) =>
       graft.ops.Resample.hourlyFfill(StandIn.events(s, d))),
     "stat_winsorize"      -> ((s, d) =>
@@ -1729,6 +1736,19 @@ object SparkEntry {
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
+    // HLL audit twin (Olap.dailyActiveUsersAudit): the oracle has no
+    // Spark-compatible sketch, so it asserts the CONTRACT — every group's
+    // estimate within 3·rsd of exact — which the Spark side computes from
+    // its own deterministic (register-max) sketch.
+    "agg_distinct_hll_audit" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |       event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       TRUE AS within_tol
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
     // Moving-window twin (WindowOps.movingStats): identical frame spec;
     // 6-dp rounding absorbs sliding-aggregation summation order.
     "window_moving_stats" ->
@@ -1961,6 +1981,24 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS doc_freq,
          |       count(*) AS total_count
          |FROM ex GROUP BY term""".stripMargin,
+
+    // Exact heavy-terms twin (TextAnalysis.heavyTermsExact): same count
+    // aggregate + rank window, term tie-break, so both engines agree
+    // bit-for-bit. The MG sketch variant stays rows-only.
+    "text_heavy_terms_exact" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT d.lang, unnest(k.t) AS term
+         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id
+         |), counts AS (
+         |  SELECT lang, term, count(*) AS term_count FROM ex GROUP BY 1, 2
+         |)
+         |SELECT lang,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY lang ORDER BY term_count DESC, term) AS INT)
+         |         AS rank,
+         |       term, term_count
+         |FROM counts
+         |QUALIFY rank <= 10""".stripMargin,
 
     "text_langid" ->
       s"""WITH $rawToksSql, scored AS (

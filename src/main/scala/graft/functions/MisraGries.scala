@@ -28,9 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * guarantee-preserving merge). The guarantees, independent of merge
   * order: `true − n/(k+1) ≤ estimate ≤ true`, and any item with frequency
   * > n/(k+1) is ALWAYS in the summary. Exact counts are merge-order
-  * dependent within that band — the driver therefore records this
-  * operator rows-only (row count per group = min(k, distinct), which IS
-  * deterministic); the unit tests pin the bounds.
+  * dependent within that band, and so is the SURVIVOR COUNT — tied
+  * counters can die together in a merge, so a group may surface fewer
+  * than k items under one partitioning and k under another. Callers that
+  * need a stable row count should over-provision capacity and truncate
+  * the output (see TextAnalysis.heavyTerms); the unit tests pin the
+  * bounds.
   *
   * `eval` returns `array<struct<item, count_est>>` sorted (count desc,
   * item asc) and truncated to k.

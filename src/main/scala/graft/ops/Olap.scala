@@ -300,4 +300,24 @@ object Olap {
       .groupBy(col("day"), col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).alias("n_users_approx"),
         count(lit(1)).alias("n_events"))
+
+  /** Fully oracle-checkable audit of the HLL sketch: per (day, event_type),
+    * the exact keys/counts plus `within_tol` — whether the sketch estimate
+    * sits within 3·rsd of the exact distinct count. HLL++ merges by
+    * register max, so the estimate is a deterministic, partition-order-
+    * independent function of the input SET; the oracle (which has no
+    * Spark-compatible sketch) asserts `TRUE` for every group, turning the
+    * engine-specific sketch into a hash-checkable bounded-error contract
+    * instead of a rows-only count. The join runs over the two (day × type)
+    * aggregate tables — bounded by the key vocabulary, never by the facts.
+    */
+  def dailyActiveUsersAudit(events: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val approx = dailyActiveUsersApprox(events, rsd)
+      .select(col("day"), col("event_type"), col("n_users_approx"))
+    dailyActiveUsers(events)
+      .join(approx, Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("n_users_approx") - col("n_users")) <=
+          greatest(lit(1.0), col("n_users") * (3 * rsd))).alias("within_tol"))
+  }
 }

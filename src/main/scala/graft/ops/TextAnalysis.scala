@@ -457,20 +457,55 @@ object TextAnalysis {
   val DigitRunPattern = "[0-9][0-9 -]{6,}[0-9]"
 
   /** Per-language heavy-hitter terms via the native Misra-Gries aggregate
-    * ([[graft.functions.MisraGries]]): bounded k-counter state per group
+    * ([[graft.functions.MisraGries]]): bounded counter state per group
     * where [[termStats]]' exact distinct table is corpus-sized. Output is
     * one row per (lang, rank ≤ k). Counts are ε-bounded lower estimates
-    * (merge-order dependent within `true − n/(k+1) ≤ est ≤ true`) — the
+    * (merge-order dependent within `true − n/(cap+1) ≤ est ≤ true`) — the
     * driver records rows-only; the MisraGriesSpec pins the bounds.
+    *
+    * The sketch runs at `capacity` (default 4k) counters and the output
+    * truncates to the top k: MG merges can kill tied counters together, so
+    * a capacity-k sketch may surface FEWER than k survivors depending on
+    * partitioning — the headroom keeps ≥ k survivors under any realistic
+    * merge order over natural-language (Zipf) data, making the emitted row
+    * count (langs × min(k, distinct)) stable while estimates stay
+    * merge-order dependent within the ε band. [[heavyTermsExact]] is the
+    * oracle-checkable twin.
     */
-  def heavyTerms(docs: DataFrame, k: Int = 10): DataFrame =
+  def heavyTerms(docs: DataFrame, k: Int = 10, capacity: Int = 40): DataFrame = {
+    require(capacity >= k, s"sketch capacity $capacity must be ≥ k=$k")
     docs
       .select(col("lang"), explode(Dedup.tokens(col("text"))).alias("term"))
       .groupBy(col("lang"))
-      .agg(graft.functions.MisraGries.topItems(col("term"), k).alias("top"))
-      .select(col("lang"), posexplode(col("top")))
+      .agg(graft.functions.MisraGries.topItems(col("term"), capacity)
+        .alias("top"))
+      .select(col("lang"), posexplode(slice(col("top"), 1, k)))
       .select(col("lang"), (col("pos") + 1).cast("int").alias("rank"),
         col("col.item").alias("term"), col("col.count_est"))
+  }
+
+  /** Exact per-language top-k terms — [[heavyTerms]]' oracle-checkable
+    * twin: a (lang, term) count aggregate then a rank-k window, ties broken
+    * by term so both engines agree bit-for-bit. The count table is
+    * vocabulary-sized (Zipf-bounded, the [[termStats]] argument), so the
+    * exact form is affordable wherever termStats is; the MG sketch remains
+    * the extreme-cardinality path (billions of distinct tokens, bounded
+    * state). The rank filter compiles to WindowGroupLimit: per-partition
+    * top-k pruning before the window shuffle.
+    */
+  def heavyTermsExact(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("term_count").desc, col("term"))
+    docs
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).alias("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).alias("term_count"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("int").alias("rank"),
+        col("term"), col("term_count"))
+  }
 
   /** Canonical text normalization: lowercase, trim, collapse every
     * internal whitespace run to one space — the stage-zero cleanup of any

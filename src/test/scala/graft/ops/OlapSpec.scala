@@ -234,4 +234,14 @@ class OlapSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.15,
       s"sketch $approx vs exact $exact drifted past 3×rsd")
   }
+
+  test("dailyActiveUsersAudit: exact keys/counts with within_tol true") {
+    val out = Olap.dailyActiveUsersAudit(tsEvents).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out === Map(
+      ("2026-01-01", "click") -> ((2L, 3L, true)),
+      ("2026-01-02", "click") -> ((1L, 1L, true)),
+      ("2026-01-02", "view")  -> ((1L, 1L, true))))
+  }
 }

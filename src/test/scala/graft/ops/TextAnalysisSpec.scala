@@ -10,6 +10,39 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  private def langDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "lang", "text")
+  }
+
+  test("heavyTermsExact: per-language top-k by exact count, term tie-break") {
+    val out = TextAnalysis.heavyTermsExact(langDocs(
+      (1L, "en", "alpha alpha alpha beta beta gamma"),
+      (2L, "en", "beta delta"),
+      (3L, "fr", "zut zut alors")), k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // en: alpha=3 and beta=3 tie → term order breaks it; fr: zut=2, alors=1.
+    assert(out === Map(
+      ("en", 1) -> (("alpha", 3L)),
+      ("en", 2) -> (("beta", 3L)),
+      ("fr", 1) -> (("zut", 2L)),
+      ("fr", 2) -> (("alors", 1L))))
+  }
+
+  test("heavyTerms sketch: output truncates to k even with capacity headroom") {
+    // 30 distinct terms, frequencies 30 down to 1 — more than capacity=20
+    // survivors compete, and the output must still be exactly k rows.
+    val manyTerms = (1 to 30).flatMap(i => Seq.fill(31 - i)(f"t$i%02d"))
+      .mkString(" ")
+    val out = TextAnalysis.heavyTerms(
+      langDocs((1L, "en", manyTerms)), k = 5, capacity = 20).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getInt(1)).sorted === Array(1, 2, 3, 4, 5))
+    // The heaviest term is never evictable at this skew.
+    assert(out.find(_.getInt(1) == 1).get.getString(2) === "t01")
+  }
+
   test("term stats: doc_freq counts documents, total_count counts occurrences") {
     val out = TextAnalysis.termStats(docs(
       (1L, "spark spark flink"), (2L, "spark beam")))
