@@ -303,7 +303,7 @@ object Curation {
       .agg(countDistinct(col("doc_id")).alias("gram_df"))
       .where(col("gram_df") <= dfCap)
       .select(col("g"))
-      .localCheckpoint()
+      .transform(Materialize(_))
     // Shingle the two doc populations separately so the bench predicate
     // reaches the scan: the Bloom-build pass reads ONLY benchmark rows,
     // never the corpus.

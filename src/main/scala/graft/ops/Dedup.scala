@@ -282,7 +282,7 @@ object Dedup {
     val sh = simhashFromHashes(
       shingleSets(docs).select(col("doc_id"),
         hashArray60(col("grams")).alias("hashes")),
-      bits = bands * bandBits).localCheckpoint()
+      bits = bands * bandBits).transform(Materialize(_))
     val mask = (1L << bandBits) - 1
     val banded = saltHotBuckets(sh.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -343,9 +343,11 @@ object Dedup {
     * chain converges in ~20 rounds instead of 1M. Labels only ever
     * decrease and always name a node of the same component, so the fixed
     * point is exactly the per-component min id — identical to the
-    * recursive-CTE oracle. Per-round `localCheckpoint` truncates the query
+    * recursive-CTE oracle. A per-round [[Materialize]] truncates the query
     * plan — without it the lineage (and optimizer time) doubles every
-    * iteration. All joins are hash-partitioned equi-joins on ids.
+    * iteration; set `spark.graft.checkpoint.reliable=true` on a cluster so
+    * the truncated frames survive executor loss. All joins are
+    * hash-partitioned equi-joins on ids.
     */
   def clusters(
       docs: DataFrame,
@@ -357,7 +359,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
-      .localCheckpoint() // candidate graph is tiny relative to the corpus
+      .transform(Materialize(_)) // candidate graph: tiny vs the corpus
     // Iterate ONLY over candidate-graph nodes: every doc outside the graph
     // is a singleton whose label never moves, and at corpus scale the graph
     // is orders of magnitude smaller than the corpus — looping over full
@@ -365,7 +367,7 @@ object Dedup {
     // Singletons are attached once, after convergence.
     var labels = edges.select(col("a_id").alias("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").alias("cluster_id"))
-      .localCheckpoint()
+      .transform(Materialize(_))
     var changed = 1L
     var iter = 0
     // `maxIters` is a runaway guard, not a silent truncation: hitting it
@@ -398,7 +400,7 @@ object Dedup {
         .join(parent, col("l1") === col("p_id"), "left")
         .select(col("doc_id"), newLabel.alias("new_label"),
           (newLabel < col("old_label")).alias("moved"))
-        .localCheckpoint()
+        .transform(Materialize(_))
       changed = updated.where(col("moved")).count()
       labels = updated
         .select(col("doc_id"), col("new_label").alias("cluster_id"))
@@ -437,7 +439,7 @@ object Dedup {
     * GraphFrames-style criterion; a collision would need two distinct
     * edge sets with equal count AND equal 64-bit hash XOR in the same
     * round, vanishingly unlikely and caught by the oracle on fixtures.
-    * Per-round `localCheckpoint` truncates lineage exactly like
+    * A per-round [[Materialize]] truncates lineage exactly like
     * [[clusters]].
     */
   def clustersBigStar(
@@ -451,7 +453,7 @@ object Dedup {
       .select(least(col("a_id"), col("b_id")).alias("a"),
         greatest(col("a_id"), col("b_id")).alias("b"))
       .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+      .transform(Materialize(_))
 
     // XOR, not SUM: a 64-bit sum overflows under ANSI mode, and XOR is
     // just as order-independent. Duplicate-pair cancellation cannot occur
@@ -494,7 +496,7 @@ object Dedup {
     var iter = 0
     var converged = prev._1 == 0L // no edges → everything is a singleton
     while (!converged && iter < maxIters) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = Materialize(smallStar(largeStar(edges)))
       val cs = checksum(edges)
       converged = cs == prev
       prev = cs

@@ -44,7 +44,7 @@ object Similarity {
       maxRows: Int = MaxBroadcastQueries): DataFrame = {
     // Materialize once: probing the raw frame would re-evaluate its whole
     // lineage (scan + projections) a second time when the broadcast builds.
-    val mat = df.localCheckpoint()
+    val mat = Materialize(df)
     val probe = mat.limit(maxRows + 1).count()
     require(probe <= maxRows,
       s"broadcast side has > $maxRows rows; too large to broadcast — " +
@@ -319,7 +319,7 @@ object Similarity {
     // query plan reuses it twice more — without it every pass re-reads and
     // re-projects the source.
     kmeansIvfTopKPrepared(
-      prepared(embeddings).localCheckpoint(), cells, iters, k, nprobe)
+      Materialize(prepared(embeddings)), cells, iters, k, nprobe)
 
   private def kmeansIvfTopKPrepared(
       prep: DataFrame,
@@ -377,7 +377,7 @@ object Similarity {
       iters: Int = 5,
       k: Int = 5,
       nprobe: Int = 2): DataFrame = {
-    val prep = prepared(embeddings).localCheckpoint()
+    val prep = Materialize(prepared(embeddings))
     recallAtK(
       kmeansIvfTopKPrepared(prep, cells, iters, k, nprobe),
       bruteForceTopKPrepared(prep, k))
@@ -481,7 +481,7 @@ object Similarity {
       refine: Int = 4): DataFrame = {
     require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
     val sub = Dim / m
-    val prep = prepared(embeddings).localCheckpoint()
+    val prep = Materialize(prepared(embeddings))
     val books = pqCodebooks(prep, m, codes, iters)
     // Stage subvector slices as attributes before any per-centroid math
     // (HOF/codegen staging — see Dedup.shingleSets).
@@ -556,7 +556,7 @@ object Similarity {
     require(cells > 0 && codes > 0 && iters >= 0,
       s"bad ivfpq params: $cells/$codes/$iters")
     val sub = Dim / m
-    val prep = prepared(embeddings).localCheckpoint()
+    val prep = Materialize(prepared(embeddings))
     // ONE sample collect feeds both trainers: the coarse Lloyd fit and the
     // residual codebooks (the draw is deterministic, so a second pass
     // would fetch the identical rows for double the cluster work).

@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === 2L)
   }
 
+  test("clusters converge identically under local and reliable checkpointing") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = docs(
+      (5L, base),
+      (7L, base + " extra"),
+      (9L, base + " extra more"),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" ")))
+    def labels() = Dedup.clusters(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val local = labels()
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString)
+    spark.conf.set(Materialize.ReliableKey, "true")
+    try assert(labels() === local,
+      "reliable checkpoint() must not change the CC fixed point")
+    finally spark.conf.unset(Materialize.ReliableKey)
+  }
+
   test("clustersBigStar agrees with label propagation on a chained corpus") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val corpus = docs(
