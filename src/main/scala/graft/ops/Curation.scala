@@ -312,13 +312,18 @@ object Curation {
       .join(rareGrams, "g")
     val benchRare = rareOf(Dedup.shingleSets(docs.where(benchPredicate)))
       .select(col("g"), col("doc_id").alias("bench_id"))
-    val bloom = benchRare.stat.bloomFilter("g", expectedBenchGrams, fpp)
-    // A UDF, deliberately: BloomFilter.mightContain is a few hash probes
-    // per row against a broadcast bitset — the prefilter runs map-side
-    // before any exchange, which is the entire point.
-    val mightHitBench = udf((g: String) => bloom.mightContain(g))
+    // Native Bloom expressions (graft.functions.Bloom): the filter builds
+    // distributed (BloomFilterAggregate over xxhash64'd grams — the same
+    // kernel Spark's runtime-filter feature uses), collapses to one binary
+    // row on the driver, and probes map-side as a literal INSIDE
+    // whole-stage codegen — the Scala-closure UDF this replaces broke
+    // codegen at every probe row.
+    val bloomBytes = benchRare
+      .agg(graft.functions.Bloom
+        .aggregate(xxhash64(col("g")), expectedBenchGrams, fpp).alias("bf"))
+      .head.getAs[Array[Byte]]("bf")
     rareOf(Dedup.shingleSets(docs.where(!benchPredicate)))
-      .where(mightHitBench(col("g")))
+      .where(graft.functions.Bloom.mightContain(bloomBytes, xxhash64(col("g"))))
       .join(benchRare, "g")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(countDistinct(col("g")).cast("int").alias("shared_grams"))
