@@ -5,8 +5,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A failing query is
   * recorded as "err" and excluded from the total, so the headline number
   * only ever sums successful runs.
+  *
+  * Noise armor: after the cold pass, every query is timed on THREE warm
+  * passes, each in a different (seed-fixed) shuffled order, and the
+  * per-query warm time is the minimum of the three. A one-off load spike
+  * on the host (the driver box has recorded 2-2.6× inflation in past
+  * rounds) then dents at most one sample of each query instead of its
+  * only sample, and order shuffling keeps a spike from always taxing the
+  * same neighbors.
   */
 object Bench {
+  private val WarmPasses = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,78 +39,85 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
-    // Right((warmSec, coldSec)); warm is the headline, cold is recorded.
-    val results: Map[String, Either[String, (Double, Double)]] =
-      SparkEntry.queries.map { case (name, fn) =>
-        // noop sink, not count(): count() lets Catalyst prune every unused
-        // column, erasing the very work a pure-projection query exists to do
-        // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
-        // fully evaluates every output row while writing nothing.
-        //
-        // Timed on the SECOND run: the first run pays janino codegen
-        // compilation and JIT (~1-2 s for expression-heavy plans) — a fixed
-        // cost that amortizes to nothing at the 100 TB design point, and
-        // which otherwise charges whichever query happens to introduce a
-        // generated class first. Warm numbers measure the engine, not the
-        // compiler.
-        val r =
-          try {
-            val c0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            val cold = (System.nanoTime() - c0) / 1e9
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right(((System.nanoTime() - t0) / 1e9, cold))
-          }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Left("err")
-          }
-        name -> r
+    val fns = SparkEntry.queries
+    val names = fns.keys.toSeq
+
+    // noop sink, not count(): count() lets Catalyst prune every unused
+    // column, erasing the very work a pure-projection query exists to do
+    // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
+    // fully evaluates every output row while writing nothing.
+    def time(name: String): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
+
+    // Cold pass (registration order): pays janino codegen compilation and
+    // JIT (~1-2 s for expression-heavy plans) — a fixed cost that amortizes
+    // to nothing at the 100 TB design point. Recorded so a compile-time
+    // regression (cold ≫ warm) stays visible; warm is the headline.
+    val cold: Map[String, Double] =
+      names.flatMap(n => time(n).map(n -> _)).toMap
+    val coldOk = names.filter(cold.contains)
+
+    // Warm passes: seed-fixed shuffles so reruns time the same orders.
+    val warmSamples: Seq[Map[String, Double]] = (1 to WarmPasses).map { pass =>
+      new scala.util.Random(1000003L * pass)
+        .shuffle(coldOk).flatMap(n => time(n).map(n -> _)).toMap
+    }
+    val warm: Map[String, Double] = coldOk.flatMap { n =>
+      val ss = warmSamples.flatMap(_.get(n))
+      if (ss.isEmpty) None else Some(n -> ss.min)
+    }.toMap
+    val errs = names.filterNot(warm.contains)
+
     // The consumer of this line captures only the LAST ~2000 chars of the
-    // run's output, so the line must stay short. With 76+ registered
+    // run's output, so the line must stay short. With 90+ registered
     // queries the full per-query map alone exceeds that budget, so the
     // line carries only (a) every failed query ("err" — normally none) and
-    // (b) the TOP-10 slowest warm times, i.e. exactly the entries a
-    // regression hunt reads first. `n` counts all queries run; the full
-    // unrounded warm+cold detail goes to BENCH_DETAIL.json beside the
-    // build for offline reading.
+    // (b) the TOP-10 slowest warm times — exactly the entries a regression
+    // hunt reads first, tagged with queries_kind so the truncation is
+    // explicit. The full unrounded min/per-pass/cold detail goes to
+    // BENCH_DETAIL.json beside the build.
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val top10 = results.collect { case (k, Right((sec, _))) => k -> sec }
-      .toSeq.sortBy(-_._2).take(10)
-    val qs = (results.collect { case (k, Left(_)) => s""""$k":"err"""" } ++
+    val top10 = warm.toSeq.sortBy(-_._2).take(10)
+    val qs = (errs.map(k => s""""$k":"err"""") ++
       top10.map { case (k, sec) => s""""$k":${f2(sec)}""" })
       .mkString("{", ",", "}")
-    // The cold run is already paid for the warm-up — record it too, so a
-    // codegen-compile-time regression (cold ≫ warm) stays visible even
-    // though warm is the headline.
-    val cqs = results.collect {
-      case (k, Right((_, cold))) => s""""$k":$cold"""
-    }.mkString("{", ",", "}")
-    val fqs = results.collect {
-      case (k, Right((sec, _))) => s""""$k":$sec"""
-    }.mkString("{", ",", "}")
-    val total = results.values.collect { case Right((s, _)) => s }.sum
-    val coldTotal = results.values.collect { case Right((_, c)) => c }.sum
-    val nErr = results.values.count(_.isLeft)
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = warm.values.sum
+    val coldTotal = cold.values.sum
+    val passTotals = warmSamples
+      .map(s => f2(s.values.sum)).mkString("[", ",", "]")
     try
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"warm_total":$total,"cold_total":$coldTotal,"warm_queries":$fqs,"cold_queries":$cqs,"errors":$nErr,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}") }
+        (s"""{"warm_total":$total,"cold_total":$coldTotal,""" +
+          s""""warm_queries":${jmap(warm)},"cold_queries":${jmap(cold)},""" +
+          warmSamples.zipWithIndex.map { case (s, i) =>
+            s""""warm_pass_${i + 1}":${jmap(s)}"""
+          }.mkString(",") +
+          s""","errors":${errs.size},"sf":"$sfDir"}""").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write skipped: ${e.getMessage}")
+    }
     // The sf prints as its bare numeric suffix ("0.1") when the dir is
     // sf-suffixed — a few more bytes saved off the line.
     val sfShort = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(sfDir)
     // 1-minute load average at the END of the run: a judge comparing
-    // rounds can discount load inflation (a loaded driver box has recorded
-    // 2-2.6× the idle totals in past rounds) without a re-run.
+    // rounds can discount load inflation without a re-run (min-of-3
+    // already absorbs most of it).
     val loadHint =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head
       catch { case _: Throwable => "na" }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"n":${results.size},"cold_total":${f2(coldTotal)},"errors":$nErr,"load_hint":"$loadHint","sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_$WarmPasses","warm_pass_totals":$passTotals,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }
