@@ -123,6 +123,14 @@ final class SmtpNotifier(
   import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 
   override def send(email: AlertEmail): Unit = {
+    // SMTP-injection guard: user and recipient are interpolated into MAIL
+    // FROM/RCPT TO commands and From:/To: headers, so a CR/LF or angle
+    // bracket in either would inject protocol commands or extra headers.
+    // Both come from config today, but recipient is a per-email field a
+    // future caller could populate from data — reject, don't sanitize.
+    for ((what, v) <- Seq("smtp user" -> user, "recipient" -> email.recipient))
+      require(!v.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
+        s"$what contains CR/LF or angle brackets — refusing to send: $v")
     val plain = new java.net.Socket()
     plain.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
     plain.setSoTimeout(timeoutMs)

@@ -109,6 +109,14 @@ object WindowOps {
     * non-qualifying events is still "active" and never evicted; (2)
     * `as_of_s` is monotone per key even when a displacing event carries an
     * older timestamp than the entry it evicts.
+    *
+    * STATE-FORMAT NOTE: the GroupState encoder changed in round 8 from
+    * `Seq[(Double, Long, Long)]` (per-entry timestamps) to
+    * `(Seq[(Double, Long)], Long)` (board + separate high-water mark).
+    * Spark's state store cannot migrate encoder layouts: a query restarted
+    * from a checkpoint written by the old shape will fail or misdecode —
+    * discard pre-round-8 streamingTopN checkpoints (or start the restarted
+    * query under a new checkpoint path).
     */
   def streamingTopN(
       events: DataFrame,

@@ -112,6 +112,23 @@ class SmtpNotifierSpec extends AnyFunSuite {
     assert(decodedBody === email.body)
   }
 
+  test("CRLF or angle brackets in recipient/user refuse the send (SMTP injection)") {
+    // No server: the guard must trip before any connection is attempted.
+    val n = new SmtpNotifier("127.0.0.1", 1, "alerts@example.com",
+      password = "", startTls = false)
+    for (bad <- Seq("a@b.c>\r\nRCPT TO:<evil@x.y", "a@b.c>extra", "a\nb@c.d")) {
+      val ex = intercept[IllegalArgumentException] {
+        n.send(email.copy(recipient = bad))
+      }
+      assert(ex.getMessage.contains("refusing to send"))
+    }
+    val exUser = intercept[IllegalArgumentException] {
+      new SmtpNotifier("127.0.0.1", 1, "evil\r\nuser@x.y",
+        password = "", startTls = false).send(email)
+    }
+    assert(exUser.getMessage.contains("smtp user"))
+  }
+
   test("AUTH LOGIN runs when a password is configured") {
     val fake = new FakeSmtpServer
     val port = fake.start()
