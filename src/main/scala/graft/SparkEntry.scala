@@ -700,6 +700,8 @@ object SparkEntry {
     "text_redact"         -> ((s, d) => textRedact(s, d)),
     "profile_events"      -> ((s, d) => profileEvents(s, d)),
     "profile_events_approx" -> ((s, d) => profileEventsApprox(s, d)),
+    "profile_events_audit" -> ((s, d) =>
+      Profile.profileAudit(StandIn.events(s, d))),
     "profile_key_skew"    -> ((s, d) => profileKeySkew(s, d)),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
@@ -779,6 +781,8 @@ object SparkEntry {
     "text_quality_percentiles_approx" ->
       ((s, d) => textQualityPercentilesApprox(s, d)),
     "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
+    "text_term_stats_audit" -> ((s, d) =>
+      TextAnalysis.termStatsAudit(StandIn.documents(s, d))),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
@@ -1249,6 +1253,26 @@ object SparkEntry {
            |       count(*) - count($c) AS n_null,
            |       count(DISTINCT $c) AS n_distinct,
            |       $mn AS min_value, $mx AS max_value FROM ev""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+         |         event_type, value, props
+         |  FROM events
+         |)
+         |$branches""".stripMargin
+    },
+
+    // HLL-profile audit twin (Profile.profileAudit): exact per-column
+    // stats + the within-3·rsd contract the oracle pins to TRUE.
+    "profile_events_audit" -> {
+      val branches = ProfileEventCols.map { case (c, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       $mn AS min_value, $mx AS max_value,
+           |       TRUE AS within_tol FROM ev""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH ev AS (
          |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
@@ -1980,6 +2004,16 @@ object SparkEntry {
          |)
          |SELECT term, count(DISTINCT doc_id) AS doc_freq,
          |       count(*) AS total_count
+         |FROM ex GROUP BY term""".stripMargin,
+
+    // HLL term-stats audit twin (TextAnalysis.termStatsAudit): exact term
+    // stats + the within-3·rsd doc-frequency contract pinned to TRUE.
+    "text_term_stats_audit" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |)
+         |SELECT term, count(DISTINCT doc_id) AS doc_freq,
+         |       count(*) AS total_count, TRUE AS within_tol
          |FROM ex GROUP BY term""".stripMargin,
 
     // Exact heavy-terms twin (TextAnalysis.heavyTermsExact): same count

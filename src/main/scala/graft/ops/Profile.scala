@@ -18,11 +18,13 @@ object Profile {
     *   row once per column — bit-checkable, but the wrong default against
     *   100 TB, where a distinct over a unique key (event_id) reshuffles
     *   the whole table. `exact = false` swaps in `approx_count_distinct`
-    *   (HyperLogLog++, ~2 % error): the Expand disappears, the shuffle
-    *   carries only n_cols fixed-size sketches, and the scan is the only
-    *   full pass — the profile you actually run before planning a job.
+    *   (HyperLogLog++ at `rsd` target error): the Expand disappears, the
+    *   shuffle carries only n_cols fixed-size sketches, and the scan is
+    *   the only full pass — the profile you actually run before planning
+    *   a job.
     */
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def profile(
+      df: DataFrame, exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "cannot profile a zero-column frame")
     // Backtick-quote every reference: a profiler exists for UNKNOWN input
@@ -38,7 +40,7 @@ object Profile {
           (min(lit(null).cast("double")), max(lit(null).cast("double")))
       Seq(
         count(c).alias(s"${f.name}__nn"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c))
+        (if (exact) countDistinct(c) else approx_count_distinct(c, rsd))
           .alias(s"${f.name}__nd"),
         mn.alias(s"${f.name}__min"),
         mx.alias(s"${f.name}__max"))
@@ -54,6 +56,26 @@ object Profile {
         col(s"`${f.name}__max`").alias("max_value"))
     }
     one.select(explode(array(entries: _*)).alias("p")).select(col("p.*"))
+  }
+
+  /** Fully oracle-checkable audit of the approx profile: per column, the
+    * exact stats plus `within_tol` — whether the HLL distinct estimate
+    * sits within 3·rsd of the exact count (absolute floor 1). HLL++ is a
+    * deterministic, partition-order-independent function of the column's
+    * value set, so the boolean is stable and the oracle pins it to TRUE,
+    * turning the sketch path into a hash-checked bounded-error contract.
+    * Costs one pass per profile variant — an audit, not the default.
+    */
+  def profileAudit(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val approx = profile(df, exact = false, rsd)
+      .select(col("column_name"), col("n_distinct").alias("nd_approx"))
+    profile(df)
+      .join(approx, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        (abs(col("nd_approx") - col("n_distinct")) <=
+          greatest(lit(1.0), col("n_distinct") * (3 * rsd)))
+          .alias("within_tol"))
   }
 
   /** Key-skew report: the top-`k` heaviest values of a prospective

@@ -55,6 +55,26 @@ object TextAnalysis {
         approx_count_distinct(col("doc_id"), rsd).alias("doc_freq_approx"),
         count(lit(1)).alias("total_count"))
 
+  /** Fully oracle-checkable audit of the term-stats sketch: per term, the
+    * exact stats plus `within_tol` — whether the HLL doc-frequency
+    * estimate sits within 3·rsd of the exact distinct (tiny cardinalities
+    * get an absolute floor of 1). HLL++ is a deterministic,
+    * partition-order-independent function of the input set, so the
+    * boolean is stable; the oracle (no Spark-compatible sketch) pins it
+    * to TRUE — the same bounded-error-contract upgrade as
+    * Olap.dailyActiveUsersAudit. Join cost: two vocabulary-sized
+    * aggregate tables, never the corpus.
+    */
+  def termStatsAudit(docs: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val approx = termStatsSketch(docs, rsd)
+      .select(col("term"), col("doc_freq_approx"))
+    termStats(docs)
+      .join(approx, "term")
+      .select(col("term"), col("doc_freq"), col("total_count"),
+        (abs(col("doc_freq_approx") - col("doc_freq")) <=
+          greatest(lit(1.0), col("doc_freq") * (3 * rsd))).alias("within_tol"))
+  }
+
   /** Per-(document, term) TF-IDF: tf · ln(N / df). The corpus-level
     * weighting behind keyword extraction and lexical retrieval scoring.
     *

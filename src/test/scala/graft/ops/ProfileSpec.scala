@@ -68,6 +68,18 @@ class ProfileSpec extends SparkSpec {
       s"s distinct estimate too far: ${out("s").getLong(3)}")
   }
 
+  test("profileAudit: exact stats carried through, sketch within tolerance") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, (i % 7).toString)).toDF("id", "s")
+    val out = Profile.profileAudit(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("id", "s"))
+    assert(out("id").getLong(1) === 300L && out("id").getLong(3) === 300L)
+    assert(out("s").getLong(3) === 7L)
+    assert(out.values.forall(_.getBoolean(6)),
+      "HLL estimates drifted past 3·rsd of exact")
+  }
+
   test("keySkew ranks the heaviest key values with deterministic ties") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++

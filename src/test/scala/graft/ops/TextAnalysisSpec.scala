@@ -53,6 +53,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("beam") === ((1L, 1L)))
   }
 
+  test("termStatsAudit: exact stats with the sketch contract holding") {
+    val out = TextAnalysis.termStatsAudit(docs(
+      (1L, "spark spark flink"), (2L, "spark beam")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("spark") === ((2L, 3L, true)))
+    assert(out("flink") === ((1L, 1L, true)))
+    assert(out("beam") === ((1L, 1L, true)))
+  }
+
   test("langId picks the language with the densest function words") {
     val out = TextAnalysis.langId(docs(
       (1L, "the cat sat on the mat and the dog"),
