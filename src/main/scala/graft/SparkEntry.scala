@@ -320,6 +320,20 @@ object SparkEntry {
     Similarity.ivfRecallReport(StandIn.embeddings(s, dir),
       IvfCells, iters = 3, k = TopK, nprobe = 2)
 
+  // The synthetic embeddings are near-uniform, where IVF recall is
+  // structurally bounded near nprobe/cells (trained cells add a margin on
+  // top): measured 0.48 at nprobe=2/cells=8, deterministically. 0.4 is a
+  // regression floor, not a quality claim — SimilaritySpec holds the 0.8
+  // floor on clustered data, the regime IVF exists for.
+  private val RecallFloor = 0.4
+
+  // Oracle-checked face of the recall report: (expected, floor_met) —
+  // expected derives from the oracle's own query-draw CTE, floor_met is
+  // pinned TRUE. A quantizer recall regression fails a hash-checked row.
+  private def simIvfRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallAudit(StandIn.embeddings(s, dir),
+      IvfCells, iters = 3, k = TopK, nprobe = 2, floor = RecallFloor)
+
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))
 
@@ -675,6 +689,7 @@ object SparkEntry {
     // Trained-quantizer recall vs brute force — rows-only (the IVF side
     // has no SQL twin) but 1-row deterministic; SimilaritySpec bounds it.
     "sim_ivf_recall"      -> ((s, d) => simIvfRecall(s, d)),
+    "sim_ivf_recall_audit" -> ((s, d) => simIvfRecallAudit(s, d)),
     // PQ training is the same imperative fit — rows-only check;
     // SimilaritySpec bounds ADC recall against the exact baseline.
     "sim_pq_topk"         -> ((s, d) =>
@@ -1082,6 +1097,15 @@ object SparkEntry {
          |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
          |  FROM pairs)
          |WHERE rank <= $TopK""".stripMargin,
+
+    // Trained-IVF recall audit (Similarity.ivfRecallAudit): expected is
+    // queries × k from the oracle's own draw CTE; floor_met pinned TRUE
+    // (training is deterministic — driver Lloyd over the fixed hash draw).
+    "sim_ivf_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
 
     "sim_lsh_topk" ->
       s"""WITH $prepSql, $bucketsSimSql, pairs AS (

@@ -383,6 +383,23 @@ object Similarity {
       bruteForceTopKPrepared(prep, k))
   }
 
+  /** Oracle-checkable face of [[ivfRecallReport]]: `(expected, floor_met)`
+    * — the exact-baseline pair count (queries × k, which the SQL oracle
+    * derives from its own query-draw CTE) and whether recall clears
+    * `floor`. Training is deterministic (driver-side Lloyd over the fixed
+    * hash sample), so the boolean is stable; a quantizer regression now
+    * FAILS a hash-checked row instead of hiding behind a rows-only count.
+    */
+  def ivfRecallAudit(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      iters: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2,
+      floor: Double = 0.8): DataFrame =
+    ivfRecallReport(embeddings, cells, iters, k, nprobe)
+      .select(col("expected"), (col("recall") >= floor).alias("floor_met"))
+
   /** Product-quantization codebooks: the `Dim`-dimensional space split
     * into `m` contiguous subspaces of `Dim/m` dims, each with its own
     * `codes`-entry Lloyd-fit codebook over the shared driver-side sample.
