@@ -681,6 +681,9 @@ object SparkEntry {
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
+    "sim_neardup_clusters" -> ((s, d) =>
+      Similarity.cosineNearDupClusters(
+        StandIn.embeddings(s, d), SrpBits, NearDupCosine)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     // K-means training is an imperative iterative fit with no practical
     // SQL twin; the driver records a rows-only check and SimilaritySpec
@@ -2021,6 +2024,30 @@ object SparkEntry {
          |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} >= $NearDupCosine"""
         .stripMargin,
+
+    // Embedding-space CC twin (Similarity.cosineNearDupClusters): the
+    // cosine pair set above fed through the same recursive-CTE components
+    // shape as dedup_clusters — an independent algorithm from the engine's
+    // label-propagation loop.
+    "sim_neardup_clusters" ->
+      s"""WITH RECURSIVE $prepSql, $bucketsSimSql, cpairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bsim a
+         |  JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |          >= $NearDupCosine
+         |), cedges AS (
+         |  SELECT a_id, b_id FROM cpairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM cpairs
+         |), creach(vec_id, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.a_id, r.label FROM cedges e JOIN creach r
+         |    ON r.vec_id = e.b_id
+         |)
+         |SELECT vec_id, min(label) AS cluster_id
+         |FROM creach GROUP BY vec_id""".stripMargin,
 
     "text_term_stats" ->
       s"""WITH $rawToksSql, ex AS (

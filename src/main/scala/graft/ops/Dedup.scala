@@ -354,9 +354,27 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
+      maxIters: Int = 20): DataFrame =
+    componentsFromPairs(
+      minhashCandidates(docs, k, bands, threshold)
+        .select(col("a_id"), col("b_id")),
+      docs.select(col("doc_id")),
+      "doc_id",
+      maxIters)
+
+  /** The label-propagation CC loop behind [[clusters]], over an ARBITRARY
+    * undirected candidate edge set `(a_id, b_id)`: every id in `universe`
+    * (one `idCol` column) gets `cluster_id` = its component's minimum id;
+    * ids absent from the edge set self-label via one left join after
+    * convergence. Reused by the embedding-space near-dup clusters
+    * (Similarity.cosineNearDupClusters) — the CC algorithm is agnostic to
+    * how candidates were generated.
+    */
+  def componentsFromPairs(
+      pairs: DataFrame,
+      universe: DataFrame,
+      idCol: String = "doc_id",
       maxIters: Int = 20): DataFrame = {
-    val pairs = minhashCandidates(docs, k, bands, threshold)
-      .select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
       .transform(Materialize(_)) // candidate graph: tiny vs the corpus
@@ -408,14 +426,14 @@ object Dedup {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"Dedup.clusters did not converge in $maxIters rounds " +
+        s"Dedup.componentsFromPairs did not converge in $maxIters rounds " +
           s"($changed labels still moving) — with pointer jumping this " +
           "needs component diameter > ~2^maxIters; raise maxIters")
-    // Singletons (docs with no near-dup candidate) self-label — a single
+    // Singletons (ids with no near-dup candidate) self-label — a single
     // left join, outside the loop.
-    docs.select(col("doc_id"))
+    universe.select(col(s"`$idCol`").alias("doc_id"))
       .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id").alias(idCol),
         coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
   }
 

@@ -697,6 +697,26 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Embedding-space near-duplicate CLUSTERS: connected components over
+    * the [[cosineNearDup]] pair set, every vector labeled with its
+    * component's minimum vec_id — the embedding-space face of
+    * Dedup.clusters, composed from the same CC loop
+    * (Dedup.componentsFromPairs), so the scale argument carries over
+    * verbatim: candidates only from SRP buckets, iteration only over
+    * candidate-graph nodes, singletons attached once.
+    */
+  def cosineNearDupClusters(
+      embeddings: DataFrame,
+      bits: Int = 6,
+      threshold: Double = 0.25,
+      maxIters: Int = 20): DataFrame =
+    Dedup.componentsFromPairs(
+      cosineNearDup(embeddings, bits, threshold)
+        .select(col("a_id"), col("b_id")),
+      embeddings.select(col("vec_id")),
+      "vec_id",
+      maxIters)
+
   /** Int8 quantization stats: per vector, the symmetric scale
     * (max |component| / 127) and the reconstruction error of
     * `round(v/scale)·scale` — the storage path that shrinks a float32 ANN

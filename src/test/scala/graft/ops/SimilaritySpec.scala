@@ -56,6 +56,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("cosineNearDupClusters: transitive near-dups share min id, rest self-label") {
+    val v = Seq(0.3, -0.7, 0.2, 0.9)
+    // 2↔5 and 5↔8 are near-identical (transitive chain); 1 is orthogonal-ish.
+    val out = Similarity.cosineNearDupClusters(emb(
+      (2L, v), (5L, v.map(_ * 0.999)), (8L, v.map(_ * 1.001)),
+      (1L, Seq(-0.9, 0.2, 0.1, -0.4))), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) === 2L && out(5L) === 2L && out(8L) === 2L)
+    assert(out(1L) === 1L)
+  }
+
   test("orthogonal vectors are not near-duplicates") {
     val out = Similarity.cosineNearDup(emb(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),
