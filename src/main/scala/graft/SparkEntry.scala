@@ -669,6 +669,17 @@ object SparkEntry {
     "dedup_exact"         -> ((s, d) => dedupExact(s, d)),
     "dedup_content_hash"  -> ((s, d) => dedupContentHash(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => dedupMinhashLsh(s, d)),
+    // Incremental ingest screen: a deterministic 20% "new snapshot" slice
+    // vs the remaining 80% "existing corpus" of the same table — the
+    // fixture split scales with the data on both sides (it is a demo
+    // partition, not a broadcast bound).
+    "dedup_incremental"   -> ((s, d) => {
+      val docs = StandIn.documents(s, d)
+      Dedup.crossCorpusCandidates(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        MinhashK, MinhashBands, MinhashEstThreshold)
+    }),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
@@ -988,6 +999,27 @@ object SparkEntry {
       s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql
          |SELECT a_id, b_id, est_sim FROM est
          |WHERE est_sim >= $MinhashEstThreshold""".stripMargin,
+
+    // Cross-corpus twin (Dedup.crossCorpusCandidates): the shared buckets
+    // CTE split into the two snapshot sides, pairs ACROSS sides only.
+    "dedup_incremental" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, cpairs AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |  FROM buckets n
+         |  JOIN buckets r ON n.band = r.band AND n.bucket = r.bucket
+         |  WHERE n.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+         |)
+         |SELECT p.new_id, p.ref_id,
+         |       len(list_filter(range(1, ${MinhashK + 1}),
+         |           i -> sn.sig[CAST(i AS INT)] = sr.sig[CAST(i AS INT)]))
+         |         / CAST($MinhashK AS DOUBLE) AS est_sim
+         |FROM cpairs p
+         |JOIN sigs sn ON sn.doc_id = p.new_id
+         |JOIN sigs sr ON sr.doc_id = p.ref_id
+         |WHERE len(list_filter(range(1, ${MinhashK + 1}),
+         |        i -> sn.sig[CAST(i AS INT)] = sr.sig[CAST(i AS INT)]))
+         |        / CAST($MinhashK AS DOUBLE) >= $MinhashEstThreshold"""
+        .stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $toksSql, hashes AS (

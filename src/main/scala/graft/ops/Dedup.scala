@@ -231,6 +231,55 @@ object Dedup {
       .where(col("est_sim") >= threshold)
   }
 
+  /** Incremental cross-corpus near-dup screen: candidate pairs between a
+    * NEW document snapshot and the EXISTING reference corpus — the ingest
+    * gate of a growing training set, where re-running self-dedup over
+    * 100 TB for a 0.1 % delta would redo a thousand times the needed
+    * work. Both sides signature independently (pure projection over their
+    * own scan — the ref side's signatures are what a production ingest
+    * keeps materialized between snapshots); candidates come only from
+    * (band, bucket) equi-join collisions ACROSS the sides, estimated once
+    * per pair and thresholded exactly like [[minhashCandidates]].
+    *
+    * No salting here: [[saltHotBuckets]]' sub-bucket split only preserves
+    * pairs WITHIN a sub-bucket, which is sound for a self-join's recall
+    * trade but would decorrelate the two sides of a cross join. A
+    * degenerate hot bucket therefore lands on AQE's skew-join split
+    * instead — correctness identical, the skew handled at runtime.
+    *
+    * Returns `(new_id, ref_id, est_sim)`; the typical consumer anti-joins
+    * `new_id` away to keep only novel documents.
+    */
+  def crossCorpusCandidates(
+      newDocs: DataFrame,
+      refDocs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val newSigs = minhashSignatures(newDocs, k)
+    val refSigs = minhashSignatures(refDocs, k)
+    def bucketed(sigs: DataFrame, idAs: String): DataFrame =
+      sigs.select(col("doc_id").alias(idAs),
+        explode(lshBuckets(col("sig"), bands, rowsPerBand)).alias("bk"))
+    // Distinct (new, ref) pairs FIRST (a pair colliding in several bands
+    // estimates once), then signatures join back by id.
+    val cands = bucketed(newSigs, "new_id")
+      .join(bucketed(refSigs, "ref_id"), "bk")
+      .select(col("new_id"), col("ref_id"))
+      .distinct()
+    val est = size(filter(sequence(lit(1), lit(k)),
+      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+      .cast("double") / k
+    cands
+      .join(newSigs.select(col("doc_id").alias("new_id"),
+        col("sig").alias("sig_a")), "new_id")
+      .join(refSigs.select(col("doc_id").alias("ref_id"),
+        col("sig").alias("sig_b")), "ref_id")
+      .select(col("new_id"), col("ref_id"), est.alias("est_sim"))
+      .where(col("est_sim") >= threshold)
+  }
+
   /** 60-bit SimHash per document: majority vote of each hash bit across the
     * document's distinct tokens. Near-dups then cluster by low Hamming
     * distance; the signature itself is a pure projection. Token hashes are

@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === 2L)
   }
 
+  test("crossCorpusCandidates: pairs only ACROSS sides, thresholded") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = docs(
+      (10L, base),             // new side (id % 2 == 0)
+      (11L, base + " extra"),  // ref side — near-dup of 10
+      (13L, base + " more"),   // ref side — near-dup of 10
+      (12L, (1 to 40).map(i => s"q$i").mkString(" ")), // new, novel
+      (15L, (1 to 40).map(i => s"z$i").mkString(" "))) // ref, unrelated
+    val out = Dedup.crossCorpusCandidates(
+      corpus.where(col("doc_id") % 2 === 0),
+      corpus.where(col("doc_id") % 2 =!= 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 hits both ref near-dups; the novel new doc and the unrelated ref
+    // doc pair with nothing. New-new (10,12) and ref-ref (11,13) pairs
+    // must NOT appear even though (11,13) are near-dups of each other.
+    assert(out === Set((10L, 11L), (10L, 13L)))
+  }
+
   test("clusters converge identically under local and reliable checkpointing") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val corpus = docs(
