@@ -164,6 +164,21 @@ class PlanEvidenceSpec extends SparkSpec {
       s"normalize must scan (doc_id, text) only: $normalize")
   }
 
+  test("round-9 queries: cross-side candidates join on buckets, never a product") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    for (q <- Seq("dedup_incremental", "sim_neardup_clusters")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+        assert(!plan.contains(bad), s"$q plans a $bad:\n$plan")
+    }
+    // The snapshot split predicates reach both documents scans.
+    val plan = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("% 5)"),
+      s"snapshot split predicate not pushed into a scan:\n$plan")
+  }
+
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)
