@@ -291,6 +291,7 @@ object SparkEntry {
   private val SrpBits = 6
   private val TopK = 5
   private val NearDupCosine = 0.25
+  private val NearDupClusterCosine = 0.4
 
   private def simBruteTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(StandIn.embeddings(s, dir), TopK)
@@ -692,9 +693,15 @@ object SparkEntry {
     "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
     "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
     "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
+    // Clusters run at a STRICTER threshold than the pairs query: 0.25 is
+    // ~2σ of random cosine at dim 64, so on near-orthogonal synthetic
+    // embeddings it admits the random tail and welds one sprawling
+    // component whose diameter the CC loop then pays for round by round.
+    // 0.4 (3σ+) keeps only strong-similarity edges — the semantics a
+    // dedup cluster means, and an O(1)-diameter graph.
     "sim_neardup_clusters" -> ((s, d) =>
       Similarity.cosineNearDupClusters(
-        StandIn.embeddings(s, d), SrpBits, NearDupCosine)),
+        StandIn.embeddings(s, d), SrpBits, NearDupClusterCosine)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     // K-means training is an imperative iterative fit with no practical
     // SQL twin; the driver records a rows-only check and SimilaritySpec
@@ -2067,7 +2074,7 @@ object SparkEntry {
          |  FROM bsim a
          |  JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
-         |          >= $NearDupCosine
+         |          >= $NearDupClusterCosine
          |), cedges AS (
          |  SELECT a_id, b_id FROM cpairs
          |  UNION ALL

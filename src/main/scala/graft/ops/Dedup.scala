@@ -424,9 +424,15 @@ object Dedup {
       universe: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
-      .transform(Materialize(_)) // candidate graph: tiny vs the corpus
+    // Materialize the pair set BEFORE symmetrizing: the union's two
+    // branches would otherwise each re-evaluate the full candidate
+    // lineage (shingle → LSH join, or the cosine bucket join) — the most
+    // expensive stage of the whole operator, paid twice for nothing. The
+    // materialized graph is tiny vs the corpus; the swap union over it is
+    // a narrow op re-run cheaply by each round's join.
+    val p = Materialize(pairs.select(col("a_id"), col("b_id")))
+    val edges = p
+      .union(p.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
     // Iterate ONLY over candidate-graph nodes: every doc outside the graph
     // is a singleton whose label never moves, and at corpus scale the graph
     // is orders of magnitude smaller than the corpus — looping over full
