@@ -740,6 +740,8 @@ object SparkEntry {
       Profile.profileAudit(StandIn.events(s, d))),
     "profile_key_skew"    -> ((s, d) => profileKeySkew(s, d)),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
+    "text_quality_percentiles_audit" -> ((s, d) =>
+      TextAnalysis.qualityPercentilesAudit(StandIn.documents(s, d), QualityPs)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
     "olap_pivot_events"   -> ((s, d) => olapPivotEvents(s, d)),
@@ -1370,6 +1372,35 @@ object SparkEntry {
         m => QualityPs.map { p =>
           s"round(quantile_cont($m, $p), 6) AS p${(p * 100).toInt}_$m"
         }
+      }.mkString(",\n       ")
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best
+         |), $gateSql
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |       $pcols
+         |FROM langed JOIN q USING (doc_id)
+         |GROUP BY predicted_lang""".stripMargin
+    },
+
+    // GK percentile audit twin (TextAnalysis.qualityPercentilesAudit):
+    // exact n_tokens percentiles + the rank-space sketch contract pinned
+    // TRUE per percentile.
+    "text_quality_percentiles_audit" -> {
+      val pcols = QualityPs.map { p =>
+        s"""round(quantile_cont(n_tokens, $p), 6)
+           |         AS p${(p * 100).toInt}_n_tokens,
+           |       TRUE AS p${(p * 100).toInt}_ok""".stripMargin
       }.mkString(",\n       ")
       s"""WITH $rawToksSql, scored AS (
          |  SELECT doc_id,

@@ -421,10 +421,12 @@ object TextAnalysis {
     * shuffle is the per-language aggregation itself, with the percentile
     * estimator pluggable.
     */
-  private def percentileReport(
-      docs: DataFrame,
-      ps: Seq[Double],
-      pctSql: String => String): DataFrame = {
+  /** Per-doc quality signals with the predicted language — ONE staged
+    * scan shared by the percentile reports and their audit (the
+    * curationSignals discipline: never tokenize the corpus once per
+    * signal).
+    */
+  private def scoredQuality(docs: DataFrame): DataFrame = {
     val stopwords = LangMarkers.flatMap(_._2)
     val punct = "[.,!?;:]"
     val nToksDen = greatest(size(col("toks")), lit(1))
@@ -451,16 +453,64 @@ object TextAnalysis {
         when(col(s"${lang}_score") === best && best > 0, lit(lang))
           .otherwise(rest)
     }
+    scored.select(predicted.alias("predicted_lang"), col("n_tokens"),
+      col("stopword_ratio"), col("punct_ratio"))
+  }
+
+  private def percentileReport(
+      docs: DataFrame,
+      ps: Seq[Double],
+      pctSql: String => String): DataFrame = {
     val pcols = Seq("n_tokens", "stopword_ratio", "punct_ratio").flatMap { m =>
       ps.zipWithIndex.map { case (p, i) =>
         round(element_at(expr(pctSql(m)), i + 1).cast("double"), 6)
           .alias(s"p${(p * 100).toInt}_$m")
       }
     }
-    scored.select(predicted.alias("predicted_lang"), col("n_tokens"),
-      col("stopword_ratio"), col("punct_ratio"))
+    scoredQuality(docs)
       .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).alias("n_docs"), pcols: _*)
+  }
+
+  /** Oracle-checkable audit of the GK percentile sketch, with a RANK-space
+    * bound (the space the sketch actually guarantees): per language, the
+    * exact n_tokens percentiles plus one `pXX_ok` boolean per percentile
+    * asserting the approx value lies between the exact order statistics
+    * `±(⌈n/accuracy⌉ + 1)` ranks around the target — GK's rank error is
+    * ≤ n/accuracy, and the extra rank absorbs the floor/ceil slack between
+    * rank-definition conventions. Bounds come from the per-language sorted
+    * value array, so no foldable-fraction gymnastics; that array is
+    * exactly as affordable as the exact percentile (which also sorts per
+    * group) — an audit-scale cost, not a default. The sketch is a
+    * deterministic fold of the input, so the booleans are stable and the
+    * oracle pins them TRUE alongside the exact percentile values.
+    */
+  def qualityPercentilesAudit(
+      docs: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame = {
+    val agg = scoredQuality(docs)
+      .groupBy(col("predicted_lang"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sort_array(collect_list(col("n_tokens"))).alias("arr"),
+        expr(s"percentile(n_tokens, array(${ps.mkString(", ")}))").alias("ex"),
+        expr(s"approx_percentile(n_tokens, array(${ps.mkString(", ")}), " +
+          s"$accuracy)").alias("ap"))
+    val slack = ceil(col("n_docs").cast("double") / accuracy).cast("long") + 1
+    val out = ps.zipWithIndex.flatMap { case (p, i) =>
+      // 1-based floor rank of the interpolation target p·(n−1).
+      val target = (lit(p) * (col("n_docs") - 1)).cast("long") + 1
+      val lo = greatest(lit(1L), target - slack).cast("int")
+      val hi = least(col("n_docs"), target + 1 + slack).cast("int")
+      val ap = element_at(col("ap"), i + 1).cast("double")
+      Seq(
+        round(element_at(col("ex"), i + 1).cast("double"), 6)
+          .alias(s"p${(p * 100).toInt}_n_tokens"),
+        (ap >= element_at(col("arr"), lo) && ap <= element_at(col("arr"), hi))
+          .alias(s"p${(p * 100).toInt}_ok"))
+    }
+    agg.select(col("predicted_lang") +: col("n_docs") +: out: _*)
   }
 
   /** PII patterns shared verbatim with the oracle SQL — written to behave

@@ -113,6 +113,24 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("qualityPercentilesAudit: exact percentiles with the rank contract true") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+      (i.toLong, "the and for are with this that have from they " + "w " * i))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.qualityPercentilesAudit(docs)
+      .where(col("predicted_lang") === "en").collect().head
+    assert(row.getAs[Long]("n_docs") === 200L)
+    // Exact values match the exact report (same staging, same estimator).
+    val exact = TextAnalysis.qualityPercentiles(docs)
+      .where(col("predicted_lang") === "en").collect().head
+    for (c <- Seq("p50_n_tokens", "p90_n_tokens", "p99_n_tokens"))
+      assert(row.getAs[Double](c) === exact.getAs[Double](c), c)
+    for (c <- Seq("p50_ok", "p90_ok", "p99_ok"))
+      assert(row.getAs[Boolean](c), s"$c: GK estimate outside the rank bracket")
+  }
+
   test("valueMoments: exact moments from decimal sums, hand-checked") {
     import spark.implicits._
     // Quantities 2, 4, 6 → mean 4, sample variance 4, stddev 2.
