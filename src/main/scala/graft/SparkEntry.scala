@@ -335,6 +335,23 @@ object SparkEntry {
     Similarity.ivfRecallAudit(StandIn.embeddings(s, dir),
       IvfCells, iters = 3, k = TopK, nprobe = 2, floor = RecallFloor)
 
+  // PQ/IVFPQ regression floors, same posture as RecallFloor: measured
+  // 0.53 / 0.40 at the sf0.01 verify point (deterministic — driver-side
+  // training on the fixed hash draw), floored with ~25% margin. These are
+  // canaries against quantizer breakage (a broken encoder lands near
+  // k/N ≈ 0.01), not quality claims — the clustered-data unit tests hold
+  // the 0.8 quality floor in the regime PQ exists for.
+  private def simPqRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAudit(
+      Similarity.pqRecallReport(StandIn.embeddings(s, dir), k = TopK),
+      floor = 0.4)
+
+  private def simIvfPqRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAudit(
+      Similarity.ivfPqRecallReport(StandIn.embeddings(s, dir),
+        cells = IvfCells, k = TopK, nprobe = 2),
+      floor = 0.3)
+
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))
 
@@ -711,6 +728,8 @@ object SparkEntry {
     // has no SQL twin) but 1-row deterministic; SimilaritySpec bounds it.
     "sim_ivf_recall"      -> ((s, d) => simIvfRecall(s, d)),
     "sim_ivf_recall_audit" -> ((s, d) => simIvfRecallAudit(s, d)),
+    "sim_pq_recall_audit" -> ((s, d) => simPqRecallAudit(s, d)),
+    "sim_ivfpq_recall_audit" -> ((s, d) => simIvfPqRecallAudit(s, d)),
     // PQ training is the same imperative fit — rows-only check;
     // SimilaritySpec bounds ADC recall against the exact baseline.
     "sim_pq_topk"         -> ((s, d) =>
@@ -1146,6 +1165,18 @@ object SparkEntry {
     // queries × k from the oracle's own draw CTE; floor_met pinned TRUE
     // (training is deterministic — driver Lloyd over the fixed hash draw).
     "sim_ivf_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    "sim_pq_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    "sim_ivfpq_recall_audit" ->
       s"""WITH $prepSql
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,

@@ -397,8 +397,42 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       floor: Double = 0.8): DataFrame =
-    ivfRecallReport(embeddings, cells, iters, k, nprobe)
-      .select(col("expected"), (col("recall") >= floor).alias("floor_met"))
+    recallAudit(ivfRecallReport(embeddings, cells, iters, k, nprobe), floor)
+
+  /** Reduce any [[recallAtK]] report to its oracle-checkable
+    * `(expected, floor_met)` face — shared by the IVF/PQ/IVFPQ audits.
+    */
+  def recallAudit(report: DataFrame, floor: Double): DataFrame =
+    report.select(col("expected"), (col("recall") >= floor).alias("floor_met"))
+
+  /** [[recallAtK]] of PQ-ADC vs brute force — the PQ counterpart of
+    * [[ivfRecallReport]], reducible to a hash-checked floor via
+    * [[recallAudit]].
+    */
+  def pqRecallReport(
+      embeddings: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      k: Int = 5,
+      refine: Int = 4): DataFrame =
+    recallAtK(
+      pqTopK(embeddings, m, codes, iters, k, refine),
+      bruteForceTopK(embeddings, k))
+
+  /** [[recallAtK]] of IVFPQ vs brute force. */
+  def ivfPqRecallReport(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2,
+      refine: Int = 4): DataFrame =
+    recallAtK(
+      ivfPqTopK(embeddings, cells, m, codes, iters, k, nprobe, refine),
+      bruteForceTopK(embeddings, k))
 
   /** Product-quantization codebooks: the `Dim`-dimensional space split
     * into `m` contiguous subspaces of `Dim/m` dims, each with its own
