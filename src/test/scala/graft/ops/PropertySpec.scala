@@ -129,6 +129,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: componentsFromPairs ≡ driver union-find on random graphs") {
+    import spark.implicits._
+    // Raw random edge lists reach graph shapes no minhash corpus produces
+    // (long chains, stars, cycles, dense blobs) — a third independent CC
+    // check beside the big-star cross-check and the recursive-CTE oracle.
+    val n = 20L
+    forAllSeeded(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, n - 1), Gen.choose(0L, n - 1))),
+      runs = 3) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      // Driver union-find with union-by-min: every merge roots the larger
+      // id under the smaller, so find() lands on the component minimum —
+      // exactly componentsFromPairs' contract.
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0L until n).map(i => i -> find(i)).toMap
+      val got = Dedup.componentsFromPairs(
+        edges.toDF("a_id", "b_id"),
+        (0L until n).toDF("doc_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"CC disagrees with union-find on edges $edges")
+    }
+  }
+
   test("property: chunking covers every token exactly once at stride = size") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
