@@ -691,6 +691,11 @@ object SparkEntry {
     // vs the remaining 80% "existing corpus" of the same table — the
     // fixture split scales with the data on both sides (it is a demo
     // partition, not a broadcast bound).
+    "dedup_sim_histogram" -> ((s, d) =>
+      Dedup.candidateSimHistogram(
+        StandIn.documents(s, d), MinhashK, MinhashBands)),
+    "sim_cos_histogram"   -> ((s, d) =>
+      Similarity.cosineHistogram(StandIn.embeddings(s, d), SrpBits)),
     "dedup_incremental"   -> ((s, d) => {
       val docs = StandIn.documents(s, d)
       Dedup.crossCorpusCandidates(
@@ -1027,6 +1032,24 @@ object SparkEntry {
       s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql
          |SELECT a_id, b_id, est_sim FROM est
          |WHERE est_sim >= $MinhashEstThreshold""".stripMargin,
+
+    // Threshold-tuning curve twin (Dedup.candidateSimHistogram): pair
+    // counts per exact 1/k similarity step over the threshold-0 candidates.
+    "dedup_sim_histogram" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql
+         |SELECT est_sim, count(*) AS n_pairs
+         |FROM est GROUP BY est_sim""".stripMargin,
+
+    // Embedding-space twin (Similarity.cosineHistogram): 0.1-wide integer
+    // bins of the bit-identical rounded cosine over bucket-sharing pairs.
+    "sim_cos_histogram" ->
+      s"""WITH $prepSql, $bucketsSimSql
+         |SELECT CAST(floor(${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |         * 10) AS INT) AS cos_bin,
+         |       count(*) AS n_pairs
+         |FROM bsim a
+         |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |GROUP BY 1""".stripMargin,
 
     // Cross-corpus twin (Dedup.crossCorpusCandidates): the shared buckets
     // CTE split into the two snapshot sides, pairs ACROSS sides only.

@@ -231,6 +231,22 @@ object Dedup {
       .where(col("est_sim") >= threshold)
   }
 
+  /** Similarity histogram of the LSH candidate pairs: how many pairs land
+    * at each MinHash-estimated similarity — the threshold-tuning curve a
+    * curation run reads BEFORE committing to a dedup threshold (where is
+    * the random-collision tail, where do true near-dups start?). Estimates
+    * are exact multiples of 1/k, so the group key is discrete and
+    * bit-stable on both engines. Same cost shape as [[minhashCandidates]]
+    * at threshold 0 plus one vocabulary-sized groupBy.
+    */
+  def candidateSimHistogram(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4): DataFrame =
+    minhashCandidates(docs, k, bands, threshold = 0.0)
+      .groupBy(col("est_sim"))
+      .agg(count(lit(1)).alias("n_pairs"))
+
   /** Incremental cross-corpus near-dup screen: candidate pairs between a
     * NEW document snapshot and the EXISTING reference corpus — the ingest
     * gate of a growing training set, where re-running self-dedup over

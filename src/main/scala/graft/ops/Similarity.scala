@@ -731,6 +731,19 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Cosine histogram of the SRP bucket-sharing pairs, in 0.1-wide bins —
+    * the embedding-space threshold-tuning curve (see
+    * Dedup.candidateSimHistogram): on near-orthogonal corpora it shows
+    * exactly where the random tail dies, which is what separates a
+    * meaningful near-dup threshold from one that welds random components.
+    * The bin index is an integer floor of the (bit-identical) rounded
+    * cosine, so the histogram is hash-stable across engines.
+    */
+  def cosineHistogram(embeddings: DataFrame, bits: Int = 6): DataFrame =
+    cosineNearDup(embeddings, bits, threshold = -1.0)
+      .groupBy(floor(col("cos_sim") * 10).cast("int").alias("cos_bin"))
+      .agg(count(lit(1)).alias("n_pairs"))
+
   /** Embedding-space near-duplicate CLUSTERS: connected components over
     * the [[cosineNearDup]] pair set, every vector labeled with its
     * component's minimum vec_id — the embedding-space face of
