@@ -489,6 +489,9 @@ object SparkEntry {
 
   private val QualityPs = Seq(0.5, 0.9, 0.99)
 
+  // Smoothing factor shared by the EWMA query and its oracle fold.
+  private val EwmaAlpha = 0.3
+
   private def textQualityPercentiles(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityPercentiles(StandIn.documents(s, dir), QualityPs)
 
@@ -827,6 +830,8 @@ object SparkEntry {
       TextAnalysis.heavyTermsExact(StandIn.documents(s, d))),
     "ts_resample_ffill"   -> ((s, d) =>
       graft.ops.Resample.hourlyFfill(StandIn.events(s, d))),
+    "ts_ewma"             -> ((s, d) =>
+      graft.ops.Resample.ewma(StandIn.events(s, d), EwmaAlpha)),
     "stat_winsorize"      -> ((s, d) =>
       graft.ops.Resample.winsorize(StandIn.events(s, d))),
     // Streaming running-stats anomaly detector, batch-replay face: the
@@ -1856,6 +1861,25 @@ object SparkEntry {
     // Resample twin (Resample.hourlyFfill): each observed bucket
     // generates its own filled rows up to the next observed bucket —
     // the same join-free lead+generate shape as the operator.
+    // EWMA twin (Resample.ewma): list_reduce folds left seeded with the
+    // first element — exactly s₁ = x₁ then sᵢ = α·xᵢ + (1−α)·sᵢ₋₁, the
+    // same left-to-right double fold as the Spark aggregate, hence
+    // bit-identical.
+    "ts_ewma" ->
+      s"""WITH ordered AS (
+         |  SELECT event_type,
+         |         list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY event_type
+         |)
+         |SELECT event_type,
+         |       CAST(len(s) AS INT) AS n_points,
+         |       round(s[-1], 6) AS last_value,
+         |       round(list_reduce(s,
+         |         (acc, x) -> $EwmaAlpha * x + ${1 - EwmaAlpha} * acc), 6)
+         |         AS ewma_value
+         |FROM ordered""".stripMargin,
+
     "ts_resample_ffill" ->
       """WITH obs AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -88,4 +88,37 @@ object Resample {
         (col("value") < col("lo") || col("value") > col("hi"))
           .alias("was_clipped"))
   }
+
+  /** Exponential smoothing summary: per event_type, the EWMA of the
+    * (ts, event_id)-ordered value series — `s₁ = x₁;
+    * sᵢ = α·xᵢ + (1−α)·sᵢ₋₁` — plus the series length and last raw value.
+    * The recurrence is inherently sequential, so it computes as ONE
+    * per-key fold over the sorted series (`sort_array` + `aggregate` —
+    * codegen'd, same left-to-right double fold as DuckDB's `list_reduce`,
+    * hence bit-identical without rounding tricks). Scale posture: the
+    * whole series is held per key during the fold — the same cost class
+    * as the exact per-group percentile/winsorize sorts, acceptable for
+    * bounded-cardinality keys (sensor types, bounded series); for
+    * unbounded per-key history the streaming anomaly operator's running
+    * state is the incremental form of the same recurrence.
+    */
+  def ewma(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val series = sort_array(collect_list(struct(
+      col("ts"), col("event_id"), col("value"))))
+    events.where(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(series.alias("s"))
+      .select(col("event_type"),
+        size(col("s")).alias("n_points"),
+        round(element_at(col("s"), -1).getField("value"), 6)
+          .alias("last_value"),
+        round(
+          aggregate(
+            slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+            element_at(col("s"), 1).getField("value"),
+            (acc, x) =>
+              lit(alpha) * x.getField("value") + lit(1 - alpha) * acc),
+          6).alias("ewma_value"))
+  }
 }

@@ -30,6 +30,26 @@ class ResampleSpec extends SparkSpec {
     assert(out((2L, "2026-01-01 09:00:00")) === ((true, 5.0)))
   }
 
+  test("ewma: seeded with the first value, folds in event-time order") {
+    import spark.implicits._
+    // click series 10, 20, 40 at alpha 0.5:
+    // s1=10, s2=0.5·20+0.5·10=15, s3=0.5·40+0.5·15=27.5.
+    // The 09:00 event is third by event_id but FIRST by ts — order must be
+    // event-time, not insertion or id order.
+    val ev = Seq(
+      (2L, t("2026-01-01 10:00:00"), 1L, "click", 20.0),
+      (3L, t("2026-01-01 11:00:00"), 1L, "click", 40.0),
+      (1L, t("2026-01-01 09:00:00"), 1L, "click", 10.0),
+      (4L, t("2026-01-01 09:00:00"), 2L, "view", 5.0),
+      (5L, null.asInstanceOf[Timestamp], 3L, "view", 1.0)) // dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Resample.ewma(ev, alpha = 0.5).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("click") === ((3, 40.0, 27.5)))
+    assert(out("view") === ((1, 5.0, 5.0))) // single point: ewma = x1
+  }
+
   test("winsorize: values clip to the per-type percentile bounds, rows kept") {
     import spark.implicits._
     // 1..20 for clicks: p05 = 1.95, p95 = 19.05 (exact interpolation).
