@@ -766,6 +766,22 @@ object SparkEntry {
     "profile_events_audit" -> ((s, d) =>
       Profile.profileAudit(StandIn.events(s, d))),
     "profile_key_skew"    -> ((s, d) => profileKeySkew(s, d)),
+    "profile_constraints" -> ((s, d) =>
+      Profile.checkConstraints(StandIn.events(s, d))),
+    // HLL-uniqueness variant — engine-specific sketch metric → rows-only
+    // (row count = the fixed check list; booleans deterministic, pinned
+    // by ProfileSpec).
+    "profile_constraints_approx" -> ((s, d) =>
+      Profile.checkConstraints(StandIn.events(s, d), exact = false)),
+    "corpus_sample_grouped" -> ((s, d) =>
+      Curation.sampleGrouped(StandIn.documents(s, d))),
+    // Count-Min point estimates — deterministic (pure counter sums) but
+    // not SQL-expressible → rows-only; the audit twin is the
+    // oracle-checked bounded-error contract.
+    "text_term_cms"       -> ((s, d) =>
+      TextAnalysis.termCountsCms(StandIn.documents(s, d))),
+    "text_term_cms_audit" -> ((s, d) =>
+      TextAnalysis.termCountsCmsAudit(StandIn.documents(s, d))),
     "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
     "text_quality_percentiles_audit" -> ((s, d) =>
       TextAnalysis.qualityPercentilesAudit(StandIn.documents(s, d), QualityPs)),
@@ -813,6 +829,12 @@ object SparkEntry {
       Profile.pairMoments(StandIn.table(s, d, "lineitem"))),
     "stat_zscore"         -> ((s, d) =>
       Profile.zscoreOutliers(StandIn.events(s, d))),
+    "stat_chisquare"      -> ((s, d) =>
+      Profile.chiSquareCells(StandIn.events(s, d),
+        col("event_type"), weekday(col("ts")).cast("int"))),
+    "stat_cramers_v"      -> ((s, d) =>
+      Profile.chiSquareStat(StandIn.events(s, d),
+        col("event_type"), weekday(col("ts")).cast("int"))),
     "olap_retention"      -> ((s, d) =>
       graft.ops.Olap.retentionCohorts(StandIn.events(s, d))),
     "olap_histogram"      -> ((s, d) =>
@@ -1780,6 +1802,88 @@ object SparkEntry {
         |WHERE value IS NOT NULL AND std_v > 0
         |  AND abs((value - mean_v) / std_v) > 3.0""".stripMargin,
 
+    // χ² cell twin (Profile.chiSquareCells): same exact integer marginals,
+    // same one double expression per cell. Spark weekday (0 = Monday) ≡
+    // DuckDB isodow − 1.
+    "stat_chisquare" ->
+      """WITH obs AS (
+        |  SELECT event_type AS a, CAST(isodow(ts) - 1 AS INT) AS b,
+        |         count(*) AS observed
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT a, CAST(sum(observed) AS BIGINT) AS row_total
+        |  FROM obs GROUP BY a
+        |), ct AS (
+        |  SELECT b, CAST(sum(observed) AS BIGINT) AS col_total
+        |  FROM obs GROUP BY b
+        |), n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs)
+        |SELECT a, b, observed,
+        |       round(row_total * col_total / CAST(n_total AS DOUBLE), 6)
+        |         AS expected,
+        |       round(pow(observed -
+        |               row_total * col_total / CAST(n_total AS DOUBLE), 2) /
+        |             (row_total * col_total / CAST(n_total AS DOUBLE)), 6)
+        |         AS contrib
+        |FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n""".stripMargin,
+
+    // χ² scalar twin (Profile.chiSquareStat): statistic, dof, Cramér's V
+    // from the same unrounded cell contributions.
+    "stat_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT event_type AS a, CAST(isodow(ts) - 1 AS INT) AS b,
+        |         count(*) AS observed
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT a, CAST(sum(observed) AS BIGINT) AS row_total
+        |  FROM obs GROUP BY a
+        |), ct AS (
+        |  SELECT b, CAST(sum(observed) AS BIGINT) AS col_total
+        |  FROM obs GROUP BY b
+        |), n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs),
+        |cells AS (
+        |  SELECT a, b, n_total,
+        |         pow(observed -
+        |             row_total * col_total / CAST(n_total AS DOUBLE), 2) /
+        |         (row_total * col_total / CAST(n_total AS DOUBLE)) AS contrib
+        |  FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n
+        |)
+        |SELECT round(sum(contrib), 6) AS chi2,
+        |       (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+        |       max(n_total) AS n,
+        |       round(sqrt(sum(contrib) /
+        |             (max(n_total) *
+        |              (least(count(DISTINCT a), count(DISTINCT b)) - 1))), 6)
+        |         AS cramers_v
+        |FROM cells""".stripMargin,
+
+    // Constraint-suite twin (Profile.checkConstraints, exact face): one
+    // metrics CTE, one UNION ALL row per check — same metric expressions,
+    // same pass predicates.
+    "profile_constraints" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         count(user_id) AS nn_user, count(value) AS nn_value,
+        |         count(DISTINCT event_id) AS nd_id,
+        |         count(CASE WHEN event_type IN
+        |           ('click','error','purchase','signup','view')
+        |           THEN 1 END) AS in_dom,
+        |         count(CASE WHEN value > 0 AND value <= 1000
+        |           THEN 1 END) AS in_rng
+        |  FROM events
+        |)
+        |SELECT 'row_count' AS check_name, '*' AS column_name,
+        |       round(n, 6) AS metric, n >= 1 AS passed FROM m
+        |UNION ALL SELECT 'completeness', 'user_id',
+        |       round(nn_user / n, 6), nn_user / n = 1.0 FROM m
+        |UNION ALL SELECT 'completeness', 'value',
+        |       round(nn_value / n, 6), nn_value / n = 1.0 FROM m
+        |UNION ALL SELECT 'uniqueness', 'event_id',
+        |       round(nd_id / n, 6), nd_id / n = 1.0 FROM m
+        |UNION ALL SELECT 'domain', 'event_type',
+        |       round(in_dom / n, 6), in_dom / n = 1.0 FROM m
+        |UNION ALL SELECT 'range', 'value',
+        |       round(in_rng / n, 6), in_rng / n = 1.0 FROM m""".stripMargin,
+
     // Retention twin (Olap.retentionCohorts).
     "olap_retention" ->
       """WITH dated AS (
@@ -2133,6 +2237,20 @@ object SparkEntry {
          |              ELSE $SampleDefaultRate END) AS DOUBLE) * 10000""".stripMargin
     },
 
+    // Fixed-k stratified sample twin (Curation.sampleGrouped): identical
+    // seeded-md5 ranking, doc_id tie-break, identical rank cutoff.
+    "corpus_sample_grouped" ->
+      """SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id,
+        |       source, n_chars
+        |FROM (
+        |  SELECT lang, doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(concat('graft-v1:',
+        |             CAST(doc_id AS VARCHAR))), doc_id) AS sample_rank
+        |  FROM documents
+        |)
+        |WHERE sample_rank <= 20""".stripMargin,
+
     // Gaps-and-islands sessionization twin (Sessionize.sessions): epoch
     // seconds by integer division on both engines, event_id tie-break,
     // running sum over the same unique ordering.
@@ -2214,6 +2332,29 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS doc_freq,
          |       count(*) AS total_count, TRUE AS within_tol
          |FROM ex GROUP BY term""".stripMargin,
+
+    // Count-Min audit twin (TextAnalysis.termCountsCmsAudit): exact counts
+    // over the langs × watch-list grid + the two CMS contracts pinned to
+    // TRUE (estimate ≥ exact always; ≤ exact + ⌈(e/width)·N_lang⌉ —
+    // deterministic, the sketch state is a pure sum).
+    "text_term_cms_audit" -> {
+      val watchList = graft.ops.TextAnalysis.CmsWatchTerms
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT d.lang, unnest(k.t) AS term
+         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id
+         |), watch AS (SELECT unnest([$watchList]) AS term),
+         |langs AS (SELECT DISTINCT lang FROM documents),
+         |exact AS (
+         |  SELECT lang, term, count(*) AS term_count FROM ex
+         |  WHERE term IN ($watchList) GROUP BY 1, 2
+         |)
+         |SELECT l.lang, w.term,
+         |       coalesce(x.term_count, 0) AS term_count,
+         |       TRUE AS not_below, TRUE AS within_tol
+         |FROM langs l CROSS JOIN watch w
+         |LEFT JOIN exact x ON x.lang = l.lang AND x.term = w.term""".stripMargin
+    },
 
     // Exact heavy-terms twin (TextAnalysis.heavyTermsExact): same count
     // aggregate + rank window, term tie-break, so both engines agree

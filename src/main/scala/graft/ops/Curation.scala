@@ -351,4 +351,36 @@ object Curation {
     }
     lang.where(bucket < rate * 10000)
   }
+
+  /** Fixed-size deterministic sample per stratum — exactly `k` documents
+    * from every language (fewer only when the stratum itself is smaller),
+    * drawn by ranking on a seeded md5 of the document id. Where
+    * [[sampleByLanguage]] keeps a RATE (output grows with the corpus),
+    * this keeps a COUNT: the eyeball-QA / labeling-batch draw whose size
+    * must not move when the corpus 100×es. Same determinism story as the
+    * rate sampler — the draw is a pure function of (seed, doc_id), so it
+    * reproduces across runs, engines, and partitionings — plus nesting in
+    * `k`: the top-10 draw is a prefix of the top-20 draw.
+    *
+    * Plan shape: the rank-≤-k filter over a partitioned row_number
+    * compiles to WindowGroupLimit (plan-asserted), so each map task keeps
+    * only a k-sized heap per stratum BEFORE the shuffle — the exchange
+    * carries ≤ k·partitions rows per stratum, never the corpus. The
+    * doc_id tie-break makes the rank total even if md5 ever collided.
+    */
+  def sampleGrouped(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      k: Int = 20,
+      seed: String = "graft-v1"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val draw = md5(concat(lit(seed), lit(":"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(draw, col("doc_id"))
+    docs
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .select(col(groupCol), col("sample_rank").cast("int"), col("doc_id"),
+        col("source"), col("n_chars"))
+  }
 }

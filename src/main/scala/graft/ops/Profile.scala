@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -221,5 +222,130 @@ object Profile {
         round(col("s1") / col("n"), 6).alias("mean_qty"),
         round(variance, 6).alias("var_qty"),
         round(sqrt(variance), 6).alias("std_qty"))
+  }
+
+  /** χ² contingency table of two categorical columns — per cell: observed
+    * count, expected count under independence (row·col marginals / N), and
+    * the cell's χ² contribution. The screen a feature pipeline runs before
+    * trusting "event mix is stable across weekdays" (or devices, or
+    * cohorts): a big contribution pinpoints WHICH cell breaks
+    * independence, which the scalar statistic alone cannot.
+    *
+    * Plan shape at 100 TB: ONE full-table pass (the groupBy on both keys);
+    * everything after runs on the cell table, which is bounded by
+    * |dom(a)|·|dom(b)| — categorical vocabularies, not data size — with
+    * the marginals as windows over that tiny table (see [[chiSquareBase]]).
+    * Expected counts derive from exact longs in one double expression, so
+    * the report is bit-stable across engines and partitionings.
+    */
+  /** Shared cell table: (a, b, observed, row/col/grand totals) with the
+    * marginals as windows OVER THE CELL TABLE — the facts aggregate once
+    * (the one full-table pass) and every total derives from the tiny
+    * |dom(a)|·|dom(b)|-row result, structurally guaranteeing a single
+    * fact scan (re-aggregating the cells per marginal would plan three
+    * more subtrees and lean on exchange reuse to avoid re-scanning).
+    * The empty-partition window for the grand total funnels ONLY the
+    * cell table through one task — bounded by vocabulary sizes, never
+    * data size.
+    */
+  private def chiSquareBase(df: DataFrame, a: Column, b: Column): DataFrame =
+    df.groupBy(a.alias("a"), b.alias("b"))
+      .agg(count(lit(1)).alias("observed"))
+      .select(col("a"), col("b"), col("observed"),
+        sum(col("observed")).over(Window.partitionBy(col("a")))
+          .alias("row_total"),
+        sum(col("observed")).over(Window.partitionBy(col("b")))
+          .alias("col_total"),
+        sum(col("observed")).over(Window.partitionBy())
+          .alias("n_total"))
+
+  private def expectedCol: Column =
+    col("row_total") * col("col_total") / col("n_total").cast("double")
+
+  def chiSquareCells(df: DataFrame, a: Column, b: Column): DataFrame =
+    chiSquareBase(df, a, b)
+      .select(col("a"), col("b"), col("observed"),
+        round(expectedCol, 6).alias("expected"),
+        round(pow(col("observed") - expectedCol, 2) / expectedCol, 6)
+          .alias("contrib"))
+
+  /** The scalar face of [[chiSquareCells]]: one row with the χ²
+    * statistic, degrees of freedom, N, and Cramér's V (the [0,1]
+    * effect-size normalization `√(χ²/(N·min(r−1,c−1)))` — comparable
+    * across tables of different size, which raw χ² is not). Aggregates
+    * the cell table, so it costs nothing beyond the cells' single pass.
+    * V is computed from the UNROUNDED per-cell contributions and rounded
+    * once at the end, so the oracle can reproduce it bit-for-bit.
+    */
+  def chiSquareStat(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = chiSquareBase(df, a, b)
+      .select(col("a"), col("b"), col("n_total"),
+        (pow(col("observed") - expectedCol, 2) / expectedCol)
+          .alias("contrib"))
+    val dof = (countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1)
+    val minSide = least(countDistinct(col("a")), countDistinct(col("b"))) - 1
+    cells.agg(
+      round(sum(col("contrib")), 6).alias("chi2"),
+      dof.alias("dof"),
+      max(col("n_total")).alias("n"),
+      round(sqrt(sum(col("contrib")) /
+        (max(col("n_total")) * minSide)), 6).alias("cramers_v"))
+  }
+
+  /** One named data-quality constraint: `metric` is any aggregate-valued
+    * Column over the table, `passed` a predicate on that metric. */
+  case class Check(name: String, column: String, metric: Column,
+      passed: Column => Column)
+
+  /** Declarative one-pass constraint validation (the Deequ idea): every
+    * check's metric computes in a SINGLE aggregate over ONE table scan —
+    * row count, per-column completeness, value-domain and range
+    * conformance, key uniqueness — then unpivots map-side into one
+    * (check, column, metric, passed) row per constraint. The gate a
+    * pipeline runs on every ingest batch before letting it downstream.
+    *
+    * Plan shape at 100 TB: the scan is the only full pass; every metric
+    * is a conditional aggregate riding the same partial-aggregation
+    * tree, so adding a 20th check costs one more accumulator, not
+    * another job. The one exception is exact uniqueness
+    * (`countDistinct`), which Expands the scan — real, but unavoidable
+    * for a bit-checkable answer; `exact = false` swaps in HLL++
+    * (`approx_count_distinct`), the Expand disappears, and `passed`
+    * widens to a 3·rsd tolerance band so the sketch's bounded error
+    * cannot flap the verdict (same contract as [[profileAudit]]).
+    */
+  def checkConstraints(
+      events: DataFrame, exact: Boolean = true,
+      rsd: Double = 0.05): DataFrame = {
+    val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+    val n = count(lit(1)).cast("double")
+    val distinctIds =
+      (if (exact) countDistinct(col("event_id"))
+       else approx_count_distinct(col("event_id"), rsd)).cast("double")
+    val uniquePass: Column => Column =
+      if (exact) _ === 1.0 else _ >= 1.0 - 3 * rsd
+    val checks = Seq(
+      Check("row_count", "*", n, _ >= 1),
+      Check("completeness", "user_id", count(col("user_id")) / n, _ === 1.0),
+      Check("completeness", "value", count(col("value")) / n, _ === 1.0),
+      Check("uniqueness", "event_id", distinctIds / n, uniquePass),
+      Check("domain", "event_type",
+        count(when(col("event_type").isin(eventTypes.map(lit): _*),
+          lit(1))) / n, _ === 1.0),
+      Check("range", "value",
+        count(when(col("value") > 0 && col("value") <= 1000, lit(1))) / n,
+        _ === 1.0))
+    val one = events.agg(checks.head.metric.alias("m0"),
+      checks.tail.zipWithIndex.map { case (c, i) =>
+        c.metric.alias(s"m${i + 1}")
+      }: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).alias("check_name"),
+        lit(c.column).alias("column_name"),
+        round(col(s"m$i"), 6).alias("metric"),
+        c.passed(col(s"m$i")).alias("passed"))
+    }
+    one.select(explode(array(rows: _*)).alias("c")).select(col("c.*"))
   }
 }

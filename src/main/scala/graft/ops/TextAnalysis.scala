@@ -577,6 +577,74 @@ object TextAnalysis {
         col("term"), col("term_count"))
   }
 
+  /** The fixed point-query list for the Count-Min demos: terms a corpus
+    * monitor would watch (all present in every language of the synthetic
+    * corpus, so the audit grid is dense). Fixed at plan time — the output
+    * size is a constant, independent of the corpus. */
+  val CmsWatchTerms: Seq[String] =
+    Seq("hash", "join", "table", "row", "column", "query", "window", "scan")
+
+  /** Per-language Count-Min frequency estimates for a fixed watch list —
+    * the "how often did THESE terms occur" monitor that keeps
+    * `depth × width` longs of state per language regardless of vocabulary
+    * size, where the exact answer ([[termCountsExact]]) must aggregate the
+    * full (lang, term) vocabulary first. The estimates are deterministic
+    * (CMS state is a pure element-wise sum — merge-order independent,
+    * pinned by CountMinSpec) but not SQL-expressible → rows-only;
+    * [[termCountsCmsAudit]] is the oracle-checked contract.
+    */
+  def termCountsCms(
+      docs: DataFrame,
+      terms: Seq[String] = CmsWatchTerms,
+      width: Int = 2048,
+      depth: Int = 5): DataFrame =
+    docs
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).alias("term"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.CountMinEstimate
+        .estimates(col("term"), terms, width, depth).alias("est"))
+      .select(col("lang"), explode(col("est")))
+      .select(col("lang"), col("col.item").alias("term"),
+        col("col.count_est"))
+
+  /** Oracle-checkable audit of [[termCountsCms]]: per (language, watched
+    * term), the exact count plus two pinned booleans — `not_below`
+    * (estimate ≥ exact: a CMS theorem, counters never under-count) and
+    * `within_tol` (estimate ≤ exact + ⌈(e/width)·N_lang⌉: the standard
+    * ε·N band, N_lang = the language's total token count). CMS estimates
+    * are deterministic functions of the value multiset, so both booleans
+    * are stable and the oracle pins them to TRUE — the same
+    * bounded-error-contract upgrade as termStatsAudit. Join cost: three
+    * tiny aggregate tables (langs × watch-list, langs × vocab filtered to
+    * the watch list, langs), never the corpus.
+    */
+  def termCountsCmsAudit(
+      docs: DataFrame,
+      terms: Seq[String] = CmsWatchTerms,
+      width: Int = 2048,
+      depth: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).alias("term"))
+    val est = termCountsCms(docs, terms, width, depth)
+    val exact = toks
+      .where(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("lang").alias("xl"), col("term").alias("xt"))
+      .agg(count(lit(1)).alias("term_count"))
+    val totals = toks.groupBy(col("lang").alias("nl"))
+      .agg(count(lit(1)).alias("n_toks"))
+    val eps = scala.math.E / width
+    est
+      .join(broadcast(exact),
+        col("lang") === col("xl") && col("term") === col("xt"), "left")
+      .join(broadcast(totals), col("lang") === col("nl"))
+      .select(col("lang"), col("term"),
+        coalesce(col("term_count"), lit(0L)).alias("term_count"),
+        (col("count_est") >= coalesce(col("term_count"), lit(0L)))
+          .alias("not_below"),
+        (col("count_est") <= coalesce(col("term_count"), lit(0L)) +
+          ceil(col("n_toks") * eps)).alias("within_tol"))
+  }
+
   /** Canonical text normalization: lowercase, trim, collapse every
     * internal whitespace run to one space — the stage-zero cleanup of any
     * dedup/quality pipeline (exact-duplicate rates are meaningless on

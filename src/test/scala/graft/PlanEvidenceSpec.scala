@@ -188,4 +188,33 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(plan.contains("(doc_id#") && plan.contains("% 10)"),
       s"benchmark predicate not pushed into a scan:\n$plan")
   }
+
+  test("corpus_sample_grouped: the rank cutoff runs as a per-stratum group limit") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("corpus_sample_grouped")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit = each map task keeps a k-sized heap per stratum
+    // BEFORE the shuffle; the exchange carries ≤ k·partitions rows per
+    // stratum, never the corpus.
+    assert(plan.contains("WindowGroupLimit"),
+      s"sample_rank<=k must run as a running per-stratum top-k:\n$plan")
+  }
+
+  test("stat_chisquare: ONE fact scan — marginals derive from the cell table") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    for (q <- Seq("stat_chisquare", "stat_cramers_v")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans === 1,
+        s"$q must scan the facts exactly once, saw $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a product join:\n$plan")
+    }
+    // The scan reads only the two analyzed columns.
+    val scan = scanLine("stat_chisquare")
+    for (c <- Seq("event_id", "props", "user_id", "value"))
+      assert(!scan.contains(c), s"chisquare scan reads $c: $scan")
+  }
 }

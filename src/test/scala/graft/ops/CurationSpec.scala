@@ -198,4 +198,29 @@ class CurationSpec extends SparkSpec {
     assert(bloom === exact)
     assert(exact.map(t => (t._1, t._2)) === Set((1L, 10L)))
   }
+
+  test("sampleGrouped: exactly k per stratum, nested in k, partition-invariant") {
+    import spark.implicits._
+    val corpus = (1L to 100L)
+      .map(i => (i, if (i % 2 == 0) "en" else "fr", s"src${i % 3}", i * 10))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    def draw(k: Int, parts: Int = 4): Map[String, Seq[Long]] =
+      Curation.sampleGrouped(corpus.repartition(parts), k = k)
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(2)).toSeq.sorted).toMap
+    val k10 = draw(10)
+    assert(k10("en").size === 10 && k10("fr").size === 10)
+    // Nesting: the k=5 draw is a subset of the k=10 draw per stratum.
+    val k5 = draw(5)
+    assert(k5("en").toSet.subsetOf(k10("en").toSet))
+    assert(k5("fr").toSet.subsetOf(k10("fr").toSet))
+    // Determinism: the draw is a pure function of (seed, doc_id).
+    assert(draw(10, 1) === k10)
+    // A stratum smaller than k returns whole, ranks stay 1..n.
+    val tiny = Seq((1L, "zh", "s", 5L), (2L, "zh", "s", 6L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val ranks = Curation.sampleGrouped(tiny, k = 20)
+      .collect().map(_.getInt(1)).sorted
+    assert(ranks === Array(1, 2))
+  }
 }

@@ -244,4 +244,75 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("p90_n_tokens") - 17.4) < 1e-9)
     assert(math.abs(row.getAs[Double]("p99_n_tokens") - 17.94) < 1e-9)
   }
+
+  test("chiSquareCells: observed/expected/contrib hand-checked on a 2x2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // N=100; rows x=40, y=60; cols u=40, v=60 → expected xu=16, xv=24,
+    // yu=24, yv=36; contrib = (obs-exp)²/exp.
+    val df = (Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(50)(("y", "v")))
+      .toDF("ca", "cb").repartition(4)
+    val cells = Profile.chiSquareCells(df, col("ca"), col("cb")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(cells(("x", "u")) === ((30L, 16.0, 12.25)))
+    assert(cells(("x", "v")) === ((10L, 24.0, 8.166667)))
+    assert(cells(("y", "u")) === ((10L, 24.0, 8.166667)))
+    assert(cells(("y", "v")) === ((50L, 36.0, 5.444444)))
+  }
+
+  test("chiSquareStat: statistic, dof, Cramér's V; exact independence → 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dep = (Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(50)(("y", "v")))
+      .toDF("ca", "cb")
+    val s = Profile.chiSquareStat(dep, col("ca"), col("cb")).collect().head
+    assert(s.getDouble(0) === 34.027778) // Σ of the four contributions
+    assert(s.getLong(1) === 1L && s.getLong(2) === 100L)
+    assert(s.getDouble(3) === 0.583333) // √(χ²/N·1)
+    // Proportional counts (independence): χ² and V are exactly 0.
+    val ind = (Seq.fill(20)(("x", "u")) ++ Seq.fill(40)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(20)(("y", "v")))
+      .toDF("ca", "cb")
+    val i = Profile.chiSquareStat(ind, col("ca"), col("cb")).collect().head
+    assert(i.getDouble(0) === 0.0 && i.getDouble(3) === 0.0)
+  }
+
+  test("checkConstraints: clean table passes all checks, violations flagged") {
+    import spark.implicits._
+    val clean = (1L to 50L)
+      .map(i => (i, Some(i % 7), "click", 1.0 + i))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val ok = Profile.checkConstraints(clean).collect()
+    assert(ok.length === 6)
+    assert(ok.forall(_.getBoolean(3)), s"clean table must pass all checks")
+    // One duplicate id, one null user, one bogus type, one out-of-range
+    // value → uniqueness, completeness(user_id), domain, range fail;
+    // row_count and completeness(value) still pass.
+    val dirty = clean.union(Seq(
+      (1L, Option.empty[Long], "bogus", -5.0))
+      .toDF("event_id", "user_id", "event_type", "value"))
+    val verdicts = Profile.checkConstraints(dirty).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(3)).toMap
+    assert(verdicts(("uniqueness", "event_id")) === false)
+    assert(verdicts(("completeness", "user_id")) === false)
+    assert(verdicts(("domain", "event_type")) === false)
+    assert(verdicts(("range", "value")) === false)
+    assert(verdicts(("row_count", "*")) === true)
+    assert(verdicts(("completeness", "value")) === true)
+  }
+
+  test("checkConstraints approx: HLL uniqueness passes within tolerance, no Expand") {
+    import spark.implicits._
+    val clean = (1L to 500L)
+      .map(i => (i, Some(i % 7), "view", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = Profile.checkConstraints(clean, exact = false)
+    assert(out.collect().forall(_.getBoolean(3)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx constraints must not Expand the scan:\n$plan")
+  }
 }

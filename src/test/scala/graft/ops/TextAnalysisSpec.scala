@@ -250,4 +250,39 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out(1L) < out(2L), s"gibberish ${out(1L)} must score below ${out(2L)}")
   }
+
+  test("termCountsCms: per-language estimates exact on a wide sketch") {
+    val d = langDocs(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "en", "alpha gamma"),
+      (3L, "fr", "beta beta"))
+    val watch = Seq("alpha", "beta", "missing")
+    val out = TextAnalysis.termCountsCms(d, watch, width = 1024, depth = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("en", "alpha")) === 3L)
+    assert(out(("en", "beta")) === 1L)
+    assert(out(("en", "missing")) === 0L)
+    assert(out(("fr", "beta")) === 2L)
+    assert(out(("fr", "alpha")) === 0L)
+  }
+
+  test("termCountsCmsAudit: exact counts with both CMS contracts true") {
+    val d = langDocs(
+      (1L, "en", "alpha alpha beta gamma delta"),
+      (2L, "fr", "beta beta alpha"))
+    val watch = Seq("alpha", "beta", "missing")
+    val rows = TextAnalysis
+      .termCountsCmsAudit(d, watch, width = 64, depth = 4).collect()
+    assert(rows.length === 6) // 2 langs × 3 watched terms
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(byKey(("en", "alpha"))._1 === 2L)
+    assert(byKey(("fr", "beta"))._1 === 2L)
+    assert(byKey(("en", "missing"))._1 === 0L)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"not_below must hold: $r")
+      assert(r.getBoolean(4), s"within_tol must hold: $r")
+    }
+  }
 }
