@@ -775,6 +775,8 @@ object SparkEntry {
       Profile.checkConstraints(StandIn.events(s, d), exact = false)),
     "corpus_sample_grouped" -> ((s, d) =>
       Curation.sampleGrouped(StandIn.documents(s, d))),
+    "corpus_sample_weighted" -> ((s, d) =>
+      Curation.sampleWeighted(StandIn.documents(s, d))),
     // Count-Min point estimates — deterministic (pure counter sums) but
     // not SQL-expressible → rows-only; the audit twin is the
     // oracle-checked bounded-error contract.
@@ -2250,6 +2252,17 @@ object SparkEntry {
         |  FROM documents
         |)
         |WHERE sample_rank <= 20""".stripMargin,
+
+    // Weighted A-ES sample twin (Curation.sampleWeighted): the same
+    // hash-uniform u and ln(u)/w ranking key, doc_id tie-break.
+    "corpus_sample_weighted" ->
+      s"""SELECT doc_id, n_chars
+         |FROM documents
+         |WHERE n_chars > 0
+         |ORDER BY ln((${hashSql("'0:'",
+              "concat('graft-w1:', CAST(doc_id AS VARCHAR))")} + 0.5) /
+         |         1152921504606846976.0) / n_chars DESC, doc_id
+         |LIMIT 50""".stripMargin,
 
     // Gaps-and-islands sessionization twin (Sessionize.sessions): epoch
     // seconds by integer division on both engines, event_id tie-break,

@@ -383,4 +383,37 @@ object Curation {
       .select(col(groupCol), col("sample_rank").cast("int"), col("doc_id"),
         col("source"), col("n_chars"))
   }
+
+  /** Weighted-without-replacement fixed-k sample (Efraimidis–Spirakis
+    * A-ES): each document draws a deterministic uniform `u` from a seeded
+    * 60-bit hash of its id and ranks by `ln(u)/w` — the top k by that key
+    * are a weight-proportional draw (a doc with twice the weight is twice
+    * as likely in), the mix sampler's missing half: [[mixEpochs]] hits a
+    * TOKEN budget per source, this draws k WHOLE documents biased toward
+    * the weight column (chars ≈ tokens ≈ training value) with no RNG.
+    * Deterministic and engine-reproducible like every sampler here;
+    * `u = (hash + 0.5) / 2⁶⁰` keeps `u` strictly inside (0,1), so `ln`
+    * never sees 0. Zero/negative weights are excluded (A-ES precondition).
+    *
+    * Plan shape: the global top-k compiles to TakeOrderedAndProject
+    * (plan-asserted) — per-partition k-sized heaps, one k-row driver
+    * merge; no global sort, no single-partition window, corpus never
+    * shuffles.
+    */
+  def sampleWeighted(
+      docs: DataFrame,
+      k: Int = 50,
+      weightCol: String = "n_chars",
+      seed: String = "graft-w1"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (Dedup.hashAt(0, concat(lit(seed), lit(":"),
+      col("doc_id").cast("string"))).cast("double") + 0.5) /
+      math.pow(2, 60)
+    val key = log(u) / col(weightCol).cast("double")
+    docs
+      .where(col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol))
+      .orderBy(key.desc, col("doc_id"))
+      .limit(k)
+  }
 }

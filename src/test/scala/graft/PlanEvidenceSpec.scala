@@ -200,6 +200,20 @@ class PlanEvidenceSpec extends SparkSpec {
       s"sample_rank<=k must run as a running per-stratum top-k:\n$plan")
   }
 
+  test("corpus_sample_weighted: global top-k is TakeOrdered, no sort, no window") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("corpus_sample_weighted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Per-partition k-heaps + one k-row driver merge; a global Sort or a
+    // single-partition Window here would funnel the corpus through one
+    // task at 100 TB.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan a distributed top-k:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort")),
+      s"no global sort allowed:\n$plan")
+  }
+
   test("stat_chisquare: ONE fact scan — marginals derive from the cell table") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     for (q <- Seq("stat_chisquare", "stat_cramers_v")) {

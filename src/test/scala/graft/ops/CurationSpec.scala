@@ -223,4 +223,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getInt(1)).sorted
     assert(ranks === Array(1, 2))
   }
+
+  test("sampleWeighted: k docs, weight-biased, deterministic, zero-weight excluded") {
+    import spark.implicits._
+    // 100 light docs (weight 1) vs 10 heavy docs (weight 1000): an
+    // unweighted draw would pick ~1 heavy doc in 10; A-ES should fill
+    // most of the sample from the heavy decile. Deterministic hash → a
+    // fixed, assertable outcome.
+    val corpus = ((1L to 100L).map(i => (i, 1L)) ++
+      (101L to 110L).map(i => (i, 1000L)) ++ Seq((111L, 0L)))
+      .toDF("doc_id", "n_chars")
+    val out = Curation.sampleWeighted(corpus, k = 10)
+      .collect().map(_.getLong(0))
+    assert(out.length === 10)
+    assert(!out.contains(111L), "zero-weight doc must never be drawn")
+    val heavy = out.count(_ > 100L)
+    assert(heavy >= 7, s"weighted draw must favor heavy docs, got $heavy/10")
+    // Deterministic under any partitioning.
+    val again = Curation.sampleWeighted(corpus.repartition(7), k = 10)
+      .collect().map(_.getLong(0))
+    assert(again.sorted === out.sorted)
+  }
 }
