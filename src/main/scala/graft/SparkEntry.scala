@@ -812,6 +812,18 @@ object SparkEntry {
     // exact keys/counts + a within-3·rsd boolean the oracle pins to TRUE.
     "agg_distinct_hll_audit" -> ((s, d) =>
       graft.ops.Olap.dailyActiveUsersAudit(StandIn.events(s, d))),
+    // DataSketches HLL day→week union rollup — deterministic but
+    // engine-specific → rows-only; the audit twin is the contract.
+    "agg_distinct_hll_rollup" -> ((s, d) =>
+      graft.ops.Olap.weeklyActiveUsersRollup(StandIn.events(s, d))),
+    "agg_distinct_hll_rollup_audit" -> ((s, d) =>
+      graft.ops.Olap.weeklyActiveUsersRollupAudit(StandIn.events(s, d))),
+    "stat_quantile_bins"  -> ((s, d) =>
+      Profile.quantileBins(StandIn.events(s, d))),
+    // KLL-ish percentile sketch face — engine-specific edges → rows-only
+    // (bin count deterministic; ProfileSpec bounds the drift vs exact).
+    "stat_quantile_bins_approx" -> ((s, d) =>
+      Profile.quantileBins(StandIn.events(s, d), exact = false)),
     "olap_pricing"        -> ((s, d) => olapPricingSummary(s, d)),
     "join_revenue_nation" -> ((s, d) => joinRevenueNation(s, d)),
     "window_topn"         -> ((s, d) =>
@@ -2053,6 +2065,38 @@ object SparkEntry {
         |       TRUE AS within_tol
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    // Sketch-rollup audit twin (Olap.weeklyActiveUsersRollupAudit): exact
+    // weekly distincts + day counts, the union-estimate contract pinned
+    // TRUE (DataSketches HLL registers are per-bucket maxima — sketch and
+    // union are order-independent, so the boolean is stable).
+    "agg_distinct_hll_rollup_audit" ->
+      """SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d') AS week,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT strftime(CAST(ts AS TIMESTAMP),
+        |                '%Y-%m-%d')) AS n_days,
+        |       TRUE AS within_tol
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // Quantile-bin twin (Profile.quantileBins, exact face): DuckDB's
+    // quantile_cont interpolates identically to Spark's exact percentile;
+    // the same strictly-greater edge comparison assigns bins.
+    "stat_quantile_bins" -> {
+      val qs = (1 until 10).map(i => s"quantile_cont(value, 0.$i)")
+        .mkString(", ")
+      s"""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+         |e AS (SELECT [$qs] AS edges FROM v),
+         |b AS (
+         |  SELECT 1 + len(list_filter(edges, x -> value > x)) AS bin
+         |  FROM v CROSS JOIN e
+         |), c AS (SELECT bin, count(*) AS n_events FROM b GROUP BY bin)
+         |SELECT CAST(bin AS INT) AS bin, n_events,
+         |       round(n_events / CAST(sum(n_events) OVER () AS DOUBLE), 6)
+         |         AS share
+         |FROM c""".stripMargin
+    },
 
     // Moving-window twin (WindowOps.movingStats): identical frame spec;
     // 6-dp rounding absorbs sliding-aggregation summation order.

@@ -320,4 +320,51 @@ object Olap {
         (abs(col("n_users_approx") - col("n_users")) <=
           greatest(lit(1.0), col("n_users") * (3 * rsd))).alias("within_tol"))
   }
+
+  /** Weekly active users by RE-AGGREGATING daily DataSketches HLL
+    * sketches (`hll_sketch_agg` per day → `hll_union_agg` per week →
+    * estimate) — the rollup pattern `approx_count_distinct` cannot
+    * express: its sketch is consumed inside one aggregation, while a
+    * materialized sketch column unions upward (day → week → month →
+    * all-time) without ever rescanning the facts. At 100 TB this is THE
+    * distinct-rollup design: persist per-day sketches (a few KB per
+    * group), answer any coarser period from sketches alone. Estimates are
+    * deterministic — HLL registers are per-bucket maxima, so sketch and
+    * union are both order-independent — but engine-specific → rows-only;
+    * [[weeklyActiveUsersRollupAudit]] is the oracle-checked contract.
+    */
+  def weeklyActiveUsersRollup(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = events.where(col("ts").isNotNull)
+      .select(date_trunc("week", col("ts")).alias("wk"),
+        date_format(col("ts"), "yyyy-MM-dd").alias("day"), col("user_id"))
+      .groupBy(col("wk"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).alias("sk"))
+    daily
+      .groupBy(date_format(col("wk"), "yyyy-MM-dd").alias("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .alias("n_users_est"),
+        count(lit(1)).alias("n_days"))
+  }
+
+  /** Oracle-checkable audit of the sketch rollup: per week, the exact
+    * distinct users and day count plus `within_tol` — the unioned
+    * estimate within 3·(1.04/√2^lgK) relative error (the published HLL
+    * standard error for the sketch's register count, floor 1 absolute).
+    * Deterministic for a fixed input set, so the oracle pins TRUE.
+    */
+  def weeklyActiveUsersRollupAudit(
+      events: DataFrame, lgK: Int = 12): DataFrame = {
+    val approx = weeklyActiveUsersRollup(events, lgK)
+      .select(col("week"), col("n_users_est"), col("n_days"))
+    val tol = 3 * 1.04 / math.sqrt(math.pow(2, lgK))
+    events.where(col("ts").isNotNull)
+      .select(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+        .alias("week"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).alias("n_users"))
+      .join(approx, Seq("week"))
+      .select(col("week"), col("n_users"), col("n_days"),
+        (abs(col("n_users_est") - col("n_users")) <=
+          greatest(lit(1.0), col("n_users") * tol)).alias("within_tol"))
+  }
 }

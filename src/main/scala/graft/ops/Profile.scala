@@ -292,6 +292,44 @@ object Profile {
         (max(col("n_total")) * minSide)), 6).alias("cramers_v"))
   }
 
+  /** Equal-frequency (quantile) binning of a numeric column: `nBins`
+    * buckets whose edges are the interior 1/n…(n−1)/n percentiles, with
+    * per-bin counts and shares — the feature-bucketizer a training
+    * pipeline runs to discretize a heavy-tailed value column where
+    * equal-WIDTH buckets (`width_bucket`) would put 99 % of rows in one
+    * bucket. A row's bin is 1 + (number of edges strictly below its
+    * value), computed map-side against the broadcast 1-row edge array —
+    * the facts never shuffle; only `nBins` counters do.
+    *
+    * @param exact `true` (the oracle face): Spark's exact `percentile`,
+    *   which buffers the column per group — bit-checkable against
+    *   DuckDB's identical sorted-linear-interpolation `quantile_cont`,
+    *   but memory-bounded-by-data, the wrong default at 100 TB.
+    *   `exact = false`: `percentile_approx` (fixed-size KLL-ish sketch
+    *   state, the scale path) — same plan, bounded memory, rows-only
+    *   check (the sketch is engine-specific).
+    */
+  def quantileBins(
+      events: DataFrame, nBins: Int = 10, exact: Boolean = true): DataFrame = {
+    require(nBins > 1, s"need at least 2 bins, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val pArr = array(ps.map(lit): _*)
+    val vals = events.where(col("value").isNotNull).select(col("value"))
+    val edges = vals.agg(
+      (if (exact) percentile(col("value"), pArr)
+       else percentile_approx(col("value"), pArr, lit(10000)))
+        .alias("edges"))
+    val bin = aggregate(col("edges"), lit(1),
+      (acc, e) => acc + when(col("value") > e, 1).otherwise(0))
+    vals.crossJoin(broadcast(edges))
+      .select(bin.alias("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).alias("n_events"))
+      .select(col("bin").cast("int"), col("n_events"),
+        round(col("n_events") /
+          sum(col("n_events")).over(Window.partitionBy()), 6).alias("share"))
+  }
+
   /** One named data-quality constraint: `metric` is any aggregate-valued
     * Column over the table, `passed` a predicate on that metric. */
   case class Check(name: String, column: String, metric: Column,

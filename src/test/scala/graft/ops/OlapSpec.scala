@@ -244,4 +244,30 @@ class OlapSpec extends SparkSpec {
       ("2026-01-02", "click") -> ((1L, 1L, true)),
       ("2026-01-02", "view")  -> ((1L, 1L, true))))
   }
+
+  test("weeklyActiveUsersRollup: daily sketches union to the weekly distinct") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Week of Mon 2025-12-29: user 1 active on two days (must count once
+    // after the union), users 2 and 3 on one day each. Next week: user 1
+    // again (a sketch rollup must NOT dedup across week groups).
+    val ev = Seq(
+      (1L, ts("2025-12-29 10:00:00"), 1L, "click"),
+      (2L, ts("2025-12-30 10:00:00"), 1L, "click"),
+      (3L, ts("2025-12-30 11:00:00"), 2L, "view"),
+      (4L, ts("2025-12-31 12:00:00"), 3L, "click"),
+      (5L, ts("2026-01-05 09:00:00"), 1L, "click"),
+      (6L, null.asInstanceOf[Timestamp], 9L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type").repartition(3)
+    val out = Olap.weeklyActiveUsersRollup(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // At these cardinalities the HLL sketch is still exact.
+    assert(out === Map(
+      "2025-12-29" -> ((3L, 3L)),
+      "2026-01-05" -> ((1L, 1L))))
+    val audit = Olap.weeklyActiveUsersRollupAudit(ev).collect()
+    assert(audit.length === 2)
+    assert(audit.forall(_.getBoolean(3)), "union estimate must hold its tol")
+  }
 }

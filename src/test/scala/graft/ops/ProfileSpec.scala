@@ -304,6 +304,23 @@ class ProfileSpec extends SparkSpec {
     assert(verdicts(("completeness", "value")) === true)
   }
 
+  test("quantileBins: equal-frequency bins on a uniform column, shares sum to 1") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("e", i.toDouble)).toDF("pad", "value")
+      .repartition(5)
+    val out = Profile.quantileBins(df, nBins = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Edges p25/p50/p75 = 25.75/50.5/75.25 → four bins of exactly 25.
+    assert(out === Map(
+      1 -> ((25L, 0.25)), 2 -> ((25L, 0.25)),
+      3 -> ((25L, 0.25)), 4 -> ((25L, 0.25))))
+    // Approx face: same bin count, all rows assigned, shares sum to 1.
+    val approx = Profile.quantileBins(df, nBins = 4, exact = false).collect()
+    assert(approx.length === 4)
+    assert(approx.map(_.getLong(1)).sum === 100L)
+    assert(math.abs(approx.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+  }
+
   test("checkConstraints approx: HLL uniqueness passes within tolerance, no Expand") {
     import spark.implicits._
     val clean = (1L to 500L)
