@@ -843,6 +843,10 @@ object SparkEntry {
       Profile.pairMoments(StandIn.table(s, d, "lineitem"))),
     "stat_zscore"         -> ((s, d) =>
       Profile.zscoreOutliers(StandIn.events(s, d))),
+    "stat_corr_matrix"    -> ((s, d) =>
+      Profile.correlationMatrix(StandIn.table(s, d, "lineitem"))),
+    "olap_event_lift"     -> ((s, d) =>
+      graft.ops.Olap.eventTypeLift(StandIn.events(s, d))),
     "stat_chisquare"      -> ((s, d) =>
       Profile.chiSquareCells(StandIn.events(s, d),
         col("event_type"), weekday(col("ts")).cast("int"))),
@@ -1815,6 +1819,62 @@ object SparkEntry {
         |FROM events JOIN stats ON event_type = t
         |WHERE value IS NOT NULL AND std_v > 0
         |  AND abs((value - mean_v) / std_v) > 3.0""".stripMargin,
+
+    // Correlation-matrix twin (Profile.correlationMatrix): the same exact
+    // decimal sums for every column and pair, the same one double
+    // expression per correlation, one UNION ALL branch per pair.
+    "stat_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (i, j)
+      def dsum(c: String) =
+        s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+      // DuckDB does not auto-widen decimal products (18+18 > 38 errors);
+      // 19,4 × 19,4 → DECIMAL(38,8), the same exact product Spark computes.
+      def dprod(a: String, b: String) =
+        s"CAST(sum(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4)))" +
+          " AS DOUBLE)"
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(s"${dsum(c)} AS sx_$i", s"${dprod(c, c)} AS ss_$i")
+      } ++ pairs.map { case (i, j) =>
+        s"${dprod(cols(i), cols(j))} AS sp_${i}_$j"
+      }
+      val branches = pairs.map { case (i, j) =>
+        val vx = s"greatest((ss_$i - sx_$i * sx_$i / n) / (n - 1), 0)"
+        val vy = s"greatest((ss_$j - sx_$j * sx_$j / n) / (n - 1), 0)"
+        val cov = s"(sp_${i}_$j - sx_$i * sx_$j / n) / (n - 1)"
+        s"""SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, n,
+           |       round(CASE WHEN n > 1 AND $vx > 0 AND $vy > 0
+           |             THEN $cov / sqrt($vx * $vy) END, 6) AS corr
+           |FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT count(*) AS n,
+         |         ${aggs.mkString(",\n         ")}
+         |  FROM lineitem
+         |)
+         |$branches""".stripMargin
+    },
+
+    // Event-lift twin (Olap.eventTypeLift): identical distinct frame,
+    // self-join, marginals, and one double lift expression.
+    "olap_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |), m AS (SELECT event_type, count(*) AS m FROM ut GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+        |SELECT type_a, type_b, n_both, ma.m AS n_a, mb.m AS n_b,
+        |       round(n_both * n_users / CAST(ma.m * mb.m AS DOUBLE), 6)
+        |         AS lift
+        |FROM pairs JOIN m ma ON ma.event_type = type_a
+        |           JOIN m mb ON mb.event_type = type_b
+        |           CROSS JOIN tot""".stripMargin,
 
     // χ² cell twin (Profile.chiSquareCells): same exact integer marginals,
     // same one double expression per cell. Spark weekday (0 = Monday) ≡

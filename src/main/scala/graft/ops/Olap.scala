@@ -321,6 +321,43 @@ object Olap {
           greatest(lit(1.0), col("n_users") * (3 * rsd))).alias("within_tol"))
   }
 
+  /** Event-type co-occurrence lift (market-basket association over user
+    * behavior): for every unordered pair of event types, the number of
+    * users who performed BOTH and the lift
+    * `P(a ∧ b) / (P(a)·P(b)) = n_both·U / (n_a·n_b)` — lift > 1 means the
+    * behaviors attract, < 1 they repel; the screen behind "do clickers
+    * buy?" ([[graft.ops.SetOps]] answers it for one hand-picked pair,
+    * this ranks every pair).
+    *
+    * Plan shape at 100 TB: the one full pass is the (user, type) distinct;
+    * everything downstream — the per-user self-join (≤ |types|² rows per
+    * user, type vocabularies are small), the marginals, the grand total —
+    * runs on that users × types frame. Marginals are vocabulary-sized and
+    * broadcast onto the pair counts; all counts are exact longs, the lift
+    * one double expression — bit-stable.
+    */
+  def eventTypeLift(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val both = ut.alias("a")
+      .join(ut.alias("b"), "user_id")
+      .where(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").alias("type_a"),
+        col("b.event_type").alias("type_b"))
+      .agg(count(lit(1)).alias("n_both"))
+    val marginal = ut.groupBy(col("event_type")).agg(count(lit(1)).alias("m"))
+    val total = ut.agg(countDistinct(col("user_id")).alias("n_users"))
+    both
+      .join(broadcast(marginal.select(col("event_type").alias("type_a"),
+        col("m").alias("n_a"))), "type_a")
+      .join(broadcast(marginal.select(col("event_type").alias("type_b"),
+        col("m").alias("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        round(col("n_both") * col("n_users") / (col("n_a") * col("n_b")), 6)
+          .alias("lift"))
+  }
+
   /** Weekly active users by RE-AGGREGATING daily DataSketches HLL
     * sketches (`hll_sketch_agg` per day → `hll_union_agg` per week →
     * estimate) — the rollup pattern `approx_count_distinct` cannot

@@ -150,6 +150,52 @@ object Profile {
         round(corr, 6).alias("corr_qty_price"))
   }
 
+  /** Full Pearson correlation matrix over `cols` in ONE aggregation pass:
+    * every per-column Σx/Σx² and every pairwise Σxy ride the same
+    * map-side-combined aggregate, so k columns cost k(k+3)/2 + 1
+    * accumulators on ONE scan — not one job per pair, the difference
+    * between a single pass and k²/2 passes over 100 TB. Sums accumulate
+    * as DECIMAL (exact, partitioning-independent — [[valueMoments]]'s
+    * argument) and each correlation derives from its five sums in one
+    * double expression, so the matrix is bit-stable across engines. The
+    * pair rows unpivot map-side from the 1-row aggregate ([[profile]]'s
+    * explode trick). Zero-variance columns yield null correlations, never
+    * NaN.
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      cols: Seq[String] = Seq(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")): DataFrame = {
+    require(cols.size > 1, s"need at least 2 columns, got ${cols.size}")
+    def d(name: String) = col(name).cast("decimal(18,4)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs =
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(d(c)).cast("double").alias(s"sx_$i"),
+          sum(d(c) * d(c)).cast("double").alias(s"ss_$i"))
+      } ++ pairs.map { case (i, j) =>
+        sum(d(cols(i)) * d(cols(j))).cast("double").alias(s"sp_${i}_$j")
+      }
+    val one = df.agg(count(lit(1)).alias("n"), aggs: _*)
+    def variance(i: Int) = greatest(
+      (col(s"ss_$i") - col(s"sx_$i") * col(s"sx_$i") / col("n")) /
+        (col("n") - 1), lit(0.0))
+    val rows = pairs.map { case (i, j) =>
+      val cov = (col(s"sp_${i}_$j") - col(s"sx_$i") * col(s"sx_$j") /
+        col("n")) / (col("n") - 1)
+      val corr = when(col("n") > 1 && variance(i) > 0 && variance(j) > 0,
+        cov / sqrt(variance(i) * variance(j)))
+      struct(
+        lit(cols(i)).alias("col_x"),
+        lit(cols(j)).alias("col_y"),
+        col("n").alias("n"),
+        round(corr, 6).alias("corr"))
+    }
+    one.select(explode(array(rows: _*)).alias("c")).select(col("c.*"))
+  }
+
   /** Z-score outliers: events whose `value` sits more than `threshold`
     * sample standard deviations from their event_type's mean — the
     * distribution-based anomaly screen (the statistical face of the alert

@@ -245,6 +245,25 @@ class OlapSpec extends SparkSpec {
       ("2026-01-02", "view")  -> ((1L, 1L, true))))
   }
 
+  test("eventTypeLift: hand-checked pair counts and lift, repeats collapse") {
+    import spark.implicits._
+    // Users 1,2 click+view; user 3 clicks twice (repeat must not inflate);
+    // user 4 only views. U=4, n_click=3, n_view=3, n_both=2.
+    // lift(click,view) = 2*4/(3*3) = 0.888889.
+    val ev = Seq(
+      (1L, "click"), (1L, "view"),
+      (2L, "click"), (2L, "view"),
+      (3L, "click"), (3L, "click"),
+      (4L, "view"))
+      .toDF("user_id", "event_type").repartition(3)
+    val out = Olap.eventTypeLift(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "click" && r.getString(1) === "view")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 3L && r.getLong(4) === 3L)
+    assert(r.getDouble(5) === 0.888889)
+  }
+
   test("weeklyActiveUsersRollup: daily sketches union to the weekly distinct") {
     import spark.implicits._
     import java.sql.Timestamp

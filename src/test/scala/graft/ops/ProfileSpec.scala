@@ -304,6 +304,27 @@ class ProfileSpec extends SparkSpec {
     assert(verdicts(("completeness", "value")) === true)
   }
 
+  test("correlationMatrix: one pass, hand-checked pairs, null on zero variance") {
+    import spark.implicits._
+    // y = 2x (corr 1), z anti-correlated with x, w constant (variance 0).
+    val df = Seq(
+      (1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0), (3.0, 6.0, 1.0, 5.0))
+      .toDF("x", "y", "z", "w").repartition(2)
+    val out = Profile.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out.size === 6) // 4 choose 2
+    assert(out(("x", "y")) === Some(1.0))
+    assert(out(("x", "z")) === Some(-1.0))
+    assert(out(("y", "z")) === Some(-1.0))
+    assert(out(("x", "w")) === None) // zero variance → null, never NaN
+    // Single aggregation: no join, one Expand-free agg over one scan.
+    val plan = Profile.correlationMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"matrix must not join per pair:\n$plan")
+  }
+
   test("quantileBins: equal-frequency bins on a uniform column, shares sum to 1") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("e", i.toDouble)).toDF("pad", "value")
