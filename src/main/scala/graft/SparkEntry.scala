@@ -586,12 +586,55 @@ object SparkEntry {
   private val FrameBytes = 32
   private val FrameEveryN = 3
 
-  /** The mapPartitions feature-extract stage with a driver-sortable shape:
-    * one double column per histogram bin. float→double widening is exact,
-    * and DuckDB reproduces the float arithmetic with REAL casts, so the
-    * imperative decode is oracle-checked bit-for-bit.
+  // Pixel-formula CTEs shared by the real-decode oracle twins — MUST stay
+  // in lockstep with Multimodal.ImageCodec.syntheticPng. Sequential
+  // unnests (xs then px) expand the w×h pixel grid per document; `ch`
+  // carries the three channel values of every pixel.
+  private val pngPixelCtesSql =
+    """d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+      |  FROM documents
+      |), xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |ch AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |         (doc_id * 17 + x * 11 + y * 5) % 256 AS g,
+      |         (doc_id * 23 + x * 3 + y * 19) % 256 AS b
+      |  FROM px
+      |)""".stripMargin
+
+  /** The REAL-decode feature stage with a driver-sortable shape: one
+    * double column per luminance-histogram bin, computed from pixels that
+    * went through an actual PNG encode→ImageIO decode round-trip.
+    * float→double widening is exact, and DuckDB reproduces the float
+    * arithmetic with REAL casts over the synthetic pixel formula, so the
+    * codec path is oracle-checked bit-for-bit.
     */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.pngMedia(s, dir), Multimodal.ImageLumaExtractor)
+    feats.select(col("media_id") +: (0 until 16).map(j =>
+      element_at(col("features"), j + 1).cast("double").alias(s"f$j")): _*)
+  }
+
+  /** Exact-integer face of the real decode stage: dims, pixel count, and
+    * per-channel sums as longs (bit-stable, no float accumulation), plus
+    * the derived double means rounded once.
+    */
+  private def mmDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageStats(Multimodal.pngMedia(s, dir))
+      .select(col("media_id"), col("decoded"), col("width_px"),
+        col("height_px"), col("n_px"), col("r_sum"), col("g_sum"),
+        col("b_sum"),
+        round(col("r_sum").cast("double") / col("n_px"), 6).alias("r_mean"),
+        round(col("g_sum").cast("double") / col("n_px"), 6).alias("g_mean"),
+        round(col("b_sum").cast("double") / col("n_px"), 6).alias("b_mean"))
+
+  /** The no-codec fallback path (mapPartitions byte histogram over opaque
+    * text payloads) with the same sortable shape.
+    */
+  private def mmFeaturesBytes(s: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(Multimodal.documentMedia(s, dir))
     feats.select(col("media_id") +: (0 until 16).map(j =>
       element_at(col("features"), j + 1).cast("double").alias(s"f$j")): _*)
@@ -706,6 +749,10 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0),
         MinhashK, MinhashBands, MinhashEstThreshold)
     }),
+    // Span-level exact-substring dedup: maximal cross-document verbatim
+    // token spans (Dedup.substringSpans scaladoc has the shape).
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(StandIn.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
@@ -896,6 +943,10 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(StandIn.documents(s, d))),
     "text_quality_gate"   -> ((s, d) => textQualityGate(s, d)),
+    // fastText-style hashed-gram linear scorer (fixed weight table) —
+    // one whole-stage-codegen map, no shuffle (TextAnalysis.qualityScore).
+    "text_quality_score"  -> ((s, d) =>
+      TextAnalysis.qualityScore(StandIn.documents(s, d))),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
     "alert_lifecycle"     -> ((s, d) => alertLifecycle(s, d)),
@@ -904,13 +955,29 @@ object SparkEntry {
     // distributions, GeneratorSpec).
     "gen_readings"        -> ((s, d) =>
       graft.sim.Generator.batch(s, 24000).where(col("value").isNotNull)),
+    // Contract audit of the generator: exact counts + pinned envelope /
+    // rate booleans, oracle-literal (see Generator.batchAudit scaladoc).
+    "gen_readings_audit"  -> ((s, d) =>
+      graft.sim.Generator.batchAudit(s, 24000)),
     "mm_metadata"         -> ((s, d) =>
       Multimodal.metadata(Multimodal.documentMedia(s, d))),
-    // The imperative decode stage, reshaped to sortable scalars: the
-    // 16 histogram bins as double columns (exact float→double widening).
-    // The byte histogram is DuckDB-expressible via hex-string nibbles, so
-    // the mapPartitions stage gets a full independent oracle.
+    // REAL image decode: deterministic PNGs (pixel values a pure formula
+    // of media_id) encoded with the JDK codec, decoded back with ImageIO,
+    // and the luminance histogram of the DECODED pixels emitted as double
+    // columns. PNG is lossless, so DuckDB re-derives the identical
+    // histogram from the formula — a full hash oracle over a real codec
+    // round-trip.
     "mm_features"         -> ((s, d) => mmFeatures(s, d)),
+    // Exact integer statistics (dims + per-channel sums) of the decoded
+    // pixels — the bit-exact face of the decode stage.
+    "mm_decode"           -> ((s, d) => mmDecode(s, d)),
+    // PNG IHDR dims parsed from the real encoded bytes WITHOUT decode —
+    // pure codegen'd binary projection; oracle = the formula dims.
+    "mm_png_header"       -> ((s, d) =>
+      Multimodal.pngHeaderDims(Multimodal.pngMedia(s, d))),
+    // The no-codec FALLBACK path (byte histogram over opaque payloads),
+    // kept oracle-green via the hex-string nibble twin.
+    "mm_features_bytes"   -> ((s, d) => mmFeaturesBytes(s, d)),
     "mm_frames"           -> ((s, d) => mmFrames(s, d))
   )
 
@@ -1077,6 +1144,39 @@ object SparkEntry {
       s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql
          |SELECT a_id, b_id, est_sim FROM est
          |WHERE est_sim >= $MinhashEstThreshold""".stripMargin,
+
+    // Exact-substring span twin: every L-token shingle with its offset,
+    // hashes held by >= 2 distinct docs, gaps-and-islands merge of
+    // adjacent duplicated offsets. Parallel unnests zip positionally
+    // (offset list and hash list share length). L and the md5 hash family
+    // come from the Scala side, so the engines stay in lockstep.
+    "dedup_substring_spans" -> {
+      val L = Dedup.SubstringShingleLen
+      val shingle =
+        s"array_to_string(t[(CAST(i AS INT) + 1):(CAST(i AS INT) + $L)], ' ')"
+      s"""WITH $rawToksSql, sh0 AS (
+         |  SELECT doc_id,
+         |         unnest(range(0, greatest(len(t) - ${L - 1}, 0))) AS off,
+         |         unnest(list_transform(
+         |           range(0, greatest(len(t) - ${L - 1}, 0)),
+         |           i -> ${hashSql("'0:'", shingle)})) AS h
+         |  FROM toks
+         |), sh AS (SELECT doc_id, CAST(off AS INT) AS off, h FROM sh0),
+         |dup AS (
+         |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sh)
+         |  GROUP BY h HAVING count(*) > 1
+         |), isl AS (
+         |  SELECT doc_id, off,
+         |         off - row_number()
+         |           OVER (PARTITION BY doc_id ORDER BY off) AS grp
+         |  FROM sh JOIN dup USING (h)
+         |)
+         |SELECT doc_id, min(off) AS span_start,
+         |       CAST(max(off) + ${L - 1} AS INT) AS span_end,
+         |       CAST(max(off) - min(off) + $L AS INT) AS span_tokens,
+         |       count(*) AS n_shingles
+         |FROM isl GROUP BY doc_id, grp""".stripMargin
+    },
 
     // Threshold-tuning curve twin (Dedup.candidateSimHistogram): pair
     // counts per exact 1/k similarity step over the threshold-0 candidates.
@@ -1870,7 +1970,8 @@ object SparkEntry {
         |), m AS (SELECT event_type, count(*) AS m FROM ut GROUP BY 1),
         |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
         |SELECT type_a, type_b, n_both, ma.m AS n_a, mb.m AS n_b,
-        |       round(n_both * n_users / CAST(ma.m * mb.m AS DOUBLE), 6)
+        |       round(CAST(n_both AS DOUBLE) * n_users /
+        |             (CAST(ma.m AS DOUBLE) * mb.m), 6)
         |         AS lift
         |FROM pairs JOIN m ma ON ma.event_type = type_a
         |           JOIN m mb ON mb.event_type = type_b
@@ -1883,7 +1984,9 @@ object SparkEntry {
       """WITH obs AS (
         |  SELECT event_type AS a, CAST(isodow(ts) - 1 AS INT) AS b,
         |         count(*) AS observed
-        |  FROM events GROUP BY 1, 2
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
         |), rt AS (
         |  SELECT a, CAST(sum(observed) AS BIGINT) AS row_total
         |  FROM obs GROUP BY a
@@ -1892,11 +1995,12 @@ object SparkEntry {
         |  FROM obs GROUP BY b
         |), n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs)
         |SELECT a, b, observed,
-        |       round(row_total * col_total / CAST(n_total AS DOUBLE), 6)
-        |         AS expected,
-        |       round(pow(observed -
-        |               row_total * col_total / CAST(n_total AS DOUBLE), 2) /
-        |             (row_total * col_total / CAST(n_total AS DOUBLE)), 6)
+        |       round(CAST(row_total AS DOUBLE) * col_total /
+        |               CAST(n_total AS DOUBLE), 6) AS expected,
+        |       round(pow(observed - CAST(row_total AS DOUBLE) * col_total /
+        |               CAST(n_total AS DOUBLE), 2) /
+        |             (CAST(row_total AS DOUBLE) * col_total /
+        |               CAST(n_total AS DOUBLE)), 6)
         |         AS contrib
         |FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n""".stripMargin,
 
@@ -1906,7 +2010,9 @@ object SparkEntry {
       """WITH obs AS (
         |  SELECT event_type AS a, CAST(isodow(ts) - 1 AS INT) AS b,
         |         count(*) AS observed
-        |  FROM events GROUP BY 1, 2
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
         |), rt AS (
         |  SELECT a, CAST(sum(observed) AS BIGINT) AS row_total
         |  FROM obs GROUP BY a
@@ -1916,9 +2022,10 @@ object SparkEntry {
         |), n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs),
         |cells AS (
         |  SELECT a, b, n_total,
-        |         pow(observed -
-        |             row_total * col_total / CAST(n_total AS DOUBLE), 2) /
-        |         (row_total * col_total / CAST(n_total AS DOUBLE)) AS contrib
+        |         pow(observed - CAST(row_total AS DOUBLE) * col_total /
+        |             CAST(n_total AS DOUBLE), 2) /
+        |         (CAST(row_total AS DOUBLE) * col_total /
+        |             CAST(n_total AS DOUBLE)) AS contrib
         |  FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n
         |)
         |SELECT round(sum(contrib), 6) AS chi2,
@@ -2452,8 +2559,12 @@ object SparkEntry {
 
     // Count-Min audit twin (TextAnalysis.termCountsCmsAudit): exact counts
     // over the langs × watch-list grid + the two CMS contracts pinned to
-    // TRUE (estimate ≥ exact always; ≤ exact + ⌈(e/width)·N_lang⌉ —
-    // deterministic, the sketch state is a pure sum).
+    // TRUE (estimate ≥ exact always; ≤ exact + 2·⌈(e/width)·N_lang⌉, the
+    // ε·N band doubled because it is probabilistic per counter —
+    // deterministic for a fixed corpus, the sketch state is a pure sum).
+    // The langs grid derives from the TOKENIZED side (ex), not documents:
+    // explode drops empty token arrays, so a language whose docs all
+    // tokenize to nothing never reaches the Spark audit either.
     "text_term_cms_audit" -> {
       val watchList = graft.ops.TextAnalysis.CmsWatchTerms
         .map(t => s"'$t'").mkString(", ")
@@ -2461,7 +2572,7 @@ object SparkEntry {
          |  SELECT d.lang, unnest(k.t) AS term
          |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id
          |), watch AS (SELECT unnest([$watchList]) AS term),
-         |langs AS (SELECT DISTINCT lang FROM documents),
+         |langs AS (SELECT DISTINCT lang FROM ex),
          |exact AS (
          |  SELECT lang, term, count(*) AS term_count FROM ex
          |  WHERE term IN ($watchList) GROUP BY 1, 2
@@ -2567,6 +2678,38 @@ object SparkEntry {
          |SELECT doc_id, reject_reason IS NULL AS passed, reject_reason
          |FROM gated""".stripMargin,
 
+    // fastText-style hashed-gram scorer twin: unigrams + word bigrams,
+    // each hashed to a bucket (the md5 family), bucket weight from the
+    // SAME modular formula as TextAnalysis.QualityScoreWeights; exact
+    // integer sum, then one logistic + round. Docs with no grams (empty/
+    // null text) score sigmoid(0) = 0.5 via the left join's coalesce —
+    // mirroring the Spark side's per-row kernel over an empty array.
+    "text_quality_score" -> {
+      val d = TextAnalysis.QualityScoreDim
+      s"""WITH $rawToksSql, g AS (
+         |  SELECT doc_id,
+         |         list_concat(t, CASE WHEN len(t) >= 2
+         |           THEN list_transform(range(1, len(t)),
+         |                i -> concat(t[CAST(i AS INT)], ' ',
+         |                            t[CAST(i AS INT) + 1]))
+         |           ELSE [] END) AS g
+         |  FROM toks
+         |), ex AS (SELECT doc_id, unnest(g) AS w FROM g),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |         sum(((${hashSql("'0:'")} % $d) * 1315423911) % 17 - 8)
+         |           AS raw
+         |  FROM ex GROUP BY 1
+         |)
+         |SELECT g.doc_id,
+         |       CAST(coalesce(s.n_grams, 0) AS INT) AS n_grams,
+         |       CAST(coalesce(s.raw, 0) AS BIGINT) AS raw_score,
+         |       round(1.0 / (1.0 + exp(-(coalesce(s.raw, 0) /
+         |         (greatest(coalesce(s.n_grams, 0), 1) * 8.0)))), 6)
+         |         AS quality_score
+         |FROM g LEFT JOIN scored s USING (doc_id)""".stripMargin
+    },
+
     "text_token_counts" ->
       s"""WITH $rawToksSql
          |SELECT d.doc_id,
@@ -2631,6 +2774,21 @@ object SparkEntry {
          |SELECT * FROM actives UNION ALL SELECT * FROM resolveds"""
         .stripMargin,
 
+    // Generator contract audit twin: the readings are xxhash64-seeded (no
+    // SQL can reproduce the draws) but the CONTRACT is literal — exact
+    // per-type counts (24000 % 3 split), 8 sensors each, the unit map, and
+    // the five envelope/rate booleans pinned TRUE. A generator regression
+    // flips a hash-checked bit even though the oracle never sees a draw.
+    "gen_readings_audit" ->
+      """SELECT t.sensor_type, CAST(8000 AS BIGINT) AS n_rows,
+        |       CAST(8 AS BIGINT) AS n_sensors, t.unit,
+        |       TRUE AS unit_uniform, TRUE AS vals_in_envelope,
+        |       TRUE AS battery_in_range, TRUE AS signal_in_range,
+        |       TRUE AS anomalies_present, TRUE AS anomaly_rate_bounded
+        |FROM (VALUES ('temperature', 'celsius'), ('humidity', 'percent'),
+        |             ('pressure', 'hPa')) AS t(sensor_type, unit)"""
+        .stripMargin,
+
     // Payload bytes are the documents' UTF-8 text, so byte-prefix sniffs
     // reduce to string prefixes (0x89/0xff can never begin valid UTF-8).
     // coalesce(text,'') mirrors fromDocuments' NULL ≡ empty-payload contract.
@@ -2643,13 +2801,58 @@ object SparkEntry {
         |            ELSE 'unknown' END AS sniffed_format
         |FROM documents""".stripMargin,
 
-    // ByteHistogramExtractor twin: bin j of a byte is its upper nibble,
-    // which in hex(payload) is the character at odd positions — so the
-    // histogram is a per-hex-digit count over those characters. REAL casts
-    // reproduce the extractor's float32 division exactly (both engines do
-    // IEEE-754 single-precision divide; the double output is then the
-    // exact widening on both sides — bit-for-bit, no rounding).
+    // Shared pixel-formula CTEs for the real-decode twins: the synthetic
+    // PNGs' pixels are a pure modular formula of (doc_id, x, y) and PNG is
+    // lossless, so DuckDB reconstructs exactly what ImageIO decodes —
+    // without ever seeing the bytes. Sequential unnests (xs then px) build
+    // the w×h grid per document.
+    "mm_decode" ->
+      s"""WITH $pngPixelCtesSql
+         |SELECT doc_id AS media_id, TRUE AS decoded,
+         |       CAST(max(w) AS INT) AS width_px,
+         |       CAST(max(h) AS INT) AS height_px,
+         |       CAST(max(w) * max(h) AS BIGINT) AS n_px,
+         |       CAST(sum(r) AS BIGINT) AS r_sum,
+         |       CAST(sum(g) AS BIGINT) AS g_sum,
+         |       CAST(sum(b) AS BIGINT) AS b_sum,
+         |       round(CAST(sum(r) AS DOUBLE) / (max(w) * max(h)), 6) AS r_mean,
+         |       round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 6) AS g_mean,
+         |       round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 6) AS b_mean
+         |FROM ch GROUP BY doc_id""".stripMargin,
+
+    // ImageLumaExtractor twin: 16-bin histogram of integer luminance
+    // (r+g+b)//3 over the decoded pixels, L1-normalized with float32
+    // division (REAL casts — both engines IEEE single-precision, then
+    // exact double widening).
     "mm_features" -> {
+      val bins = (0 until 16).map { j =>
+        s"""CAST(CAST(sum(CASE WHEN (r + g + b) // 3 // 16 = $j
+           |  THEN 1 ELSE 0 END) AS REAL)
+           |  / CAST(max(w) * max(h) AS REAL) AS DOUBLE) AS f$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $pngPixelCtesSql
+         |SELECT doc_id AS media_id,
+         |$bins
+         |FROM ch GROUP BY doc_id""".stripMargin
+    },
+
+    // pngHeaderDims twin: the Spark side parses IHDR width/height out of
+    // the REAL encoded bytes; the oracle knows only the formula dims —
+    // a hash match proves the payloads are genuine PNGs of those dims.
+    "mm_png_header" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8 + doc_id % 9 AS INT) AS width_px,
+        |       CAST(8 + (doc_id // 9) % 9 AS INT) AS height_px
+        |FROM documents""".stripMargin,
+
+    // ByteHistogramExtractor twin (the no-codec fallback): bin j of a byte
+    // is its upper nibble, which in hex(payload) is the character at odd
+    // positions — so the histogram is a per-hex-digit count over those
+    // characters. REAL casts reproduce the extractor's float32 division
+    // exactly (both engines do IEEE-754 single-precision divide; the
+    // double output is then the exact widening on both sides —
+    // bit-for-bit, no rounding).
+    "mm_features_bytes" -> {
       val bins = "0123456789ABCDEF".zipWithIndex.map { case (c, j) =>
         s"""CAST(CAST(len(list_filter(hi, c -> c = '$c')) AS REAL)
            |  / CAST(greatest(n, 1) AS REAL) AS DOUBLE) AS f$j""".stripMargin

@@ -483,3 +483,76 @@ object NgramProfileCounts {
     Bridge.column(NgramProfileCounts(
       Bridge.expression(coalesce(str, lit(""))), n, profiles))
 }
+
+/** Hashed-feature linear score over a gram-hash array, natively: element h
+  * contributes `weights[h mod weights.length]` to a long sum — the
+  * fastText-style "hashing trick" inner product (features are hashed gram
+  * buckets, the model is one weight per bucket; Joulin et al. 2016,
+  * arXiv:1607.01759) as ONE codegen'd loop with integer arithmetic.
+  *
+  * Composes with [[HashArray]] (also codegen'd), so the whole
+  * tokens→grams→hashes→score chain is a single whole-stage-codegen map —
+  * no explode, no shuffle, no interpreted lambda per gram. Integer weights
+  * keep the sum exact (no float accumulation order), so the score is
+  * bit-stable under any partitioning and the DuckDB twin matches from the
+  * same modular formula.
+  *
+  * Null elements are skipped (explode-and-sum semantics); an empty or
+  * all-null array scores 0.
+  */
+case class BucketWeightSum(child: Expression, weights: Seq[Int])
+    extends UnaryExpression {
+
+  require(weights.nonEmpty, "bucket weight table must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_weight_sum expects array<bigint>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val table: Array[Int] = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BucketWeightSum.score(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val tableRef = ctx.addReferenceObj("weights", table, "int[]")
+      val helper = "graft.functions.BucketWeightSum$.MODULE$"
+      s"${ev.value} = $helper.score($arr, $tableRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
+    copy(child = newChild)
+}
+
+object BucketWeightSum {
+
+  def score(arr: ArrayData, table: Array[Int]): Long = {
+    var acc = 0L
+    val n = arr.numElements()
+    val d = table.length
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // Gram hashes are 60-bit (always >= 0), so % == pmod here.
+        acc += table((arr.getLong(i) % d).toInt)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  // NULL array ≡ score 0 (NULL text must not null the document's score).
+  def bucketWeightSum(hashes: Column, weights: Seq[Int]): Column =
+    Bridge.column(BucketWeightSum(Bridge.expression(
+      coalesce(hashes, typedlit(Array.empty[Long]))), weights))
+}

@@ -115,10 +115,21 @@ object Sinks {
       .start()
   }
 
-  /** K5 stream half: mailable alerts → notifier. The collect() is bounded
-    * by design: alerts are ~0.9 % of readings (SURVEY §6) and already
-    * severity-filtered; this is the one deliberate driver-side hop in the
-    * engine.
+  /** Hard cap on driver-side email materialization per micro-batch. Alerts
+    * are ~0.9 % of readings (SURVEY §6) and severity-filtered, so a normal
+    * batch is far below this; the cap exists for the abnormal one — a
+    * threshold misconfig turning every reading into an alert would
+    * otherwise `collect()` the whole batch onto the driver. Past the cap
+    * the overflow is counted and logged loudly, not mailed: an operator
+    * drowning in 10k emails learns less than one reading "capped, 9900
+    * dropped".
+    */
+  val MaxEmailsPerBatch = 100
+
+  /** K5 stream half: mailable alerts → notifier. The collect() is the one
+    * deliberate driver-side hop in the engine, and it is BOUNDED: at most
+    * [[MaxEmailsPerBatch]] rows cross to the driver regardless of batch
+    * size (limit runs on the executors before the collect).
     */
   def notifierSink(
       mailableAlerts: DataFrame,
@@ -134,8 +145,16 @@ object Sinks {
       .option("checkpointLocation", cp)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         if (nonEmpty(df, batchId, "mailable alerts")) {
-          df.collect().foreach { row: Row =>
+          val sent = df.limit(MaxEmailsPerBatch).collect()
+          sent.foreach { row: Row =>
             notifier.send(AlertEmail.fromAlertRow(row, recipient))
+          }
+          if (sent.length == MaxEmailsPerBatch) {
+            val total = df.count()
+            if (total > MaxEmailsPerBatch)
+              log(s"[batch $batchId] ALERT STORM: $total mailable alerts, " +
+                s"capped at $MaxEmailsPerBatch emails, " +
+                s"${total - MaxEmailsPerBatch} dropped")
           }
         }
       }

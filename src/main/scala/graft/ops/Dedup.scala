@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale corpus curation: exact,
@@ -195,6 +196,71 @@ object Dedup {
     docs.groupBy(sha2(col("text"), 256).alias("content_hash"))
       .agg(min(col("doc_id")).alias("keeper_id"),
         count(lit(1)).alias("n_copies"))
+
+  /** Shingle length (in word tokens) for span-level exact-substring
+    * dedup — the distributed counterpart of suffix-array substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, which uses a 50-BPE-token threshold; 5
+    * word tokens is the small-corpus analogue, and the parameter is free).
+    */
+  val SubstringShingleLen = 5
+
+  /** Span-level EXACT-substring dedup: token spans that appear verbatim in
+    * more than one document — the dedup family doc-level MinHash/SimHash
+    * cannot see (a unique page quoting a duplicated paragraph is a
+    * NEAR-unique document with an exact duplicated SPAN).
+    *
+    * Distributed shape (no suffix array; suffix arrays don't shard):
+    *   1. every L-token shingle of every document, hashed to 60 bits with
+    *      its token offset — a pure codegen'd map ([[hashArray60]] over
+    *      the rolling-join shingle strings), nothing wide shuffles;
+    *   2. shingle hashes held by ≥ 2 DISTINCT documents (two-stage
+    *      aggregate: (hash, doc) dedup partial-aggregates map-side, then
+    *      a count per hash — never a hot single reducer);
+    *   3. join back on the hash (equi-join; a boilerplate shingle shared
+    *      by millions of docs is exactly the skew AQE's skew-join split
+    *      handles — same posture as [[incrementalPairs]]);
+    *   4. merge ADJACENT duplicated offsets per document into maximal
+    *      spans (gaps-and-islands: offset − row_number is constant within
+    *      a run; the window partitions by doc, bounded by doc length).
+    *
+    * Emits one row per maximal duplicated span: token coordinates
+    * [span_start, span_end] (0-based, inclusive), width in tokens, and the
+    * shingle count that merged into it. Span width ≥ L by construction;
+    * wider spans mean longer verbatim duplication.
+    */
+  def substringSpans(
+      docs: DataFrame,
+      shingleLen: Int = SubstringShingleLen): DataFrame = {
+    val L = shingleLen
+    // Shingle strings via slice/join, hashed natively: one in-row array op
+    // per document, then posexplode carries (offset, hash) only — the
+    // document text never leaves the map stage.
+    val shingleStrs = when(size(col("t")) >= L,
+        transform(sequence(lit(0), size(col("t")) - L),
+          i => array_join(slice(col("t"), i + 1, lit(L)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).alias("t"))
+      .select(col("doc_id"),
+        posexplode(hashArray60(shingleStrs)).as(Seq("off", "h")))
+    // Cross-document duplicated hashes: (h, doc) first so the per-hash
+    // count is a count of PRE-AGGREGATED rows, not raw occurrences.
+    val dup = sh.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).alias("n_docs"))
+      .where(col("n_docs") > 1)
+    val islands = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    sh.join(dup, "h")
+      .select(col("doc_id"), col("off"))
+      .withColumn("grp", col("off") - row_number().over(islands))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("off")).alias("span_start"),
+        (max(col("off")) + (L - 1)).alias("span_end"),
+        count(lit(1)).alias("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).alias("span_tokens"),
+        col("n_shingles"))
+  }
 
   /** MinHash/LSH near-duplicate candidate pairs with their estimated
     * Jaccard (fraction of agreeing signature positions), `estSim ≥

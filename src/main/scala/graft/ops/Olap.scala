@@ -354,7 +354,12 @@ object Olap {
       .crossJoin(broadcast(total))
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
         col("n_b"),
-        round(col("n_both") * col("n_users") / (col("n_a") * col("n_b")), 6)
+        // Both products promote to double BEFORE multiplying: long×long
+        // n_both·n_users (or n_a·n_b) wraps silently past 2^63 in Spark
+        // while the oracle's BIGINT raises — the engines would diverge
+        // instead of failing loudly at extreme user counts.
+        round(col("n_both").cast("double") * col("n_users") /
+          (col("n_a").cast("double") * col("n_b")), 6)
           .alias("lift"))
   }
 

@@ -281,8 +281,11 @@ object Profile {
     * everything after runs on the cell table, which is bounded by
     * |dom(a)|·|dom(b)| — categorical vocabularies, not data size — with
     * the marginals as windows over that tiny table (see [[chiSquareBase]]).
-    * Expected counts derive from exact longs in one double expression, so
-    * the report is bit-stable across engines and partitionings.
+    * Expected counts promote one marginal to double BEFORE the product:
+    * a long×long `row_total*col_total` overflows silently past 2^63 while
+    * the oracle's BIGINT raises, so the engines would diverge instead of
+    * failing loudly. Null categories are excluded up front, so dof counts
+    * exactly the groups the cell sum ranges over.
     */
   /** Shared cell table: (a, b, observed, row/col/grand totals) with the
     * marginals as windows OVER THE CELL TABLE — the facts aggregate once
@@ -295,7 +298,8 @@ object Profile {
     * data size.
     */
   private def chiSquareBase(df: DataFrame, a: Column, b: Column): DataFrame =
-    df.groupBy(a.alias("a"), b.alias("b"))
+    df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.alias("a"), b.alias("b"))
       .agg(count(lit(1)).alias("observed"))
       .select(col("a"), col("b"), col("observed"),
         sum(col("observed")).over(Window.partitionBy(col("a")))
@@ -306,7 +310,8 @@ object Profile {
           .alias("n_total"))
 
   private def expectedCol: Column =
-    col("row_total") * col("col_total") / col("n_total").cast("double")
+    col("row_total").cast("double") * col("col_total") /
+      col("n_total").cast("double")
 
   def chiSquareCells(df: DataFrame, a: Column, b: Column): DataFrame =
     chiSquareBase(df, a, b)

@@ -326,6 +326,48 @@ object TextAnalysis {
       reason.alias("reject_reason"))
   }
 
+  /** Quality-classifier scoring dimension and weight table — the
+    * fastText-style hashing trick (Joulin et al. 2016, arXiv:1607.01759):
+    * each unigram/bigram hashes to one of [[QualityScoreDim]] buckets and
+    * the model is one INTEGER weight per bucket, so the per-document sum
+    * is exact under any partitioning. In production the weights come from
+    * training; this fixed deterministic table (every residue class of 17,
+    * centered on 0) keeps the operator oracle-checkable — swapping in
+    * trained weights changes only this Seq. Shared verbatim with the
+    * DuckDB twin via the same modular formula.
+    */
+  val QualityScoreDim = 64
+  val QualityScoreWeights: Seq[Int] =
+    (0 until QualityScoreDim).map(j => ((j.toLong * 1315423911L) % 17 - 8).toInt)
+
+  /** fastText-style quality score per document: unigram + word-bigram
+    * features → 60-bit hash → bucket weight → mean → logistic. The whole
+    * chain (tokens, bigrams, hashes, weighted sum) is native codegen'd
+    * kernels ([[graft.functions.Bigrams]], [[graft.functions.HashArray]],
+    * [[graft.functions.BucketWeightSum]]) in ONE whole-stage-codegen map —
+    * no explode, no shuffle, no driver state; at 100 TB this scores at
+    * scan speed. `raw_score` is an exact long (bit-checkable); the
+    * logistic output is rounded once at the end.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        concat(toks, Dedup.bigramsOf(toks)).alias("grams"))
+      .select(col("doc_id"), col("grams"),
+        graft.functions.BucketWeightSum.bucketWeightSum(
+          Dedup.hashArray60(col("grams")), QualityScoreWeights)
+          .alias("raw_score"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).alias("n_grams"),
+        col("raw_score"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("raw_score").cast("double") /
+            (greatest(size(col("grams")), lit(1)) * 8.0)))), 6)
+          .alias("quality_score"))
+  }
+
   /** Every curation signal — gate verdict, predicted language, token
     * counts — in ONE staged projection over a single corpus scan: the
     * fused form of [[qualityGate]] + [[langId]] + [[tokenCounts]] for
@@ -610,11 +652,14 @@ object TextAnalysis {
   /** Oracle-checkable audit of [[termCountsCms]]: per (language, watched
     * term), the exact count plus two pinned booleans — `not_below`
     * (estimate ≥ exact: a CMS theorem, counters never under-count) and
-    * `within_tol` (estimate ≤ exact + ⌈(e/width)·N_lang⌉: the standard
-    * ε·N band, N_lang = the language's total token count). CMS estimates
-    * are deterministic functions of the value multiset, so both booleans
-    * are stable and the oracle pins them to TRUE — the same
-    * bounded-error-contract upgrade as termStatsAudit. Join cost: three
+    * `within_tol` (estimate ≤ exact + 2·⌈(e/width)·N_lang⌉). The ε·N
+    * band is a PROBABILISTIC guarantee — it holds per counter with
+    * probability 1−e^−depth (≈99.3%), not always — so the audit doubles
+    * it: a flip of the doubled band on some future corpus/seed means the
+    * sketch width needs re-tuning for that data, not that the sketch is
+    * wrong. CMS estimates are deterministic functions of the value
+    * multiset, so both booleans are stable and the oracle pins them to
+    * TRUE — the same bounded-error-contract upgrade as termStatsAudit. Join cost: three
     * tiny aggregate tables (langs × watch-list, langs × vocab filtered to
     * the watch list, langs), never the corpus.
     */
@@ -642,7 +687,7 @@ object TextAnalysis {
         (col("count_est") >= coalesce(col("term_count"), lit(0L)))
           .alias("not_below"),
         (col("count_est") <= coalesce(col("term_count"), lit(0L)) +
-          ceil(col("n_toks") * eps)).alias("within_tol"))
+          lit(2L) * ceil(col("n_toks") * eps)).alias("within_tol"))
   }
 
   /** Canonical text normalization: lowercase, trim, collapse every

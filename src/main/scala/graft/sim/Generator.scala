@@ -152,6 +152,61 @@ object Generator {
     readingsFrom(ids, seed)
   }
 
+  /** Oracle-checkable audit of [[batch]] — the same bounded-contract
+    * upgrade as the sketch `_audit` queries: the generator's output is
+    * hash-seeded (no DuckDB twin can reproduce xxhash64 draws), but its
+    * CONTRACT is exact and pinnable. Per sensor type: the row count
+    * (`n % 3` split is exact), the 8-sensor fan-out, the unit string, and
+    * five pinned booleans — values inside the documented anomaly envelope
+    * (sensor_simulator.py:51-98 bounds), battery ∈ [5,100] / signal ∈
+    * [-90,-40] (:32-47), anomalies present, and the anomaly rate under 1 %
+    * (nominal-envelope exits; injection draws at 0.4-0.5 %). Deterministic
+    * for a fixed (seed, n), so the oracle pins every boolean TRUE and the
+    * exact counts as literals: a generator regression (envelope drift,
+    * broken anomaly branch, wrong unit map) flips a hash-checked bit.
+    */
+  def batchAudit(
+      spark: SparkSession,
+      n: Long,
+      seed: Long = 42L): DataFrame = {
+    val r = batch(spark, n, seed)
+    // (nominal lo/hi, hard envelope lo/hi) per type: nominal = baseline ±
+    // amplitude ± noise; envelope = the extreme anomaly draw bounds.
+    val bounds = Map(
+      "temperature" -> (18.0, 27.0, 10.0, 35.0),
+      "humidity"    -> (36.0, 59.0, 15.0, 85.0),
+      "pressure"    -> (1007.5, 1022.5, 950.0, 1060.0))
+    def perType(f: ((Double, Double, Double, Double)) => Column): Column =
+      bounds.foldLeft(lit(null).cast("double")) { case (acc, (t, b)) =>
+        when(col("sensor_type") === t, f(b)).otherwise(acc)
+      }
+    val nomLo = perType { case (lo, _, _, _) => lit(lo) }
+    val nomHi = perType { case (_, hi, _, _) => lit(hi) }
+    val envLo = perType { case (_, _, lo, _) => lit(lo) }
+    val envHi = perType { case (_, _, _, hi) => lit(hi) }
+    r.select(col("sensor_type"), col("sensor_id"), col("value"),
+        col("unit"), col("battery_level"), col("signal_strength"),
+        (col("value") < nomLo || col("value") > nomHi).cast("long")
+          .alias("is_anomalous"),
+        (col("value") >= envLo && col("value") <= envHi).cast("long")
+          .alias("in_envelope"))
+      .groupBy(col("sensor_type"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        countDistinct(col("sensor_id")).alias("n_sensors"),
+        min(col("unit")).alias("unit"),
+        (min(col("unit")) === max(col("unit"))).alias("unit_uniform"),
+        (sum(col("in_envelope")) === count(lit(1)))
+          .alias("vals_in_envelope"),
+        (min(col("battery_level")) >= 5 && max(col("battery_level")) <= 100)
+          .alias("battery_in_range"),
+        (min(col("signal_strength")) >= -90 &&
+          max(col("signal_strength")) <= -40).alias("signal_in_range"),
+        (sum(col("is_anomalous")) > 0).alias("anomalies_present"),
+        (sum(col("is_anomalous")) < count(lit(1)) * 0.01)
+          .alias("anomaly_rate_bounded"))
+  }
+
   /** Streaming twin over the rate source: rowsPerSecond readings/s with the
     * rate source's event time. Feed `Parse.readingsToJson(...)` into a
     * Kafka sink to reproduce the reference's producer loop end-to-end.

@@ -179,6 +179,23 @@ class PlanEvidenceSpec extends SparkSpec {
       s"snapshot split predicate not pushed into a scan:\n$plan")
   }
 
+  test("dedup_substring_spans: shingle-hash equi-join, never a product; text dies at the map stage") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("dedup_substring_spans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"substring spans plan a $bad:\n$plan")
+    // Only (doc_id, text) leave the scan — and text never reaches an
+    // exchange: the shuffles carry (doc_id, off, h) / island keys only.
+    val scan = plan.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("documents"))
+      .getOrElse(plan.linesIterator.find(_.contains("ReadSchema")).get)
+    assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"document text crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)

@@ -479,6 +479,34 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mail notifier caps driver materialization during an alert storm") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val notifier = new InMemoryNotifier
+    val pipeline = new Pipeline(spark, cfg, notifier)
+    val mailable = pipeline.mailableFrame(input.toDF())
+    val query = Sinks.notifierSink(mailable, cfg, notifier,
+      Files.createTempDirectory("graft-mail-storm").toString)
+    try {
+      // Every row mailable — the misconfigured-threshold scenario where an
+      // uncapped collect() would pull the whole batch onto the driver.
+      val storm = (1 to Sinks.MaxEmailsPerBatch * 2).map { i =>
+        s"""{"sensor_id":"A_1_$i","sensor_type":"temperature",
+           |"timestamp":"2026-01-01T12:00:00.000000",
+           |"location":{"building":"A","floor":1,"room":$i},
+           |"metadata":{"battery_level":87,"signal_strength":-55},
+           |"alert_type":"temperature_critical","severity":"critical",
+           |"threshold_value":30,"actual_value":32.5,
+           |"message":"Température CRITIQUE (>30°C ou <15°C)",
+           |"triggered_at":"2026-01-01T12:00:00.000000","status":"active"}"""
+          .stripMargin.replace("\n", "")
+      }
+      input.addData(storm)
+      query.processAllAvailable()
+      assert(notifier.emails.length === Sinks.MaxEmailsPerBatch)
+    } finally query.stop()
+  }
+
   test("streaming windowed distinct: HLL state merges across batches, append on watermark") {
     import graft.ops.Aggregates
     import spark.implicits._

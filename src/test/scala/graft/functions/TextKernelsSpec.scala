@@ -144,12 +144,47 @@ class TextKernelsSpec extends SparkSpec {
     assert(empty.length === 3 && empty.forall(_ == null))
   }
 
-  test("all three participate in whole-stage codegen") {
+  test("BucketWeightSum matches the transform/aggregate chain") {
+    val weights = graft.ops.TextAnalysis.QualityScoreWeights
+    val d = weights.length
+    val hashed = rangeDocs.select(
+      monotonically_increasing_id().alias("doc_id"),
+      Dedup.hashArray60(Dedup.tokens(col("text"))).alias("hs"))
+      .localCheckpoint()
+    val native = hashed.select(col("doc_id"),
+      BucketWeightSum.bucketWeightSum(col("hs"), weights).alias("s"))
+    val wlit = array(weights.map(w => lit(w.toLong)): _*)
+    val legacy = hashed.select(col("doc_id"),
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + element_at(wlit, pmod(h, lit(d)).cast("int") + 1))
+        .alias("s"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l = legacy.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === l)
+  }
+
+  test("BucketWeightSum: empty and null arrays score 0; null elements skipped") {
+    val out = spark.range(1).select(
+      BucketWeightSum.bucketWeightSum(
+        array().cast("array<long>"), Seq(5)).alias("a"),
+      BucketWeightSum.bucketWeightSum(
+        lit(null).cast("array<long>"), Seq(5)).alias("b"),
+      BucketWeightSum.bucketWeightSum(
+        array(lit(3L), lit(null).cast("long")), Seq(5)).alias("c"))
+      .collect().head
+    assert(out.getLong(0) === 0L && out.getLong(1) === 0L)
+    assert(out.getLong(2) === 5L)
+  }
+
+  test("all four participate in whole-stage codegen") {
     val plan = rangeDocs.select(
       SimhashVote.simhashVote(
         Dedup.hashArray60(Dedup.tokens(col("text")))).alias("s"),
       Bigrams.wordBigrams(Dedup.tokens(col("text"))).alias("b"),
-      CharNgrams.charNgrams(col("text")).alias("c"))
+      CharNgrams.charNgrams(col("text")).alias("c"),
+      BucketWeightSum.bucketWeightSum(
+        Dedup.hashArray60(Dedup.tokens(col("text"))),
+        graft.ops.TextAnalysis.QualityScoreWeights).alias("q"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"))
   }

@@ -17,6 +17,36 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((3L, 2L), (7L, 1L)))
   }
 
+  test("substringSpans merges adjacent duplicated shingles into maximal spans") {
+    // Docs 1 and 2 share the verbatim 7-token run "one two three four five
+    // six seven" (at offsets 0 and 2 respectively); doc 3 is disjoint.
+    // L=3 → duplicated shingle offsets are consecutive → ONE span each.
+    val d = docs(
+      (1L, "one two three four five six seven tail1 tail2"),
+      (2L, "pre1 pre2 one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+    val out = Dedup.substringSpans(d, shingleLen = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    // 7 shared tokens → 5 shingles of length 3; span covers tokens
+    // [0,6] in doc 1 and [2,8] in doc 2.
+    assert(out === Set((1L, 0, 6, 7, 5L), (2L, 2, 8, 7, 5L)))
+  }
+
+  test("substringSpans: within-doc repeats alone don't mark spans; gaps split") {
+    // Doc 1 repeats its own trigram but no OTHER doc has it → no span.
+    val solo = Dedup.substringSpans(
+      docs((1L, "x y z x y z"), (2L, "totally different words here")),
+      shingleLen = 3)
+    assert(solo.count() === 0)
+    // Two separated shared runs → two distinct spans per doc.
+    val twoRuns = Dedup.substringSpans(docs(
+      (1L, "a b c GAP1 GAP2 d e f"),
+      (2L, "a b c OTHER1 OTHER2 d e f")), shingleLen = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(twoRuns === Set((1L, 0, 2), (1L, 5, 7), (2L, 0, 2), (2L, 5, 7)))
+  }
+
   test("content-hash groups equal exact groups and produces stable sha-256") {
     val out = Dedup.contentHash(docs((1L, "same text"), (2L, "same text")))
       .collect()

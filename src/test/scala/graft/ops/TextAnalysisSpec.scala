@@ -285,4 +285,36 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getBoolean(4), s"within_tol must hold: $r")
     }
   }
+
+  test("qualityScore: hand-computed hashed-gram linear score") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = docs((1L, "good clean text"), (2L, ""), (3L, null))
+    val out = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // Doc 1: grams = [good, clean, text, "good clean", "clean text"].
+    val grams = Seq("good", "clean", "text", "good clean", "clean text")
+    val expected = grams.map { g =>
+      val h = graft.functions.HashArray.hash60(UTF8String.fromString(g), -1L)
+      TextAnalysis.QualityScoreWeights(
+        (h % TextAnalysis.QualityScoreDim).toInt).toLong
+    }.sum
+    assert(out(1L).getAs[Int]("n_grams") === 5)
+    assert(out(1L).getAs[Long]("raw_score") === expected)
+    val sig = 1.0 / (1.0 + math.exp(-(expected.toDouble / (5 * 8.0))))
+    assert(out(1L).getAs[Double]("quality_score") ===
+      BigDecimal(sig).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Empty and NULL text: zero grams, neutral score 0.5, row kept.
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id).getAs[Int]("n_grams") === 0)
+      assert(out(id).getAs[Long]("raw_score") === 0L)
+      assert(out(id).getAs[Double]("quality_score") === 0.5)
+    }
+  }
+
+  test("qualityScore weight table covers every residue, centered on zero") {
+    val w = TextAnalysis.QualityScoreWeights
+    assert(w.length === TextAnalysis.QualityScoreDim)
+    assert(w.forall(x => x >= -8 && x <= 8))
+    assert(w.toSet.size === 17) // all 17 residues hit across 64 buckets
+  }
 }

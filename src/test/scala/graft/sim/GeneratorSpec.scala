@@ -59,6 +59,22 @@ class GeneratorSpec extends SparkSpec {
     assert(types >= 5, s"expected a spread of alert types, saw $types")
   }
 
+  test("batchAudit pins the generator contract: counts, units, envelopes") {
+    val audit = Generator.batchAudit(spark, 24000).collect()
+      .map(r => r.getAs[String]("sensor_type") -> r).toMap
+    assert(audit.keySet === Set("temperature", "humidity", "pressure"))
+    val units = Map("temperature" -> "celsius", "humidity" -> "percent",
+      "pressure" -> "hPa")
+    for ((t, r) <- audit) {
+      assert(r.getAs[Long]("n_rows") === 8000L)
+      assert(r.getAs[Long]("n_sensors") === 8L)
+      assert(r.getAs[String]("unit") === units(t))
+      for (b <- Seq("unit_uniform", "vals_in_envelope", "battery_in_range",
+          "signal_in_range", "anomalies_present", "anomaly_rate_bounded"))
+        assert(r.getAs[Boolean](b), s"$t.$b was false")
+    }
+  }
+
   test("generated JSON round-trips through the ingest parser") {
     val readings = Generator.batch(spark, 240)
     val parsed = Parse.jsonToReadings(Generator.jsonStream(readings))
