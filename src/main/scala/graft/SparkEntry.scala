@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -499,6 +499,106 @@ object SparkEntry {
   private val PackBudget = 2048
   private val PackBuckets = 8
 
+  // ─── DuckDB twins of ops/Bpe.scala ────────────────────────────────────
+  // Merge application replayed as space-delimited string replace: word →
+  // ' c h a r s ', each merge (a,b) → replace(' a b ', ' ab ') — replace's
+  // left-to-right non-overlapping scan IS BpeMerge.mergeOnce's semantics.
+
+  /** Chain of `replace` calls applying [[Bpe.FixedMerges]] in table order
+    * to a spaced symbol string. */
+  private def bpeReplaceChain(inner: String): String =
+    Bpe.FixedMerges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  /** Spaced code-point symbols of a word expression. */
+  private def bpeSpacedSql(wVar: String): String =
+    s"' ' || array_to_string(regexp_extract_all($wVar, '.'), ' ') || ' '"
+
+  /** Per-document lowercase `[a-z]+` word list (Bpe.words). */
+  private val bpeWordsSql =
+    "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')"
+
+  /** Encoded-symbol string of one word under the fixed table. */
+  private val bpeWordSymsSql = s"trim(${bpeReplaceChain(bpeSpacedSql("w"))})"
+
+  /** Per-document BPE token count under the fixed table (Bpe.tokenCounts):
+    * sum of per-word symbol counts, 0 for wordless documents. */
+  private val bpeTokensSql =
+    s"""CAST(list_reduce(list_prepend(0, list_transform($bpeWordsSql,
+       |    w -> len(string_split($bpeWordSymsSql, ' ')))),
+       |    (a, b) -> a + b) AS INT)""".stripMargin
+
+  /** Training replayed round by round: vocab{r} CTEs are MATERIALIZED —
+    * each is referenced twice (next round's pair count + next vocab), so
+    * inlining would expand the chain exponentially. Pair counts enumerate
+    * ALL adjacent positions via list index unnest; the argmax tiebreak
+    * (count desc, a, b) is binary-collation string order on both engines
+    * for the `[a-z]+` alphabet. */
+  private val bpeTrainChainSql = {
+    val head =
+      s"""WITH words AS (
+         |  SELECT lower(t.w) AS word, count(*) AS cnt
+         |  FROM documents d,
+         |       unnest(regexp_extract_all(lower(coalesce(d.text, '')),
+         |              '[a-z]+')) AS t(w)
+         |  GROUP BY 1
+         |), vocab0 AS MATERIALIZED (
+         |  SELECT word, cnt, ${bpeSpacedSql("word")} AS spaced
+         |  FROM words ORDER BY cnt DESC, word LIMIT ${Bpe.VocabCap}
+         |)""".stripMargin
+    val rounds = (1 to Bpe.NumMerges).map { r =>
+      val p = r - 1
+      s""", pl$r AS (
+         |  SELECT string_split(trim(spaced), ' ') AS l, cnt FROM vocab$p
+         |), pe$r AS (
+         |  SELECT unnest(generate_series(1, len(l) - 1)) AS i, l, cnt
+         |  FROM pl$r
+         |), best$r AS (
+         |  SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
+         |         sum(cnt) AS pc
+         |  FROM pe$r GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1
+         |), vocab$r AS MATERIALIZED (
+         |  SELECT word, cnt, replace(spaced,
+         |    ' ' || (SELECT a FROM best$r) || ' ' ||
+         |           (SELECT b FROM best$r) || ' ',
+         |    ' ' || (SELECT a FROM best$r) ||
+         |           (SELECT b FROM best$r) || ' ') AS spaced
+         |  FROM vocab$p
+         |)""".stripMargin
+    }.mkString
+    s"$head$rounds"
+  }
+
+  private val bpeTrainOracle = {
+    val sel = (1 to Bpe.NumMerges).map { r =>
+      s"""SELECT $r AS rank, (SELECT a FROM best$r) AS pair_a,
+         |  (SELECT b FROM best$r) AS pair_b,
+         |  (SELECT a || b FROM best$r) AS merged,
+         |  (SELECT CAST(pc AS BIGINT) FROM best$r) AS pair_count""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$bpeTrainChainSql\n$sel"
+  }
+
+  /** Trained-table encode twin: the training chain's learned pairs land in
+    * ONE `bests` row (a1..b${Bpe.NumMerges}); every document cross-joins
+    * that row and the replace chain references its columns from inside the
+    * per-word lambda — training AND encoding replayed in one statement. */
+  private val bpeTrainedTokensOracle = {
+    val bests = (1 to Bpe.NumMerges).map { r =>
+      s"(SELECT a FROM best$r) AS a$r, (SELECT b FROM best$r) AS b$r"
+    }.mkString(", bests AS MATERIALIZED (SELECT ", ",\n  ", ")")
+    val rep = (1 to Bpe.NumMerges).foldLeft(bpeSpacedSql("w")) { (acc, r) =>
+      s"replace($acc, ' ' || a$r || ' ' || b$r || ' ', ' ' || a$r || b$r || ' ')"
+    }
+    s"""$bpeTrainChainSql$bests
+       |SELECT doc_id,
+       |  CAST(list_reduce(list_prepend(0, list_transform($bpeWordsSql,
+       |    w -> len(string_split(trim($rep), ' ')))),
+       |    (x, y) -> x + y) AS INT) AS bpe_tokens
+       |FROM documents CROSS JOIN bests""".stripMargin
+  }
+
   // Chunking parameters shared with the oracle twin.
   private val ChunkSize = 64
   private val ChunkStride = 48
@@ -804,6 +904,19 @@ object SparkEntry {
     "decontaminate"       -> ((s, d) => decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
+    "corpus_bpe_train"    -> ((s, d) =>
+      Bpe.trainTable(s, StandIn.documents(s, d))),
+    "text_bpe_symbols"    -> ((s, d) =>
+      Bpe.encodeSymbols(StandIn.documents(s, d))),
+    "text_bpe_tokens"     -> ((s, d) =>
+      Bpe.tokenCounts(StandIn.documents(s, d))),
+    "text_bpe_tokens_trained" -> ((s, d) =>
+      Bpe.tokenCountsTrained(s, StandIn.documents(s, d))),
+    "corpus_mix_bpe"      -> ((s, d) =>
+      Bpe.mixEpochsBpe(StandIn.documents(s, d), MixTargets.toMap)),
+    "corpus_pack_bpe"     -> ((s, d) =>
+      Bpe.packByBpe(StandIn.documents(s, d), Bpe.FixedMerges,
+        PackBudget, PackBuckets)),
     "corpus_split"        -> ((s, d) => corpusSplit(s, d)),
     "corpus_shuffle"      -> ((s, d) => corpusShuffle(s, d)),
     "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
@@ -1422,6 +1535,84 @@ object SparkEntry {
          |         (PARTITION BY bucket ORDER BY doc_id) - ws_tokens)
          |         / ${PackBudget.toDouble}) AS INT) AS pack_id,
          |       ws_tokens
+         |FROM tc""".stripMargin,
+
+    // BPE training twin: the merge loop replayed in unrolled SQL (see
+    // bpeTrainOracle) — every learned (rank, pair, count) must match.
+    "corpus_bpe_train" -> bpeTrainOracle,
+
+    // Fixed-table encode twin: per word, chars → spaced string → the
+    // FixedMerges replace chain; symbols re-joined in document order.
+    "text_bpe_symbols" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform($bpeWordsSql,
+         |    w -> $bpeWordSymsSql), ' ') AS bpe_symbols
+         |FROM documents""".stripMargin,
+
+    // Count-only face of the same encode (BpeCount kernel).
+    "text_bpe_tokens" ->
+      s"SELECT doc_id, $bpeTokensSql AS bpe_tokens\nFROM documents",
+
+    // Train→encode twin: learned pairs + per-word replace chain in one
+    // statement (see bpeTrainedTokensOracle).
+    "text_bpe_tokens_trained" -> bpeTrainedTokensOracle,
+
+    // BPE-budget epoch mixing: corpus_mix's twin with the subword count
+    // as the budget unit.
+    "corpus_mix_bpe" -> {
+      val targetCase = MixTargets
+        .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+      s"""WITH $rawToksSql, btc AS (
+         |  SELECT doc_id, $bpeTokensSql AS bpe_tokens FROM documents
+         |), scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT s.doc_id, c.bpe_tokens,
+         |         CASE WHEN s.en_score = s.top AND s.top > 0 THEN 'en'
+         |              WHEN s.fr_score = s.top AND s.top > 0 THEN 'fr'
+         |              WHEN s.de_score = s.top AND s.top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best s JOIN btc c USING (doc_id)
+         |), totals AS (
+         |  SELECT predicted_lang, sum(bpe_tokens) AS lang_tokens
+         |  FROM langed GROUP BY predicted_lang
+         |), mixed AS (
+         |  SELECT l.doc_id, l.predicted_lang, l.bpe_tokens, t.lang_tokens,
+         |         CAST(CASE l.predicted_lang $targetCase ELSE 0 END AS BIGINT)
+         |           AS target,
+         |         ${hashSql(s"'${Curation.MixHashIndex}:'",
+                      "CAST(l.doc_id AS VARCHAR)")} % 10000 AS b
+         |  FROM langed l JOIN totals t USING (predicted_lang)
+         |)
+         |SELECT doc_id, predicted_lang, bpe_tokens,
+         |       CAST(CASE WHEN lang_tokens > 0 THEN
+         |         target // lang_tokens
+         |         + CASE WHEN b * lang_tokens <
+         |                     (target - (target // lang_tokens)
+         |                       * lang_tokens) * 10000
+         |                THEN 1 ELSE 0 END
+         |         ELSE 0 END AS INT) AS n_epochs
+         |FROM mixed""".stripMargin
+    },
+
+    // BPE-budget sequence packing: corpus_pack's twin with the subword
+    // count as the packed unit.
+    "corpus_pack_bpe" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, $bpeTokensSql AS bpe_tokens,
+         |    CAST(${hashSql("'0:'", "CAST(doc_id AS VARCHAR)")}
+         |         % $PackBuckets AS INT) AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, bucket,
+         |       CAST(floor((sum(bpe_tokens) OVER
+         |         (PARTITION BY bucket ORDER BY doc_id) - bpe_tokens)
+         |         / ${PackBudget.toDouble}) AS INT) AS pack_id,
+         |       bpe_tokens
          |FROM tc""".stripMargin,
 
     // Decontamination twin (Curation.contamination): same rare-gram

@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.functions.{BpeEncode, BpeMerge}
+
+/** Byte-pair-encoding tokenizer: training and token accounting (Sennrich
+  * et al. 2016, arXiv:1508.07909) — the BPE upgrade of the whitespace /
+  * `bpeish`-regex token budgets used across curation (reference token
+  * accounting: `data_agregator.py` counts records, not tokens; the LLM
+  * pipeline needs subword-exact budgets).
+  *
+  * Architecture, sized for 100 TB: training never iterates the corpus.
+  * ONE distributed pass computes word frequencies (the only corpus-scale
+  * stage — a map-side-combined groupBy of a few million distinct words at
+  * web scale); the merge loop then runs on the BOUNDED top-[[VocabCap]]
+  * frequency table on the driver — the same word-count-then-in-memory-loop
+  * shape production BPE trainers use, and the same bounded-collect
+  * discipline as the IVF/PQ quantizer training
+  * ([[Similarity]]: `require`-guarded sample, never the corpus). Encoding
+  * is a codegen'd per-row kernel ([[graft.functions.BpeEncode]]) with a
+  * Zipf-friendly per-thread word memo — no shuffle, no UDF.
+  *
+  * Merge semantics (shared with the DuckDB twins, which replay training
+  * with space-delimited string `replace`): pair counts sum over ALL
+  * adjacent symbol positions (`a a a` counts (a,a) twice); applying a
+  * merge rewrites non-overlapping occurrences left-to-right (`a a a` →
+  * `aa a`), exactly `replace(' a a a ', ' a a ', ' aa ')`. Ties break by
+  * (count desc, left asc, right asc) — binary string order, identical in
+  * Scala and DuckDB for the `[a-z]+` word alphabet.
+  */
+object Bpe {
+
+  /** Learned-merge cap: enough for the test corpus's 31-word vocabulary
+    * to grow multi-level merges without exhausting its ~115 possible
+    * pair-merge steps. */
+  val NumMerges = 16
+
+  /** Training vocabulary bound — the driver-side merge loop sees at most
+    * this many (word, count) rows. Production corpora raise it (HF
+    * tokenizers defaults are ~10⁵–10⁶ words; the loop is O(V·len) per
+    * round either way). */
+  val VocabCap = 300
+
+  /** Fixed merge table for the encode/accounting queries — decoupled from
+    * training so the oracle is a constant chain of `replace` calls, and
+    * multi-level (q→qu→quer→query) so chained merges are exercised. */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t", "o" -> "r",
+    "a" -> "t", "a" -> "r", "t" -> "h", "th" -> "e", "q" -> "u",
+    "qu" -> "er", "quer" -> "y", "j" -> "o", "jo" -> "in", "r" -> "ow",
+    "h" -> "a")
+
+  /** Lowercase `[a-z]+` word stream of a document — the training and
+    * encoding unit. A regexp extraction, not a split: punctuation and
+    * digits separate words without producing empty tokens, and the DuckDB
+    * twin (`regexp_extract_all(lower(text), '[a-z]+')`) is exact. */
+  def words(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(lower(coalesce(c, lit(""))), lit("[a-z]+"), lit(0))
+
+  /** Distributed word-frequency table — the one corpus-scale stage of
+    * training. Map-side combine does the heavy lifting: the shuffle
+    * carries (word, partial count), not text. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("cnt"))
+
+  /** One learned merge: 1-based rank, the pair, its concatenation, and the
+    * pair's corpus-weighted count when it won. */
+  final case class MergeRule(
+      rank: Int, a: String, b: String, merged: String, count: Long)
+
+  /** Train `numMerges` BPE merges over the top-`vocabCap` words.
+    *
+    * The collect is the bounded frequency table ONLY (`require`-guarded),
+    * never documents; `TakeOrderedAndProject` computes the top-V with
+    * map-side partial top-k, so the driver receives ≤ vocabCap rows no
+    * matter the corpus size. Training stops early (with fewer rules) only
+    * if the vocabulary runs out of adjacent pairs — callers that replay
+    * the loop in SQL (`corpus_bpe_train`'s twin) size numMerges below
+    * that bound. */
+  def train(
+      docs: DataFrame,
+      vocabCap: Int = VocabCap,
+      numMerges: Int = NumMerges): Seq[MergeRule] = {
+    require(vocabCap > 0, s"vocab cap must be positive, got $vocabCap")
+    require(numMerges > 0, s"merge count must be positive, got $numMerges")
+    val top = wordCounts(docs)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabCap)
+      .collect()
+    require(top.length <= vocabCap, "top-V collect exceeded its bound")
+
+    var vocab: Array[(Array[String], Long)] = top.map { r =>
+      (BpeMerge.codePointSymbols(r.getString(0)), r.getLong(1))
+    }
+    val rules = Seq.newBuilder[MergeRule]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = pc.minBy { case ((pa, pb), v) => (-v, pa, pb) }
+        rules += MergeRule(r + 1, a, b, a + b, cnt)
+        vocab = vocab.map { case (syms, c) =>
+          (BpeMerge.mergeOnce(syms, a, b), c)
+        }
+        r += 1
+      }
+    }
+    rules.result()
+  }
+
+  /** [[train]] as a DataFrame — the `corpus_bpe_train` query surface:
+    * `(rank, pair_a, pair_b, merged, pair_count)`, one row per learned
+    * merge in training order. */
+  def trainTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("pair_a", StringType, nullable = false),
+      StructField("pair_b", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    val rows = train(docs).map(m =>
+      Row(m.rank, m.a, m.b, m.merged, m.count))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Per-document BPE symbol stream under a fixed merge table, joined with
+    * single spaces — byte-exact encode evidence
+    * (`(doc_id, bpe_symbols)`); an empty/absent text encodes to `''`. */
+  def encodeSymbols(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = FixedMerges): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(BpeEncode.bpeEncode(words(col("text")), merges), " ")
+        .alias("bpe_symbols"))
+
+  /** Per-document BPE token count under a fixed merge table — the subword
+    * token-accounting signal (`(doc_id, bpe_tokens)`). Count-only kernel:
+    * the symbol array is never materialized. */
+  def tokenCounts(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = FixedMerges): DataFrame =
+    docs.select(col("doc_id"),
+      BpeEncode.bpeCount(words(col("text")), merges).alias("bpe_tokens"))
+
+  /** [[train]] → encode, end to end: token counts under the table learned
+    * from the SAME corpus — the corpus-adaptive accounting path (its twin
+    * replays training AND encoding in one SQL statement, pinning the whole
+    * loop cross-engine). */
+  def tokenCountsTrained(spark: SparkSession, docs: DataFrame): DataFrame =
+    tokenCounts(docs, train(docs).map(r => (r.a, r.b)))
+
+  /** Token-budget mixing on BPE budgets: [[Curation.mixEpochs]]' epoch
+    * arithmetic (whole epochs + exact integer fractional draw) with the
+    * subword count as the budget unit. Same shape: one signal scan, a
+    * broadcast of per-language totals; the text never shuffles. */
+  def mixEpochsBpe(
+      docs: DataFrame,
+      targetTokens: Map[String, Long],
+      merges: Seq[(String, String)] = FixedMerges): DataFrame = {
+    require(targetTokens.values.forall(_ >= 0), "targets must be ≥ 0")
+    val sig = TextAnalysis.curationSignals(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+      .join(tokenCounts(docs, merges), "doc_id")
+    val totals = sig.groupBy(col("predicted_lang"))
+      .agg(sum(col("bpe_tokens")).alias("lang_tokens"))
+    val target = targetTokens.foldRight(lit(0L)) { case ((l, t), rest) =>
+      when(col("predicted_lang") === l, lit(t)).otherwise(rest)
+    }
+    val bucket = pmod(
+      Dedup.hashAt(Curation.MixHashIndex, col("doc_id").cast("string")),
+      lit(10000L))
+    // Zero-token strata gate exactly as Curation.mixEpochs — see there.
+    sig.join(broadcast(totals), "predicted_lang")
+      .withColumn("target", target)
+      .withColumn("whole", expr("target div greatest(lang_tokens, 1)"))
+      .withColumn("rem", col("target") - col("whole") * col("lang_tokens"))
+      .select(
+        col("doc_id"), col("predicted_lang"), col("bpe_tokens"),
+        when(col("lang_tokens") > 0,
+          col("whole") +
+            when(bucket * col("lang_tokens") < col("rem") * 10000, 1L)
+              .otherwise(0L))
+          .otherwise(0L).cast("int").alias("n_epochs"))
+  }
+
+  /** Sequence packing on BPE budgets: [[Curation.packSequences]]' exact
+    * shape (hash-bucket, running sum, budget chop) with the subword count
+    * as the packed unit — what a context-window packer actually needs.
+    * Same 100 TB posture: the text never shuffles, only
+    * (doc_id, bucket, count) scalars enter the window sort. */
+  def packByBpe(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = FixedMerges,
+      budget: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val toks = tokenCounts(docs, merges)
+      .withColumn("bucket",
+        pmod(Dedup.hashAt(0, col("doc_id").cast("string")),
+          lit(buckets.toLong)).cast("int"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum", sum(col("bpe_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"),
+        floor((col("cum") - col("bpe_tokens")) / lit(budget.toDouble))
+          .cast("int").alias("pack_id"),
+        col("bpe_tokens"))
+  }
+}

@@ -196,6 +196,30 @@ class PlanEvidenceSpec extends SparkSpec {
       s"document text crosses a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("BPE encode/count: shuffle-free projection, kernel inside whole-stage codegen") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // Over a raw scan (no StandIn fan-out): encoding is a pure per-row
+    // kernel — at 100 TB it must plan as scan → project, nothing else.
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(graft.ops.Bpe.tokenCounts(raw),
+                   graft.ops.Bpe.encodeSymbols(raw))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"BPE projection shuffles:\n$plan")
+      // Codegen stages print as `*(n) Project ...` in executedPlan toString.
+      assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+        s"BPE kernel fell out of codegen:\n$plan")
+      val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+        .getOrElse(fail(s"no scan in plan:\n$plan"))
+      assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    }
+    // packByBpe adds exactly the per-bucket window sort — ONE exchange,
+    // carrying (doc_id, bucket, count) scalars, never the text.
+    val pack = graft.ops.Bpe.packByBpe(raw).queryExecution.executedPlan.toString
+    val exchanges = pack.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && !exchanges.head.contains("text#"),
+      s"packByBpe exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)
