@@ -522,6 +522,9 @@ object SparkEntry {
   /** Encoded-symbol string of one word under the fixed table. */
   private val bpeWordSymsSql = s"trim(${bpeReplaceChain(bpeSpacedSql("w"))})"
 
+  /** BPE chunk budget shared with the corpus_chunk_bpe twin. */
+  private val ChunkBpeBudget = 64
+
   /** Per-document BPE token count under the fixed table (Bpe.tokenCounts):
     * sum of per-word symbol counts, 0 for wordless documents. */
   private val bpeTokensSql =
@@ -906,6 +909,8 @@ object SparkEntry {
     "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
     "corpus_bpe_train"    -> ((s, d) =>
       Bpe.trainTable(s, StandIn.documents(s, d))),
+    "corpus_bpe_train_dist" -> ((s, d) =>
+      Bpe.trainTableDistributed(s, StandIn.documents(s, d))),
     "text_bpe_symbols"    -> ((s, d) =>
       Bpe.encodeSymbols(StandIn.documents(s, d))),
     "text_bpe_tokens"     -> ((s, d) =>
@@ -917,6 +922,9 @@ object SparkEntry {
     "corpus_pack_bpe"     -> ((s, d) =>
       Bpe.packByBpe(StandIn.documents(s, d), Bpe.FixedMerges,
         PackBudget, PackBuckets)),
+    "corpus_chunk_bpe"    -> ((s, d) =>
+      Bpe.chunkByBpe(StandIn.documents(s, d), Bpe.FixedMerges,
+        ChunkBpeBudget)),
     "corpus_split"        -> ((s, d) => corpusSplit(s, d)),
     "corpus_shuffle"      -> ((s, d) => corpusShuffle(s, d)),
     "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
@@ -1541,6 +1549,10 @@ object SparkEntry {
     // bpeTrainOracle) — every learned (rank, pair, count) must match.
     "corpus_bpe_train" -> bpeTrainOracle,
 
+    // The DISTRIBUTED trainer (Materialize-loop over a vocab DataFrame)
+    // checks against the SAME oracle — the two architectures cannot drift.
+    "corpus_bpe_train_dist" -> bpeTrainOracle,
+
     // Fixed-table encode twin: per word, chars → spaced string → the
     // FixedMerges replace chain; symbols re-joined in document order.
     "text_bpe_symbols" ->
@@ -1598,6 +1610,33 @@ object SparkEntry {
          |         ELSE 0 END AS INT) AS n_epochs
          |FROM mixed""".stripMargin
     },
+
+    // Budget-quantized chunking twin: per word, BPE count → running sum →
+    // floor(cum_before/budget) group; chunk text re-joined in word order.
+    // (The Spark side computes the identical grouping inside ONE row —
+    // functions/BpeChunks — this window formulation is the oracle's.)
+    "corpus_chunk_bpe" ->
+      s"""WITH wl AS (
+         |  SELECT doc_id, $bpeWordsSql AS l FROM documents
+         |), wi AS (
+         |  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM wl
+         |), wc AS (
+         |  SELECT doc_id, i, l[CAST(i AS INT)] AS word,
+         |         len(string_split(
+         |           trim(${bpeReplaceChain(bpeSpacedSql("l[CAST(i AS INT)]"))}),
+         |           ' ')) AS c
+         |  FROM wi
+         |), cums AS (
+         |  SELECT doc_id, i, word, c,
+         |         sum(c) OVER (PARTITION BY doc_id ORDER BY i) - c AS cum0
+         |  FROM wc
+         |)
+         |SELECT doc_id,
+         |       CAST(cum0 // $ChunkBpeBudget AS INT) AS chunk_id,
+         |       CAST(sum(c) AS INT) AS n_chunk_bpe,
+         |       string_agg(word, ' ' ORDER BY i) AS chunk_text
+         |FROM cums
+         |GROUP BY doc_id, cum0 // $ChunkBpeBudget""".stripMargin,
 
     // BPE-budget sequence packing: corpus_pack's twin with the subword
     // count as the packed unit.

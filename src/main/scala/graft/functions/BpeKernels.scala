@@ -130,7 +130,9 @@ object BpeEncode {
       new java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[UTF8String]]]()
   }
 
-  def encode(toks: ArrayData, merges: Array[(String, String)]): GenericArrayData = {
+  /** The thread's memo for one merge table (creating it on first use). */
+  private[functions] def tableCache(
+      merges: Array[(String, String)]): java.util.HashMap[String, Array[UTF8String]] = {
     val perTable = caches.get()
     var cache = perTable.get(merges)
     if (cache == null) {
@@ -138,18 +140,31 @@ object BpeEncode {
       cache = new java.util.HashMap[String, Array[UTF8String]]()
       perTable.put(merges, cache)
     }
+    cache
+  }
+
+  /** Memoized symbol array of one word under one table. */
+  private[functions] def cachedSyms(
+      w: String,
+      merges: Array[(String, String)],
+      cache: java.util.HashMap[String, Array[UTF8String]]): Array[UTF8String] = {
+    var syms = cache.get(w)
+    if (syms == null) {
+      if (cache.size() >= CacheCap) cache.clear()
+      syms = BpeMerge.encodeWord(w, merges).map(UTF8String.fromString)
+      cache.put(w, syms)
+    }
+    syms
+  }
+
+  def encode(toks: ArrayData, merges: Array[(String, String)]): GenericArrayData = {
+    val cache = tableCache(merges)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     val n = toks.numElements()
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
-        val w = toks.getUTF8String(i).toString
-        var syms = cache.get(w)
-        if (syms == null) {
-          if (cache.size() >= CacheCap) cache.clear()
-          syms = BpeMerge.encodeWord(w, merges).map(UTF8String.fromString)
-          cache.put(w, syms)
-        }
+        val syms = cachedSyms(toks.getUTF8String(i).toString, merges, cache)
         var j = 0
         while (j < syms.length) { out += syms(j); j += 1 }
       }
@@ -247,6 +262,103 @@ case class MergePair(child: Expression, a: String, b: String)
 
   override protected def withNewChildInternal(newChild: Expression): MergePair =
     copy(child = newChild)
+}
+
+/** Budget-quantized document chunking, entirely inside the row: word i
+  * joins chunk `floor(bpe_tokens_before_i / budget)` (the packSequences
+  * running-sum-chop rule applied INTRA-document), and each chunk emits
+  * `(chunk_id, n_chunk_bpe, chunk_text)` — so the whole chunker is one
+  * codegen'd projection: scan → project → explode, ZERO shuffles, where a
+  * window-over-exploded-words formulation would shuffle every word of the
+  * corpus. Shares [[BpeEncode]]'s per-thread per-table word memo.
+  */
+case class BpeChunks(
+    child: Expression, merges: Seq[(String, String)], budget: Int)
+    extends UnaryExpression {
+
+  require(budget > 0, s"chunk budget must be positive, got $budget")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BpeChunks.OutType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_chunks expects array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val table: Array[(String, String)] = merges.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeChunks.chunks(input.asInstanceOf[ArrayData], table, budget)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val tableRef = ctx.addReferenceObj("merges", table, "scala.Tuple2[]")
+      val helper = "graft.functions.BpeChunks$.MODULE$"
+      s"${ev.value} = $helper.chunks($arr, (scala.Tuple2[]) $tableRef, $budget);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeChunks =
+    copy(child = newChild)
+}
+
+object BpeChunks {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType => IntT, StructField, StructType}
+
+  val OutType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_id", IntT, nullable = false),
+    StructField("n_chunk_bpe", IntT, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))),
+    containsNull = false)
+
+  def chunks(
+      toks: ArrayData,
+      merges: Array[(String, String)],
+      budget: Int): GenericArrayData = {
+    val cache = BpeEncode.tableCache(merges)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val text = new java.lang.StringBuilder()
+    var chunkId = 0
+    var chunkCount = 0
+    var cum = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val w = toks.getUTF8String(i).toString
+        val c = BpeEncode.cachedSyms(w, merges, cache).length
+        val cid = (cum / budget).toInt
+        if (cid != chunkId && chunkCount > 0) {
+          out += InternalRow(chunkId, chunkCount,
+            UTF8String.fromString(text.toString))
+          text.setLength(0)
+          chunkCount = 0
+        }
+        chunkId = cid
+        if (chunkCount > 0) text.append(' ')
+        text.append(w)
+        chunkCount += c
+        cum += c
+      }
+      i += 1
+    }
+    if (chunkCount > 0)
+      out += InternalRow(chunkId, chunkCount,
+        UTF8String.fromString(text.toString))
+    new GenericArrayData(out.toArray)
+  }
+
+  def bpeChunks(
+      toks: Column, merges: Seq[(String, String)], budget: Int): Column =
+    Bridge.column(BpeChunks(Bridge.expression(
+      coalesce(toks, typedlit(Array.empty[String]))), merges, budget))
 }
 
 object MergePair {

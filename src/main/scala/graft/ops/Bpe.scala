@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
-import graft.functions.{BpeEncode, BpeMerge}
+import graft.functions.{BpeEncode, BpeMerge, MergePair}
 
 /** Byte-pair-encoding tokenizer: training and token accounting (Sennrich
   * et al. 2016, arXiv:1508.07909) — the BPE upgrade of the whitespace /
@@ -123,18 +123,79 @@ object Bpe {
     rules.result()
   }
 
+  /** [[train]]'s merge loop run DISTRIBUTED — the alternative architecture
+    * for vocabularies too large to collect (character-rich scripts, byte-
+    * level BPE over huge corpora): the bounded vocabulary stays a DataFrame
+    * and every round is a Spark job — adjacent-pair explode → map-side-
+    * combined count → argmax (ONE row to the driver), then the codegen'd
+    * [[graft.functions.MergePair]] rewrites the vocab, with a per-round
+    * [[Materialize]] truncating lineage exactly like the connected-
+    * components loops. Same pair-count / tiebreak / merge semantics as
+    * [[train]] — `corpus_bpe_train_dist` checks against the SAME oracle,
+    * so the two trainers cannot drift (the dedup_clusters /
+    * dedup_clusters_bigstar pattern).
+    */
+  def trainDistributed(
+      docs: DataFrame,
+      vocabCap: Int = VocabCap,
+      numMerges: Int = NumMerges): Seq[MergeRule] = {
+    require(vocabCap > 0, s"vocab cap must be positive, got $vocabCap")
+    require(numMerges > 0, s"merge count must be positive, got $numMerges")
+    var vocab = Materialize(
+      wordCounts(docs)
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(vocabCap)
+        .select(
+          regexp_extract_all(col("word"), lit("."), lit(0)).alias("syms"),
+          col("cnt")))
+    val rules = Seq.newBuilder[MergeRule]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val best = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).alias("la"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).alias("lb"))
+        .select(explode(arrays_zip(col("la"), col("lb"))).alias("p"),
+          col("cnt"))
+        .groupBy(col("p.la").alias("a"), col("p.lb").alias("b"))
+        .agg(sum(col("cnt")).alias("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += MergeRule(r + 1, a, b, a + b, pc)
+        vocab = Materialize(vocab.select(
+          MergePair.mergePair(col("syms"), a, b).alias("syms"), col("cnt")))
+        r += 1
+      }
+    }
+    rules.result()
+  }
+
   /** [[train]] as a DataFrame — the `corpus_bpe_train` query surface:
     * `(rank, pair_a, pair_b, merged, pair_count)`, one row per learned
     * merge in training order. */
-  def trainTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def trainTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    rulesTable(spark, train(docs))
+
+  /** [[trainDistributed]] as a DataFrame — same shape as [[trainTable]]. */
+  def trainTableDistributed(spark: SparkSession, docs: DataFrame): DataFrame =
+    rulesTable(spark, trainDistributed(docs))
+
+  private def rulesTable(
+      spark: SparkSession, rules: Seq[MergeRule]): DataFrame = {
     val schema = StructType(Seq(
       StructField("rank", IntegerType, nullable = false),
       StructField("pair_a", StringType, nullable = false),
       StructField("pair_b", StringType, nullable = false),
       StructField("merged", StringType, nullable = false),
       StructField("pair_count", LongType, nullable = false)))
-    val rows = train(docs).map(m =>
-      Row(m.rank, m.a, m.b, m.merged, m.count))
+    val rows = rules.map(m => Row(m.rank, m.a, m.b, m.merged, m.count))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -198,6 +259,26 @@ object Bpe {
               .otherwise(0L))
           .otherwise(0L).cast("int").alias("n_epochs"))
   }
+
+  /** Budget-quantized chunking on BPE budgets — [[Curation.chunkDocuments]]'
+    * role with subword-exact budgets, but a fundamentally better 100 TB
+    * shape: the whole chunker runs INSIDE the row
+    * ([[graft.functions.BpeChunks]] — scan → codegen'd project → explode,
+    * zero shuffles), where a window-over-exploded-words formulation would
+    * shuffle every word of the corpus. Word i joins chunk
+    * `floor(bpe_tokens_before_i / budget)` — packSequences' running-sum
+    * chop applied intra-document. Wordless documents emit no chunks. */
+  def chunkByBpe(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = FixedMerges,
+      budget: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.BpeChunks.bpeChunks(
+          words(col("text")), merges, budget)).alias("ch"))
+      .select(col("doc_id"), col("ch.chunk_id").alias("chunk_id"),
+        col("ch.n_chunk_bpe").alias("n_chunk_bpe"),
+        col("ch.chunk_text").alias("chunk_text"))
 
   /** Sequence packing on BPE budgets: [[Curation.packSequences]]' exact
     * shape (hash-bucket, running sum, budget chop) with the subword count

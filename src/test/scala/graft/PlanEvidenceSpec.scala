@@ -218,6 +218,12 @@ class PlanEvidenceSpec extends SparkSpec {
     val exchanges = pack.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.size == 1 && !exchanges.head.contains("text#"),
       s"packByBpe exchanges:\n${exchanges.mkString("\n")}")
+    // chunkByBpe runs the whole chunker inside the row: scan → project →
+    // explode, ZERO shuffles — the window-over-exploded-words shape would
+    // shuffle every word of a 100 TB corpus.
+    val chunk = graft.ops.Bpe.chunkByBpe(raw).queryExecution.executedPlan.toString
+    assert(!chunk.contains("Exchange"), s"chunkByBpe shuffles:\n$chunk")
+    assert(!chunk.contains("Window"), s"chunkByBpe plans a window:\n$chunk")
   }
 
   test("decontaminate_bloom: bench-side scan carries the pushed benchmark predicate") {

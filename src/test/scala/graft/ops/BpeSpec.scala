@@ -76,6 +76,15 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs((1L, "xy xy xz xz")), 10, 1) === rules)
   }
 
+  test("trainDistributed learns the identical merge table as train") {
+    val corpus = docs(
+      (1L, "abab abab abab ab ab"), (2L, "query the queue quickly"),
+      (3L, "the queen queried the quiet quay"))
+    val driver = Bpe.train(corpus, vocabCap = 20, numMerges = 6)
+    val dist = Bpe.trainDistributed(corpus, vocabCap = 20, numMerges = 6)
+    assert(dist === driver)
+  }
+
   test("train stops early when the vocabulary has no pairs left") {
     val rules = Bpe.train(docs((1L, "ab ab")), 10, numMerges = 5)
     assert(rules.length === 1) // one merge exhausts the 2-char vocab
@@ -117,6 +126,20 @@ class BpeSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) === 12))
     // target 96 = exactly 2 epochs of the 48-token stratum, no remainder.
     assert(out.forall(_.getInt(3) === 2))
+  }
+
+  test("chunkByBpe cuts at word boundaries on the running BPE budget") {
+    // 'the' → 1 symbol; 'queen' → 4 (qu,e,e,n). Budget 3:
+    // words   the the queen the   cum-before 0 1 2 6
+    // chunks  0   0   0     2     (queen straddles: id jumps 0 → 2)
+    val out = Bpe.chunkByBpe(
+      docs((1L, "the the queen the"), (2L, ""), (3L, null)),
+      Bpe.FixedMerges, budget = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getString(3))).toSeq === Seq(
+      (1L, 0, 6, "the the queen"),
+      (1L, 2, 1, "the")))
   }
 
   test("packByBpe chops running BPE-token sums at the budget per bucket") {

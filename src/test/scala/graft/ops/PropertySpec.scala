@@ -277,4 +277,37 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: BPE invariants — concat preserved, counts agree, chunks partition") {
+    import graft.functions.BpeMerge
+    val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val genMerges = Gen.listOfN(6,
+      Gen.zip(Gen.alphaLowerChar.map(_.toString), Gen.alphaLowerChar.map(_.toString)))
+    forAllSeeded(Gen.zip(Gen.listOfN(30, genWord), genMerges), runs = 10) {
+      case (ws, merges) =>
+        val table = merges.toArray
+        ws.foreach { w =>
+          val syms = BpeMerge.encodeWord(w, table)
+          // Merging never invents or loses characters...
+          assert(syms.mkString === w)
+          // ...and symbol count only shrinks, never below 1.
+          assert(syms.length >= 1 && syms.length <= w.length)
+          // Applying the table again is a no-op only for single-symbol
+          // rules the table already exhausted — re-encode from the SYMBOL
+          // stream must be stable (each rule rewrites all its sites).
+          val again = merges.foldLeft(syms) { case (s, (a, b)) =>
+            BpeMerge.mergeOnce(s, a, b)
+          }
+          assert(again.mkString === w)
+        }
+        // Document-level: chunk counts partition the total count.
+        import spark.implicits._
+        val doc = ws.mkString(" ")
+        val df = Seq((1L, doc)).toDF("doc_id", "text")
+        val total = Bpe.tokenCounts(df, merges).collect()(0).getInt(1)
+        val chunks = Bpe.chunkByBpe(df, merges, budget = 7).collect()
+        assert(chunks.map(_.getInt(2)).sum === total)
+        assert(chunks.map(_.getString(3)).mkString(" ") === doc)
+    }
+  }
 }
