@@ -532,6 +532,73 @@ object SparkEntry {
        |    w -> len(string_split($bpeWordSymsSql, ' ')))),
        |    (a, b) -> a + b) AS INT)""".stripMargin
 
+  // ─── DuckDB twins of ops/QualityModel.scala ───────────────────────────
+  // The rounded-GD optimization replayed step by step: every literal is
+  // CAST to DOUBLE (DuckDB bare `1.0` is DECIMAL — a silent cross-engine
+  // type split), gradients and weights round to 6 decimals per step
+  // exactly like the Spark loop, and ws{t} CTEs are MATERIALIZED (each is
+  // referenced twice — next gradient + next update — so inlining would
+  // expand the chain exponentially).
+
+  /** Design-matrix CTEs (qf): TextAnalysis.quality signals + inlined gate
+    * label, every feature rounded to 6 decimals on both engines. */
+  private val qmFeaturesSql = {
+    val stop = TextAnalysis.LangMarkers.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qf0 AS (
+       |  SELECT d.doc_id,
+       |         length(d.text) AS n_chars,
+       |         len(k.t) AS n_tokens,
+       |         round(len(list_filter(k.t, w -> list_contains($stop, w)))
+       |           / CAST(greatest(len(k.t), 1) AS DOUBLE), 6) AS x1,
+       |         round((length(d.text)
+       |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))
+       |           / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS x2,
+       |         length(d.text)
+       |           / CAST(greatest(len(k.t), 1) AS DOUBLE) AS cpt
+       |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+       |), qf AS MATERIALIZED (
+       |  SELECT doc_id, CAST(1.0 AS DOUBLE) AS x0, x1, x2,
+       |         round(least(n_tokens, 20) / CAST(20.0 AS DOUBLE), 6) AS x3,
+       |         round(least(cpt, CAST(24.0 AS DOUBLE))
+       |           / CAST(24.0 AS DOUBLE), 6) AS x4,
+       |         round(least(n_chars, 128) / CAST(128.0 AS DOUBLE), 6) AS x5,
+       |         CASE WHEN n_chars >= ${TextAnalysis.GateMinChars}
+       |                AND n_tokens >= ${TextAnalysis.GateMinTokens}
+       |                AND x1 <= ${TextAnalysis.GateMaxStopwordRatio}
+       |                AND x2 <= ${TextAnalysis.GateMaxPunctRatio}
+       |                AND cpt <= ${TextAnalysis.GateMaxCharsPerToken}
+       |              THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM qf0
+       |)""".stripMargin
+  }
+
+  /** The [[graft.ops.QualityModel.Steps]] unrolled GD updates; ends at
+    * CTE `ws{Steps}` holding the final weight row (w0..w4). */
+  private val qmTrainChainSql = {
+    val d = graft.ops.QualityModel.Dim
+    val dot = (0 until d).map(j => s"w$j*x$j").mkString(" + ")
+    val init = (0 until d).map(j => s"CAST(0.0 AS DOUBLE) AS w$j")
+      .mkString(", ")
+    val steps = (1 to graft.ops.QualityModel.Steps).map { t =>
+      val g = (0 until d).map(j =>
+        s"round(avg((1.0 / (1.0 + exp(-($dot))) - y) * x$j), 6) AS g$j")
+        .mkString(",\n         ")
+      val w = (0 until d).map(j =>
+        s"round(w$j - CAST(${graft.ops.QualityModel.Lr} AS DOUBLE) * g$j, 6) AS w$j")
+        .mkString(",\n         ")
+      s""", gs$t AS (
+         |  SELECT $g
+         |  FROM qf, ws${t - 1}
+         |), ws$t AS MATERIALIZED (
+         |  SELECT $w
+         |  FROM ws${t - 1}, gs$t
+         |)""".stripMargin
+    }.mkString
+    s"""WITH $rawToksSql, $qmFeaturesSql, ws0 AS (SELECT $init)$steps"""
+  }
+
   /** Training replayed round by round: vocab{r} CTEs are MATERIALIZED —
     * each is referenced twice (next round's pair count + next vocab), so
     * inlining would expand the chain exponentially. Pair counts enumerate
@@ -919,6 +986,17 @@ object SparkEntry {
       Bpe.tokenCountsTrained(s, StandIn.documents(s, d))),
     "corpus_mix_bpe"      -> ((s, d) =>
       Bpe.mixEpochsBpe(StandIn.documents(s, d), MixTargets.toMap)),
+    "text_quality_train"  -> ((s, d) =>
+      graft.ops.QualityModel.weightsTable(s, StandIn.documents(s, d))),
+    "text_quality_train_scores" -> ((s, d) =>
+      graft.ops.QualityModel.trainedScores(StandIn.documents(s, d))),
+    // Composition: trained quality scores as the A-ES sampling weight —
+    // quality-proportional corpus draw (higher-scored docs more likely).
+    "corpus_sample_quality" -> ((s, d) =>
+      Curation.sampleWeighted(
+        graft.ops.QualityModel.trainedScores(StandIn.documents(s, d))
+          .select(col("doc_id"), col("score")),
+        k = 50, weightCol = "score", seed = "graft-q1")),
     "corpus_pack_bpe"     -> ((s, d) =>
       Bpe.packByBpe(StandIn.documents(s, d), Bpe.FixedMerges,
         PackBudget, PackBuckets)),
@@ -1568,6 +1646,49 @@ object SparkEntry {
     // Train→encode twin: learned pairs + per-word replace chain in one
     // statement (see bpeTrainedTokensOracle).
     "text_bpe_tokens_trained" -> bpeTrainedTokensOracle,
+
+    // Trained-classifier twin: the full rounded-GD optimization unrolled
+    // (see qmTrainChainSql) — every learned weight must match bit-for-bit.
+    "text_quality_train" -> {
+      val sel = graft.ops.QualityModel.FeatureNames.zipWithIndex.map {
+        case (n, j) =>
+          if (j == 0) s"SELECT '$n' AS feature, w$j AS weight FROM ws${graft.ops.QualityModel.Steps}"
+          else s"SELECT '$n', w$j FROM ws${graft.ops.QualityModel.Steps}"
+      }.mkString("\nUNION ALL\n")
+      s"$qmTrainChainSql\n$sel"
+    },
+
+    // Train→score end to end: the optimization chain + one scoring pass
+    // under the learned weights, in a single statement.
+    "text_quality_train_scores" -> {
+      val d = graft.ops.QualityModel.Dim
+      val dot = (0 until d).map(j => s"w$j*x$j").mkString(" + ")
+      s"""$qmTrainChainSql
+         |SELECT doc_id, score, score >= 0.5 AS predicted FROM (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-($dot))), 6) AS score
+         |  FROM qf, ws${graft.ops.QualityModel.Steps}
+         |)""".stripMargin
+    },
+
+    // Quality-weighted A-ES draw: the trained-score chain feeding the
+    // corpus_sample_weighted key, same hash member and seed scheme.
+    "corpus_sample_quality" -> {
+      val d = graft.ops.QualityModel.Dim
+      val dot = (0 until d).map(j => s"w$j*x$j").mkString(" + ")
+      s"""$qmTrainChainSql, scoredq AS (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-($dot))), 6) AS score
+         |  FROM qf, ws${graft.ops.QualityModel.Steps}
+         |)
+         |SELECT doc_id, score
+         |FROM scoredq
+         |WHERE score > 0
+         |ORDER BY ln((${hashSql("'0:'",
+              "concat('graft-q1:', CAST(doc_id AS VARCHAR))")} + 0.5) /
+         |         1152921504606846976.0) / score DESC, doc_id
+         |LIMIT 50""".stripMargin
+    },
 
     // BPE-budget epoch mixing: corpus_mix's twin with the subword count
     // as the budget unit.

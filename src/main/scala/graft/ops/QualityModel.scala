@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+/** TRAINED quality classifier: distributed logistic regression over the
+  * quality signals, learning to imitate the rule gate — the standard
+  * distillation setup for a pretraining quality filter (rules label a
+  * seed set, a soft classifier generalizes; cf. fastText-style filters,
+  * Joulin et al. 2016, arXiv:1607.01759). The fixed-weight scorer
+  * ([[TextAnalysis]] hashed-gram scoring) applies a model; this op LEARNS
+  * one.
+  *
+  * Training is full-batch gradient descent with a deterministic twist
+  * that makes the whole optimization replayable cross-engine: after every
+  * step, both the gradient and the updated weights are rounded to 6
+  * decimals — the same ulp-absorption contract the engine's floating
+  * aggregates already use, applied per iteration so summation-order and
+  * libm differences cannot compound across steps. The DuckDB twin unrolls
+  * the identical [[Steps]] updates in SQL and must land on the identical
+  * weight vector.
+  *
+  * Scale shape: one signal scan materialized once ([[Materialize]]), then
+  * [[Steps]] × ONE map-side-combined aggregation each producing a single
+  * [[Dim]]-value gradient row — per step the driver sees [[Dim]] doubles,
+  * the corpus never moves, and the weight vector broadcasts back as
+  * literals inside whole-stage codegen. The classic distributed-GD layout
+  * at any corpus size.
+  */
+object QualityModel {
+
+  /** Feature dimension: bias + 5 bounded signals. */
+  val Dim = 6
+
+  /** Full-batch GD steps — unrolled 1:1 in the SQL twin. */
+  val Steps = 16
+
+  /** Learning rate: with features scaled so every gate boundary sits near
+    * 0.5 (caps at ~2× each threshold), 4.0 converges the rounded
+    * iteration to clean class separation without oscillation. */
+  val Lr = 4.0
+
+  /** Feature names, in weight order — the `text_quality_train` rows. */
+  val FeatureNames: Seq[String] = Seq(
+    "bias", "stopword_ratio", "punct_ratio", "tokens_scaled", "cpt_scaled",
+    "chars_scaled")
+
+  /** Per-document design matrix `(doc_id, x0..x5, y)`:
+    * x0 bias, x1 stopword_ratio, x2 punct_ratio, x3/x4/x5 token, chars-
+    * per-token and char counts CAPPED AT ~2× their gate thresholds and
+    * scaled to [0, 1] — so each decision boundary lands mid-range, where
+    * the logistic gradient is strongest. Every feature is rounded to 6
+    * decimals so both engines see bit-identical inputs; the label is the
+    * rule gate's verdict ([[TextAnalysis.qualityGate]] semantics inlined
+    * so the scan happens once, no self-join). */
+  def features(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+    val cpt = col("n_chars").cast("double") / greatest(col("n_tokens"), lit(1))
+    val passed =
+      col("n_chars") >= TextAnalysis.GateMinChars &&
+        col("n_tokens") >= TextAnalysis.GateMinTokens &&
+        col("stopword_ratio") <= TextAnalysis.GateMaxStopwordRatio &&
+        col("punct_ratio") <= TextAnalysis.GateMaxPunctRatio &&
+        cpt <= TextAnalysis.GateMaxCharsPerToken
+    q.select(
+      col("doc_id"),
+      lit(1.0).alias("x0"),
+      col("stopword_ratio").alias("x1"),
+      col("punct_ratio").alias("x2"),
+      round(least(col("n_tokens"), lit(20)).cast("double") / 20.0, 6)
+        .alias("x3"),
+      round(least(cpt, lit(24.0)) / 24.0, 6).alias("x4"),
+      round(least(col("n_chars"), lit(128)).cast("double") / 128.0, 6)
+        .alias("x5"),
+      when(passed, 1.0).otherwise(0.0).alias("y"))
+  }
+
+  // valueOf (Double.toString-based), NOT the exact binary expansion —
+  // the same decimal Catalyst's Round and DuckDB's round() see, so all
+  // three rounding sites agree at 6-decimal boundaries.
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Train [[Steps]] rounded full-batch GD steps from w = 0. Returns the
+    * final weight vector. Each step is one Spark aggregation over the
+    * materialized feature frame; only [[Dim]] gradient doubles reach the
+    * driver per step. */
+  def train(
+      docs: DataFrame,
+      steps: Int = Steps,
+      lr: Double = Lr): Array[Double] = {
+    require(steps > 0, s"step count must be positive, got $steps")
+    val f = Materialize(features(docs))
+    var w = Array.fill(Dim)(0.0)
+    var t = 0
+    while (t < steps) {
+      val z = (0 until Dim).map(j => lit(w(j)) * col(s"x$j"))
+        .reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = f.select((0 until Dim).map(j =>
+        round(avg((p - col("y")) * col(s"x$j")), 6).alias(s"g$j")): _*)
+        .collect()(0)
+      w = Array.tabulate(Dim)(j => round6(w(j) - lr * g.getDouble(j)))
+      t += 1
+    }
+    w
+  }
+
+  /** [[train]] as the `text_quality_train` query surface:
+    * `(feature, weight)`, one row per dimension in weight order. */
+  def weightsTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("feature", StringType, nullable = false),
+      StructField("weight", DoubleType, nullable = false)))
+    val w = train(docs)
+    val rows = FeatureNames.zip(w).map { case (n, v) => Row(n, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Score every document under a weight vector:
+    * `(doc_id, score, predicted)` with score = round(σ(w·x), 6). */
+  def scores(docs: DataFrame, w: Seq[Double]): DataFrame = {
+    require(w.length == Dim, s"expected $Dim weights, got ${w.length}")
+    val z = (0 until Dim).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    features(docs).select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).alias("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+  }
+
+  /** train → score, end to end — the `text_quality_train_scores` surface
+    * (its twin replays the whole optimization AND the scoring pass in one
+    * statement). */
+  def trainedScores(docs: DataFrame): DataFrame =
+    scores(docs, train(docs).toSeq)
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Spec for the trained quality classifier (rounded-GD logistic
+  * regression distilling the rule gate). */
+class QualityModelSpec extends SparkSpec {
+
+  // Clearly separable corpus: long clean docs pass the gate, shorts fail.
+  private def corpus = {
+    import spark.implicits._
+    val good = (1L to 30L).map(i => (i,
+      "spark builds the plan and runs the query over many partitions " +
+        "while the optimizer prunes columns and pushes filters down " + i))
+    val bad = (31L to 40L).map(i => (i, s"tiny doc $i"))
+    (good ++ bad).toDF("doc_id", "text")
+  }
+
+  test("features are bounded, labeled by the gate, and 6-decimal-rounded") {
+    val f = QualityModel.features(corpus).collect()
+    assert(f.length === 40)
+    f.foreach { r =>
+      for (j <- 0 until QualityModel.Dim) {
+        val x = r.getDouble(1 + j)
+        assert(x >= 0.0 && x <= 1.0, s"x$j=$x out of [0,1]")
+        assert(x === math.rint(x * 1e6) / 1e6, s"x$j=$x not 6-dec rounded")
+      }
+      assert(Set(0.0, 1.0).contains(r.getDouble(1 + QualityModel.Dim)))
+    }
+    // Both classes present: 30 pass, 10 fail (too_short).
+    assert(f.count(_.getDouble(1 + QualityModel.Dim) == 1.0) === 30)
+  }
+
+  test("training is deterministic and separates the classes") {
+    val w1 = QualityModel.train(corpus)
+    val w2 = QualityModel.train(corpus)
+    assert(w1.toSeq === w2.toSeq)
+    val scored = QualityModel.scores(corpus, w1.toSeq)
+      .join(QualityModel.features(corpus).select(col("doc_id"), col("y")),
+        "doc_id")
+      .collect()
+    val pos = scored.filter(_.getAs[Double]("y") == 1.0)
+      .map(_.getAs[Double]("score"))
+    val neg = scored.filter(_.getAs[Double]("y") == 0.0)
+      .map(_.getAs[Double]("score"))
+    // The learned scorer ranks every passing doc above every failing doc
+    // on this separable corpus (AUC = 1 in expectation; assert means).
+    assert(pos.sum / pos.length > neg.sum / neg.length + 0.1,
+      s"mean(pos)=${pos.sum / pos.length} mean(neg)=${neg.sum / neg.length}")
+  }
+
+  test("weightsTable emits one named row per dimension in order") {
+    val rows = QualityModel.weightsTable(spark, corpus).collect()
+    assert(rows.map(_.getString(0)).toSeq === QualityModel.FeatureNames)
+    assert(rows.forall(r => !r.isNullAt(1)))
+  }
+}
