@@ -22,15 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object StandIn {
 
-  /** The driver's events.parquet stores `ts` as INT64 TIMESTAMP(NANOS),
-    * which Spark 4.x refuses by default (PARQUET_TYPE_ILLEGAL). Read it as
-    * a nanos long and truncate to microseconds — DuckDB's
-    * `CAST(ts AS TIMESTAMP)` does the identical ns→µs truncation, so the
-    * oracle stays in lockstep. */
+  /** The driver's events.parquet has shipped `ts` in two layouts across
+    * rounds: INT64 TIMESTAMP(NANOS) (which Spark 4.x refuses by default,
+    * PARQUET_TYPE_ILLEGAL — read as a nanos long and truncate to µs) and,
+    * since round 10, plain TIMESTAMP(MICROS) NTZ. Normalize both to
+    * TimestampType µs. The session timezone is pinned to UTC everywhere
+    * (Verify/Bench/SparkSpec builders), so the NTZ→TimestampType cast is
+    * value-identical and DuckDB's `CAST(ts AS TIMESTAMP)` stays in
+    * lockstep for either physical layout. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fanOut(spark, spark.read.parquet(s"$sfDir/events.parquet"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))      // legacy INT64 nanos
+      case _ => col("ts").cast("timestamp")        // µs timestamp (NTZ or TZ)
+    }
+    fanOut(spark, raw).withColumn("ts", ts)
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
