@@ -923,6 +923,13 @@ object SparkEntry {
     // token spans (Dedup.substringSpans scaladoc has the shape).
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.substringSpans(StandIn.documents(s, d))),
+    // CCNet-style LINE-level dedup over a deterministic 10-token-per-line
+    // re-wrap of the corpus (the fixture ships no newlines; the wrap is a
+    // pure map-side projection both engines rebuild identically). Hashes
+    // shuffle, a 1-row dup-set broadcasts, text rebuilds in place — no
+    // Exchange ever carries a line (Dedup.lineDedup scaladoc).
+    "dedup_lines"         -> ((s, d) =>
+      Dedup.lineDedup(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
@@ -1142,6 +1149,10 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(StandIn.documents(s, d))),
     "text_quality_gate"   -> ((s, d) => textQualityGate(s, d)),
+    // Bigram-LM fluency (the KenLM-filter shape, add-one smoothed so the
+    // arithmetic has an exact SQL twin — TextAnalysis.bigramLogProb).
+    "text_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(StandIn.documents(s, d))),
     // fastText-style hashed-gram linear scorer (fixed weight table) —
     // one whole-stage-codegen map, no shuffle (TextAnalysis.qualityScore).
     "text_quality_score"  -> ((s, d) =>
@@ -1177,7 +1188,23 @@ object SparkEntry {
     // The no-codec FALLBACK path (byte histogram over opaque payloads),
     // kept oracle-green via the hex-string nibble twin.
     "mm_features_bytes"   -> ((s, d) => mmFeaturesBytes(s, d)),
-    "mm_frames"           -> ((s, d) => mmFrames(s, d))
+    "mm_frames"           -> ((s, d) => mmFrames(s, d)),
+    // SECOND real modality: canonical-header RIFF/WAVE payloads whose PCM
+    // samples are a closed-form formula of the id. Header fields parse as
+    // a pure codegen'd LE binary projection (no decode)...
+    "mm_wav_header"       -> ((s, d) =>
+      Multimodal.wavHeaderInfo(Multimodal.wavMedia(s, d))),
+    // ...and the decode stage runs the REAL JDK AudioSystem reader,
+    // emitting exact integer sample stats; PCM is lossless, so the oracle
+    // re-derives identical longs from the formula without seeing a byte.
+    "mm_wav_decode"       -> ((s, d) =>
+      Multimodal.decodeWavStats(Multimodal.wavMedia(s, d))),
+    // LOSSY round-trip contract: the same pixel formula through the JDK's
+    // real JPEG encoder and the same ImageIO decode stage as the PNG
+    // family; dims + pixel count pinned exactly, channel means pinned as
+    // bounded-drift booleans (the sketch-audit pattern).
+    "mm_jpeg_decode"      -> ((s, d) =>
+      Multimodal.jpegDecodeContract(Multimodal.jpegMedia(s, d)))
   )
 
   // Gaps-and-islands session CTEs (twin of Sessionize.sessions) — shared
@@ -1375,6 +1402,42 @@ object SparkEntry {
          |       CAST(max(off) - min(off) + $L AS INT) AS span_tokens,
          |       count(*) AS n_shingles
          |FROM isl GROUP BY doc_id, grp""".stripMargin
+    },
+
+    // Line-level dedup twin (Dedup.lineDedup over wrapTokenLines): the
+    // oracle re-wraps tokens 10-per-line, finds lines (≥ 10 chars) seen
+    // ≥ 2× corpus-wide BY STRING (the Spark side's xxhash64 is an internal
+    // shuffle-key optimization — same result barring a 64-bit collision),
+    // and rebuilds each text with every occurrence of a duplicated line
+    // removed, exactly as the engine does map-side.
+    "dedup_lines" -> {
+      val L = Dedup.LineDedupMinChars
+      val drop = s"p -> NOT (len(p) >= $L AND list_contains(dl, p))"
+      s"""WITH $rawToksSql, wrapped AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) > 0 THEN
+         |           array_to_string(list_transform(range(0, (len(t) + 9) // 10),
+         |             i -> array_to_string(
+         |               t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')),
+         |             chr(10))
+         |         ELSE '' END AS text
+         |  FROM toks
+         |), ln AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |  FROM wrapped
+         |), dup AS (
+         |  SELECT line FROM ln WHERE len(line) >= $L
+         |  GROUP BY line HAVING count(*) >= 2
+         |), dupset AS (SELECT coalesce(list(line), []) AS dl FROM dup),
+         |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps
+         |          FROM wrapped)
+         |SELECT doc_id,
+         |       CAST(len(ps) AS INT) AS n_lines,
+         |       CAST(len(ps) - len(list_filter(ps, $drop)) AS INT)
+         |         AS n_dropped,
+         |       coalesce(array_to_string(list_filter(ps, $drop), chr(10)), '')
+         |         AS text_dedup
+         |FROM parts, dupset""".stripMargin
     },
 
     // Threshold-tuning curve twin (Dedup.candidateSimHistogram): pair
@@ -2774,6 +2837,32 @@ object SparkEntry {
          |       coalesce(n_tokens, 0) AS n_tokens
          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
 
+    // Bigram-LM fluency twin (TextAnalysis.bigramLogProb): the pair stream
+    // is the token list zipped with its own tail (two aligned unnests),
+    // counts joined back by pair and by context word, add-one smoothing
+    // over the unigram vocabulary — identical arithmetic, 6-dp rounded.
+    "text_bigram_logprob" ->
+      s"""WITH $rawToksSql, bg AS (
+         |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+         |         unnest(t[2:len(t)]) AS w2
+         |  FROM toks WHERE len(t) >= 2
+         |), uni AS (
+         |  SELECT unnest(t) AS term FROM toks
+         |), uc AS (SELECT term, count(*) AS c1 FROM uni GROUP BY term),
+         |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |consts AS (SELECT count(*) AS vocab FROM uc),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(avg(log10(CAST(c2 + 1 AS DOUBLE) / (c1 + vocab))),
+         |               6) AS avg_logprob,
+         |         CAST(count(*) AS INT) AS n_bigrams
+         |  FROM bg JOIN bc USING (w1, w2) JOIN uc ON bg.w1 = uc.term, consts
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, avg_logprob,
+         |       coalesce(n_bigrams, 0) AS n_bigrams
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
+
     // Deterministic stratified sampler twin (Curation.sampleByLanguage):
     // same md5-derived bucket, same per-language CASE of rates. The CAST
     // AS DOUBLE matters: DuckDB parses 0.07 as DECIMAL, whose exact ·10000
@@ -3222,6 +3311,64 @@ object SparkEntry {
          |$bins
          |FROM nib""".stripMargin
     },
+
+    // WAV header twin (Multimodal.wavHeaderInfo): the Spark side parses
+    // channels/rate/bits/data-size out of the REAL little-endian RIFF
+    // header bytes; the oracle knows only the WavCodec formula — a hash
+    // match proves the payloads are genuine canonical-header WAVs.
+    "mm_wav_header" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST(64 + doc_id % 33 AS BIGINT) AS n_frames,
+        |       CAST((64 + doc_id % 33) * 1000
+        |            // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // WAV decode twin (Multimodal.decodeWavStats): PCM is lossless, so the
+    // AudioSystem-decoded per-channel sums / min / max equal the closed-form
+    // sample formula re-derived here over the (frame, channel) grid —
+    // channel c of frame i is (id·31 + i·7 + c·13) mod 65536 − 32768,
+    // mono docs have no channel 1 (sum pinned 0, extrema coalesce away).
+    "mm_wav_decode" ->
+      """WITH wd AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch,
+        |         8000 + (doc_id % 4) * 4000 AS rate,
+        |         64 + doc_id % 33 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, nch, rate, nf, unnest(range(0, nf)) AS i FROM wd
+        |), smp AS (
+        |  SELECT doc_id, nch, rate, nf,
+        |         (doc_id * 31 + i * 7) % 65536 - 32768 AS s0,
+        |         CASE WHEN nch = 2
+        |              THEN (doc_id * 31 + i * 7 + 13) % 65536 - 32768
+        |         END AS s1
+        |  FROM fr
+        |)
+        |SELECT doc_id AS media_id, TRUE AS decoded,
+        |       CAST(max(rate) AS INT) AS sample_rate,
+        |       CAST(max(nch) AS INT) AS n_channels,
+        |       CAST(max(nf) AS BIGINT) AS n_frames,
+        |       CAST(sum(s0) AS BIGINT) AS ch0_sum,
+        |       CAST(coalesce(sum(s1), 0) AS BIGINT) AS ch1_sum,
+        |       CAST(least(min(s0), coalesce(min(s1), 32767)) AS INT) AS v_min,
+        |       CAST(greatest(max(s0), coalesce(max(s1), -32768)) AS INT) AS v_max
+        |FROM smp GROUP BY doc_id""".stripMargin,
+
+    // JPEG contract twin (Multimodal.jpegDecodeContract): the lossy
+    // round-trip pins container dims + pixel count exactly and the
+    // channel-mean drift as booleans the oracle fixes at TRUE — the same
+    // bounded-error-contract shape as the sketch audits.
+    "mm_jpeg_decode" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |       CAST(8 + doc_id % 9 AS INT) AS width_px,
+        |       CAST(8 + (doc_id // 9) % 9 AS INT) AS height_px,
+        |       CAST((8 + doc_id % 9) * (8 + (doc_id // 9) % 9) AS BIGINT)
+        |         AS n_px,
+        |       TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+        |FROM documents""".stripMargin,
 
     // FixedSizeFrameSampler twin: byte windows sliced on the hex string
     // (2 chars/byte — DuckDB has no BLOB substring and a frame need not be

@@ -33,10 +33,20 @@ object StandIn {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Exhaustive on the layouts actually shipped; anything else (a future
+    // epoch-micros INT64 without the nanos flag, a VARCHAR ts) must FAIL
+    // here with the observed type rather than silently mis-scale — a wrong
+    // divisor corrupts every downstream timestamp with no error anywhere.
     val ts = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))      // legacy INT64 nanos
-      case _ => col("ts").cast("timestamp")        // µs timestamp (NTZ or TZ)
+      case org.apache.spark.sql.types.TimestampType =>
+        col("ts")                                  // µs timestamp (TZ)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")                // µs timestamp (NTZ)
+      case other => throw new IllegalStateException(
+        s"events.parquet ts column has unhandled type $other; " +
+          "add an explicit mapping (see StandIn.events scaladoc)")
     }
     fanOut(spark, raw).withColumn("ts", ts)
   }

@@ -262,6 +262,98 @@ object Dedup {
         col("n_shingles"))
   }
 
+  /** Minimum line length (chars) for line-level dedup eligibility: shorter
+    * lines are structure (blank lines, separators, one-word headings) whose
+    * corpus-wide repetition is expected, not duplication — CCNet's line
+    * dedup likewise ignores trivially short lines.
+    */
+  val LineDedupMinChars = 10
+
+  /** LINE-level dedup, CCNet-style (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359 §3: hash every line, drop lines whose hash repeats
+    * across the corpus — the granularity that strips boilerplate headers /
+    * nav bars / cookie banners which doc-level MinHash cannot see and
+    * span-level [[substringSpans]] only flags). ALL occurrences of a
+    * duplicated line are dropped, as in CCNet.
+    *
+    * Distributed shape — the [[substringSpans]] text-never-shuffles
+    * discipline, taken one step further:
+    *   1. lines explode map-side and are immediately reduced to
+    *      `xxhash64(line)`: every Exchange in the job carries 8-byte
+    *      hashes, never line text;
+    *   2. duplicated hashes (count ≥ minCopies among eligible lines) reduce
+    *      to ONE scalar array via `collect_set` — a 1-row broadcast, the
+    *      same shape as the engine's other scalar broadcasts;
+    *   3. each document rebuilds its text in place: re-split, re-hash, and
+    *      filter its own lines against the broadcast set inside one
+    *      codegen'd projection — the ORIGINAL scan row is still in hand,
+    *      so reassembly needs no join back and no text ever moves.
+    *
+    * The collected dup-line set is vocabulary-shaped (distinct lines
+    * repeated ≥ 2×), not corpus-shaped; past the point where it outgrows a
+    * driver array, swap step 2/3 for the native Bloom prefilter exactly as
+    * `decontaminate` → `decontaminate_bloom` does (the false-positive cost
+    * is a few extra dropped lines, the shape is identical). The `require`
+    * below makes that crossover loud instead of silent.
+    *
+    * Emits `(doc_id, n_lines, n_dropped, text_dedup)` — one row per input
+    * document, lines joined back with '\n'.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      minChars: Int = LineDedupMinChars,
+      minCopies: Int = 2,
+      maxDupLines: Int = 4 << 20): DataFrame = {
+    val parts = split(coalesce(col("text"), lit("")), "\n")
+    val eligible = (l: Column) => length(l) >= minChars
+    // Step 1-2: corpus-wide duplicated line hashes, as one scalar array.
+    val dupSet = docs
+      .select(explode(parts).alias("line"))
+      .where(eligible(col("line")))
+      .select(xxhash64(col("line")).alias("h"))
+      .groupBy(col("h")).agg(count(lit(1)).alias("n_copies"))
+      .where(col("n_copies") >= minCopies)
+      .agg(collect_set(col("h")).alias("dup_hs"),
+        count(lit(1)).alias("n_dup"))
+    // Step 3: map-side rebuild against the broadcast set.
+    val dropIt = (l: Column) =>
+      eligible(l) && array_contains(col("dup_hs"), xxhash64(l))
+    docs
+      .crossJoin(broadcast(dupSet))
+      .select(col("doc_id"), parts.alias("ps"), col("dup_hs"), col("n_dup"))
+      .select(
+        col("doc_id"),
+        // assert_true (null on success) rides the first output column so
+        // column pruning cannot drop it: the job fails loudly if the dup
+        // vocabulary outgrows the collected-array design point (scaladoc).
+        when(assert_true(col("n_dup") <= maxDupLines,
+          lit(s"dup-line set exceeds $maxDupLines; use the Bloom variant"))
+          .isNull, size(col("ps"))).alias("n_lines"),
+        (size(col("ps")) - size(filter(col("ps"), l => !dropIt(l))))
+          .alias("n_dropped"),
+        array_join(filter(col("ps"), l => !dropIt(l)), "\n")
+          .alias("text_dedup"))
+  }
+
+  /** Deterministic N-tokens-per-line re-wrap of a document — the fixture
+    * adapter for [[lineDedup]] (the synthetic corpus ships no newlines).
+    * Pure map-side projection; both engines rebuild the identical wrapped
+    * text from the token array, so the wrapped view is oracle-checkable.
+    */
+  def wrapTokenLines(docs: DataFrame, perLine: Int = 10): DataFrame = {
+    val t = tokens(col("text"))
+    val nLines = floor((size(t) + (perLine - 1)) / lit(perLine)).cast("int")
+    docs.select(
+      col("doc_id"),
+      when(size(t) > 0,
+        array_join(
+          transform(sequence(lit(0), nLines - 1),
+            i => array_join(slice(t, i * perLine + 1, lit(perLine)), " ")),
+          "\n"))
+        .otherwise("").alias("text"))
+  }
+
   /** MinHash/LSH near-duplicate candidate pairs with their estimated
     * Jaccard (fraction of agreeing signature positions), `estSim ≥
     * threshold`. Pairs arise ONLY from shared band buckets — never from an

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
@@ -140,6 +140,132 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
     }
+
+    /** The SAME pixel formula as [[syntheticPng]], encoded as REAL JPEG
+      * bytes (the JDK's lossy codec, default quality). Unlike PNG the
+      * decode is NOT bit-identical — which is the point: the contract
+      * query pins what survives a lossy round-trip (container dims, pixel
+      * count, bounded channel-mean drift) instead of pretending it is
+      * exact. Deterministic for a fixed JDK: same encoder, same tables.
+      */
+    def syntheticJpeg(mediaId: Long): Array[Byte] = {
+      val w = (8 + mediaId % 9).toInt
+      val h = (8 + (mediaId / 9) % 9).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((mediaId * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((mediaId * 17 + x * 11 + y * 5) % 256).toInt
+          val b = ((mediaId * 23 + x * 3 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+  }
+
+  /** Real audio codec over the JDK's built-in RIFF/WAVE reader
+    * (`javax.sound.sampled.AudioSystem` — part of `java.desktop`, like
+    * `ImageIO`). [[decode]] parses the container through the actual
+    * `AudioInputStream` plumbing (header validation, format negotiation,
+    * frame framing) and unpacks PCM16-LE frames to signed ints;
+    * [[syntheticWav]] writes a closed-form sample formula into genuine
+    * canonical-44-byte-header WAV bytes. PCM is lossless, so
+    * `decode(encode(id))` returns exactly the formula values — the same
+    * property that makes the PNG family's decoded statistics
+    * oracle-checkable without the oracle ever seeing a byte.
+    */
+  object WavCodec {
+
+    /** Formula parameters, all pure functions of the media id so the
+      * oracle re-derives them: sample rate 8/12/16/20 kHz, mono or stereo,
+      * 64..96 frames, 16-bit PCM.
+      */
+    def rateOf(id: Long): Int = 8000 + (id % 4).toInt * 4000
+    def channelsOf(id: Long): Int = 1 + (id % 2).toInt
+    def framesOf(id: Long): Int = 64 + (id % 33).toInt
+
+    /** Sample value of channel `c`, frame `i`: a modular formula covering
+      * the full signed-16-bit range (id ≥ 0 keeps Java % nonnegative).
+      */
+    def sampleOf(id: Long, c: Int, i: Int): Int =
+      ((id * 31 + i.toLong * 7 + c.toLong * 13) % 65536).toInt - 32768
+
+    /** Encode the formula as a genuine RIFF/WAVE payload: the canonical
+      * 44-byte PCM header (what every tool from ffmpeg to AudioSystem
+      * writes for plain PCM16) followed by interleaved little-endian
+      * frames.
+      */
+    def syntheticWav(id: Long): Array[Byte] = {
+      val nCh = channelsOf(id)
+      val nFr = framesOf(id)
+      val rate = rateOf(id)
+      val blockAlign = nCh * 2
+      val dataLen = nFr * blockAlign
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(nCh.toShort)
+        .putInt(rate)
+        .putInt(rate * blockAlign)         // byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(16)                      // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nFr) {
+        var c = 0
+        while (c < nCh) {
+          buf.putShort(sampleOf(id, c, i).toShort)
+          c += 1
+        }
+        i += 1
+      }
+      buf.array()
+    }
+
+    /** Bytes → (sampleRate, channels, bits, interleaved samples), or None
+      * when the payload is not audio the JDK can parse. The read goes
+      * through the real `AudioSystem` reader — corrupt payloads surface as
+      * its `UnsupportedAudioFileException`, mapped to None, never a throw
+      * (at 100 TB some blobs WILL be corrupt).
+      */
+    def decode(payload: Array[Byte])
+        : Option[(Int, Int, Int, Array[Int])] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Int](n)
+            var k = 0
+            while (k < n) {
+              out(k) = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toInt
+              k += 1
+            }
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, 16, out))
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
   }
 
   /** NO-CODEC FALLBACK (formerly the stand-in decoder) — used when
@@ -262,6 +388,105 @@ object Multimodal {
           lit(null).cast(LongType).alias("duration_ms")).alias("meta"))
   }
 
+  /** Little-endian unsigned integer parsed out of a binary column — the
+    * WAV-header counterpart of the big-endian PNG IHDR parse: hex the
+    * bytes in reverse order, one `conv` to a long. Pure codegen'd
+    * projection; `pos1` is 1-based as in `substring`.
+    */
+  private def leUInt(payload: Column, pos1: Int, nBytes: Int): Column =
+    conv(concat((0 until nBytes).reverse.map(k =>
+      hex(substring(payload, pos1 + k, 1))): _*), 16, 10).cast(LongType)
+
+  /** WAV header fields WITHOUT decoding — pure codegen'd projection over
+    * the canonical 44-byte PCM header (channels u16 LE @22, sample rate
+    * u32 LE @24, bits u16 LE @34, data size u32 LE @40; frame count and
+    * duration derive from those). Same altitude as [[pngHeaderDims]]: at
+    * 100 TB you want rate/duration for every blob but samples for none.
+    */
+  def wavHeaderInfo(media: DataFrame): DataFrame = {
+    val nCh = leUInt(col("payload"), 23, 2)
+    val rate = leUInt(col("payload"), 25, 4)
+    val bits = leUInt(col("payload"), 35, 2)
+    val dataBytes = leUInt(col("payload"), 41, 4)
+    val nFrames = (dataBytes / (nCh * (bits / 8))).cast(LongType)
+    media.select(
+      col("media_id"),
+      nCh.cast(IntegerType).alias("n_channels"),
+      rate.cast(IntegerType).alias("sample_rate"),
+      bits.cast(IntegerType).alias("bits"),
+      nFrames.alias("n_frames"),
+      (nFrames * 1000 / rate).cast(LongType).alias("duration_ms"))
+  }
+
+  /** The real audio-decode stage: per-partition `AudioSystem` decode (the
+    * same deliberate `mapPartitions` altitude as [[decodeImageStats]] — a
+    * codec is not an expression) emitting EXACT integer statistics of the
+    * decoded samples: format fields, frame count, per-channel sums as
+    * longs, and the global min/max sample. Integer sums make the stage
+    * bit-checkable against the closed-form sample formula. Undecodable
+    * payloads yield `decoded = false` zero rows rather than errors.
+    * Payload bytes enter and die inside the stage; only the stat row
+    * leaves, so nothing wide ever shuffles.
+    */
+  def decodeWavStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          WavCodec.decode(payload) match {
+            case Some((rate, nCh, _, samples)) =>
+              val nFr = samples.length / nCh
+              var s0 = 0L; var s1 = 0L
+              var vMin = Int.MaxValue; var vMax = Int.MinValue
+              var k = 0
+              while (k < samples.length) {
+                val v = samples(k)
+                if (k % nCh == 0) s0 += v else s1 += v
+                if (v < vMin) vMin = v
+                if (v > vMax) vMax = v
+                k += 1
+              }
+              (id, true, rate, nCh, nFr.toLong, s0, s1, vMin, vMax)
+            case None => (id, false, 0, 0, 0L, 0L, 0L, 0, 0)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "sample_rate", "n_channels", "n_frames",
+        "ch0_sum", "ch1_sum", "v_min", "v_max")
+  }
+
+  /** Synthetic WAV media frame: one REAL RIFF/WAVE payload per document
+    * id, encoded per partition (bytes never shuffled), sample content the
+    * [[WavCodec.sampleOf]] formula — every downstream decoded-sample
+    * statistic has a closed-form oracle.
+    */
+  def syntheticWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = WavCodec.syntheticWav(id)
+          (id, "audio", payload, WavCodec.rateOf(id),
+            WavCodec.framesOf(id).toLong * 1000 / WavCodec.rateOf(id))
+        }
+      }
+      .toDF("media_id", "kind", "payload", "rate", "dur")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(
+          lit("wav").alias("format"),
+          lit(null).cast(IntegerType).alias("width_px"),
+          lit(null).cast(IntegerType).alias("height_px"),
+          col("rate").alias("sample_rate"),
+          col("dur").alias("duration_ms")).alias("meta"))
+  }
+
+  /** WAV media for the oracle harness (see [[syntheticWavMedia]]). */
+  def wavMedia(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticWavMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+
   /** Frame sampler contract: bytes → iterator of frame payloads. */
   trait FrameSampler extends Serializable {
     def frames(payload: Array[Byte]): Iterator[Array[Byte]]
@@ -327,4 +552,84 @@ object Multimodal {
     */
   def pngMedia(spark: SparkSession, sfDir: String): DataFrame =
     syntheticPngMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Per-channel-mean drift tolerance for the JPEG round-trip contract.
+    * JPEG quantization preserves each 8×8 block's DC coefficient to within
+    * a few code units, so the IMAGE mean moves by single intensity units
+    * even though individual pixels of a high-frequency pattern move a lot:
+    * measured max drift over the full 5000-id synthetic family is 5.46
+    * (worst channel, default-quality JDK encoder — chroma subsampling
+    * makes blue the loosest). Pinned at 8 with margin for encoder-table
+    * differences across JDK builds; a real decode failure (wrong image,
+    * wrong dims, channel swap) lands tens of units out, far past the gate.
+    */
+  val JpegMeanTol = 8.0
+
+  /** Synthetic JPEG media frame ([[ImageCodec.syntheticJpeg]] formula),
+    * encoded per partition like the PNG twin.
+    */
+  def syntheticJpegMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = ImageCodec.syntheticJpeg(id)
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 9).toInt
+          (id, "image", payload, ("jpeg", w, h))
+        }
+      }
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(
+          col("m._1").alias("format"),
+          col("m._2").alias("width_px"),
+          col("m._3").alias("height_px"),
+          lit(null).cast(IntegerType).alias("sample_rate"),
+          lit(null).cast(LongType).alias("duration_ms")).alias("meta"))
+  }
+
+  /** The LOSSY-round-trip contract: decode real JPEG payloads through
+    * [[decodeImageStats]] (the identical stage the PNG family uses — this
+    * query is the evidence that stage survives heterogeneous real blobs)
+    * and pin (a) container dims + pixel count EXACTLY and (b) per-channel
+    * means within [[JpegMeanTol]] of the closed-form formula means — the
+    * bounded-error-boolean pattern of the engine's sketch audits. The
+    * formula means are re-derived IN-ENGINE as a pure expression over the
+    * (id, x, y) grid, so the comparison needs no second decode and no
+    * join; the oracle knows only the formula and pins every boolean TRUE.
+    */
+  def jpegDecodeContract(
+      media: DataFrame,
+      tol: Double = JpegMeanTol): DataFrame = {
+    val stats = decodeImageStats(media)
+    val w = expr("CAST(8 + media_id % 9 AS INT)")
+    val h = expr("CAST(8 + (media_id div 9) % 9 AS INT)")
+    // Σ over the w×h grid of (id·a + x·bx + y·by) mod 256, one aggregate
+    // over a ≤256-slot sequence per row — all inside whole-stage codegen.
+    def formulaSum(a: Int, bx: Int, by: Int): Column =
+      aggregate(
+        sequence(lit(0), w * h - 1),
+        lit(0L),
+        (acc, k) => acc +
+          pmod(col("media_id") * a + pmod(k, w) * bx +
+            floor(k / w).cast("long") * by, lit(256)))
+    // greatest(n_px, 1): an undecoded row has n_px = 0 and must yield
+    // ok = false, not an ANSI divide-by-zero.
+    def meanOk(sum: Column, f: Column): Column =
+      col("decoded") &&
+        abs(sum.cast("double") / greatest(col("n_px"), lit(1L)) -
+          f.cast("double") / greatest(col("n_px"), lit(1L))) <= tol
+    stats.select(
+      col("media_id"), col("decoded"), col("width_px"), col("height_px"),
+      col("n_px"),
+      meanOk(col("r_sum"), formulaSum(31, 7, 13)).alias("r_ok"),
+      meanOk(col("g_sum"), formulaSum(17, 11, 5)).alias("g_ok"),
+      meanOk(col("b_sum"), formulaSum(23, 3, 19)).alias("b_ok"))
+  }
+
+  /** JPEG media for the oracle harness (see [[syntheticJpegMedia]]). */
+  def jpegMedia(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticJpegMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
 }

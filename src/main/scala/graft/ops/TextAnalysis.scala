@@ -133,6 +133,61 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0)).alias("n_tokens"))
   }
 
+  /** BIGRAM language-model fluency score — the sharper sibling of
+    * [[unigramLogProb]] and the shape of the KenLM-perplexity filter
+    * pretraining pipelines actually rank by (CCNet, Wenzek et al. 2020,
+    * arXiv:1911.00359 §3 scores documents with an n-gram LM; add-one
+    * smoothing stands in for Kneser-Ney so the arithmetic stays exactly
+    * SQL-expressible). Per document: the mean log10 of the add-one-smoothed
+    * conditional probability of each adjacent token pair under the corpus's
+    * OWN counts, `avg over (w1,w2) of log10((c(w1,w2)+1) / (c(w1)+|V|))`.
+    * Word salad scores far below fluent text because its specific bigrams
+    * never recur, while a unigram model cannot tell the two apart — exactly
+    * the gap this signal exists to close.
+    *
+    * Scale shape: bigrams materialize map-side from the token array (pure
+    * projection — the pair stream is the token stream shifted one, never a
+    * self-join); they feed two map-side-combinable groupBys (pair counts;
+    * context counts from the unigram stream) and join back by pair / by
+    * context word. Both count tables are Zipf-bounded vocabularies, and
+    * neither carries a broadcast hint — the [[tfIdf]] reasoning: AQE
+    * broadcasts them from measured size on a clean corpus, while a web
+    * corpus's pair table can reach billions of rows and a forced hint would
+    * OOM the driver where a shuffle join is the right plan. Only the 1-row
+    * vocabulary scalar rides an explicit broadcast. Documents with < 2
+    * tokens keep their row: null score, 0 bigrams.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val pairStruct = transform(sequence(lit(1), size(col("t")) - 1),
+      i => struct(
+        element_at(col("t"), i).alias("w1"),
+        element_at(col("t"), i + 1).alias("w2")))
+    val pairs = docs
+      .select(col("doc_id"), t.alias("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(pairStruct).alias("bg"))
+      .select(col("doc_id"), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+    val uni = docs.select(explode(t).alias("term"))
+      .groupBy(col("term")).agg(count(lit(1)).alias("c1"))
+    val bi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("c2"))
+    val consts = uni.agg(count(lit(1)).alias("vocab"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("term").alias("w1"), col("c1")), Seq("w1"))
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(
+        // 6-dp rounding absorbs double-summation order across engines.
+        round(avg(log10((col("c2") + 1).cast("double") /
+          (col("c1") + col("vocab")))), 6).alias("avg_logprob"),
+        count(lit(1)).cast("int").alias("n_bigrams"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("avg_logprob"),
+        coalesce(col("n_bigrams"), lit(0)).alias("n_bigrams"))
+  }
+
   /** Gopher-style repetition signal: the share of a document's word
     * bigrams taken by its single most frequent bigram. Boilerplate, spam,
     * and degenerate generations repeat — natural text does not — which

@@ -261,6 +261,61 @@ class PlanEvidenceSpec extends SparkSpec {
       s"no global sort allowed:\n$plan")
   }
 
+  test("dedup_lines: hashes shuffle, dup set broadcasts, no line text in any Exchange") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("dedup_lines")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"product join:\n$plan")
+    // The dup-line set reaches the rebuild as a 1-row broadcast …
+    assert(plan.contains("BroadcastExchange"),
+      s"dup set must broadcast:\n$plan")
+    // … and every shuffle carries hashes/counts only — neither the wrapped
+    // text nor an exploded line string ever crosses an Exchange.
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l =>
+      !l.contains("text#") && !l.contains("line#")),
+      s"line text crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("dedup_incremental safety net: AQE skew-join split FIRES on a degenerate hot bucket") {
+    import spark.implicits._
+    // crossCorpusCandidates deliberately does not salt (salting would
+    // decorrelate the two sides — Dedup scaladoc); its stated fallback
+    // for an unsalted hot bucket is AQE's runtime skew split. This is the
+    // runtime evidence: a corpus where EVERY doc shares one (band, bucket)
+    // key, so the bucket join is maximally skewed, must come back from
+    // execution with the skew split marked in the final adaptive plan.
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val newDocs = (0L until 300L).map(i => (i, text)).toDF("doc_id", "text")
+    val refDocs = (1000L until 1300L).map(i => (i, text)).toDF("doc_id", "text")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // Fixture-sized thresholds: the production defaults (256 MB) only
+      // trip on real skew; the mechanism under test is identical.
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val cands = graft.ops.Dedup.crossCorpusCandidates(
+        newDocs, refDocs, k = 16, bands = 4, threshold = 0.5)
+      // Execute THIS frame (count() would build a separate query tree and
+      // leave cands' adaptive plan unfinalized), then read the final plan.
+      assert(cands.collect().length === 300 * 300)
+      val finalPlan = cands.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"AQE skew split did not fire on the degenerate bucket:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stat_chisquare: ONE fact scan — marginals derive from the cell table") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     for (q <- Seq("stat_chisquare", "stat_cramers_v")) {

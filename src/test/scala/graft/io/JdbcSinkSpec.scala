@@ -64,6 +64,73 @@ class JdbcSinkSpec extends SparkSpec {
     assert(readBack(cfg, cfg.readingsTable).count() === 4L)
   }
 
+  test("PostgresDialect DDL pinned for the three canonical tables (no server needed)") {
+    import org.apache.spark.sql.types._
+    import graft.model.Schemas
+    // The reference persists into Postgres (data_persistance.py:48,
+    // jdbc:postgresql://postgres:5432/iot_db). No server exists in the
+    // sandbox, but the type mapping that decides the FIRST production
+    // run's schema is driver-side PostgresDialect logic — pin it so a
+    // Spark upgrade shifting TEXT→VARCHAR or FLOAT8→DOUBLE fails here,
+    // not in production.
+    val url = "jdbc:postgresql://postgres:5432/iot_db"
+
+    // readings: the flat post-parse shape jdbcAppend writes.
+    assert(JdbcDdl.createTableDdl(url, "sensor_readings",
+      Schemas.flatReadingSchema) ===
+      """CREATE TABLE sensor_readings ("sensor_id" TEXT, "sensor_type" TEXT, """ +
+        """"building" TEXT, "floor" INTEGER, "room" INTEGER, """ +
+        """"timestamp" TEXT, "value" FLOAT8, "unit" TEXT, """ +
+        """"battery_level" INTEGER, "signal_strength" INTEGER)""")
+
+    // alerts: the flattened dual-sink row (alert_detector.py:216-240
+    // shape). NOTE the mapping this pin surfaced: Spark's TimestampType
+    // has INSTANT semantics, so PostgresDialect creates TIMESTAMP WITH
+    // TIME ZONE — only TimestampNTZType maps to plain TIMESTAMP. A
+    // pipeline wanting wall-clock columns must cast to NTZ before the
+    // first write, or the table is created timestamptz forever.
+    val alertsFlat = StructType(Seq(
+      StructField("sensor_id", StringType),
+      StructField("alert_type", StringType),
+      StructField("severity", StringType),
+      StructField("threshold_value", IntegerType),
+      StructField("actual_value", DoubleType),
+      StructField("message", StringType),
+      StructField("triggered_at", TimestampType),
+      StructField("status", StringType)))
+    assert(JdbcDdl.createTableDdl(url, "alerts", alertsFlat) ===
+      """CREATE TABLE alerts ("sensor_id" TEXT, "alert_type" TEXT, """ +
+        """"severity" TEXT, "threshold_value" INTEGER, """ +
+        """"actual_value" FLOAT8, "message" TEXT, """ +
+        """"triggered_at" TIMESTAMP WITH TIME ZONE, "status" TEXT)""")
+
+    // aggregates: the flattened windowed-stats row (Aggregates.flatten).
+    val aggFlat = StructType(Seq(
+      StructField("sensor_id", StringType),
+      StructField("window_start", TimestampType),
+      StructField("window_end", TimestampType),
+      StructField("avg_value", DoubleType),
+      StructField("min_value", DoubleType),
+      StructField("max_value", DoubleType),
+      StructField("count", LongType, nullable = false)))
+    assert(JdbcDdl.createTableDdl(url, "aggregated_stats", aggFlat) ===
+      """CREATE TABLE aggregated_stats ("sensor_id" TEXT, """ +
+        """"window_start" TIMESTAMP WITH TIME ZONE, """ +
+        """"window_end" TIMESTAMP WITH TIME ZONE, """ +
+        """"avg_value" FLOAT8, "min_value" FLOAT8, "max_value" FLOAT8, """ +
+        """"count" BIGINT NOT NULL)""")
+
+    // Spot-pin the scalar mappings a schema evolution would reach for.
+    val single = Seq(
+      BooleanType -> "BOOLEAN", FloatType -> "FLOAT4",
+      BinaryType -> "BYTEA", ShortType -> "SMALLINT",
+      TimestampNTZType -> "TIMESTAMP")
+    for ((dt, expect) <- single)
+      assert(JdbcDdl.columnDefs(url,
+        StructType(Seq(StructField("c", dt)))).head === s""""c" $expect""",
+        s"PostgresDialect mapping for $dt moved")
+  }
+
   test("jdbcStream default writer: stream → real JDBC table → read back") {
     import spark.implicits._
     val cfg = derbyCfg()

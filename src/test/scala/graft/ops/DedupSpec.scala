@@ -47,6 +47,61 @@ class DedupSpec extends SparkSpec {
     assert(twoRuns === Set((1L, 0, 2), (1L, 5, 7), (2L, 0, 2), (2L, 5, 7)))
   }
 
+  test("lineDedup drops every occurrence of corpus-duplicated lines") {
+    val out = Dedup.lineDedup(docs(
+      (1L, "the quick brown fox\nunique line number one\nshared boilerplate line"),
+      (2L, "shared boilerplate line\nunique line number two"),
+      (3L, "totally disjoint document")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // CCNet semantics: ALL occurrences of the duplicated line vanish.
+    assert(out(1L) === ((3, 1, "the quick brown fox\nunique line number one")))
+    assert(out(2L) === ((2, 1, "unique line number two")))
+    assert(out(3L) === ((1, 0, "totally disjoint document")))
+  }
+
+  test("lineDedup: short duplicated lines survive (minChars floor); within-doc repeats count") {
+    val out = Dedup.lineDedup(docs(
+      (1L, "ok\nthis long line is repeated verbatim"),
+      (2L, "ok\nthis long line is repeated verbatim")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // "ok" (2 chars < 10) is structure, kept on both; the long line goes.
+    assert(out(1L) === "ok" && out(2L) === "ok")
+    // A line repeated twice WITHIN one document is corpus-count 2 → dropped.
+    val within = Dedup.lineDedup(docs(
+      (1L, "a duplicated long line\nmiddle unique content\na duplicated long line")))
+      .collect().head
+    assert(within.getInt(2) === 2)
+    assert(within.getString(3) === "middle unique content")
+  }
+
+  test("lineDedup: NULL text behaves as one empty kept line; guard trips loudly") {
+    val nulls = Dedup.lineDedup(docs((1L, null), (2L, "plain single doc")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(nulls(1L) === ((1, 0, "")))
+    assert(nulls(2L) === ((1, 0, "plain single doc")))
+    // maxDupLines guard: a dup vocabulary past the collected-array design
+    // point must fail the job, not silently truncate.
+    val boom = intercept[Exception] {
+      Dedup.lineDedup(docs(
+        (1L, "the same long line everywhere"),
+        (2L, "the same long line everywhere")), maxDupLines = 0).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("wrapTokenLines wraps N tokens per line, deterministic and empty-safe") {
+    val toks = (1 to 23).map(i => s"w$i").mkString(" ")
+    val out = Dedup.wrapTokenLines(docs((1L, toks), (2L, ""), (3L, null)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = out(1L).split("\n")
+    assert(lines.length === 3)
+    assert(lines(0) === (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(lines(2) === (21 to 23).map(i => s"w$i").mkString(" "))
+    assert(out(2L) === "" && out(3L) === "")
+  }
+
   test("content-hash groups equal exact groups and produces stable sha-256") {
     val out = Dedup.contentHash(docs((1L, "same text"), (2L, "same text")))
       .collect()

@@ -146,4 +146,102 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Array[Byte]]("frame_payload") === Array[Byte](0, 1, 2))
     assert(out(1).getAs[Array[Byte]]("frame_payload") === Array[Byte](6, 7, 8))
   }
+
+  test("real audio codec: WAV encode→AudioSystem decode round-trips exact samples") {
+    for (id <- Seq(0L, 1L, 5L, 42L, 131L)) {
+      val bytes = Multimodal.WavCodec.syntheticWav(id)
+      // Genuine RIFF/WAVE container with the canonical 44-byte header.
+      assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+      val Some((rate, nCh, bits, samples)) = Multimodal.WavCodec.decode(bytes)
+      assert(rate === Multimodal.WavCodec.rateOf(id))
+      assert(nCh === Multimodal.WavCodec.channelsOf(id))
+      assert(bits === 16)
+      val nFr = Multimodal.WavCodec.framesOf(id)
+      assert(samples.length === nFr * nCh)
+      for (i <- 0 until nFr; c <- 0 until nCh)
+        assert(samples(i * nCh + c) === Multimodal.WavCodec.sampleOf(id, c, i))
+    }
+  }
+
+  test("real audio codec: decode returns None on corrupt payloads, never throws") {
+    assert(Multimodal.WavCodec.decode("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.WavCodec.decode(null).isEmpty)
+    // A RIFF prefix with a truncated body must not throw either.
+    assert(Multimodal.WavCodec.decode("RIFF1234WAVEfmt ".getBytes).isEmpty)
+  }
+
+  test("wavHeaderInfo parses the canonical header fields without decoding") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L, 40L)
+    val df = ids.map(id => (id, Multimodal.WavCodec.syntheticWav(id)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.wavHeaderInfo(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    for (id <- ids) {
+      val r = out(id)
+      assert(r.getAs[Int]("n_channels") === Multimodal.WavCodec.channelsOf(id))
+      assert(r.getAs[Int]("sample_rate") === Multimodal.WavCodec.rateOf(id))
+      assert(r.getAs[Int]("bits") === 16)
+      assert(r.getAs[Long]("n_frames") === Multimodal.WavCodec.framesOf(id).toLong)
+      assert(r.getAs[Long]("duration_ms") ===
+        Multimodal.WavCodec.framesOf(id).toLong * 1000 /
+          Multimodal.WavCodec.rateOf(id))
+    }
+  }
+
+  test("decodeWavStats: exact per-channel sums; corrupt rows flagged not thrown") {
+    import spark.implicits._
+    val id = 13L // stereo (13 % 2 = 1 → 2 channels)
+    val df = Seq((id, Multimodal.WavCodec.syntheticWav(id)),
+      (99L, "garbage bytes".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeWavStats(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val r = out(id)
+    assert(r.getAs[Boolean]("decoded"))
+    val nFr = Multimodal.WavCodec.framesOf(id)
+    val s = for (c <- 0 to 1) yield
+      (0 until nFr).map(i => Multimodal.WavCodec.sampleOf(id, c, i).toLong).sum
+    assert(r.getAs[Long]("n_frames") === nFr.toLong)
+    assert(r.getAs[Long]("ch0_sum") === s(0))
+    assert(r.getAs[Long]("ch1_sum") === s(1))
+    val all = for (c <- 0 to 1; i <- 0 until nFr)
+      yield Multimodal.WavCodec.sampleOf(id, c, i)
+    assert(r.getAs[Int]("v_min") === all.min)
+    assert(r.getAs[Int]("v_max") === all.max)
+    assert(!out(99L).getAs[Boolean]("decoded"))
+    assert(out(99L).getAs[Long]("n_frames") === 0L)
+  }
+
+  test("jpeg contract: real lossy round-trip keeps dims exact and means within tol") {
+    import spark.implicits._
+    val ids = (0L until 60L).toSeq
+    val df = Multimodal.syntheticJpegMedia(ids.map(id => (id, "x")).toDF("doc_id", "text"))
+    // Payloads are genuine JPEGs (SOI marker).
+    val p = df.select("payload").as[Array[Byte]].head()
+    assert((p(0) & 0xff) === 0xff && (p(1) & 0xff) === 0xd8)
+    val out = Multimodal.jpegDecodeContract(df).collect()
+    assert(out.length === ids.length)
+    for (r <- out) {
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Boolean]("decoded"), s"id $id did not decode")
+      assert(r.getAs[Int]("width_px") === (8 + id % 9).toInt)
+      assert(r.getAs[Int]("height_px") === (8 + (id / 9) % 9).toInt)
+      assert(r.getAs[Long]("n_px") ===
+        (8 + id % 9) * (8 + (id / 9) % 9))
+      for (ch <- Seq("r_ok", "g_ok", "b_ok"))
+        assert(r.getAs[Boolean](ch), s"id $id channel $ch drifted past tol")
+    }
+  }
+
+  test("jpeg contract: corrupt blob yields decoded=false row, not a throw") {
+    import spark.implicits._
+    val df = Seq((1L, "image", "THIS IS NOT A JPEG".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.jpegDecodeContract(df).collect()
+    assert(out.length === 1)
+    assert(!out.head.getAs[Boolean]("decoded"))
+  }
 }

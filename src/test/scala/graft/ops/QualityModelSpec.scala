@@ -50,6 +50,28 @@ class QualityModelSpec extends SparkSpec {
       s"mean(pos)=${pos.sum / pos.length} mean(neg)=${neg.sum / neg.length}")
   }
 
+  test("train-once memo: same input trains once, different input trains fresh") {
+    QualityModel.clearWeightMemo()
+    val before = QualityModel.trainExecutions.get()
+    val w1 = QualityModel.train(corpus)
+    val w2 = QualityModel.train(corpus)           // memo hit (equal plans)
+    QualityModel.trainedScores(corpus).collect()  // composed query: hit too
+    assert(QualityModel.trainExecutions.get() - before === 1,
+      "the 16-job GD loop must execute once per distinct (input, params)")
+    assert(w1.toSeq === w2.toSeq)
+    // A DIFFERENT corpus with the same schema must NOT alias into the memo
+    // (the key is the canonicalized plan, whose LocalRelation equality
+    // includes the data rows).
+    import spark.implicits._
+    val other = Seq((1L, "totally different tiny corpus"),
+      (2L, "of two documents")).toDF("doc_id", "text")
+    QualityModel.train(other)
+    assert(QualityModel.trainExecutions.get() - before === 2)
+    // Different hyper-parameters re-train as well.
+    QualityModel.train(corpus, steps = 2)
+    assert(QualityModel.trainExecutions.get() - before === 3)
+  }
+
   test("weightsTable emits one named row per dimension in order") {
     val rows = QualityModel.weightsTable(spark, corpus).collect()
     assert(rows.map(_.getString(0)).toSeq === QualityModel.FeatureNames)

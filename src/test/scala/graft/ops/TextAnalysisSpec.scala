@@ -222,6 +222,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((None, 0))) // NULL text ≡ empty: row kept, null score
   }
 
+  test("bigramLogProb: hand-computed smoothed pair scores; short docs keep rows") {
+    import spark.implicits._
+    // Corpus: "a b a b" + "a b c" + "x" → unigrams a=3 b=3 c=1 x=1, |V|=4;
+    // bigrams (a,b)=3 (b,a)=1 (b,c)=1.
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getInt(2)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pab = math.log10(4.0 / 7) // (3+1)/(c(a)=3 + 4)
+    val pba = math.log10(2.0 / 7) // (1+1)/(c(b)=3 + 4)
+    val pbc = math.log10(2.0 / 7) // (1+1)/(c(b)=3 + 4)
+    assert(out(1L)._2 === 3)
+    assert(math.abs(out(1L)._1.get - r6((2 * pab + pba) / 3)) < 1e-9)
+    assert(out(2L)._2 === 2)
+    assert(math.abs(out(2L)._1.get - r6((pab + pbc) / 2)) < 1e-9)
+    // < 2 tokens → no bigram: row kept with null score on both shapes.
+    assert(out(3L) === ((None, 0)))
+    assert(out(4L) === ((None, 0)))
+  }
+
+  test("bigramLogProb separates word salad from fluent repetition where unigram cannot") {
+    import spark.implicits._
+    // Same unigram bag, different order: the scrambled doc's specific
+    // bigrams never recur in the corpus, the fluent one's do.
+    val fluent = "the cat sat on the mat"
+    val salad = "mat the on sat cat the"
+    val d = (Seq((1L, salad)) ++ (2 to 12).map(i => (i.toLong, fluent)))
+      .toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(1L) < bi(2L),
+      s"salad ${bi(1L)} must score below fluent ${bi(2L)}")
+    val uni = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(1L) === uni(2L), "unigram is blind to order by construction")
+  }
+
   test("repetition: degenerate loops score high, varied text low, short docs 0") {
     import spark.implicits._
     val d = Seq(
