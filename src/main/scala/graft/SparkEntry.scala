@@ -177,6 +177,39 @@ object SparkEntry {
   private def hashSql(prefixExpr: String, wVar: String = "w"): String =
     s"CAST(concat('0x', substr(md5(concat($prefixExpr, $wVar)), 1, 15)) AS BIGINT)"
 
+  // Shared twin of BOTH line-dedup regimes (lineDedup / lineDedupJoin):
+  // one SQL string, so the broadcast-set and join-rebuild variants are
+  // pinned to byte-identical output.
+  private lazy val dedupLinesSql = {
+    val L = graft.ops.Dedup.LineDedupMinChars
+    val drop = s"p -> NOT (len(p) >= $L AND list_contains(dl, p))"
+    s"""WITH $rawToksSql, wrapped AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) > 0 THEN
+       |           array_to_string(list_transform(range(0, (len(t) + 9) // 10),
+       |             i -> array_to_string(
+       |               t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')),
+       |             chr(10))
+       |         ELSE '' END AS text
+       |  FROM toks
+       |), ln AS (
+       |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+       |  FROM wrapped
+       |), dup AS (
+       |  SELECT line FROM ln WHERE len(line) >= $L
+       |  GROUP BY line HAVING count(*) >= 2
+       |), dupset AS (SELECT coalesce(list(line), []) AS dl FROM dup),
+       |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps
+       |          FROM wrapped)
+       |SELECT doc_id,
+       |       CAST(len(ps) AS INT) AS n_lines,
+       |       CAST(len(ps) - len(list_filter(ps, $drop)) AS INT)
+       |         AS n_dropped,
+       |       coalesce(array_to_string(list_filter(ps, $drop), chr(10)), '')
+       |         AS text_dedup
+       |FROM parts, dupset""".stripMargin
+  }
+
   // Word-bigram shingle sets (Dedup.bigrams, distinct) — the minhash
   // shingling unit.
   private val gramsSql =
@@ -283,6 +316,34 @@ object SparkEntry {
        |              WHEN cpt > ${TextAnalysis.GateMaxCharsPerToken} THEN 'tokens_too_long'
        |              ELSE NULL END AS reject_reason
        |  FROM q
+       |)""".stripMargin
+  }
+
+  // DSIR CTEs shared by text_dsir_weights / corpus_select_dsir: hashed
+  // token buckets tagged with the inlined gate verdict, raw + target
+  // histograms (≤ DsirBuckets rows each), add-one-smoothed mean log-ratio
+  // per document — Curation.dsirWeights mirrored term for term.
+  private lazy val dsirCtesSql = {
+    val B = Curation.DsirBuckets
+    s"""$rawToksSql, $gateSql, dex AS (
+       |  SELECT doc_id, unnest(t) AS w FROM toks
+       |), dbk AS (
+       |  SELECT doc_id, ${hashSql("'0:'")} % $B AS b FROM dex
+       |), tagged AS (
+       |  SELECT dbk.doc_id, b, (g.reject_reason IS NULL) AS passed
+       |  FROM dbk JOIN gated g ON dbk.doc_id = g.doc_id
+       |), draw AS (SELECT b, count(*) AS cr FROM tagged GROUP BY b),
+       |dtgt AS (SELECT b, count(*) AS ct FROM tagged WHERE passed GROUP BY b),
+       |dtot AS (SELECT (SELECT sum(cr) FROM draw) AS nr,
+       |                (SELECT sum(ct) FROM dtgt) AS nt),
+       |dscored AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |         round(avg(
+       |           log10(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt + $B))
+       |           - log10(CAST(cr + 1 AS DOUBLE) / (nr + $B))), 6)
+       |           AS dsir_logratio
+       |  FROM tagged JOIN draw USING (b) LEFT JOIN dtgt USING (b), dtot
+       |  GROUP BY doc_id
        |)""".stripMargin
   }
 
@@ -930,6 +991,11 @@ object SparkEntry {
     // Exchange ever carries a line (Dedup.lineDedup scaladoc).
     "dedup_lines"         -> ((s, d) =>
       Dedup.lineDedup(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
+    // Same op, unbounded-vocabulary regime: drop set stays distributed,
+    // rebuild is a doc_id join (AQE broadcasts the dropped side from
+    // measured size). SAME oracle as dedup_lines — regimes cannot drift.
+    "dedup_lines_join"    -> ((s, d) =>
+      Dedup.lineDedupJoin(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
@@ -1004,6 +1070,14 @@ object SparkEntry {
         graft.ops.QualityModel.trainedScores(StandIn.documents(s, d))
           .select(col("doc_id"), col("score")),
         k = 50, weightCol = "score", seed = "graft-q1")),
+    // DSIR importance weights (Xie et al. 2023): per-doc mean log-ratio of
+    // target vs raw hashed-gram distributions, target = the quality-gated
+    // subset (Curation.dsirWeights scaladoc has the scale shape)...
+    "text_dsir_weights"   -> ((s, d) =>
+      Curation.dsirWeights(StandIn.documents(s, d))),
+    // ...and the deterministic selection face: top-k most target-like.
+    "corpus_select_dsir"  -> ((s, d) =>
+      Curation.selectByDsir(StandIn.documents(s, d))),
     "corpus_pack_bpe"     -> ((s, d) =>
       Bpe.packByBpe(StandIn.documents(s, d), Bpe.FixedMerges,
         PackBudget, PackBuckets)),
@@ -1204,7 +1278,11 @@ object SparkEntry {
     // family; dims + pixel count pinned exactly, channel means pinned as
     // bounded-drift booleans (the sketch-audit pattern).
     "mm_jpeg_decode"      -> ((s, d) =>
-      Multimodal.jpegDecodeContract(Multimodal.jpegMedia(s, d)))
+      Multimodal.jpegDecodeContract(Multimodal.jpegMedia(s, d))),
+    // Audio features over the real decode: per-channel zero-crossings +
+    // energy, exact integers — the silence/noise gate signals.
+    "mm_wav_features"     -> ((s, d) =>
+      Multimodal.wavFeatures(Multimodal.wavMedia(s, d)))
   )
 
   // Gaps-and-islands session CTEs (twin of Sessionize.sessions) — shared
@@ -1410,35 +1488,11 @@ object SparkEntry {
     // shuffle-key optimization — same result barring a 64-bit collision),
     // and rebuilds each text with every occurrence of a duplicated line
     // removed, exactly as the engine does map-side.
-    "dedup_lines" -> {
-      val L = Dedup.LineDedupMinChars
-      val drop = s"p -> NOT (len(p) >= $L AND list_contains(dl, p))"
-      s"""WITH $rawToksSql, wrapped AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(t) > 0 THEN
-         |           array_to_string(list_transform(range(0, (len(t) + 9) // 10),
-         |             i -> array_to_string(
-         |               t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')),
-         |             chr(10))
-         |         ELSE '' END AS text
-         |  FROM toks
-         |), ln AS (
-         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-         |  FROM wrapped
-         |), dup AS (
-         |  SELECT line FROM ln WHERE len(line) >= $L
-         |  GROUP BY line HAVING count(*) >= 2
-         |), dupset AS (SELECT coalesce(list(line), []) AS dl FROM dup),
-         |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps
-         |          FROM wrapped)
-         |SELECT doc_id,
-         |       CAST(len(ps) AS INT) AS n_lines,
-         |       CAST(len(ps) - len(list_filter(ps, $drop)) AS INT)
-         |         AS n_dropped,
-         |       coalesce(array_to_string(list_filter(ps, $drop), chr(10)), '')
-         |         AS text_dedup
-         |FROM parts, dupset""".stripMargin
-    },
+    "dedup_lines" -> dedupLinesSql,
+    // The unbounded-vocabulary regime (Dedup.lineDedupJoin: drop set stays
+    // a DataFrame, rebuild is a doc_id join) checks against the IDENTICAL
+    // oracle — the two regimes cannot drift (the clusters/bigstar pattern).
+    "dedup_lines_join" -> dedupLinesSql,
 
     // Threshold-tuning curve twin (Dedup.candidateSimHistogram): pair
     // counts per exact 1/k similarity step over the threshold-0 candidates.
@@ -2837,6 +2891,24 @@ object SparkEntry {
          |       coalesce(n_tokens, 0) AS n_tokens
          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
 
+    // DSIR importance-weight twin (Curation.dsirWeights): same hashed
+    // buckets, same gate-defined target, same smoothed mean log-ratio.
+    "text_dsir_weights" ->
+      s"""WITH $dsirCtesSql
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, dsir_logratio
+         |FROM documents d LEFT JOIN dscored s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // Deterministic DSIR selection twin: top-k by (ratio desc, doc_id) —
+    // the 6-dp rounded ratio plus the id tie-break makes the cut
+    // bit-stable on both engines.
+    "corpus_select_dsir" ->
+      s"""WITH $dsirCtesSql
+         |SELECT doc_id, n_tokens, dsir_logratio
+         |FROM dscored
+         |WHERE dsir_logratio IS NOT NULL
+         |ORDER BY dsir_logratio DESC, doc_id
+         |LIMIT 50""".stripMargin,
+
     // Bigram-LM fluency twin (TextAnalysis.bigramLogProb): the pair stream
     // is the token list zipped with its own tail (two aligned unnests),
     // counts joined back by pair and by context word, add-one smoothing
@@ -3356,6 +3428,42 @@ object SparkEntry {
         |       CAST(least(min(s0), coalesce(min(s1), 32767)) AS INT) AS v_min,
         |       CAST(greatest(max(s0), coalesce(max(s1), -32768)) AS INT) AS v_max
         |FROM smp GROUP BY doc_id""".stripMargin,
+
+    // WAV feature twin (Multimodal.wavFeatures): zero-crossings count sign
+    // flips between consecutive frames per channel (lag window); energy is
+    // Σs² — all exact integers from the sample formula. Mono docs have no
+    // channel 1: its zero-sum CASE and coalesced energy pin 0, matching
+    // the decode stage's zeroed stereo slots.
+    "mm_wav_features" ->
+      """WITH wd AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch, 64 + doc_id % 33 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, nch, nf, unnest(range(0, nf)) AS i FROM wd
+        |), smp AS (
+        |  SELECT doc_id, nch, nf, i,
+        |         (doc_id * 31 + i * 7) % 65536 - 32768 AS s0,
+        |         CASE WHEN nch = 2
+        |              THEN (doc_id * 31 + i * 7 + 13) % 65536 - 32768
+        |         END AS s1
+        |  FROM fr
+        |), lagged AS (
+        |  SELECT doc_id, nf, s0, s1,
+        |         lag(s0) OVER (PARTITION BY doc_id ORDER BY i) AS p0,
+        |         lag(s1) OVER (PARTITION BY doc_id ORDER BY i) AS p1
+        |  FROM smp
+        |)
+        |SELECT doc_id AS media_id, TRUE AS decoded,
+        |       CAST(max(nf) AS BIGINT) AS n_frames,
+        |       CAST(sum(CASE WHEN p0 IS NOT NULL AND (p0 < 0) <> (s0 < 0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS ch0_zero_crossings,
+        |       CAST(sum(CASE WHEN p1 IS NOT NULL AND (p1 < 0) <> (s1 < 0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS ch1_zero_crossings,
+        |       CAST(sum(s0 * s0) AS BIGINT) AS ch0_energy,
+        |       CAST(coalesce(sum(s1 * s1), 0) AS BIGINT) AS ch1_energy
+        |FROM lagged GROUP BY doc_id""".stripMargin,
 
     // JPEG contract twin (Multimodal.jpegDecodeContract): the lossy
     // round-trip pins container dims + pixel count exactly and the

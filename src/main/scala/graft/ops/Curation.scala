@@ -416,4 +416,101 @@ object Curation {
       .orderBy(key.desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Hashed-gram buckets for DSIR importance weighting. 4096 keeps the two
+    * distribution tables a few-KB broadcast at ANY corpus size — the
+    * bucket count, not the corpus, bounds them (the hashing trick's whole
+    * point, per the fastText scorer).
+    */
+  val DsirBuckets = 4096
+
+  /** DSIR importance weight per document — Data Selection via Importance
+    * Resampling (Xie et al. 2023, arXiv:2302.03169): score each raw
+    * document by how much more likely its hashed-n-gram bag is under a
+    * TARGET distribution than under the RAW corpus distribution,
+    * `avg over tokens of log10(p_target(bucket) / p_raw(bucket))`, add-one
+    * smoothed. The target here is the corpus's own quality-gated subset —
+    * the same distillation trick as the trained classifier: rules define
+    * "good", DSIR generalizes it distributionally. Positive weight ⇒ looks
+    * more like curated text than the raw average; the standard
+    * pick-pretraining-data-to-match-a-domain signal.
+    *
+    * Scale shape: one token explode feeds BOTH bucket histograms (the
+    * target side filtered by the inlined gate verdict — one corpus scan,
+    * no self-join); each histogram is ≤ [[DsirBuckets]] rows, explicitly
+    * broadcast (bounded by construction, unlike a vocabulary); the scoring
+    * join is then map-side against the fact stream. Per-doc mean keeps the
+    * weight length-comparable, 6-dp rounded for the oracle.
+    *
+    * Emits `(doc_id, n_tokens, dsir_logratio)`; null ratio, 0 tokens for
+    * empty docs (row kept, the engine-wide contract).
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets): DataFrame = {
+    // Gate verdict inlined into the SAME scan as the token stream (the
+    // QualityModel.features trick): joining TextAnalysis.qualityGate back
+    // by doc_id would shuffle the whole token stream against a
+    // corpus-sized per-doc table — inlining makes `passed` one more
+    // map-side column and the scan happens once.
+    val stopwords = TextAnalysis.LangMarkers.flatMap(_._2)
+    val nChars = length(col("text"))
+    val nToks = size(col("toks"))
+    val stopR = round(
+      graft.functions.CountInSet.countInSet(col("toks"), stopwords)
+        .cast("double") / greatest(nToks, lit(1)), 6)
+    val punctR = round(
+      (nChars - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("double") / greatest(nChars, lit(1)), 6)
+    val cpt = nChars.cast("double") / greatest(nToks, lit(1))
+    val passed =
+      nChars >= TextAnalysis.GateMinChars &&
+        nToks >= TextAnalysis.GateMinTokens &&
+        stopR <= TextAnalysis.GateMaxStopwordRatio &&
+        punctR <= TextAnalysis.GateMaxPunctRatio &&
+        cpt <= TextAnalysis.GateMaxCharsPerToken
+    val toks = docs
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).alias("toks"))
+      .select(col("doc_id"), passed.alias("passed"),
+        explode(col("toks")).alias("w"))
+      .select(col("doc_id"), col("passed"),
+        pmod(Dedup.hashAt(0, col("w")), lit(buckets)).alias("b"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).alias("cr"))
+    val target = toks.where(col("passed"))
+      .groupBy(col("b")).agg(count(lit(1)).alias("ct"))
+    val totals = raw.agg(sum(col("cr")).alias("nr")).crossJoin(
+      target.agg(sum(col("ct")).alias("nt")))
+    val scored = toks
+      .join(broadcast(raw), "b")
+      .join(broadcast(target), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").alias("n_tokens"),
+        round(avg(
+          log10((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + buckets)) -
+            log10((col("cr") + 1).cast("double") / (col("nr") + buckets))),
+          6).alias("dsir_logratio"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).alias("n_tokens"),
+        col("dsir_logratio"))
+  }
+
+  /** DSIR-ranked selection: the top-k most target-like documents by
+    * [[dsirWeights]], doc_id tie-break — the deterministic face of DSIR's
+    * resampling step (rank-select rather than a float-sensitive
+    * exponential draw, so the cut is bit-stable cross-engine). Plans as
+    * TakeOrderedAndProject like [[sampleWeighted]]: per-partition k-heaps,
+    * one k-row driver merge, the corpus never globally sorts.
+    */
+  def selectByDsir(
+      docs: DataFrame,
+      k: Int = 50,
+      buckets: Int = DsirBuckets): DataFrame = {
+    require(k > 0, s"selection size must be positive, got $k")
+    dsirWeights(docs, buckets)
+      .where(col("dsir_logratio").isNotNull)
+      .orderBy(col("dsir_logratio").desc, col("doc_id"))
+      .limit(k)
+  }
 }

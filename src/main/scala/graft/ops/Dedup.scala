@@ -336,6 +336,50 @@ object Dedup {
           .alias("text_dedup"))
   }
 
+  /** [[lineDedup]] for the regime PAST the collected-array crossover: the
+    * duplicated-line vocabulary stays a DataFrame end to end — no driver
+    * bound at any size. Cost of that: the rebuild becomes a doc_id-keyed
+    * join, so document text crosses ONE exchange (the same cost class as
+    * `corpus_shuffle`'s permutation — unavoidable once the drop-set cannot
+    * ride a broadcast). Every other shuffle still carries 8-byte hashes /
+    * int offsets only, and the dropped side is docs-with-dups-sized, so
+    * AQE broadcasts it from measured size on ordinary corpora (no hint —
+    * the tfIdf reasoning) and the text shuffle disappears entirely.
+    *
+    * Output is IDENTICAL to [[lineDedup]] — both register against the same
+    * oracle, so the two regimes cannot drift (the `clusters` /
+    * `clustersBigStar` pattern).
+    */
+  def lineDedupJoin(
+      docs: DataFrame,
+      minChars: Int = LineDedupMinChars,
+      minCopies: Int = 2): DataFrame = {
+    val parts = split(coalesce(col("text"), lit("")), "\n")
+    val lines = docs
+      .select(col("doc_id"), posexplode(parts).as(Seq("line_no", "line")))
+      .where(length(col("line")) >= minChars)
+      .select(col("doc_id"), col("line_no"), xxhash64(col("line")).alias("h"))
+    val dup = lines
+      .groupBy(col("h")).agg(count(lit(1)).alias("n_copies"))
+      .where(col("n_copies") >= minCopies)
+      .select(col("h"))
+    val dropped = lines.join(dup, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("line_no")).alias("drop_nos"))
+    val dropNos = coalesce(col("drop_nos"), array().cast("array<int>"))
+    val keptIdx = filter(sequence(lit(0), size(col("ps")) - 1),
+      i => !array_contains(dropNos, i))
+    docs
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), parts.alias("ps"), col("drop_nos"))
+      .select(
+        col("doc_id"),
+        size(col("ps")).alias("n_lines"),
+        size(dropNos).alias("n_dropped"),
+        array_join(transform(keptIdx, i => element_at(col("ps"), i + 1)), "\n")
+          .alias("text_dedup"))
+  }
+
   /** Deterministic N-tokens-per-line re-wrap of a document — the fixture
     * adapter for [[lineDedup]] (the synthetic corpus ships no newlines).
     * Pure map-side projection; both engines rebuild the identical wrapped

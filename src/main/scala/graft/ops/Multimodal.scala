@@ -457,6 +457,51 @@ object Multimodal {
         "ch0_sum", "ch1_sum", "v_min", "v_max")
   }
 
+  /** Audio feature extraction over the REAL decode: per-channel
+    * zero-crossing count and energy (sum of squared samples) — the
+    * classic silence/noise/speech gate signals, the audio analogue of the
+    * luma histogram. Both are EXACT integers (samples are 16-bit ints;
+    * Σs² ≤ 96·2³⁰ fits a long with room to spare), so the stage is
+    * bit-checkable against the closed-form sample formula. Zero-crossing
+    * convention: sign flip between consecutive frames of one channel,
+    * where sample ≥ 0 counts as nonnegative. Undecodable payloads →
+    * `decoded = false` zero rows. Same `mapPartitions` altitude and
+    * nothing-wide-shuffles shape as [[decodeWavStats]].
+    */
+  def wavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          WavCodec.decode(payload) match {
+            case Some((_, nCh, _, samples)) =>
+              val nFr = samples.length / nCh
+              val zc = new Array[Long](2)
+              val sq = new Array[Long](2)
+              var c = 0
+              while (c < nCh) {
+                var i = 0
+                while (i < nFr) {
+                  val v = samples(i * nCh + c).toLong
+                  sq(c) += v * v
+                  if (i > 0 &&
+                      (samples((i - 1) * nCh + c) < 0) != (v < 0)) zc(c) += 1
+                  i += 1
+                }
+                c += 1
+              }
+              (id, true, nFr.toLong, zc(0), zc(1), sq(0), sq(1))
+            case None => (id, false, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_frames",
+        "ch0_zero_crossings", "ch1_zero_crossings",
+        "ch0_energy", "ch1_energy")
+  }
+
   /** Synthetic WAV media frame: one REAL RIFF/WAVE payload per document
     * id, encoded per partition (bytes never shuffled), sample content the
     * [[WavCodec.sampleOf]] formula — every downstream decoded-sample

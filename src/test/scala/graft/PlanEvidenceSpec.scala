@@ -316,6 +316,22 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("dsir: bucket histograms broadcast onto the token stream; selection is TakeOrdered") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val weights = SparkEntry.queries("text_dsir_weights")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The two ≤4096-row distribution tables must reach the token stream
+    // as broadcasts — a shuffle join here would re-partition the whole
+    // corpus token stream by bucket at 100 TB.
+    assert(weights.contains("BroadcastHashJoin"),
+      s"bucket histograms must broadcast:\n$weights")
+    assert(!weights.contains("CartesianProduct"), weights)
+    val select = SparkEntry.queries("corpus_select_dsir")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(select.contains("TakeOrderedAndProject"),
+      s"DSIR selection must plan a distributed top-k:\n$select")
+  }
+
   test("stat_chisquare: ONE fact scan — marginals derive from the cell table") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     for (q <- Seq("stat_chisquare", "stat_cramers_v")) {

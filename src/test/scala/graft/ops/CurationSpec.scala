@@ -244,4 +244,42 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(again.sorted === out.sorted)
   }
+
+  test("dsirWeights: target-like vocabulary scores above gate-failing vocabulary") {
+    // Gate-passing docs establish the TARGET distribution over good1/good2
+    // vocabulary; short gibberish docs fail the gate, so their words exist
+    // only in the RAW distribution. A doc written in target vocabulary
+    // must out-score one written in raw-only vocabulary.
+    val corpus = docs(
+      (1L, good1), (2L, good2), (3L, good1), (4L, good2),
+      (5L, "zz yy xx qq"), (6L, "zz yy xx qq"),
+      (7L, "the quick brown fox walked toward quiet village streets"),
+      (8L, "zz yy xx"),
+      (9L, null))
+    val out = Curation.dsirWeights(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(1)))).toMap
+    assert(out(7L)._1.get > out(8L)._1.get,
+      s"target-like ${out(7L)._1} must beat raw-only ${out(8L)._1}")
+    // Gate-passing docs themselves sit at the top of the ratio scale.
+    assert(out(1L)._1.get > out(5L)._1.get)
+    // Empty/null docs keep their row: null ratio, 0 tokens.
+    assert(out(9L) === ((None, 0)))
+    assert(out(8L)._2 === 3)
+  }
+
+  test("selectByDsir: deterministic top-k, most target-like first") {
+    val corpus = docs(
+      (1L, good1), (2L, good2), (3L, "zz yy xx qq"), (4L, "zz yy xx"),
+      (5L, good1))
+    val out = Curation.selectByDsir(corpus, k = 3).collect()
+    assert(out.length === 3)
+    // The three target-vocabulary docs win; ratios are non-increasing.
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 5L))
+    val ratios = out.map(_.getDouble(2))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+    // Partition-invariant (TakeOrdered, not a partition-local heuristic).
+    val again = Curation.selectByDsir(corpus.repartition(5), k = 3).collect()
+    assert(again.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq)
+  }
 }

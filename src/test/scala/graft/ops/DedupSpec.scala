@@ -91,6 +91,25 @@ class DedupSpec extends SparkSpec {
     assert(boom.getMessage != null)
   }
 
+  test("lineDedupJoin (unbounded regime) matches lineDedup exactly") {
+    val fixture = docs(
+      (1L, "the quick brown fox\nshared boilerplate line\nsolo content A"),
+      (2L, "shared boilerplate line\nsolo content B\nshared boilerplate line"),
+      (3L, "ok\nnothing here repeats at all"),
+      (4L, null))
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    assert(canon(Dedup.lineDedupJoin(fixture).collect()) ===
+      canon(Dedup.lineDedup(fixture).collect()))
+    // And the shared expectation is right: the boilerplate line vanishes
+    // everywhere, including its within-doc repeat in doc 2.
+    val out = canon(Dedup.lineDedupJoin(fixture).collect())
+      .map(t => t._1 -> t._4).toMap
+    assert(out(1L) === "the quick brown fox\nsolo content A")
+    assert(out(2L) === "solo content B")
+  }
+
   test("wrapTokenLines wraps N tokens per line, deterministic and empty-safe") {
     val toks = (1 to 23).map(i => s"w$i").mkString(" ")
     val out = Dedup.wrapTokenLines(docs((1L, toks), (2L, ""), (3L, null)))

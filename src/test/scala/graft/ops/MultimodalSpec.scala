@@ -215,6 +215,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(99L).getAs[Long]("n_frames") === 0L)
   }
 
+  test("wavFeatures: hand-checked zero-crossings and energy; corrupt flagged") {
+    import spark.implicits._
+    val id = 13L // stereo
+    val df = Seq((id, Multimodal.WavCodec.syntheticWav(id)),
+      (77L, "noise".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.wavFeatures(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val nFr = Multimodal.WavCodec.framesOf(id)
+    def ch(c: Int) = (0 until nFr).map(i => Multimodal.WavCodec.sampleOf(id, c, i))
+    for (c <- 0 to 1) {
+      val s = ch(c)
+      val zc = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong
+      val sq = s.map(v => v.toLong * v).sum
+      val r = out(id)
+      assert(r.getAs[Long](s"ch${c}_zero_crossings") === zc)
+      assert(r.getAs[Long](s"ch${c}_energy") === sq)
+    }
+    assert(out(id).getAs[Boolean]("decoded"))
+    assert(!out(77L).getAs[Boolean]("decoded"))
+    assert(out(77L).getAs[Long]("ch0_energy") === 0L)
+  }
+
   test("jpeg contract: real lossy round-trip keeps dims exact and means within tol") {
     import spark.implicits._
     val ids = (0L until 60L).toSeq
