@@ -1046,6 +1046,16 @@ object SparkEntry {
     "text_term_stats_sketch" -> ((s, d) => textTermStatsSketch(s, d)),
     "decontaminate"       -> ((s, d) => decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
+    // Fuzzy decontamination: near-dup screen of corpus vs the benchmark
+    // split (doc_id % 10 = 0), flags not drops — the paraphrased-eval
+    // leak exact grams miss (Curation.contaminationNearDup).
+    "decontaminate_neardup" -> ((s, d) => {
+      val docs = StandIn.documents(s, d)
+      Curation.contaminationNearDup(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        MinhashK, MinhashBands, MinhashEstThreshold)
+    }),
     "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
     "corpus_bpe_train"    -> ((s, d) =>
       Bpe.trainTable(s, StandIn.documents(s, d))),
@@ -1218,6 +1228,14 @@ object SparkEntry {
     "text_term_stats_audit" -> ((s, d) =>
       TextAnalysis.termStatsAudit(StandIn.documents(s, d))),
     "text_langid"         -> ((s, d) => textLangId(s, d)),
+    // Tokenizer fertility per language: subwords/word + chars/subword off
+    // ONE scan (TextAnalysis.fertilityByLang).
+    "text_fertility"      -> ((s, d) =>
+      TextAnalysis.fertilityByLang(StandIn.documents(s, d))),
+    // Context-length distribution: power-of-two bins by BPE-ish count,
+    // integer bit-length binning (Curation.lengthHistogram).
+    "corpus_length_histogram" -> ((s, d) =>
+      Curation.lengthHistogram(StandIn.documents(s, d))),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
     "text_unigram_logprob" -> ((s, d) =>
@@ -1532,6 +1550,36 @@ object SparkEntry {
          |        i -> sn.sig[CAST(i AS INT)] = sr.sig[CAST(i AS INT)]))
          |        / CAST($MinhashK AS DOUBLE) >= $MinhashEstThreshold"""
         .stripMargin,
+
+    // Fuzzy-decontamination twin (Curation.contaminationNearDup): the
+    // cross-side candidate/estimate CTEs of dedup_incremental with the
+    // % 10 benchmark split, folded to one flag row per corpus document.
+    "decontaminate_neardup" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, cpairs AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |  FROM buckets n
+         |  JOIN buckets r ON n.band = r.band AND n.bucket = r.bucket
+         |  WHERE n.doc_id % 10 <> 0 AND r.doc_id % 10 = 0
+         |), cest AS (
+         |  SELECT p.new_id,
+         |         len(list_filter(range(1, ${MinhashK + 1}),
+         |             i -> sn.sig[CAST(i AS INT)] = sr.sig[CAST(i AS INT)]))
+         |           / CAST($MinhashK AS DOUBLE) AS est_sim
+         |  FROM cpairs p
+         |  JOIN sigs sn ON sn.doc_id = p.new_id
+         |  JOIN sigs sr ON sr.doc_id = p.ref_id
+         |), cfl AS (
+         |  SELECT new_id AS doc_id, count(*) AS n_matches,
+         |         max(est_sim) AS max_est_sim
+         |  FROM cest WHERE est_sim >= $MinhashEstThreshold
+         |  GROUP BY new_id
+         |)
+         |SELECT d.doc_id,
+         |       cfl.max_est_sim IS NOT NULL AS contaminated,
+         |       coalesce(cfl.n_matches, 0) AS n_matches,
+         |       cfl.max_est_sim
+         |FROM documents d LEFT JOIN cfl USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $toksSql, hashes AS (
@@ -3131,6 +3179,58 @@ object SparkEntry {
          |       round(fr_score, 6) AS fr_score,
          |       round(de_score, 6) AS de_score
          |FROM best""".stripMargin,
+
+    // Fertility twin (TextAnalysis.fertilityByLang): same inlined lang
+    // argmax, word/subword/char sums per language, ratios off the sums.
+    "text_fertility" ->
+      s"""WITH $rawToksSql, fsc AS (
+         |  SELECT d.doc_id,
+         |$langScoresSql,
+         |         len(k.t) AS ws_tokens,
+         |         coalesce(len(regexp_extract_all(d.text,
+         |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 0) AS bpeish_tokens,
+         |         coalesce(length(d.text), 0) AS n_chars
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), fbest AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM fsc
+         |), flang AS (
+         |  SELECT CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS lang,
+         |         ws_tokens, bpeish_tokens, n_chars
+         |  FROM fbest
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(ws_tokens) AS BIGINT) AS total_words,
+         |       CAST(sum(bpeish_tokens) AS BIGINT) AS total_subwords,
+         |       round(CAST(sum(bpeish_tokens) AS DOUBLE)
+         |         / greatest(sum(ws_tokens), 1), 6) AS fertility,
+         |       round(CAST(sum(n_chars) AS DOUBLE)
+         |         / greatest(sum(bpeish_tokens), 1), 6) AS chars_per_subword
+         |FROM flang GROUP BY lang""".stripMargin,
+
+    // Length-histogram twin (Curation.lengthHistogram): identical integer
+    // bit-length binning — length(bin(n)) on both engines — so no float
+    // log2 ever touches a bin boundary.
+    "corpus_length_histogram" ->
+      """WITH lh AS (
+        |  SELECT coalesce(len(regexp_extract_all(text,
+        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 0) AS n
+        |  FROM documents
+        |), lb AS (
+        |  SELECT n, CASE WHEN n = 0 THEN 0
+        |                 ELSE length(bin(CAST(n AS BIGINT))) END AS bucket
+        |  FROM lh
+        |)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |       CAST(CASE WHEN bucket = 0 THEN 0
+        |                 ELSE power(2, bucket - 1) END AS BIGINT) AS len_lo,
+        |       CAST(CASE WHEN bucket = 0 THEN 0
+        |                 ELSE power(2, bucket) - 1 END AS BIGINT) AS len_hi,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM lb GROUP BY bucket""".stripMargin,
 
     "text_langid_ngram" -> {
       def prof(lang: String): String =

@@ -417,6 +417,72 @@ object Curation {
       .limit(k)
   }
 
+  /** FUZZY decontamination: corpus documents that are NEAR-duplicates of a
+    * benchmark document — the screen exact n-gram [[contamination]] cannot
+    * see (a paraphrased or lightly-edited eval question shares few exact
+    * rare grams but a high MinHash similarity; LLM eval cards routinely
+    * report both exact and fuzzy decontamination for this reason). Built
+    * from the engine's own cross-corpus machinery
+    * ([[Dedup.crossCorpusCandidates]]): candidates only from (band,
+    * bucket) collisions ACROSS the sides, estimated once per distinct
+    * pair, thresholded — never an all-pairs product, and hot buckets land
+    * on AQE's skew split (runtime-demonstrated, `PlanEvidenceSpec`).
+    *
+    * Emits one row per CORPUS document: `(doc_id, contaminated,
+    * n_matches, max_est_sim)` — the flag face, so the caller chooses drop
+    * vs quarantine; `max_est_sim` is an exact multiple of 1/k, bit-stable
+    * cross-engine.
+    */
+  def contaminationNearDup(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val flags = Dedup
+      .crossCorpusCandidates(corpus, benchmark, k, bands, threshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).alias("n_matches"),
+        max(col("est_sim")).alias("max_est_sim"))
+      .withColumnRenamed("new_id", "doc_id")
+    corpus.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("max_est_sim").isNotNull.alias("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).alias("n_matches"),
+        col("max_est_sim"))
+  }
+
+  /** Sequence-length histogram: documents binned by power-of-two BPE-ish
+    * token count — the context-length distribution report every
+    * pretraining run reads before choosing sequence length and packing
+    * budget (how much of the corpus is short-tail, what fraction of
+    * tokens live in docs longer than the window). Bucket k holds lengths
+    * [2^(k−1), 2^k−1]; empty docs land in bucket 0.
+    *
+    * The bucket is computed INTEGER-wise as the bit-length of the count
+    * (`length(bin(n))`) — a float `floor(log2(n))` would sit exactly on
+    * the bin boundary at every power of two, where cross-engine libm ulps
+    * flip bins. One scan projection + a ≤40-row groupBy; nothing else.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    val n = coalesce(regexp_count(col("text"), lit(bpeish)), lit(0))
+    val bucket = when(col("n") === 0, lit(0))
+      .otherwise(length(bin(col("n").cast("long"))))
+    val lo = when(col("bucket") === 0, lit(0L))
+      .otherwise(pow(lit(2.0), col("bucket") - 1).cast("long"))
+    val hi = when(col("bucket") === 0, lit(0L))
+      .otherwise(pow(lit(2.0), col("bucket")).cast("long") - 1)
+    docs.select(n.alias("n"))
+      .select(col("n"), bucket.alias("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n")).cast("long").alias("total_tokens"))
+      .select(col("bucket").cast("int").alias("bucket"),
+        lo.alias("len_lo"), hi.alias("len_hi"),
+        col("n_docs"), col("total_tokens"))
+  }
+
   /** Hashed-gram buckets for DSIR importance weighting. 4096 keeps the two
     * distribution tables a few-KB broadcast at ANY corpus size — the
     * bucket count, not the corpus, bounds them (the hashing trick's whole

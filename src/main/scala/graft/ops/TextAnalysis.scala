@@ -250,6 +250,58 @@ object TextAnalysis {
         }): _*)
   }
 
+  /** Tokenizer fertility report per predicted language: document counts,
+    * whitespace-word and BPE-ish token totals, fertility (subword tokens
+    * per word) and chars per subword token — the table a tokenizer review
+    * reads per language before committing a vocab (fertility ≫ 1 for a
+    * language means its text costs disproportionate context budget; cf.
+    * the multilingual-tokenizer analyses around XLM-R / BLOOM).
+    *
+    * Scale shape: language scores, word and subword counts all compute in
+    * ONE scan projection (the langId/tokenCounts signals inlined — no
+    * per-doc join), then a languages-sized groupBy. Ratios derive from the
+    * grouped sums, 6-dp rounded.
+    */
+  def fertilityByLang(docs: DataFrame): DataFrame = {
+    val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    val base = docs.select(col("doc_id"), col("text"),
+      Dedup.tokens(col("text")).alias("toks"))
+    val scored = base.select(
+      (Seq(
+        size(col("toks")).alias("ws_tokens"),
+        coalesce(regexp_count(col("text"), lit(bpeish)), lit(0))
+          .alias("bpeish_tokens"),
+        coalesce(length(col("text")), lit(0)).alias("n_chars")) ++
+        LangMarkers.map { case (lang, words) =>
+          (graft.functions.CountInSet.countInSet(col("toks"), words)
+            .cast("double") / greatest(size(col("toks")), lit(1)))
+            .alias(s"${lang}_score")
+        }): _*)
+    val best = LangMarkers.map { case (lang, _) => col(s"${lang}_score") }
+      .reduce(greatest(_, _))
+    val predicted = LangMarkers.foldRight(lit("unknown")) {
+      case ((lang, _), rest) =>
+        when(col(s"${lang}_score") === best && best > 0, lit(lang))
+          .otherwise(rest)
+    }
+    scored
+      .select(predicted.alias("lang"), col("ws_tokens"),
+        col("bpeish_tokens"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("ws_tokens")).alias("total_words"),
+        sum(col("bpeish_tokens")).alias("total_subwords"),
+        sum(col("n_chars")).alias("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_subwords"),
+        round(col("total_subwords").cast("double") /
+          greatest(col("total_words"), lit(1L)), 6).alias("fertility"),
+        round(col("total_chars").cast("double") /
+          greatest(col("total_subwords"), lit(1L)), 6)
+          .alias("chars_per_subword"))
+  }
+
   /** Characteristic character trigrams per language — the classic n-gram
     * language-ID profile, tiny edition.
     */

@@ -245,6 +245,40 @@ class CurationSpec extends SparkSpec {
     assert(again.sorted === out.sorted)
   }
 
+  test("lengthHistogram: exact power-of-two bins, empty docs in bucket 0") {
+    // Token counts: 1, 2, 3, 7, 8, 0 → buckets 1, 2, 2, 3, 4, 0.
+    val out = Curation.lengthHistogram(docs(
+      (1L, "one"),
+      (2L, "one two"),
+      (3L, "one two three"),
+      (4L, "a b c d e f g"),
+      (5L, "a b c d e f g h"),
+      (6L, null)))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0) === ((0L, 0L, 1L, 0L)))
+    assert(out(1) === ((1L, 1L, 1L, 1L)))
+    assert(out(2) === ((2L, 3L, 2L, 5L)))   // counts 2 and 3
+    assert(out(3) === ((4L, 7L, 1L, 7L)))
+    assert(out(4) === ((8L, 15L, 1L, 8L)))
+  }
+
+  test("contaminationNearDup flags near-duplicates of benchmark docs, not unrelated text") {
+    // Corpus doc 1 is a one-word edit of benchmark doc 100 (high MinHash
+    // overlap, almost no shared RARE grams — the case the exact screen
+    // misses); doc 2 is unrelated.
+    val bench = docs((100L,
+      "what is the capital of france and when was its cathedral built"))
+    val corpus = docs(
+      (1L, "what is the capital of france and when was its cathedral begun"),
+      (2L, "completely unrelated text about spark physical plans and shuffles"))
+    val out = Curation.contaminationNearDup(corpus, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((true, 1L)), s"edited benchmark doc must flag: $out")
+    assert(out(2L) === ((false, 0L)))
+  }
+
   test("dsirWeights: target-like vocabulary scores above gate-failing vocabulary") {
     // Gate-passing docs establish the TARGET distribution over good1/good2
     // vocabulary; short gibberish docs fail the gate, so their words exist

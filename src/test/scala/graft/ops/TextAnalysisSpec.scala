@@ -222,6 +222,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((None, 0))) // NULL text ≡ empty: row kept, null score
   }
 
+  test("fertilityByLang: per-language sums and ratios, hand-checked") {
+    val out = TextAnalysis.fertilityByLang(docs(
+      (1L, "the cat and the dog of the house"),   // en: 8 words, 8 subwords
+      (2L, "le chat et le chien"),                // fr: 5 words, 5 subwords
+      (3L, "zz12 yy"),                            // unknown: 2 words, 3 subwords
+      (4L, null)))                                // unknown: 0 words, 0 subwords
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("en") === ((1L, 8L, 8L, 1.0)))
+    assert(out("fr") === ((1L, 5L, 5L, 1.0)))
+    // unknown: 2 docs, 2 words, "zz12" splits to zz|12 → 3 subwords.
+    assert(out("unknown") === ((2L, 2L, 3L, 1.5)))
+  }
+
   test("bigramLogProb: hand-computed smoothed pair scores; short docs keep rows") {
     import spark.implicits._
     // Corpus: "a b a b" + "a b c" + "x" → unigrams a=3 b=3 c=1 x=1, |V|=4;
