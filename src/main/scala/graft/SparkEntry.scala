@@ -1114,6 +1114,10 @@ object SparkEntry {
       Curation.sampleGrouped(StandIn.documents(s, d))),
     "corpus_sample_weighted" -> ((s, d) =>
       Curation.sampleWeighted(StandIn.documents(s, d))),
+    // Per-stratum weighted fixed-k: language quotas with in-quota length
+    // bias — the sampler matrix's last cell (Curation.sampleGroupedWeighted).
+    "corpus_sample_grouped_weighted" -> ((s, d) =>
+      Curation.sampleGroupedWeighted(StandIn.documents(s, d))),
     // Count-Min point estimates — deterministic (pure counter sums) but
     // not SQL-expressible → rows-only; the audit twin is the
     // oracle-checked bounded-error contract.
@@ -1232,6 +1236,10 @@ object SparkEntry {
     // ONE scan (TextAnalysis.fertilityByLang).
     "text_fertility"      -> ((s, d) =>
       TextAnalysis.fertilityByLang(StandIn.documents(s, d))),
+    // Zipf rank-frequency fit: corpus-health slope/intercept/R² over the
+    // top-1000 terms (TextAnalysis.zipfFit).
+    "text_zipf_fit"       -> ((s, d) =>
+      TextAnalysis.zipfFit(StandIn.documents(s, d))),
     // Context-length distribution: power-of-two bins by BPE-ish count,
     // integer bit-length binning (Curation.lengthHistogram).
     "corpus_length_histogram" -> ((s, d) =>
@@ -3035,6 +3043,22 @@ object SparkEntry {
          |         1152921504606846976.0) / n_chars DESC, doc_id
          |LIMIT 50""".stripMargin,
 
+    // Per-stratum weighted twin (Curation.sampleGroupedWeighted): the
+    // sampleGrouped window with sampleWeighted's A-ES key inside it.
+    "corpus_sample_grouped_weighted" ->
+      s"""SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id,
+         |       n_chars
+         |FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ln((${hashSql("'0:'",
+              "concat('graft-gw1:', CAST(doc_id AS VARCHAR))")} + 0.5) /
+         |             1152921504606846976.0) / n_chars DESC, doc_id)
+         |           AS sample_rank
+         |  FROM documents WHERE n_chars > 0
+         |)
+         |WHERE sample_rank <= 20""".stripMargin,
+
     // Gaps-and-islands sessionization twin (Sessionize.sessions): epoch
     // seconds by integer division on both engines, event_id tie-break,
     // running sum over the same unique ordering.
@@ -3209,6 +3233,35 @@ object SparkEntry {
          |       round(CAST(sum(n_chars) AS DOUBLE)
          |         / greatest(sum(bpeish_tokens), 1), 6) AS chars_per_subword
          |FROM flang GROUP BY lang""".stripMargin,
+
+    // Zipf-fit twin (TextAnalysis.zipfFit): same top-1000 cut, same rank
+    // window, same closed-form least squares off the five sums.
+    "text_zipf_fit" ->
+      s"""WITH $rawToksSql, zex AS (
+         |  SELECT unnest(t) AS term FROM toks
+         |), ztc AS (SELECT term, count(*) AS c FROM zex GROUP BY term),
+         |ztop AS (SELECT term, c FROM ztc ORDER BY c DESC, term LIMIT 1000),
+         |zrk AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+         |  FROM ztop
+         |), zpt AS (SELECT log10(r) AS x, log10(c) AS y FROM zrk),
+         |zs AS (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+         |  FROM zpt
+         |)
+         |SELECT CAST(n AS INT) AS n_terms,
+         |       CASE WHEN n*sxx - sx*sx > 0
+         |            THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
+         |         AS slope,
+         |       CASE WHEN n*sxx - sx*sx > 0
+         |            THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+         |                       / n, 6) END AS intercept,
+         |       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |            THEN round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+         |                       / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END
+         |         AS r2
+         |FROM zs""".stripMargin,
 
     // Length-histogram twin (Curation.lengthHistogram): identical integer
     // bit-length binning — length(bin(n)) on both engines — so no float

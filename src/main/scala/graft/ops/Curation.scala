@@ -417,6 +417,40 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-stratum weighted fixed-k sample — the remaining cell of the
+    * sampler matrix (grouped unweighted = `sampleGrouped`, global weighted
+    * = `sampleWeighted`): k docs PER LANGUAGE, drawn
+    * weight-proportionally WITHIN each language by the same A-ES
+    * exponential-rank key (Efraimidis-Spirtis), md5-derived and
+    * seed-stable. The draw a mix builder actually wants: per-language
+    * quotas AND quality/length bias inside each quota.
+    *
+    * Plan shape: the `rank ≤ k` predicate pushes into the window exec as
+    * WindowGroupLimit (plan-asserted for `sampleGrouped`; same shape) —
+    * per-task k-heaps per stratum before the shuffle, ≤ k·partitions rows
+    * per stratum ever move.
+    */
+  def sampleGroupedWeighted(
+      docs: DataFrame,
+      k: Int = 20,
+      weightCol: String = "n_chars",
+      seed: String = "graft-gw1"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (Dedup.hashAt(0, concat(lit(seed), lit(":"),
+      col("doc_id").cast("string"))).cast("double") + 0.5) /
+      math.pow(2, 60)
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(key.desc, col("doc_id"))
+    docs
+      .where(col(weightCol) > 0)
+      .select(col("lang"), col("doc_id"), col(weightCol))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .select(col("lang"), col("sample_rank").cast("int").alias("sample_rank"),
+        col("doc_id"), col(weightCol))
+  }
+
   /** FUZZY decontamination: corpus documents that are NEAR-duplicates of a
     * benchmark document — the screen exact n-gram [[contamination]] cannot
     * see (a paraphrased or lightly-edited eval question shares few exact

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: term statistics, quality
@@ -248,6 +249,49 @@ object TextAnalysis {
         LangMarkers.map { case (lang, _) =>
           round(col(s"${lang}_score"), 6).alias(s"${lang}_score")
         }): _*)
+  }
+
+  /** Zipf power-law fit over the corpus term distribution: least-squares
+    * slope / intercept / R² of log10(count) against log10(rank) for the
+    * top-N terms — the classic corpus-health diagnostic (natural language
+    * sits near slope −1; a slope collapsing toward 0 means boilerplate
+    * flooding, a cliff past the head means template text; Zipf 1949, and
+    * standard in every corpus-statistics chapter since).
+    *
+    * Scale shape: the corpus-scale stage is the map-side-combined term
+    * count (one [[termStats]]-shaped groupBy); the fit itself runs on a
+    * TakeOrdered top-N (distributed k-heaps, no global sort) and one
+    * window + aggregate over those ≤ topN rows. Closed-form regression
+    * from the five sums, 6-dp rounded — log10 ulps across engines vanish
+    * in the rounding, the [[unigramLogProb]] precedent. Degenerate inputs
+    * (fewer than 2 distinct ranks) emit null fit columns on both engines.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val top = docs
+      .select(explode(Dedup.tokens(col("text"))).alias("term"))
+      .groupBy(col("term")).agg(count(lit(1)).alias("c"))
+      .orderBy(col("c").desc, col("term")).limit(topN)
+    // Window over the ≤topN-row frame only — bounded, like revenue_share.
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    val pts = ranked.select(
+      log10(col("r")).alias("x"), log10(col("c")).alias("y"))
+    val s = pts.agg(
+      count(lit(1)).alias("n"),
+      sum(col("x")).alias("sx"), sum(col("y")).alias("sy"),
+      sum(col("x") * col("x")).alias("sxx"),
+      sum(col("x") * col("y")).alias("sxy"),
+      sum(col("y") * col("y")).alias("syy"))
+    val det = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dety = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(
+      col("n").cast("int").alias("n_terms"),
+      when(det > 0, round(num / det, 6)).alias("slope"),
+      when(det > 0, round((col("sy") - (num / det) * col("sx")) / col("n"), 6))
+        .alias("intercept"),
+      when(det > 0 && dety > 0, round((num * num) / (det * dety), 6))
+        .alias("r2"))
   }
 
   /** Tokenizer fertility report per predicted language: document counts,

