@@ -1240,6 +1240,10 @@ object SparkEntry {
     // top-1000 terms (TextAnalysis.zipfFit).
     "text_zipf_fit"       -> ((s, d) =>
       TextAnalysis.zipfFit(StandIn.documents(s, d))),
+    // Train/val token-distribution drift: smoothed KL + JS over hashed
+    // buckets, unseen-bucket mass in closed form (Curation.tokenDrift).
+    "corpus_token_drift"  -> ((s, d) =>
+      Curation.tokenDrift(StandIn.documents(s, d))),
     // Context-length distribution: power-of-two bins by BPE-ish count,
     // integer bit-length binning (Curation.lengthHistogram).
     "corpus_length_histogram" -> ((s, d) =>
@@ -3233,6 +3237,58 @@ object SparkEntry {
          |       round(CAST(sum(n_chars) AS DOUBLE)
          |         / greatest(sum(bpeish_tokens), 1), 6) AS chars_per_subword
          |FROM flang GROUP BY lang""".stripMargin,
+
+    // Token-drift twin (Curation.tokenDrift): inlined split CASE, same
+    // Jelinek-Mercer smoothing staged in the same literal order (the λ/B
+    // floor interpolates as the Scala double's shortest round-trip
+    // representation, so both engines mix the identical double). Unseen
+    // buckets contribute exactly 0 under interpolation — no tail term.
+    "corpus_token_drift" -> {
+      val B = Curation.DsirBuckets
+      val lam = Curation.DriftUniformMix
+      val oneMinus = s"CAST(${1 - lam} AS DOUBLE)"
+      val floorMass = s"CAST(${lam / B} AS DOUBLE)"
+      val bounds = Curation.splitBounds(SplitFractions)
+      val cases = SplitFractions.init.zip(bounds.init)
+        .map { case ((name, _), cut) => s"WHEN sb < $cut THEN '$name'" }
+        .mkString(" ")
+      s"""WITH $rawToksSql, dfx AS (
+         |  SELECT doc_id, unnest(t) AS w FROM toks
+         |), dfs AS (
+         |  SELECT CASE $cases ELSE '${SplitFractions.last._1}' END AS split,
+         |         ${hashSql("'0:'")} % $B AS b
+         |  FROM (
+         |    SELECT doc_id, w,
+         |           ${hashSql(s"'${Curation.SplitHashIndex}:'",
+                        "CAST(doc_id AS VARCHAR)")} % 10000 AS sb
+         |    FROM dfx
+         |  )
+         |), dfc AS (
+         |  SELECT b,
+         |         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+         |         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cva
+         |  FROM dfs WHERE split IN ('train', 'val') GROUP BY b
+         |), dft AS (
+         |  SELECT sum(ctr) AS ntr, sum(cva) AS nva, count(*) AS seen FROM dfc
+         |), dfp AS (
+         |  SELECT CAST(cva AS DOUBLE) / greatest(nva, 1) * $oneMinus
+         |           + $floorMass AS pv,
+         |         CAST(ctr AS DOUBLE) / greatest(ntr, 1) * $oneMinus
+         |           + $floorMass AS pt
+         |  FROM dfc, dft
+         |), dfa AS (
+         |  SELECT sum(pv * log10(pv / pt)) AS klp,
+         |         sum(pv * log10(pv / ((pv + pt) / 2)) * 0.5
+         |             + pt * log10(pt / ((pv + pt) / 2)) * 0.5) AS jsp
+         |  FROM dfp
+         |)
+         |SELECT CAST(seen AS INT) AS n_buckets_seen,
+         |       CAST(ntr AS BIGINT) AS train_tokens,
+         |       CAST(nva AS BIGINT) AS val_tokens,
+         |       round(klp, 6) AS kl_val_train,
+         |       round(jsp, 6) AS js
+         |FROM dfa, dft""".stripMargin
+    },
 
     // Zipf-fit twin (TextAnalysis.zipfFit): same top-1000 cut, same rank
     // window, same closed-form least squares off the five sums.

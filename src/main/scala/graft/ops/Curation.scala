@@ -178,19 +178,29 @@ object Curation {
         "would go non-monotonic and silently empty a split")
     require(fractions.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions sum to ${fractions.map(_._2).sum} > 1")
+    docs.select(col("doc_id"), splitColumn(fractions).alias("split"))
+  }
+
+  /** The split verdict as a pure Column over `doc_id` — extracted so
+    * operators can INLINE it into their own scan (the gate-inlining trick)
+    * instead of joining [[assignSplits]] back by doc_id.
+    *
+    * CASE over cumulative upper bounds; the last split is the otherwise
+    * branch so fraction rounding can never produce an unlabeled row. The
+    * boundaries are INTEGER buckets ([[splitBounds]]) — float cumulative
+    * sums (0.9 + 0.05 = 0.9500000000000001) sit exactly on bucket edges
+    * and would let two engines' numeric types disagree on the boundary
+    * document; rounding once, in one place, removes the hazard.
+    */
+  def splitColumn(
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): Column = {
     val bucket = pmod(
       Dedup.hashAt(SplitHashIndex, col("doc_id").cast("string")), lit(10000L))
-    // CASE over cumulative upper bounds; the last split is the otherwise
-    // branch so fraction rounding can never produce an unlabeled row. The
-    // boundaries are INTEGER buckets ([[splitBounds]]) — float cumulative
-    // sums (0.9 + 0.05 = 0.9500000000000001) sit exactly on bucket edges
-    // and would let two engines' numeric types disagree on the boundary
-    // document; rounding once, in one place, removes the hazard.
-    val split = fractions.init.zip(splitBounds(fractions).init)
+    fractions.init.zip(splitBounds(fractions).init)
       .foldRight(lit(fractions.last._1): Column) { case (((name, _), cut), rest) =>
         when(bucket < lit(cut), lit(name)).otherwise(rest)
       }
-    docs.select(col("doc_id"), split.alias("split"))
   }
 
   /** Cumulative integer bucket boundaries (of 10000) for [[assignSplits]] —
@@ -484,6 +494,70 @@ object Curation {
         col("max_est_sim").isNotNull.alias("contaminated"),
         coalesce(col("n_matches"), lit(0L)).alias("n_matches"),
         col("max_est_sim"))
+  }
+
+  /** Uniform-mixture weight for [[tokenDrift]]'s Jelinek-Mercer smoothing:
+    * p̂ = (1−λ)·ML + λ·uniform. Interpolation, NOT add-one: additive
+    * smoothing's per-bucket pseudo-count mass scales with B/N, so a small
+    * val slice (N ≪ B) gets a totally different smoothing dilution than
+    * the big train slice and identical TRUE distributions read as large
+    * divergence — the metric alarms on slice SIZE, not drift. With a
+    * fixed λ both slices carry the same uniform component and identical
+    * ML distributions give exactly 0.
+    */
+  val DriftUniformMix = 0.01
+
+  /** Token-distribution DRIFT between the train and val splits: KL and
+    * Jensen-Shannon divergence over Jelinek-Mercer-smoothed hashed-gram
+    * bucket distributions (see [[DriftUniformMix]]) — the monitor an
+    * ingest pipeline alarms on (a snapshot whose val slice stops
+    * resembling train means the source mix moved; an honest random split
+    * reads ~0). Same [[DsirBuckets]] hashing-trick bound as DSIR: the
+    * distribution tables never exceed the bucket count at any corpus
+    * size.
+    *
+    * Buckets unseen by BOTH slices sit at the shared uniform floor λ/B on
+    * each side, so their KL/JS contribution is exactly zero and the sum
+    * over PRESENT buckets is the exact divergence — no tail correction.
+    * One scan (split verdict inlined as a pure doc_id column), one ≤B-row
+    * groupBy; 6-dp rounded. Emits ONE row: bucket coverage, token totals,
+    * kl_val_train, js.
+    */
+  def tokenDrift(docs: DataFrame, buckets: Int = DsirBuckets): DataFrame = {
+    val lam = DriftUniformMix
+    val toks = docs
+      .select(splitColumn().alias("split"),
+        explode(Dedup.tokens(col("text"))).alias("w"))
+      .where(col("split").isin("train", "val"))
+      .select(col("split"),
+        pmod(Dedup.hashAt(0, col("w")), lit(buckets)).alias("b"))
+    val counts = toks.groupBy(col("b")).agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).alias("ctr"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).alias("cva"))
+    val tot = counts.agg(
+      sum(col("ctr")).alias("ntr"), sum(col("cva")).alias("nva"),
+      count(lit(1)).alias("seen"))
+    // Literal arithmetic staged EXACTLY as the oracle writes it: ML share
+    // times (1−λ) plus the λ/B floor, so both engines hit the same
+    // double at every step.
+    val pv = col("cva").cast("double") / greatest(col("nva"), lit(1L)) *
+      (1 - lam) + lam / buckets
+    val pt = col("ctr").cast("double") / greatest(col("ntr"), lit(1L)) *
+      (1 - lam) + lam / buckets
+    val m = (pv + pt) / 2
+    counts.crossJoin(broadcast(tot))
+      .agg(
+        sum(pv * log10(pv / pt)).alias("klp"),
+        sum(pv * log10(pv / m) * 0.5 + pt * log10(pt / m) * 0.5).alias("jsp"),
+        first(col("seen")).alias("seen"),
+        first(col("ntr")).alias("ntr"),
+        first(col("nva")).alias("nva"))
+      .select(
+        col("seen").cast("int").alias("n_buckets_seen"),
+        col("ntr").cast("long").alias("train_tokens"),
+        col("nva").cast("long").alias("val_tokens"),
+        round(col("klp"), 6).alias("kl_val_train"),
+        round(col("jsp"), 6).alias("js"))
   }
 
   /** Sequence-length histogram: documents binned by power-of-two BPE-ish

@@ -268,6 +268,35 @@ class CurationSpec extends SparkSpec {
       s"rank<=k must run as a running per-stratum top-k:\n$plan")
   }
 
+  test("tokenDrift: honest split reads near zero, shifted val distribution alarms") {
+    import spark.implicits._
+    val ids = (1L to 400L)
+    // Which ids land in val is decided by the split hash — fetch it first
+    // so the drifted fixture can write DIFFERENT text into the val slice.
+    val splitOf = Curation.assignSplits(ids.map(i => (i, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitOf.values.toSet.contains("val"), "fixture must hit the val slice")
+    val honest = ids.map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val drifted = ids.map { i =>
+      (i, if (splitOf(i) == "val") "zz yy xx ww vv"
+          else "alpha beta gamma delta epsilon")
+    }.toDF("doc_id", "text")
+    val h = Curation.tokenDrift(honest).collect().head
+    val d = Curation.tokenDrift(drifted).collect().head
+    val hKl = h.getDouble(3); val dKl = d.getDouble(3)
+    // Identical per-bucket shares → divergence is smoothing noise only.
+    assert(math.abs(hKl) < 0.001, s"honest split drifted: $h")
+    assert(math.abs(h.getDouble(4)) < 0.001)
+    // Disjoint val vocabulary → loud positive divergence, KL and JS.
+    assert(dKl > 0.01, s"shifted val must alarm: $d")
+    assert(d.getDouble(4) > 0.001)
+    assert(dKl > hKl)
+    // Totals are the slice token counts (5 tokens per doc).
+    assert(h.getLong(1) + h.getLong(2) ===
+      5L * ids.count(i => splitOf(i) != "test"))
+  }
+
   test("lengthHistogram: exact power-of-two bins, empty docs in bucket 0") {
     // Token counts: 1, 2, 3, 7, 8, 0 → buckets 1, 2, 2, 3, 4, 0.
     val out = Curation.lengthHistogram(docs(
