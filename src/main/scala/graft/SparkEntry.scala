@@ -1312,7 +1312,12 @@ object SparkEntry {
     // Audio features over the real decode: per-channel zero-crossings +
     // energy, exact integers — the silence/noise gate signals.
     "mm_wav_features"     -> ((s, d) =>
-      Multimodal.wavFeatures(Multimodal.wavMedia(s, d)))
+      Multimodal.wavFeatures(Multimodal.wavMedia(s, d))),
+    // REAL multi-frame container: animated GIFs (indexed gray palette →
+    // lossless) decoded frame-by-frame through ImageIO's sequence reader;
+    // one exact stat row per frame (Multimodal.GifCodec scaladoc).
+    "mm_gif_frames"       -> ((s, d) =>
+      Multimodal.decodeGifFrameStats(Multimodal.gifMedia(s, d)))
   )
 
   // Gaps-and-islands session CTEs (twin of Sessionize.sessions) — shared
@@ -3686,6 +3691,34 @@ object SparkEntry {
         |         AS n_px,
         |       TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
         |FROM documents""".stripMargin,
+
+    // Multi-frame container twin (Multimodal.decodeGifFrameStats): the
+    // indexed-gray GIF is lossless, so the per-frame decoded stats equal
+    // the closed-form gray formula re-derived over the (frame, x, y)
+    // grid — the oracle never sees a byte; a hash match proves genuine
+    // animated GIFs round-tripped frame by frame.
+    "mm_gif_frames" ->
+      """WITH gd AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h,
+        |         2 + doc_id % 4 AS nf
+        |  FROM documents
+        |), gf AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM gd),
+        |gx AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM gf),
+        |gp AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM gx),
+        |gv AS (
+        |  SELECT doc_id, w, h, f,
+        |         (doc_id * 31 + f * 41 + x * 7 + y * 13) % 256 AS v
+        |  FROM gp
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       TRUE AS decoded,
+        |       CAST(max(w) AS INT) AS width_px,
+        |       CAST(max(h) AS INT) AS height_px,
+        |       CAST(max(w) * max(h) AS BIGINT) AS n_px,
+        |       CAST(sum(v) AS BIGINT) AS gray_sum,
+        |       CAST(min(v) AS INT) AS gray_min,
+        |       CAST(max(v) AS INT) AS gray_max
+        |FROM gv GROUP BY doc_id, f""".stripMargin,
 
     // FixedSizeFrameSampler twin: byte windows sliced on the hex string
     // (2 chars/byte — DuckDB has no BLOB substring and a frame need not be

@@ -171,6 +171,155 @@ object Multimodal {
     }
   }
 
+  /** Real MULTI-FRAME container codec: animated GIF through the JDK's
+    * ImageIO sequence writer/reader — the closest thing to video the JDK
+    * ships (a genuine container holding N frames, iterated frame by
+    * frame through a real parser). The synthetic frames use an INDEXED
+    * 256-gray palette: GIF stores indexed pixels losslessly against the
+    * palette, so `decode(encode(id))` returns the exact formula grays —
+    * the same property that makes the PNG and WAV stats oracle-checkable.
+    * (True video codecs — H.264 etc. — do not exist in the JDK; the
+    * frame-ITERATION plumbing here is exactly what a real decoder drops
+    * into, which is what [[FixedSizeFrameSampler]] only pretended at.)
+    */
+  object GifCodec {
+
+    def framesOf(id: Long): Int = 2 + (id % 4).toInt
+    def widthOf(id: Long): Int = (8 + id % 9).toInt
+    def heightOf(id: Long): Int = (8 + (id / 9) % 9).toInt
+
+    /** Gray value of pixel (x, y) in frame f: pure modular formula. */
+    def grayOf(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 31 + f.toLong * 41 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+    private def grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Encode [[framesOf]] formula frames as one REAL animated GIF. */
+    def syntheticGif(id: Long): Array[Byte] = {
+      val w = widthOf(id); val h = heightOf(id)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < framesOf(id)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = grayOf(id, f, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+
+    /** Bytes → per-frame (width, height, packed-ARGB pixels), or None when
+      * the payload is not a GIF the reader can parse. Corrupt payloads map
+      * to None, never a throw.
+      */
+    def decode(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
+      if (payload == null || payload.length < 6 ||
+          !new String(payload, 0, 3, "US-ASCII").equals("GIF")) None
+      else try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+            })
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** The multi-frame decode stage: per-partition GIF parse emitting one
+    * row of EXACT integer statistics per frame (dims, pixel count, gray
+    * sum / min / max — frames are gray by construction, so one channel
+    * suffices and the red byte IS the gray). Undecodable payloads emit a
+    * single `decoded = false` row with `frame_idx = -1` — a corrupt blob
+    * must stay visible in the output, not vanish. Payload bytes die
+    * inside the stage.
+    */
+  def decodeGifFrameStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          GifCodec.decode(payload) match {
+            case Some(frames) =>
+              frames.zipWithIndex.map { case ((w, h, px), i) =>
+                var s = 0L; var mn = 255; var mx = 0
+                var k = 0
+                while (k < px.length) {
+                  val v = (px(k) >> 16) & 0xff
+                  s += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  k += 1
+                }
+                (id, i, true, w, h, w.toLong * h, s, mn, mx)
+              }
+            case None => Seq((id, -1, false, 0, 0, 0L, 0L, 255, 0))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "decoded", "width_px", "height_px",
+        "n_px", "gray_sum", "gray_min", "gray_max")
+  }
+
+  /** Synthetic animated-GIF media frame (one REAL multi-frame payload per
+    * document id, encoded per partition; see [[GifCodec]]).
+    */
+  def syntheticGifMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, "video", GifCodec.syntheticGif(id),
+            GifCodec.widthOf(id), GifCodec.heightOf(id))
+        }
+      }
+      .toDF("media_id", "kind", "payload", "w", "h")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(
+          lit("gif").alias("format"),
+          col("w").alias("width_px"),
+          col("h").alias("height_px"),
+          lit(null).cast(IntegerType).alias("sample_rate"),
+          lit(null).cast(LongType).alias("duration_ms")).alias("meta"))
+  }
+
+  /** GIF media for the oracle harness (see [[syntheticGifMedia]]). */
+  def gifMedia(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticGifMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+
   /** Real audio codec over the JDK's built-in RIFF/WAVE reader
     * (`javax.sound.sampled.AudioSystem` — part of `java.desktop`, like
     * `ImageIO`). [[decode]] parses the container through the actual

@@ -237,6 +237,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(77L).getAs[Long]("ch0_energy") === 0L)
   }
 
+  test("gif codec: real animated container round-trips exact gray frames") {
+    for (id <- Seq(0L, 3L, 7L, 42L, 100L)) {
+      val bytes = Multimodal.GifCodec.syntheticGif(id)
+      assert(new String(bytes.slice(0, 3), "US-ASCII") === "GIF")
+      val Some(frames) = Multimodal.GifCodec.decode(bytes)
+      assert(frames.length === Multimodal.GifCodec.framesOf(id))
+      val w = Multimodal.GifCodec.widthOf(id)
+      val h = Multimodal.GifCodec.heightOf(id)
+      for (((fw, fh, px), f) <- frames.zipWithIndex) {
+        assert(fw === w && fh === h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val p = px(y * w + x)
+          val v = Multimodal.GifCodec.grayOf(id, f, x, y)
+          assert(((p >> 16) & 0xff) === v, s"id $id frame $f ($x,$y)")
+          assert(((p >> 8) & 0xff) === v && (p & 0xff) === v)
+        }
+      }
+    }
+    // Corrupt payloads → None, never a throw.
+    assert(Multimodal.GifCodec.decode("GIF89a then garbage".getBytes).isEmpty ||
+      Multimodal.GifCodec.decode("GIF89a then garbage".getBytes).exists(_.isEmpty))
+    assert(Multimodal.GifCodec.decode("not a gif".getBytes).isEmpty)
+    assert(Multimodal.GifCodec.decode(null).isEmpty)
+  }
+
+  test("decodeGifFrameStats: one exact stat row per frame; corrupt flagged") {
+    import spark.implicits._
+    val id = 11L
+    val df = Seq((id, Multimodal.GifCodec.syntheticGif(id)),
+      (50L, "definitely not media".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeGifFrameStats(df).collect()
+    val good = out.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+    assert(good.length === Multimodal.GifCodec.framesOf(id))
+    val w = Multimodal.GifCodec.widthOf(id)
+    val h = Multimodal.GifCodec.heightOf(id)
+    for ((r, f) <- good.zipWithIndex) {
+      val grays = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.GifCodec.grayOf(id, f, x, y)
+      assert(r.getBoolean(2) && r.getInt(3) === w && r.getInt(4) === h)
+      assert(r.getLong(6) === grays.map(_.toLong).sum)
+      assert(r.getInt(7) === grays.min && r.getInt(8) === grays.max)
+    }
+    val bad = out.filter(_.getLong(0) == 50L)
+    assert(bad.length === 1 && !bad.head.getBoolean(2) &&
+      bad.head.getInt(1) === -1)
+  }
+
   test("jpeg contract: real lossy round-trip keeps dims exact and means within tol") {
     import spark.implicits._
     val ids = (0L until 60L).toSeq
