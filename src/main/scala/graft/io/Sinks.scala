@@ -65,6 +65,80 @@ object Sinks {
       .start()
   }
 
+  /** Replay-safe JDBC batch writer — the commit-marker upgrade of plain
+    * [[jdbcAppend]]. Epoch replays are the COMMON duplicate source in
+    * `foreachBatch` sinks: after a crash between a successful write and
+    * the checkpoint commit, Structured Streaming re-delivers the same
+    * `batchId` with the same data. This writer records every committed
+    * batch id in `<table>_commits` and SKIPS a batch it has already
+    * written, so replays become no-ops instead of duplicate rows.
+    *
+    * Honest guarantee ladder (documented, not hand-waved): this is
+    * effectively-once, not exactly-once — a failure in the window AFTER
+    * the data append but BEFORE the marker insert still re-appends on
+    * retry. Closing that window needs the marker and the data in ONE
+    * database transaction, which Spark's parallel JDBC writer cannot join
+    * (each partition writes on its own connection); production schemas
+    * close it with idempotent keys or a staging-table swap. What this
+    * buys over plain append: restart-after-successful-write — by far the
+    * dominant replay path — no longer duplicates.
+    *
+    * The marker table is created on first use; marker reads/writes are
+    * single-row driver-side JDBC (the data itself still streams through
+    * Spark's writer).
+    */
+  def idempotentBatchWriter(jdbc: JdbcConfig, table: String)(
+      df: DataFrame, batchId: Long): Unit = {
+    val commits = s"${table}_commits"
+    val conn = java.sql.DriverManager.getConnection(
+      jdbc.url, jdbc.user, jdbc.password)
+    try {
+      val meta = conn.getMetaData.getTables(
+        null, null, commits.toUpperCase, null)
+      val exists = meta.next()
+      meta.close()
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $commits (batch_id BIGINT NOT NULL PRIMARY KEY)")
+        finally st.close()
+      }
+      val check = conn.prepareStatement(
+        s"SELECT 1 FROM $commits WHERE batch_id = ?")
+      val already = try {
+        check.setLong(1, batchId)
+        val rs = check.executeQuery()
+        val hit = rs.next(); rs.close(); hit
+      } finally check.close()
+      if (already) {
+        log(s"[batch $batchId] already committed to $table — replay skipped")
+      } else {
+        jdbcAppend(df, jdbc, table)
+        val mark = conn.prepareStatement(
+          s"INSERT INTO $commits (batch_id) VALUES (?)")
+        try { mark.setLong(1, batchId); mark.executeUpdate() }
+        finally mark.close()
+      }
+    } finally conn.close()
+  }
+
+  /** [[jdbcStream]] with the replay-safe writer wired in. */
+  def jdbcIdempotentStream(
+      stream: DataFrame,
+      jdbc: JdbcConfig,
+      table: String,
+      checkpoint: String,
+      queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpoint/$queryName")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        if (nonEmpty(df, batchId, table))
+          idempotentBatchWriter(jdbc, table)(df, batchId)
+      }
+      .start()
+
   /** K2+K4 fused: ONE streaming query whose foreachBatch writes alerts to
     * both JDBC and Kafka.
     *

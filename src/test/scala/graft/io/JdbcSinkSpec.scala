@@ -131,6 +131,41 @@ class JdbcSinkSpec extends SparkSpec {
         s"PostgresDialect mapping for $dt moved")
   }
 
+  test("idempotent sink: epoch replay is a no-op, new batches append, markers persist") {
+    import spark.implicits._
+    val cfg = derbyCfg()
+    val batch0 = Seq(("s1", 1.5), ("s2", 2.5)).toDF("sensor_id", "value")
+
+    // First delivery of batch 0 writes and records the marker.
+    Sinks.idempotentBatchWriter(cfg, cfg.readingsTable)(batch0, 0L)
+    assert(readBack(cfg, cfg.readingsTable).count() === 2L)
+    // REPLAY of batch 0 (the crash-after-write path) must be skipped —
+    // this is exactly where plain jdbcAppend duplicates.
+    Sinks.idempotentBatchWriter(cfg, cfg.readingsTable)(batch0, 0L)
+    assert(readBack(cfg, cfg.readingsTable).count() === 2L)
+    // A NEW batch id appends as normal.
+    val batch1 = Seq(("s3", 3.5)).toDF("sensor_id", "value")
+    Sinks.idempotentBatchWriter(cfg, cfg.readingsTable)(batch1, 1L)
+    assert(readBack(cfg, cfg.readingsTable).count() === 3L)
+    // Markers live in the commits side table, one row per batch.
+    assert(readBack(cfg, cfg.readingsTable + "_commits").count() === 2L)
+
+    // End to end through the streaming surface.
+    val input = MemoryStream[(String, Double)](spark)
+    val query = Sinks.jdbcIdempotentStream(
+      input.toDF().toDF("sensor_id", "value"), cfg, cfg.aggregatesTable,
+      checkpoint = Files.createTempDirectory("graft-idem-ckpt").toString,
+      queryName = "jdbc_idem_e2e")
+    try {
+      input.addData(("a", 1.0), ("b", 2.0))
+      query.processAllAvailable()
+      assert(readBack(cfg, cfg.aggregatesTable).count() === 2L)
+      input.addData(("c", 3.0))
+      query.processAllAvailable()
+      assert(readBack(cfg, cfg.aggregatesTable).count() === 3L)
+    } finally query.stop()
+  }
+
   test("jdbcStream default writer: stream → real JDBC table → read back") {
     import spark.implicits._
     val cfg = derbyCfg()
