@@ -1244,6 +1244,9 @@ object SparkEntry {
     // buckets, unseen-bucket mass in closed form (Curation.tokenDrift).
     "corpus_token_drift"  -> ((s, d) =>
       Curation.tokenDrift(StandIn.documents(s, d))),
+    // One-row snapshot dashboard (Curation.corpusStats).
+    "corpus_stats"        -> ((s, d) =>
+      Curation.corpusStats(StandIn.documents(s, d))),
     // Context-length distribution: power-of-two bins by BPE-ish count,
     // integer bit-length binning (Curation.lengthHistogram).
     "corpus_length_histogram" -> ((s, d) =>
@@ -3294,6 +3297,29 @@ object SparkEntry {
          |       round(jsp, 6) AS js
          |FROM dfa, dft""".stripMargin
     },
+
+    // Dashboard twin (Curation.corpusStats).
+    "corpus_stats" ->
+      s"""WITH $rawToksSql, csd AS (
+         |  SELECT count(*) AS n_docs,
+         |         sum(CASE WHEN coalesce(length(text), 0) = 0
+         |                  THEN 1 ELSE 0 END) AS n_empty,
+         |         sum(coalesce(length(text), 0)) AS total_chars
+         |  FROM documents
+         |), cst AS (
+         |  SELECT sum(len(t)) AS total_tokens FROM toks
+         |), csv AS (
+         |  SELECT count(DISTINCT w) AS distinct_terms
+         |  FROM (SELECT unnest(t) AS w FROM toks)
+         |)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_empty AS BIGINT) AS n_empty,
+         |       CAST(total_chars AS BIGINT) AS total_chars,
+         |       CAST(total_tokens AS BIGINT) AS total_tokens,
+         |       CAST(distinct_terms AS BIGINT) AS distinct_terms,
+         |       round(CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1), 6)
+         |         AS avg_doc_tokens
+         |FROM csd, cst, csv""".stripMargin,
 
     // Zipf-fit twin (TextAnalysis.zipfFit): same top-1000 cut, same rank
     // window, same closed-form least squares off the five sums.

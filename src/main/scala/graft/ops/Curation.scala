@@ -560,6 +560,31 @@ object Curation {
         round(col("jsp"), 6).alias("js"))
   }
 
+  /** One-row corpus dashboard: the first query anyone runs against a new
+    * snapshot — document count, empty share, char/token totals, distinct
+    * vocabulary, mean document length. Two 1-row aggregates (doc-level
+    * scan; vocabulary countDistinct over the exploded token stream — the
+    * only corpus-scale shuffle, map-side combined) joined by 1-row
+    * broadcast. Every number exact; the mean 6-dp rounded.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val docAgg = docs.agg(
+      count(lit(1)).alias("n_docs"),
+      sum(when(coalesce(length(col("text")), lit(0)) === 0, 1L).otherwise(0L))
+        .alias("n_empty"),
+      sum(coalesce(length(col("text")), lit(0)).cast("long"))
+        .alias("total_chars"),
+      sum(size(t).cast("long")).alias("total_tokens"))
+    val termAgg = docs.select(explode(t).alias("w"))
+      .agg(countDistinct(col("w")).alias("distinct_terms"))
+    docAgg.crossJoin(broadcast(termAgg)).select(
+      col("n_docs"), col("n_empty"), col("total_chars"),
+      col("total_tokens"), col("distinct_terms"),
+      round(col("total_tokens").cast("double") /
+        greatest(col("n_docs"), lit(1L)), 6).alias("avg_doc_tokens"))
+  }
+
   /** Sequence-length histogram: documents binned by power-of-two BPE-ish
     * token count — the context-length distribution report every
     * pretraining run reads before choosing sequence length and packing

@@ -268,6 +268,20 @@ class CurationSpec extends SparkSpec {
       s"rank<=k must run as a running per-stratum top-k:\n$plan")
   }
 
+  test("corpusStats: exact one-row dashboard, null-safe") {
+    val out = Curation.corpusStats(docs(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, ""),
+      (4L, null))).collect().head
+    assert(out.getLong(0) === 4L)                 // n_docs
+    assert(out.getLong(1) === 2L)                 // empty + null
+    assert(out.getLong(2) === (16L + 10L))        // chars
+    assert(out.getLong(3) === 5L)                 // tokens
+    assert(out.getLong(4) === 3L)                 // alpha, beta, gamma
+    assert(out.getDouble(5) === 1.25)             // 5 / 4
+  }
+
   test("tokenDrift: honest split reads near zero, shifted val distribution alarms") {
     import spark.implicits._
     val ids = (1L to 400L)
