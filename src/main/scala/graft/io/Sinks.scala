@@ -87,22 +87,36 @@ object Sinks {
     * single-row driver-side JDBC (the data itself still streams through
     * Spark's writer).
     */
-  def idempotentBatchWriter(jdbc: JdbcConfig, table: String)(
+  /** @param afterAppend crash-injection seam for tests: invoked between
+    *                     the data append and the marker insert — throwing
+    *                     here simulates the documented append→marker
+    *                     failure window (the at-least-once floor of the
+    *                     guarantee ladder). Production callers leave the
+    *                     default no-op. */
+  def idempotentBatchWriter(
+      jdbc: JdbcConfig, table: String,
+      afterAppend: () => Unit = () => ())(
       df: DataFrame, batchId: Long): Unit = {
     val commits = s"${table}_commits"
     val conn = java.sql.DriverManager.getConnection(
       jdbc.url, jdbc.user, jdbc.password)
     try {
-      val meta = conn.getMetaData.getTables(
-        null, null, commits.toUpperCase, null)
-      val exists = meta.next()
-      meta.close()
-      if (!exists) {
-        val st = conn.createStatement()
-        try st.executeUpdate(
-          s"CREATE TABLE $commits (batch_id BIGINT NOT NULL PRIMARY KEY)")
-        finally st.close()
-      }
+      // Create-and-tolerate-exists instead of a metadata probe: JDBC
+      // getTables is a trap here — Derby folds unquoted identifiers to
+      // UPPER while PostgreSQL folds to lower and matches the pattern
+      // case-sensitively, so a probe that passes on the embedded test DB
+      // silently never finds the table on the production target (and '_'
+      // in the pattern is a wildcard on top). Issuing CREATE TABLE and
+      // swallowing only the already-exists SQLState is dialect-portable:
+      // X0Y32 = Derby "object already exists", 42P07 = PostgreSQL
+      // "duplicate_table", 42S01 = SQL-standard/MySQL "table exists".
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE $commits (batch_id BIGINT NOT NULL PRIMARY KEY)")
+      catch {
+        case e: java.sql.SQLException
+            if Set("X0Y32", "42P07", "42S01").contains(e.getSQLState) => ()
+      } finally st.close()
       val check = conn.prepareStatement(
         s"SELECT 1 FROM $commits WHERE batch_id = ?")
       val already = try {
@@ -114,6 +128,7 @@ object Sinks {
         log(s"[batch $batchId] already committed to $table — replay skipped")
       } else {
         jdbcAppend(df, jdbc, table)
+        afterAppend()
         val mark = conn.prepareStatement(
           s"INSERT INTO $commits (batch_id) VALUES (?)")
         try { mark.setLong(1, batchId); mark.executeUpdate() }

@@ -557,14 +557,21 @@ object Multimodal {
     val rate = leUInt(col("payload"), 25, 4)
     val bits = leUInt(col("payload"), 35, 2)
     val dataBytes = leUInt(col("payload"), 41, 4)
-    val nFrames = (dataBytes / (nCh * (bits / 8))).cast(LongType)
+    // greatest(...,1) guards: a corrupt-but-long-enough payload can carry
+    // zeros at the channel/bits/rate offsets, and under ANSI mode a zero
+    // divisor would kill the whole scan — malformed headers must yield
+    // garbage fields, never a query-fatal error (same contract as the
+    // decode stages, cf. jpegDecodeContract's greatest(n_px,1)).
+    val nFrames =
+      (dataBytes / greatest(nCh * (bits / 8), lit(1L))).cast(LongType)
     media.select(
       col("media_id"),
       nCh.cast(IntegerType).alias("n_channels"),
       rate.cast(IntegerType).alias("sample_rate"),
       bits.cast(IntegerType).alias("bits"),
       nFrames.alias("n_frames"),
-      (nFrames * 1000 / rate).cast(LongType).alias("duration_ms"))
+      (nFrames * 1000 / greatest(rate, lit(1L))).cast(LongType)
+        .alias("duration_ms"))
   }
 
   /** The real audio-decode stage: per-partition `AudioSystem` decode (the
@@ -625,7 +632,11 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           WavCodec.decode(payload) match {
-            case Some((_, nCh, _, samples)) =>
+            // nCh > 2 would overrun the fixed two-channel stat arrays; a
+            // valid 3+-channel WAV must fall through to the decoded=false
+            // zero row (the module contract: unexpected blobs surface as
+            // flagged rows, never a throw), matching decodeWavStats.
+            case Some((_, nCh, _, samples)) if nCh <= 2 =>
               val nFr = samples.length / nCh
               val zc = new Array[Long](2)
               val sq = new Array[Long](2)
@@ -642,7 +653,7 @@ object Multimodal {
                 c += 1
               }
               (id, true, nFr.toLong, zc(0), zc(1), sq(0), sq(1))
-            case None => (id, false, 0L, 0L, 0L, 0L, 0L)
+            case _ => (id, false, 0L, 0L, 0L, 0L, 0L)
           }
         }
       }

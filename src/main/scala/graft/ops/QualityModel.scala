@@ -99,9 +99,21 @@ object QualityModel {
   // plans compare structurally (exprIds normalized), and for literal
   // inputs (LocalRelation) structural equality includes the data rows —
   // a toString key would hide them and alias two different test corpora.
-  private val weightMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
-    Array[Double]]()
+  // BOUNDED: the keys retain plan trees (and, for LocalRelation, the
+  // corpus rows themselves), so an unbounded map would leak in a
+  // long-lived process training over many distinct inputs. An
+  // access-order LRU capped at [[MemoCap]] keeps the hot entries (the
+  // three composing queries share one) while old plans become
+  // collectable.
+  private val MemoCap = 8
+  private val weightMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
+      Array[Double]](MemoCap, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
+        Array[Double]]): Boolean = size() > MemoCap
+    })
 
   /** Number of actual (non-memoized) training executions in this process —
     * the test hook pinning the train-once contract. */

@@ -166,6 +166,40 @@ class JdbcSinkSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("idempotent sink crash window: marker-write failure → retry duplicates " +
+      "(at-least-once floor); marker present → replay skips") {
+    import spark.implicits._
+    val cfg = derbyCfg()
+    val batch = Seq(("s1", 1.5), ("s2", 2.5)).toDF("sensor_id", "value")
+
+    // Crash INSIDE the documented window: data append succeeds, process
+    // dies before the marker insert. The sink's scaladoc promises exactly
+    // this failure re-appends on retry — pin both sides of the ladder.
+    val boom = new RuntimeException("injected crash after append")
+    val thrown = intercept[RuntimeException] {
+      Sinks.idempotentBatchWriter(cfg, cfg.readingsTable,
+        afterAppend = () => throw boom)(batch, 0L)
+    }
+    assert(thrown eq boom)
+    // Data landed, marker did NOT.
+    assert(readBack(cfg, cfg.readingsTable).count() === 2L)
+    assert(readBack(cfg, cfg.readingsTable + "_commits").count() === 0L)
+
+    // Structured Streaming redelivers batch 0. With no marker the writer
+    // cannot distinguish this from a first delivery → the documented
+    // duplicate (the at-least-once floor, NOT a bug).
+    Sinks.idempotentBatchWriter(cfg, cfg.readingsTable)(batch, 0L)
+    assert(readBack(cfg, cfg.readingsTable).count() === 4L)
+    assert(readBack(cfg, cfg.readingsTable + "_commits").count() === 1L)
+
+    // A further replay of batch 0 now hits the marker → no-op. This is
+    // the dominant crash path (after checkpoint-commit failure) and the
+    // whole point of the marker table.
+    Sinks.idempotentBatchWriter(cfg, cfg.readingsTable)(batch, 0L)
+    assert(readBack(cfg, cfg.readingsTable).count() === 4L)
+    assert(readBack(cfg, cfg.readingsTable + "_commits").count() === 1L)
+  }
+
   test("jdbcStream default writer: stream → real JDBC table → read back") {
     import spark.implicits._
     val cfg = derbyCfg()
