@@ -141,7 +141,17 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head
       catch { case _: Throwable => "na" }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_$WarmPasses","warm_pass_totals":$passTotals,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    // Contention self-diagnosis: the r11 artifact read as a 2.29× gate
+    // breach until a manual quiet-host re-run. The tell was in the pass
+    // totals all along — on a quiet host the BEST warm pass sums to
+    // ~1.6-1.7× the min-of-3 total (per-query jitter alone), while the
+    // contended driver run sat at 2.5×. Emit the ratio always and flag
+    // `contended` past 2.0 so the artifact says "discount me, re-run
+    // quiet" by itself (protocol: BASELINE.md §bench-contention).
+    val bestPass = warmSamples.map(_.values.sum).min
+    val passRatio = if (total > 0) bestPass / total else 1.0
+    val contended = passRatio > 2.0
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_$WarmPasses","warm_pass_totals":$passTotals,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -320,12 +320,19 @@ class PlanEvidenceSpec extends SparkSpec {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val weights = SparkEntry.queries("text_dsir_weights")(spark, dir)
       .queryExecution.executedPlan.toString
-    // The two ≤4096-row distribution tables must reach the token stream
-    // as broadcasts — a shuffle join here would re-partition the whole
+    // The ≤4096-row distribution table must reach the token stream as a
+    // broadcast — a shuffle join here would re-partition the whole
     // corpus token stream by bucket at 100 TB.
     assert(weights.contains("BroadcastHashJoin"),
       s"bucket histograms must broadcast:\n$weights")
     assert(!weights.contains("CartesianProduct"), weights)
+    // One-pass histogram shape: the scoring DAG scans documents exactly
+    // twice (doc_id spine + token stream). Before the conditional-sum
+    // rewrite the raw/target/totals subtrees each replayed the token
+    // explode — 6 scans in this plan.
+    val scans = weights.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 2,
+      s"expected doc_id spine + token stream only, saw $scans scans:\n$weights")
     val select = SparkEntry.queries("corpus_select_dsir")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(select.contains("TakeOrderedAndProject"),

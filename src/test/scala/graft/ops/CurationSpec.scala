@@ -368,6 +368,21 @@ class CurationSpec extends SparkSpec {
     assert(out(8L)._2 === 3)
   }
 
+  test("dsirHistogram memo: weights + selection over one corpus build the histogram once") {
+    Curation.clearDsirMemo()
+    val corpus = docs(
+      (1L, good1), (2L, good2), (3L, "zz yy xx qq"), (4L, "zz yy xx"))
+    val before = Curation.dsirHistExecutions.get()
+    Curation.dsirWeights(corpus).collect()
+    Curation.selectByDsir(corpus, k = 2).collect()
+    // Composing query pays the corpus histogram scan zero extra times —
+    // the train-once contract (same posture as QualityModel.train).
+    assert(Curation.dsirHistExecutions.get() === before + 1)
+    // A DIFFERENT corpus is a different canonicalized plan → fresh build.
+    Curation.dsirWeights(docs((9L, "totally new corpus"))).collect()
+    assert(Curation.dsirHistExecutions.get() === before + 2)
+  }
+
   test("selectByDsir: deterministic top-k, most target-like first") {
     val corpus = docs(
       (1L, good1), (2L, good2), (3L, "zz yy xx qq"), (4L, "zz yy xx"),
