@@ -835,6 +835,47 @@ object SparkEntry {
       |  FROM px
       |)""".stripMargin
 
+  // Perceptual-hash oracle CTEs — MUST stay in lockstep with
+  // Multimodal.phash. Integer luma of the formula pixel at (sx, sy),
+  // as a SQL fragment (each channel mod-256, summed, //3 — the same
+  // integer arithmetic the Scala stage runs on the DECODED pixels).
+  private def phashLumaSql(sx: String, sy: String): String =
+    s"((doc_id * 31 + ($sx) * 7 + ($sy) * 13) % 256 + " +
+      s"(doc_id * 17 + ($sx) * 11 + ($sy) * 5) % 256 + " +
+      s"(doc_id * 23 + ($sx) * 3 + ($sy) * 19) % 256) // 3"
+
+  // The 6×10 sampling grid per document, aHash bit threshold via a
+  // per-doc window mean, dHash bits via 11-column adjacent comparisons;
+  // both assembled into 60-bit BIGINTs (bit 59 max — constructible on
+  // both engines, unlike bit 63).
+  private lazy val phashCtesSql = {
+    val aLuma = phashLumaSql("gx * w // 10", "gy * h // 6")
+    val dLeft = phashLumaSql("gx * w // 11", "gy * h // 6")
+    val dRight = phashLumaSql("(gx + 1) * w // 11", "gy * h // 6")
+    s"""pd AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+       |  FROM documents
+       |), pgx AS (SELECT doc_id, w, h, unnest(range(0, 10)) AS gx FROM pd),
+       |pg AS (SELECT doc_id, w, h, gx, unnest(range(0, 6)) AS gy FROM pgx),
+       |asamp AS (
+       |  SELECT doc_id, gy * 10 + gx AS pos, $aLuma AS luma FROM pg
+       |), ah AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN luma > m
+       |           THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
+       |           ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM (SELECT *, sum(luma) OVER (PARTITION BY doc_id) / 60.0 AS m
+       |        FROM asamp) t
+       |  GROUP BY doc_id
+       |), dh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN ($dRight) > ($dLeft)
+       |           THEN (CAST(1 AS BIGINT) << CAST(gy * 10 + gx AS INT))
+       |           ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM pg GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   /** The REAL-decode feature stage with a driver-sortable shape: one
     * double column per luminance-histogram bin, computed from pixels that
     * went through an actual PNG encode→ImageIO decode round-trip.
@@ -1320,7 +1361,16 @@ object SparkEntry {
     // lossless) decoded frame-by-frame through ImageIO's sequence reader;
     // one exact stat row per frame (Multimodal.GifCodec scaladoc).
     "mm_gif_frames"       -> ((s, d) =>
-      Multimodal.decodeGifFrameStats(Multimodal.gifMedia(s, d)))
+      Multimodal.decodeGifFrameStats(Multimodal.gifMedia(s, d))),
+    // Perceptual hashes over the REAL decode (60-bit aHash + dHash from
+    // nearest-neighbor luma sampling) — the image-level dedup signature;
+    // PNG losslessness makes both hashes formula-derivable by the oracle.
+    "mm_phash"            -> ((s, d) =>
+      Multimodal.phash(Multimodal.pngMedia(s, d))),
+    // Image near-dup pairs: aHash through the SAME banded Hamming machine
+    // as dedup_simhash_pairs (band equi-join + exact verify, no product).
+    "mm_phash_pairs"      -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.pngMedia(s, d)))
   )
 
   // Gaps-and-islands session CTEs (twin of Sessionize.sessions) — shared
@@ -3745,6 +3795,35 @@ object SparkEntry {
         |       CAST(min(v) AS INT) AS gray_min,
         |       CAST(max(v) AS INT) AS gray_max
         |FROM gv GROUP BY doc_id, f""".stripMargin,
+
+    // Perceptual-hash twin (Multimodal.phash): both 60-bit hashes
+    // re-derived from the pixel formula alone — a hash match proves the
+    // Spark side sampled REAL decoded pixels at the same grid points.
+    "mm_phash" ->
+      s"""WITH $phashCtesSql
+         |SELECT pd.doc_id AS media_id, TRUE AS decoded, ahash, dhash
+         |FROM pd JOIN ah ON ah.doc_id = pd.doc_id
+         |JOIN dh ON dh.doc_id = pd.doc_id""".stripMargin,
+
+    // Image near-dup pairs twin: the aHash through the SAME 4×15-bit
+    // band join + exact bit_count verify as dedup_simhash_pairs.
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtesSql, pbands AS (
+         |  SELECT doc_id, ahash, b.band AS band,
+         |         (ahash >> CAST(b.band * 15 AS INT)) & 32767 AS bv
+         |  FROM ah, (SELECT unnest(range(0, 4)) AS band) b
+         |), ppairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pbands a
+         |  JOIN pbands b ON a.band = b.band AND a.bv = b.bv
+         |              AND a.doc_id < b.doc_id
+         |)
+         |SELECT p.a_id, p.b_id,
+         |       CAST(bit_count(xor(sa.ahash, sb.ahash)) AS INT) AS hamming
+         |FROM ppairs p
+         |JOIN ah sa ON sa.doc_id = p.a_id
+         |JOIN ah sb ON sb.doc_id = p.b_id
+         |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 8""".stripMargin,
 
     // FixedSizeFrameSampler twin: byte windows sliced on the hex string
     // (2 chars/byte — DuckDB has no BLOB substring and a frame need not be

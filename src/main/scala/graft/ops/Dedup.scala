@@ -550,11 +550,33 @@ object Dedup {
       shingleSets(docs).select(col("doc_id"),
         hashArray60(col("grams")).alias("hashes")),
       bits = bands * bandBits).transform(Materialize(_))
+    hammingPairs(sh.toDF("doc_id", "sig"), bands, bandBits, maxHamming,
+      bucketCap)
+  }
+
+  /** Banded Hamming-near pairs over ANY per-item bit signature — the
+    * signature-agnostic core of [[simhashNearDup]], reused by the
+    * perceptual-hash image dedup ([[graft.ops.Multimodal]] composes its
+    * aHash into this): split each signature into `bands` chunks of
+    * `bandBits` bits, equi-join items sharing any chunk value (hot buckets
+    * salted via [[saltHotBuckets]] — no all-pairs step anywhere), then
+    * verify candidates with exact `bit_count(xor)` ≤ maxHamming. Same
+    * pigeonhole recall semantics as [[simhashNearDup]].
+    *
+    * @param sigs `(doc_id, sig)` — sig a ≤60-bit long (the engine-wide
+    *             positive-on-both-engines signature convention)
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      bands: Int = 4,
+      bandBits: Int = 15,
+      maxHamming: Int = 8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val banded = saltHotBuckets(sh.select(col("doc_id"),
+    val banded = saltHotBuckets(sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).alias("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
             .alias("bv"))): _*)).alias("bk")),
       bucketCap)
     val cands = banded.select(col("bk"), col("doc_id").alias("a_id"))
@@ -564,8 +586,8 @@ object Dedup {
       .distinct()
     val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     cands
-      .join(sh.select(col("doc_id").alias("a_id"), col("simhash").alias("sim_a")), "a_id")
-      .join(sh.select(col("doc_id").alias("b_id"), col("simhash").alias("sim_b")), "b_id")
+      .join(sigs.select(col("doc_id").alias("a_id"), col("sig").alias("sim_a")), "a_id")
+      .join(sigs.select(col("doc_id").alias("b_id"), col("sig").alias("sim_b")), "b_id")
       .select(col("a_id"), col("b_id"), hamming.alias("hamming"))
       .where(col("hamming") <= maxHamming)
   }

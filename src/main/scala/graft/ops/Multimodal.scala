@@ -510,6 +510,97 @@ object Multimodal {
       conv(hex(substring(col("payload"), 21, 4)), 16, 10)
         .cast(IntegerType).alias("height_px"))
 
+  /** 60-bit perceptual hashes (aHash + dHash) over REAL decoded pixels —
+    * the image-level dedup signature stage (the LAION/DataComp near-dup
+    * screen): decode → integer luma → fixed sampling grid → threshold
+    * bits. Same `mapPartitions` codec altitude as [[decodeImageStats]];
+    * only the two 60-bit longs leave the stage.
+    *
+    * A 60-bit variant of the canonical 64-bit aHash/dHash, following the
+    * engine-wide 60-bit signature convention (positive BIGINT on both
+    * engines — DuckDB cannot construct bit 63) and the exact band
+    * parameters of the text SimHash machinery (4 bands × 15 bits), so
+    * [[Dedup.hammingPairs]] consumes it unchanged.
+    *
+    * aHash: 6×10 nearest-neighbor sampling grid — bit `y*10+x` set iff
+    * luma at pixel `(x*w/10, y*h/6)` (integer division) is strictly above
+    * the mean of the 60 samples. Brightness-offset invariant: images
+    * sharing a gradient pattern at different exposure hash identically —
+    * the invariance that makes average-hash perceptual rather than a
+    * byte hash. dHash: 6 rows × 10 adjacent comparisons over an
+    * 11-column grid — bit set iff the right sample is strictly brighter
+    * (gradient-direction signature).
+    *
+    * Nearest-neighbor (not interpolating-resize) sampling keeps every
+    * bit a pure integer formula of the pixels, so the DuckDB oracle
+    * re-derives both hashes from the synthetic pixel formula without
+    * seeing any bytes. Luma is the engine-wide integer `(r+g+b)/3`.
+    * Undecodable payloads → `decoded=false`, zero hashes.
+    */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          ImageCodec.decode(payload) match {
+            case Some((w, h, px)) =>
+              def luma(sx: Int, sy: Int): Int = {
+                val p = px(sy * w + sx)
+                (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              }
+              val samples = new Array[Int](60)
+              var y = 0
+              while (y < 6) {
+                var x = 0
+                while (x < 10) {
+                  samples(y * 10 + x) = luma(x * w / 10, y * h / 6)
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = samples.sum.toDouble / 60.0
+              var ah = 0L
+              var i = 0
+              while (i < 60) {
+                if (samples(i) > mean) ah |= 1L << i
+                i += 1
+              }
+              var dh = 0L
+              y = 0
+              while (y < 6) {
+                val sy = y * h / 6
+                var x = 0
+                while (x < 10) {
+                  if (luma((x + 1) * w / 11, sy) > luma(x * w / 11, sy))
+                    dh |= 1L << (y * 10 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, true, ah, dh)
+            case None => (id, false, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "ahash", "dhash")
+  }
+
+  /** Perceptual near-duplicate image pairs: [[phash]] aHash signatures
+    * through the banded Hamming machinery ([[Dedup.hammingPairs]] — band
+    * equi-join with hot-bucket salting + exact `bit_count(xor)` verify,
+    * no all-pairs step), emitting `(a_id, b_id, hamming)`. This is the
+    * image twin of `dedup_simhash_pairs`: the aHash's brightness
+    * invariance makes "same scene, different exposure" land within a few
+    * bits while unrelated images sit near 30.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.hammingPairs(
+      phash(media).where(col("decoded"))
+        .select(col("media_id").alias("doc_id"), col("ahash").alias("sig")),
+      bands = 4, bandBits = 15, maxHamming = maxHamming)
+
   /** Synthetic PNG media frame: one REAL PNG payload per document id,
     * encoded per partition (encoder state reused, bytes never shuffled).
     * The pixel content is the [[ImageCodec.syntheticPng]] formula, so

@@ -339,6 +339,15 @@ class PlanEvidenceSpec extends SparkSpec {
       s"DSIR selection must plan a distributed top-k:\n$select")
   }
 
+  test("mm_phash_pairs: banded equi-join, no all-pairs product") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("mm_phash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup pairs must stay a band equi-join:\n$plan")
+  }
+
   test("stat_chisquare: ONE fact scan — marginals derive from the cell table") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     for (q <- Seq("stat_chisquare", "stat_cramers_v")) {

@@ -237,6 +237,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(77L).getAs[Long]("ch0_energy") === 0L)
   }
 
+  test("phash: hashes match the formula recomputation; corrupt flagged; " +
+      "brightness shift leaves aHash unchanged") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 13L, 44L)
+    val df = (ids.map(id => (id, Multimodal.ImageCodec.syntheticPng(id))) :+
+      (99L -> "not an image".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.phash(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    def lumaOf(id: Long, x: Int, y: Int): Int =
+      (((id * 31 + x * 7 + y * 13) % 256) + ((id * 17 + x * 11 + y * 5) % 256) +
+        ((id * 23 + x * 3 + y * 19) % 256)).toInt / 3
+    for (id <- ids) {
+      val w = (8 + id % 9).toInt; val h = (8 + (id / 9) % 9).toInt
+      val samples = for (y <- 0 until 6; x <- 0 until 10)
+        yield lumaOf(id, x * w / 10, y * h / 6)
+      val mean = samples.sum.toDouble / 60.0
+      val ah = samples.zipWithIndex
+        .collect { case (s, i) if s > mean => 1L << i }.foldLeft(0L)(_ | _)
+      val dh = (for (y <- 0 until 6; x <- 0 until 10
+        if lumaOf(id, (x + 1) * w / 11, y * h / 6) >
+          lumaOf(id, x * w / 11, y * h / 6))
+        yield 1L << (y * 10 + x)).foldLeft(0L)(_ | _)
+      assert(out(id).getAs[Long]("ahash") === ah, s"ahash mismatch for $id")
+      assert(out(id).getAs[Long]("dhash") === dh, s"dhash mismatch for $id")
+    }
+    assert(!out(99L).getAs[Boolean]("decoded"))
+    // The perceptual property: add a constant brightness offset to every
+    // channel of a real image — aHash (bits relative to the mean) must
+    // not move. Build both variants directly through the JDK encoder.
+    def flatPng(offset: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        12, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 12) {
+        val v = math.min(255, (x * 9 + y * 5) % 200 + offset)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    val pair = Seq((1L, flatPng(0)), (2L, flatPng(40)))
+      .toDF("media_id", "payload")
+    val hs = Multimodal.phash(pair).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    assert(hs(1L) === hs(2L),
+      "aHash must be invariant to a uniform brightness shift")
+    // …and phashPairs finds exactly that pair at Hamming 0.
+    val pairs = Multimodal.phashPairs(pair).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("a_id") === 1L)
+    assert(pairs(0).getAs[Long]("b_id") === 2L)
+    assert(pairs(0).getAs[Int]("hamming") === 0)
+  }
+
   test("wavFeatures: valid 3-channel WAV is flagged decoded=false, not thrown") {
     import spark.implicits._
     // Hand-build a valid 3-channel PCM16 WAV — outside syntheticWav's 1-2
