@@ -1058,6 +1058,19 @@ object SparkEntry {
     "sim_neardup_clusters" -> ((s, d) =>
       Similarity.cosineNearDupClusters(
         StandIn.embeddings(s, d), SrpBits, NearDupClusterCosine)),
+    // SemDeDup cluster-then-prune (seeded quantizer face — full hash
+    // oracle): coarse cell + SRP bucket equi-join, greedy min-id prune.
+    "dedup_semantic"      -> ((s, d) =>
+      Similarity.semanticDedup(StandIn.embeddings(s, d), IvfCells, SrpBits,
+        NearDupClusterCosine)),
+    // The Lloyd-trained-cells face: imperative fit => no SQL twin
+    // (rows-only), with every invariant hash-pinned by the _audit below.
+    "dedup_semantic_trained" -> ((s, d) =>
+      Similarity.semanticDedup(StandIn.embeddings(s, d), IvfCells, SrpBits,
+        NearDupClusterCosine, trainedCells = true)),
+    "dedup_semantic_trained_audit" -> ((s, d) =>
+      Similarity.semanticDedupAudit(StandIn.embeddings(s, d), IvfCells,
+        SrpBits, NearDupClusterCosine)),
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
     // K-means training is an imperative iterative fit with no practical
     // SQL twin; the driver records a rows-only check and SimilaritySpec
@@ -3160,6 +3173,36 @@ object SparkEntry {
          |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} >= $NearDupCosine"""
         .stripMargin,
+
+    // SemDeDup twin (Similarity.semanticDedup, seeded face): one row per
+    // vector; pruned iff a smaller-id (cell, bucket)-mate sits at
+    // cosine ≥ threshold. ivf and bsim are 1:1 per vec_id, so the join
+    // rebuilds the exact (cell, bucket) keying.
+    "dedup_semantic" ->
+      s"""WITH $prepSql, $bucketsSimSql, $ivfCellsSql, sd AS (
+         |  SELECT i.vec_id, i.cell, b.bucket, i.vec, i.norm
+         |  FROM ivf i JOIN bsim b ON b.vec_id = i.vec_id
+         |), spruned AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sd a
+         |  JOIN sd b ON a.cell = b.cell AND a.bucket = b.bucket
+         |           AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |          >= $NearDupClusterCosine
+         |)
+         |SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+         |       (p.vec_id IS NULL) AS keep
+         |FROM sd s LEFT JOIN spruned p ON p.vec_id = s.vec_id""".stripMargin,
+
+    // Trained-cells audit: n_total from the corpus, invariants pinned
+    // TRUE — the Spark side PROVES them distributedly (see
+    // Similarity.semanticDedupAudit scaladoc).
+    "dedup_semantic_trained_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       TRUE AS partition_ok,
+        |       TRUE AS pruned_witnessed,
+        |       TRUE AS keepers_clean
+        |FROM embeddings""".stripMargin,
 
     // Embedding-space CC twin (Similarity.cosineNearDupClusters): the
     // cosine pair set above fed through the same recursive-CTE components

@@ -764,6 +764,121 @@ object Similarity {
       "vec_id",
       maxIters)
 
+  /** SemDeDup-style embedding-CLUSTER dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to a coarse quantizer cell,
+    * then prune near-duplicates WITHIN each cell — cluster-then-prune,
+    * the granularity the doc-hash/MinHash/SimHash/span/line/pair family
+    * lacked. Within a cell, candidate pairs come from the SRP bucket
+    * machinery ([[cosineNearDup]]'s shape) joined on `(cell, bucket)` —
+    * strictly narrower buckets than SRP alone, a cell equi-join only,
+    * never a product. The prune rule is the deterministic greedy form:
+    * a vector is pruned iff some SMALLER-id vector in its (cell, bucket)
+    * has cosine ≥ threshold — id order replaces SemDeDup's
+    * distance-to-centroid rank (float-rank ties are not bit-stable
+    * cross-engine; min-id is, and keeps exactly one representative per
+    * ε-clique the same way).
+    *
+    * Cell assignment: seeded Rademacher quantizer ([[ivfCell]], the
+    * SQL-expressible twin — full hash oracle) by default;
+    * `trainedCells = true` swaps in the Lloyd-trained centroids
+    * ([[kmeansCentroids]] — density-following cells, the production
+    * shape; imperative fit ⇒ no SQL twin, so that face is checked by
+    * [[semanticDedupAudit]]'s pinned invariants instead).
+    *
+    * Emits one row per vector: `(vec_id, cell, keep)` — the full
+    * partition, so downstream `WHERE keep` is the dedup and
+    * `WHERE NOT keep` the audit trail.
+    *
+    * Scale shape: quantizer trains on a bounded driver sample (or is
+    * seed-constant); assignment is a map-side projection; the pair join
+    * keys on (cell, bucket) — cells bound the worst join fanout and are
+    * the scale lever (√n cells keeps per-cell lists flat); nothing else
+    * shuffles but the final broadcast-able pruned-id set.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      bits: Int = 6,
+      threshold: Double = 0.4,
+      trainedCells: Boolean = false,
+      iters: Int = 3): DataFrame =
+    semanticParts(embeddings, cells, bits, threshold, trainedCells, iters)._1
+
+  /** One-row invariant audit of the TRAINED [[semanticDedup]] face — the
+    * sketch-audit pattern: `n_total` is oracle-derivable (corpus count),
+    * the three booleans are pinned TRUE by the oracle and verified by
+    * actual distributed checks here, so a regression in the trained path
+    * fails a hash-checked row instead of hiding behind rows-only:
+    * `partition_ok` — keep/prune covers every vector exactly once;
+    * `pruned_witnessed` — every pruned vector really has a smaller-id
+    * in-(cell,bucket) neighbor at cosine ≥ threshold;
+    * `keepers_clean` — no two kept vectors share a (cell, bucket) at
+    * cosine ≥ threshold.
+    */
+  def semanticDedupAudit(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      bits: Int = 6,
+      threshold: Double = 0.4,
+      iters: Int = 3): DataFrame = {
+    val (flags0, pairs0) = semanticParts(
+      embeddings, cells, bits, threshold, trainedCells = true, iters)
+    val flags = Materialize(flags0)
+    val pairs = Materialize(pairs0.select(col("a_id"), col("b_id")))
+    val nTotal = embeddings.agg(count(lit(1)).alias("n_total"))
+    val nFlags = flags.agg(
+      count(lit(1)).alias("n_flags"),
+      sum(when(col("keep"), 1L).otherwise(0L)).alias("n_keep"))
+    val unwitnessed = flags.where(!col("keep"))
+      .join(pairs.select(col("b_id").alias("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).alias("n_unwitnessed"))
+    val keptPairs = pairs
+      .join(flags.where(col("keep")).select(col("vec_id").alias("a_id")), "a_id")
+      .join(flags.where(col("keep")).select(col("vec_id").alias("b_id")), "b_id")
+      .agg(count(lit(1)).alias("n_kept_pairs"))
+    nTotal.crossJoin(nFlags).crossJoin(unwitnessed).crossJoin(keptPairs)
+      .select(
+        col("n_total"),
+        (col("n_flags") === col("n_total")).alias("partition_ok"),
+        (col("n_unwitnessed") === 0).alias("pruned_witnessed"),
+        (col("n_kept_pairs") === 0).alias("keepers_clean"))
+  }
+
+  private def semanticParts(
+      embeddings: DataFrame,
+      cells: Int,
+      bits: Int,
+      threshold: Double,
+      trainedCells: Boolean,
+      iters: Int): (DataFrame, DataFrame) = {
+    val base = Materialize(prepared(embeddings))
+    val withCell =
+      if (trainedCells) {
+        val cs = kmeansCentroids(base, cells, iters)
+        base.withColumn("cell",
+          element_at(cellsByDistance(col("vec"), col("norm"), cs), 1))
+      } else base.withColumn("cell", ivfCell(col("vec"), planes(cells, seed = 7L)))
+    val prep = Materialize(
+      withCell.withColumn("bucket", srpBucket(col("vec"), planes(bits))))
+    val a = prep.select(col("cell"), col("bucket"),
+      col("vec_id").alias("a_id"), col("vec").alias("vec_a"),
+      col("norm").alias("norm_a"))
+    val b = prep.select(col("cell"), col("bucket"),
+      col("vec_id").alias("b_id"), col("vec").alias("vec_b"),
+      col("norm").alias("norm_b"))
+    val pairs = a.join(b, Seq("cell", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .where(cosine(col("vec_a"), col("norm_a"), col("vec_b"), col("norm_b"))
+        >= threshold)
+    val pruned = pairs.select(col("b_id").alias("vec_id")).distinct()
+    val flags = prep.select(col("vec_id"), col("cell"))
+      .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        not(coalesce(col("p"), lit(false))).alias("keep"))
+    (flags, pairs)
+  }
+
   /** Int8 quantization stats: per vector, the symmetric scale
     * (max |component| / 127) and the reconstruction error of
     * `round(v/scale)·scale` — the storage path that shrinks a float32 ANN

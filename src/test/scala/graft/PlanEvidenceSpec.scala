@@ -339,6 +339,17 @@ class PlanEvidenceSpec extends SparkSpec {
       s"DSIR selection must plan a distributed top-k:\n$select")
   }
 
+  test("dedup_semantic: (cell, bucket) equi-join, no all-pairs product") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    for (q <- Seq("dedup_semantic", "dedup_semantic_trained")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay a cell equi-join:\n$plan")
+    }
+  }
+
   test("mm_phash_pairs: banded equi-join, no all-pairs product") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("mm_phash_pairs")(spark, dir)

@@ -235,6 +235,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVFPQ recall $recall below 0.8")
   }
 
+  test("semanticDedup: min-id keeper per near-dup clique, full partition, " +
+      "trained audit invariants hold") {
+    // Two near-identical pairs in different directions plus a loner:
+    // the smaller id of each clique must be kept, the larger pruned.
+    val data = emb(
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.02, 0.0, 0.0)),   // dup of 1 (cos ≈ 1)
+      (5L, Seq(0.0, 0.0, 1.0, 0.01)),
+      (6L, Seq(0.0, 0.0, 1.0, 0.02)),   // dup of 5
+      (9L, Seq(0.0, 1.0, 0.0, -1.0)))   // loner
+    val out = Similarity.semanticDedup(data, cells = 2, bits = 2,
+        threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out.keySet === Set(1L, 2L, 5L, 6L, 9L), "one row per vector")
+    assert(out(1L) && !out(2L), s"min id of clique {1,2} keeps: $out")
+    assert(out(5L) && !out(6L), s"min id of clique {5,6} keeps: $out")
+    assert(out(9L), "loner keeps")
+    // Trained-cells face: same prune structure on this fixture (the
+    // cliques are far apart, any sane quantizer separates or co-cells
+    // them identically), and every audit invariant holds.
+    val trained = Similarity.semanticDedup(data, cells = 2, bits = 2,
+        threshold = 0.9, trainedCells = true).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(trained === out, s"trained face must agree here: $trained vs $out")
+    val audit = Similarity.semanticDedupAudit(data, cells = 2, bits = 2,
+      threshold = 0.9).collect()(0)
+    assert(audit.getAs[Long]("n_total") === 5L)
+    assert(audit.getAs[Boolean]("partition_ok"))
+    assert(audit.getAs[Boolean]("pruned_witnessed"))
+    assert(audit.getAs[Boolean]("keepers_clean"))
+  }
+
   test("pq top-k output ranks by exact cosine after the re-rank") {
     val data = clusteredEmb(40)
     val rows = Similarity.pqTopK(data, m = 8, codes = 8, iters = 4, k = 5)
