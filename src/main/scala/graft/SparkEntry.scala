@@ -1127,6 +1127,10 @@ object SparkEntry {
       graft.ops.QualityModel.weightsTable(s, StandIn.documents(s, d))),
     "text_quality_train_scores" -> ((s, d) =>
       graft.ops.QualityModel.trainedScores(StandIn.documents(s, d))),
+    // Precision/recall/F1 vs the rule-gate teacher across a 9-point
+    // threshold sweep — the trained model's shipping evidence.
+    "text_quality_eval"   -> ((s, d) =>
+      graft.ops.QualityModel.evalCard(StandIn.documents(s, d))),
     // Composition: trained quality scores as the A-ES sampling weight —
     // quality-proportional corpus draw (higher-scored docs more likely).
     "corpus_sample_quality" -> ((s, d) =>
@@ -1917,6 +1921,39 @@ object SparkEntry {
          |         round(1.0 / (1.0 + exp(-($dot))), 6) AS score
          |  FROM qf, ws${graft.ops.QualityModel.Steps}
          |)""".stripMargin
+    },
+
+    // Eval-card twin: the SAME train chain + scoring pass, fanned ×9
+    // against the threshold list into confusion counts and null-safe
+    // precision/recall/F1 (nullif denominators, direct-form F1).
+    "text_quality_eval" -> {
+      val d = graft.ops.QualityModel.Dim
+      val dot = (0 until d).map(j => s"w$j*x$j").mkString(" + ")
+      s"""$qmTrainChainSql, qscored AS (
+         |  SELECT doc_id, y,
+         |         round(1.0 / (1.0 + exp(-($dot))), 6) AS score
+         |  FROM qf, ws${graft.ops.QualityModel.Steps}
+         |), qth AS (
+         |  SELECT CAST(x AS DOUBLE) / CAST(10.0 AS DOUBLE) AS threshold
+         |  FROM (SELECT unnest(range(1, 10)) AS x)
+         |), qconf AS (
+         |  SELECT threshold,
+         |    CAST(sum(CASE WHEN score >= threshold AND y = 1.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= threshold AND y = 0.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < threshold AND y = 1.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score < threshold AND y = 0.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM qscored, qth GROUP BY threshold
+         |)
+         |SELECT threshold, tp, fp, fn, tn,
+         |       round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+         |       round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+         |       round(2 * tp / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6)
+         |         AS f1
+         |FROM qconf""".stripMargin
     },
 
     // Quality-weighted A-ES draw: the trained-score chain feeding the

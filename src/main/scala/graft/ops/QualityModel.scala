@@ -184,4 +184,41 @@ object QualityModel {
     * statement). */
   def trainedScores(docs: DataFrame): DataFrame =
     scores(docs, train(docs).toSeq)
+
+  /** Evaluation card for the trained classifier against its TEACHER (the
+    * rule gate that labeled `y`): a 9-point threshold sweep × confusion
+    * counts, with precision / recall / F1 per cut — the evidence a model
+    * ships with, and a regression tripwire on the trained weights (a GD
+    * or feature change moves a hash-checked confusion row, not just a
+    * float nobody reads).
+    *
+    * ONE corpus scan: the (score, y) pair stream fans out ×9 against the
+    * threshold literals (2 doubles per row — negligible) into a 9-group
+    * aggregate. Ratios are null (not 0) when a denominator is empty;
+    * F1 uses the direct `2tp/(2tp+fp+fn)` form so it exists whenever
+    * either class is non-empty.
+    */
+  def evalCard(docs: DataFrame): DataFrame = {
+    val w = train(docs)
+    val z = (0 until Dim).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    val scored = features(docs).select(
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).alias("score"), col("y"))
+    val ts = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val pred = col("score") >= col("threshold")
+    scored.select(explode(ts).alias("threshold"), col("score"), col("y"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(pred && col("y") === 1.0, 1L).otherwise(0L)).alias("tp"),
+        sum(when(pred && col("y") === 0.0, 1L).otherwise(0L)).alias("fp"),
+        sum(when(!pred && col("y") === 1.0, 1L).otherwise(0L)).alias("fn"),
+        sum(when(!pred && col("y") === 0.0, 1L).otherwise(0L)).alias("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")), 6)).alias("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")), 6)).alias("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)).alias("f1"))
+  }
 }

@@ -77,4 +77,30 @@ class QualityModelSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq === QualityModel.FeatureNames)
     assert(rows.forall(r => !r.isNullAt(1)))
   }
+
+  test("evalCard: 9 thresholds, counts partition the corpus, tp monotone, " +
+      "ratios null-safe") {
+    val n = corpus.count()
+    val rows = QualityModel.evalCard(corpus).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length === 9)
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
+      (1 to 9).map(_ / 10.0))
+    for (r <- rows) {
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn === n,
+        s"confusion must partition the corpus at ${r.getAs[Double]("threshold")}")
+      // Ratio algebra where defined: precision = tp/(tp+fp) to 6 dp.
+      if (tp + fp > 0)
+        assert(math.abs(r.getAs[Double]("precision") -
+          BigDecimal(tp.toDouble / (tp + fp))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      else assert(r.isNullAt(r.fieldIndex("precision")))
+    }
+    // Raising the cut can only shrink the positive set.
+    val tps = rows.map(_.getAs[Long]("tp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
+      s"tp must be non-increasing in threshold: ${tps.toSeq}")
+  }
 }
