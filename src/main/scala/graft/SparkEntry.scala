@@ -1379,6 +1379,11 @@ object SparkEntry {
     // one exact stat row per frame (Multimodal.GifCodec scaladoc).
     "mm_gif_frames"       -> ((s, d) =>
       Multimodal.decodeGifFrameStats(Multimodal.gifMedia(s, d))),
+    // Audio quality gate over the real decode: per-channel RMS/peak +
+    // silence/clip shares from exact in-stage integer counters, pass
+    // booleans at the documented thresholds (Multimodal.SilenceAmp etc.).
+    "mm_wav_gate"         -> ((s, d) =>
+      Multimodal.wavGate(Multimodal.wavMedia(s, d))),
     // Perceptual hashes over the REAL decode (60-bit aHash + dHash from
     // nearest-neighbor luma sampling) — the image-level dedup signature;
     // PNG losslessness makes both hashes formula-derivable by the oracle.
@@ -3834,6 +3839,64 @@ object SparkEntry {
         |       CAST(sum(s0 * s0) AS BIGINT) AS ch0_energy,
         |       CAST(coalesce(sum(s1 * s1), 0) AS BIGINT) AS ch1_energy
         |FROM lagged GROUP BY doc_id""".stripMargin,
+
+    // Audio-gate twin (Multimodal.wavGate): exact integer counters from
+    // the sample formula, double division + 6-dp rounds staged exactly as
+    // the engine stages them, thresholds as DOUBLE casts so boundary
+    // comparisons agree bit-for-bit.
+    "mm_wav_gate" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, 1 + doc_id % 2 AS nch, 64 + doc_id % 33 AS nf
+         |  FROM documents
+         |), fr AS (
+         |  SELECT doc_id, nch, nf, unnest(range(0, nf)) AS i FROM wd
+         |), smp AS (
+         |  SELECT doc_id, nch, nf,
+         |         (doc_id * 31 + i * 7) % 65536 - 32768 AS s0,
+         |         CASE WHEN nch = 2
+         |              THEN (doc_id * 31 + i * 7 + 13) % 65536 - 32768
+         |         END AS s1
+         |  FROM fr
+         |), wagg AS (
+         |  SELECT doc_id, max(nch) AS nch, max(nf) AS nf,
+         |         sum(s0 * s0) AS sq0, coalesce(sum(s1 * s1), 0) AS sq1,
+         |         max(abs(s0)) AS peak0, coalesce(max(abs(s1)), 0) AS peak1,
+         |         sum(CASE WHEN abs(s0) < ${Multimodal.SilenceAmp}
+         |               THEN 1 ELSE 0 END)
+         |           + sum(CASE WHEN abs(s1) < ${Multimodal.SilenceAmp}
+         |               THEN 1 ELSE 0 END) AS silent,
+         |         sum(CASE WHEN s0 IN (32767, -32768) THEN 1 ELSE 0 END)
+         |           + sum(CASE WHEN s1 IN (32767, -32768) THEN 1 ELSE 0 END)
+         |           AS clipped
+         |  FROM smp GROUP BY doc_id
+         |), wg AS (
+         |  SELECT doc_id, nch, nf,
+         |         round(sqrt(sq0 / nf), 6) AS ch0_rms,
+         |         round(sqrt(sq1 / nf), 6) AS ch1_rms,
+         |         peak0, peak1,
+         |         round(silent / (nf * nch), 6) AS silence_share,
+         |         round(clipped / (nf * nch), 6) AS clipped_share
+         |  FROM wagg
+         |), wb AS (
+         |  SELECT *,
+         |         (ch0_rms >= CAST(${Multimodal.LevelMinRms} AS DOUBLE)
+         |           AND (nch < 2
+         |             OR ch1_rms >= CAST(${Multimodal.LevelMinRms} AS DOUBLE)))
+         |           AS pass_level,
+         |         (silence_share <= CAST(${Multimodal.SilenceMaxShare}
+         |            AS DOUBLE)) AS pass_silence,
+         |         (clipped_share <= CAST(${Multimodal.ClipMaxShare}
+         |            AS DOUBLE)) AS pass_clip
+         |  FROM wg
+         |)
+         |SELECT doc_id AS media_id, TRUE AS decoded,
+         |       CAST(nch AS INT) AS n_channels, CAST(nf AS BIGINT) AS n_frames,
+         |       ch0_rms, ch1_rms,
+         |       CAST(peak0 AS INT) AS ch0_peak, CAST(peak1 AS INT) AS ch1_peak,
+         |       silence_share, clipped_share,
+         |       pass_level, pass_silence, pass_clip,
+         |       (pass_level AND pass_silence AND pass_clip) AS pass
+         |FROM wb""".stripMargin,
 
     // JPEG contract twin (Multimodal.jpegDecodeContract): the lossy
     // round-trip pins container dims + pixel count exactly and the

@@ -753,6 +753,85 @@ object Multimodal {
         "ch0_energy", "ch1_energy")
   }
 
+  /** Audio-gate thresholds — documented constants shared with the oracle
+    * twin. Silence = |sample| below [[SilenceAmp]] (−36 dBFS-ish on
+    * 16-bit); clipping = the two rail values ±full-scale. A clip passes
+    * below 1% clipped samples, a silence screen below 50% silent samples,
+    * and a level screen at per-channel RMS ≥ [[LevelMinRms]].
+    */
+  val SilenceAmp = 512
+  val SilenceMaxShare = 0.5
+  val ClipMaxShare = 0.01
+  val LevelMinRms = 256.0
+
+  /** Audio quality GATE over the REAL decode — the curation screen a
+    * speech/audio pipeline runs before anything expensive (the audio twin
+    * of the text quality gate): per-channel RMS (6-dp) and peak, plus
+    * corpus-comparable silence and clipped-sample shares, each derived
+    * from EXACT integer counts computed inside the decode stage (the
+    * [[wavFeatures]] altitude — samples die in the stage, only counters
+    * leave), with pass/fail booleans at the documented thresholds.
+    *
+    * RMS compares at its ROUNDED value so threshold boundaries are
+    * bit-stable cross-engine. Mono rows keep zeroed channel-1 slots (the
+    * [[decodeWavStats]] convention) and gate on channel 0 only.
+    * Undecodable or 3+-channel payloads → `decoded=false` zero rows that
+    * FAIL the gate (a blob you cannot decode is not trainable audio).
+    */
+  def wavGate(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val counts = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          WavCodec.decode(payload) match {
+            case Some((_, nCh, _, samples)) if nCh <= 2 =>
+              val nFr = samples.length / nCh
+              val sq = new Array[Long](2)
+              val peak = new Array[Int](2)
+              var silent = 0L; var clipped = 0L
+              var k = 0
+              while (k < samples.length) {
+                val v = samples(k)
+                val a = math.abs(v)
+                val c = k % nCh
+                sq(c) += v.toLong * v
+                if (a > peak(c)) peak(c) = a
+                if (a < SilenceAmp) silent += 1
+                if (v == 32767 || v == -32768) clipped += 1
+                k += 1
+              }
+              (id, true, nCh, nFr.toLong, sq(0), sq(1),
+                peak(0), peak(1), silent, clipped)
+            case _ => (id, false, 0, 0L, 0L, 0L, 0, 0, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_channels", "n_frames", "sq0", "sq1",
+        "ch0_peak", "ch1_peak", "n_silent", "n_clipped")
+    val nSamp = greatest(col("n_frames") * col("n_channels"), lit(1L))
+    val rms0 = round(sqrt(col("sq0").cast("double") /
+      greatest(col("n_frames"), lit(1L))), 6)
+    val rms1 = round(sqrt(col("sq1").cast("double") /
+      greatest(col("n_frames"), lit(1L))), 6)
+    counts.select(
+      col("media_id"), col("decoded"), col("n_channels"), col("n_frames"),
+      rms0.alias("ch0_rms"), rms1.alias("ch1_rms"),
+      col("ch0_peak"), col("ch1_peak"),
+      round(col("n_silent").cast("double") / nSamp, 6).alias("silence_share"),
+      round(col("n_clipped").cast("double") / nSamp, 6).alias("clipped_share"))
+      .withColumn("pass_level",
+        col("decoded") && col("ch0_rms") >= LevelMinRms &&
+          (col("n_channels") < 2 || col("ch1_rms") >= LevelMinRms))
+      .withColumn("pass_silence",
+        col("decoded") && col("silence_share") <= SilenceMaxShare)
+      .withColumn("pass_clip",
+        col("decoded") && col("clipped_share") <= ClipMaxShare)
+      .withColumn("pass",
+        col("pass_level") && col("pass_silence") && col("pass_clip"))
+  }
+
   /** Synthetic WAV media frame: one REAL RIFF/WAVE payload per document
     * id, encoded per partition (bytes never shuffled), sample content the
     * [[WavCodec.sampleOf]] formula — every downstream decoded-sample

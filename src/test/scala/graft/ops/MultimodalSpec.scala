@@ -316,6 +316,48 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("ch0_energy") === 0L)
   }
 
+  test("wavGate: silent and clipped fixtures fail the right screens; " +
+      "formula audio passes; corrupt fails everything") {
+    import spark.implicits._
+    def pcmWav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    val df = Seq(
+      (13L, Multimodal.WavCodec.syntheticWav(13L)), // formula: healthy
+      (2L, pcmWav(Seq.fill(64)(0.toShort))),        // dead silence
+      (3L, pcmWav(Seq.fill(64)(32767.toShort))),    // rail-clipped
+      (4L, "junk".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.wavGate(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // Formula audio sweeps the full 16-bit range: loud, non-silent, with
+    // the rare exact-rail sample under the 1% cap — passes all screens.
+    assert(out(13L).getAs[Boolean]("pass"), s"formula wav must pass: ${out(13L)}")
+    // Silence: share 1.0 → fails silence AND level, clip clean.
+    assert(!out(2L).getAs[Boolean]("pass_silence"))
+    assert(!out(2L).getAs[Boolean]("pass_level"))
+    assert(out(2L).getAs[Boolean]("pass_clip"))
+    assert(out(2L).getAs[Double]("silence_share") === 1.0)
+    // Clipping: every sample at the rail → fails clip only.
+    assert(!out(3L).getAs[Boolean]("pass_clip"))
+    assert(out(3L).getAs[Boolean]("pass_level"))
+    assert(out(3L).getAs[Double]("clipped_share") === 1.0)
+    assert(out(3L).getAs[Int]("ch0_peak") === 32767)
+    // Undecodable → decoded=false and every screen fails.
+    assert(!out(4L).getAs[Boolean]("decoded"))
+    assert(!out(4L).getAs[Boolean]("pass"))
+  }
+
   test("wavHeaderInfo: zeroed header fields yield garbage, never ANSI errors") {
     import spark.implicits._
     // 44 zero bytes after a RIFF tag: channels, bits, and rate all parse
