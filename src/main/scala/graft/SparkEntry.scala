@@ -835,6 +835,82 @@ object SparkEntry {
       |  FROM px
       |)""".stripMargin
 
+  // Corpus-dashboard CTE fragments (need `toks` in scope) — shared by the
+  // standalone twins and the corpus_report composite so they cannot drift.
+  private lazy val corpusStatsCtesSql =
+    """csd AS (
+      |  SELECT count(*) AS n_docs,
+      |         sum(CASE WHEN coalesce(length(text), 0) = 0
+      |                  THEN 1 ELSE 0 END) AS n_empty,
+      |         sum(coalesce(length(text), 0)) AS total_chars
+      |  FROM documents
+      |), cst AS (
+      |  SELECT sum(len(t)) AS total_tokens FROM toks
+      |), csv AS (
+      |  SELECT count(DISTINCT w) AS distinct_terms
+      |  FROM (SELECT unnest(t) AS w FROM toks)
+      |)""".stripMargin
+
+  // Train/val drift chain (Curation.tokenDrift twin): hashed buckets per
+  // split, conditional histogram, Jelinek-Mercer smoothing, KL + JS sums
+  // exposed via dfa (klp, jsp) and dft (ntr, nva, seen).
+  private lazy val driftCtesSql = {
+    val B = Curation.DsirBuckets
+    val lam = Curation.DriftUniformMix
+    val oneMinus = s"CAST(${1 - lam} AS DOUBLE)"
+    val floorMass = s"CAST(${lam / B} AS DOUBLE)"
+    val bounds = Curation.splitBounds(SplitFractions)
+    val cases = SplitFractions.init.zip(bounds.init)
+      .map { case ((name, _), cut) => s"WHEN sb < $cut THEN '$name'" }
+      .mkString(" ")
+    s"""dfx AS (
+       |  SELECT doc_id, unnest(t) AS w FROM toks
+       |), dfs AS (
+       |  SELECT CASE $cases ELSE '${SplitFractions.last._1}' END AS split,
+       |         ${hashSql("'0:'")} % $B AS b
+       |  FROM (
+       |    SELECT doc_id, w,
+       |           ${hashSql(s"'${Curation.SplitHashIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")} % 10000 AS sb
+       |    FROM dfx
+       |  )
+       |), dfc AS (
+       |  SELECT b,
+       |         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+       |         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cva
+       |  FROM dfs WHERE split IN ('train', 'val') GROUP BY b
+       |), dft AS (
+       |  SELECT sum(ctr) AS ntr, sum(cva) AS nva, count(*) AS seen FROM dfc
+       |), dfp AS (
+       |  SELECT CAST(cva AS DOUBLE) / greatest(nva, 1) * $oneMinus
+       |           + $floorMass AS pv,
+       |         CAST(ctr AS DOUBLE) / greatest(ntr, 1) * $oneMinus
+       |           + $floorMass AS pt
+       |  FROM dfc, dft
+       |), dfa AS (
+       |  SELECT sum(pv * log10(pv / pt)) AS klp,
+       |         sum(pv * log10(pv / ((pv + pt) / 2)) * 0.5
+       |             + pt * log10(pt / ((pv + pt) / 2)) * 0.5) AS jsp
+       |  FROM dfp
+       |)""".stripMargin
+  }
+
+  // Length-histogram chain (Curation.lengthHistogram twin) grouped into
+  // lhg (bucket, n_docs, total_tokens).
+  private lazy val lengthHistCtesSql =
+    """lh AS (
+      |  SELECT coalesce(len(regexp_extract_all(text,
+      |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 0) AS n
+      |  FROM documents
+      |), lb AS (
+      |  SELECT n, CASE WHEN n = 0 THEN 0
+      |                 ELSE length(bin(CAST(n AS BIGINT))) END AS bucket
+      |  FROM lh
+      |), lhg AS (
+      |  SELECT bucket, count(*) AS n_docs, sum(n) AS total_tokens
+      |  FROM lb GROUP BY bucket
+      |)""".stripMargin
+
   // Perceptual-hash oracle CTEs — MUST stay in lockstep with
   // Multimodal.phash. Integer luma of the formula pixel at (sx, sy),
   // as a SQL fragment (each channel mod-256, summed, //3 — the same
@@ -1305,6 +1381,10 @@ object SparkEntry {
     // One-row snapshot dashboard (Curation.corpusStats).
     "corpus_stats"        -> ((s, d) =>
       Curation.corpusStats(StandIn.documents(s, d))),
+    // Snapshot-report composite: dashboard + drift verdict + length
+    // summaries in ONE row (Curation.corpusReport).
+    "corpus_report"       -> ((s, d) =>
+      Curation.corpusReport(StandIn.documents(s, d))),
     // Context-length distribution: power-of-two bins by BPE-ish count,
     // integer bit-length binning (Curation.lengthHistogram).
     "corpus_length_histogram" -> ((s, d) =>
@@ -3386,67 +3466,18 @@ object SparkEntry {
     // floor interpolates as the Scala double's shortest round-trip
     // representation, so both engines mix the identical double). Unseen
     // buckets contribute exactly 0 under interpolation — no tail term.
-    "corpus_token_drift" -> {
-      val B = Curation.DsirBuckets
-      val lam = Curation.DriftUniformMix
-      val oneMinus = s"CAST(${1 - lam} AS DOUBLE)"
-      val floorMass = s"CAST(${lam / B} AS DOUBLE)"
-      val bounds = Curation.splitBounds(SplitFractions)
-      val cases = SplitFractions.init.zip(bounds.init)
-        .map { case ((name, _), cut) => s"WHEN sb < $cut THEN '$name'" }
-        .mkString(" ")
-      s"""WITH $rawToksSql, dfx AS (
-         |  SELECT doc_id, unnest(t) AS w FROM toks
-         |), dfs AS (
-         |  SELECT CASE $cases ELSE '${SplitFractions.last._1}' END AS split,
-         |         ${hashSql("'0:'")} % $B AS b
-         |  FROM (
-         |    SELECT doc_id, w,
-         |           ${hashSql(s"'${Curation.SplitHashIndex}:'",
-                        "CAST(doc_id AS VARCHAR)")} % 10000 AS sb
-         |    FROM dfx
-         |  )
-         |), dfc AS (
-         |  SELECT b,
-         |         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
-         |         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cva
-         |  FROM dfs WHERE split IN ('train', 'val') GROUP BY b
-         |), dft AS (
-         |  SELECT sum(ctr) AS ntr, sum(cva) AS nva, count(*) AS seen FROM dfc
-         |), dfp AS (
-         |  SELECT CAST(cva AS DOUBLE) / greatest(nva, 1) * $oneMinus
-         |           + $floorMass AS pv,
-         |         CAST(ctr AS DOUBLE) / greatest(ntr, 1) * $oneMinus
-         |           + $floorMass AS pt
-         |  FROM dfc, dft
-         |), dfa AS (
-         |  SELECT sum(pv * log10(pv / pt)) AS klp,
-         |         sum(pv * log10(pv / ((pv + pt) / 2)) * 0.5
-         |             + pt * log10(pt / ((pv + pt) / 2)) * 0.5) AS jsp
-         |  FROM dfp
-         |)
+    "corpus_token_drift" ->
+      s"""WITH $rawToksSql, $driftCtesSql
          |SELECT CAST(seen AS INT) AS n_buckets_seen,
          |       CAST(ntr AS BIGINT) AS train_tokens,
          |       CAST(nva AS BIGINT) AS val_tokens,
          |       round(klp, 6) AS kl_val_train,
          |       round(jsp, 6) AS js
-         |FROM dfa, dft""".stripMargin
-    },
+         |FROM dfa, dft""".stripMargin,
 
     // Dashboard twin (Curation.corpusStats).
     "corpus_stats" ->
-      s"""WITH $rawToksSql, csd AS (
-         |  SELECT count(*) AS n_docs,
-         |         sum(CASE WHEN coalesce(length(text), 0) = 0
-         |                  THEN 1 ELSE 0 END) AS n_empty,
-         |         sum(coalesce(length(text), 0)) AS total_chars
-         |  FROM documents
-         |), cst AS (
-         |  SELECT sum(len(t)) AS total_tokens FROM toks
-         |), csv AS (
-         |  SELECT count(DISTINCT w) AS distinct_terms
-         |  FROM (SELECT unnest(t) AS w FROM toks)
-         |)
+      s"""WITH $rawToksSql, $corpusStatsCtesSql
          |SELECT CAST(n_docs AS BIGINT) AS n_docs,
          |       CAST(n_empty AS BIGINT) AS n_empty,
          |       CAST(total_chars AS BIGINT) AS total_chars,
@@ -3455,6 +3486,37 @@ object SparkEntry {
          |       round(CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1), 6)
          |         AS avg_doc_tokens
          |FROM csd, cst, csv""".stripMargin,
+
+    // Snapshot-report composite (Curation.corpusReport): the dashboard
+    // row + the drift verdict + two length-histogram summaries, composed
+    // from the SAME CTE fragments as the standalone twins so the report
+    // and its parts cannot drift.
+    "corpus_report" ->
+      s"""WITH $rawToksSql, $corpusStatsCtesSql, $driftCtesSql,
+         |$lengthHistCtesSql, modal AS (
+         |  SELECT CAST(bucket AS INT) AS modal_bucket
+         |  FROM lhg ORDER BY n_docs DESC, bucket LIMIT 1
+         |), longs AS (
+         |  SELECT round(CAST(sum(CASE WHEN bucket >= ${Curation.LongDocBucket}
+         |             THEN total_tokens ELSE 0 END) AS DOUBLE)
+         |           / greatest(sum(total_tokens), 1), 6)
+         |           AS long_doc_token_share
+         |  FROM lhg
+         |)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_empty AS BIGINT) AS n_empty,
+         |       CAST(total_chars AS BIGINT) AS total_chars,
+         |       CAST(total_tokens AS BIGINT) AS total_tokens,
+         |       CAST(distinct_terms AS BIGINT) AS distinct_terms,
+         |       round(CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1), 6)
+         |         AS avg_doc_tokens,
+         |       round(klp, 6) AS kl_val_train,
+         |       round(jsp, 6) AS js,
+         |       (round(jsp, 6) <= CAST(${Curation.DriftJsAlarm} AS DOUBLE))
+         |         AS drift_ok,
+         |       modal_bucket,
+         |       long_doc_token_share
+         |FROM csd, cst, csv, dfa, dft, modal, longs""".stripMargin,
 
     // Zipf-fit twin (TextAnalysis.zipfFit): same top-1000 cut, same rank
     // window, same closed-form least squares off the five sums.
@@ -3489,23 +3551,15 @@ object SparkEntry {
     // bit-length binning — length(bin(n)) on both engines — so no float
     // log2 ever touches a bin boundary.
     "corpus_length_histogram" ->
-      """WITH lh AS (
-        |  SELECT coalesce(len(regexp_extract_all(text,
-        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 0) AS n
-        |  FROM documents
-        |), lb AS (
-        |  SELECT n, CASE WHEN n = 0 THEN 0
-        |                 ELSE length(bin(CAST(n AS BIGINT))) END AS bucket
-        |  FROM lh
-        |)
-        |SELECT CAST(bucket AS INT) AS bucket,
-        |       CAST(CASE WHEN bucket = 0 THEN 0
-        |                 ELSE power(2, bucket - 1) END AS BIGINT) AS len_lo,
-        |       CAST(CASE WHEN bucket = 0 THEN 0
-        |                 ELSE power(2, bucket) - 1 END AS BIGINT) AS len_hi,
-        |       count(*) AS n_docs,
-        |       CAST(sum(n) AS BIGINT) AS total_tokens
-        |FROM lb GROUP BY bucket""".stripMargin,
+      s"""WITH $lengthHistCtesSql
+         |SELECT CAST(bucket AS INT) AS bucket,
+         |       CAST(CASE WHEN bucket = 0 THEN 0
+         |                 ELSE power(2, bucket - 1) END AS BIGINT) AS len_lo,
+         |       CAST(CASE WHEN bucket = 0 THEN 0
+         |                 ELSE power(2, bucket) - 1 END AS BIGINT) AS len_hi,
+         |       n_docs,
+         |       CAST(total_tokens AS BIGINT) AS total_tokens
+         |FROM lhg""".stripMargin,
 
     "text_langid_ngram" -> {
       def prof(lang: String): String =

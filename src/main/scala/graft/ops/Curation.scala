@@ -616,6 +616,47 @@ object Curation {
         col("n_docs"), col("total_tokens"))
   }
 
+  /** Drift-alarm cut for [[corpusReport]]: an order of magnitude above the
+    * measured random-split JS noise floor (~0.0013 at sf0.01) — a snapshot
+    * whose val slice drifts past this is flagged, an honest re-split is
+    * not. */
+  val DriftJsAlarm = 0.01
+
+  /** Long-document cut for [[corpusReport]]'s token-share summary:
+    * histogram buckets ≥ 11 hold documents of ≥ 1024 BPE-ish tokens (the
+    * common training context length). */
+  val LongDocBucket = 11
+
+  /** ONE-row snapshot report — the "did this corpus change under me"
+    * check a data engineer schedules per ingest: the [[corpusStats]]
+    * dashboard row joined with the [[tokenDrift]] verdict (`drift_ok` at
+    * the documented [[DriftJsAlarm]]) and two [[lengthHistogram]]
+    * summaries (modal length bucket, share of tokens in ≥ 1024-token
+    * documents — the packing-budget signal).
+    *
+    * Composition shape: three independent corpus passes (doc stats,
+    * drift histogram, length histogram — each already scale-audited on
+    * its own) reduced to 1-row / ≤40-row frames, then broadcast
+    * cross-joined. The histogram is materialized once and feeds both of
+    * its summaries.
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val stats = corpusStats(docs)
+    val drift = tokenDrift(docs).select(
+      col("kl_val_train"), col("js"),
+      (col("js") <= DriftJsAlarm).alias("drift_ok"))
+    val hist = Materialize(lengthHistogram(docs))
+    val modal = hist.orderBy(col("n_docs").desc, col("bucket")).limit(1)
+      .select(col("bucket").alias("modal_bucket"))
+    val longShare = hist.agg(
+      round(sum(when(col("bucket") >= LongDocBucket, col("total_tokens"))
+        .otherwise(0L)).cast("double") /
+        greatest(sum(col("total_tokens")), lit(1L)), 6)
+        .alias("long_doc_token_share"))
+    stats.crossJoin(broadcast(drift)).crossJoin(broadcast(modal))
+      .crossJoin(broadcast(longShare))
+  }
+
   /** Hashed-gram buckets for DSIR importance weighting. 4096 keeps the two
     * distribution tables a few-KB broadcast at ANY corpus size — the
     * bucket count, not the corpus, bounds them (the hashing trick's whole

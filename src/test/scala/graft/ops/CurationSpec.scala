@@ -329,6 +329,27 @@ class CurationSpec extends SparkSpec {
     assert(out(4) === ((8L, 15L, 1L, 8L)))
   }
 
+  test("corpusReport: one row composing dashboard, drift verdict, and " +
+      "length summaries consistently with the standalone parts") {
+    import spark.implicits._
+    val corpus = (1L to 200L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val r = Curation.corpusReport(corpus).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val stats = Curation.corpusStats(corpus).collect().head
+    assert(row.getAs[Long]("n_docs") === stats.getAs[Long]("n_docs"))
+    assert(row.getAs[Long]("total_tokens") === stats.getAs[Long]("total_tokens"))
+    // Identical docs in every split → an honest split: drift_ok holds.
+    assert(row.getAs[Boolean]("drift_ok"), s"honest split must not alarm: $row")
+    assert(row.getAs[Double]("js") ===
+      Curation.tokenDrift(corpus).collect().head.getAs[Double]("js"))
+    // 8 BPE-ish tokens per doc → every doc in bucket 4; none ≥ 1024.
+    assert(row.getAs[Int]("modal_bucket") === 4)
+    assert(row.getAs[Double]("long_doc_token_share") === 0.0)
+  }
+
   test("contaminationNearDup flags near-duplicates of benchmark docs, not unrelated text") {
     // Corpus doc 1 is a one-word edit of benchmark doc 100 (high MinHash
     // overlap, almost no shared RARE grams — the case the exact screen
