@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis, TextRules}
 
 /** Driver contract — batch-oracle surface of the engine.
   *
@@ -1097,6 +1097,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0),
         MinhashK, MinhashBands, MinhashEstThreshold)
     }),
+    // Cross-snapshot EXACT dedup screen (Bloom-prefiltered content-hash
+    // match; output ≡ the plain left join, so one oracle serves). The
+    // fixture simulates snapshot N+1: a third of the corpus re-ingested
+    // VERBATIM under new ids (must flag as dups) + a third re-ingested
+    // with a deterministic edit (must read as novel).
+    "dedup_incremental_exact" -> ((s, d) => {
+      val docs = StandIn.documents(s, d)
+      val reingest = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).alias("doc_id"), col("text"))
+      val edited = docs.where(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000L).alias("doc_id"),
+          concat(col("text"), lit(" v2")).alias("text"))
+      Dedup.incrementalExact(reingest.unionAll(edited), docs)
+    }),
     // Span-level exact-substring dedup: maximal cross-document verbatim
     // token spans (Dedup.substringSpans scaladoc has the shape).
     "dedup_substring_spans" -> ((s, d) =>
@@ -1402,6 +1416,24 @@ object SparkEntry {
     // one whole-stage-codegen map, no shuffle (TextAnalysis.qualityScore).
     "text_quality_score"  -> ((s, d) =>
       TextAnalysis.qualityScore(StandIn.documents(s, d))),
+    // Gopher rule report (Rae et al. 2021 Table A1): every thresholded
+    // metric + verdicts in ONE codegen'd projection (TextRules.gopherReport).
+    "text_gopher_rules"   -> ((s, d) =>
+      TextRules.gopherReport(StandIn.documents(s, d))),
+    // C4 cleanup (Raffel et al. 2020 §2.2) over the wrapped-line view
+    // (the fixture corpus ships no newlines — same adapter as dedup_lines);
+    // strict + relaxed line regimes from one projection.
+    "text_c4_filters"     -> ((s, d) =>
+      TextRules.c4Filters(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
+    // PMI collocations (Church & Hanks 1990): corpus top-k adjacent pairs
+    // by pointwise mutual information — pair counts + two Zipf-bounded
+    // unigram joins + distributed TakeOrdered (TextRules.pmiBigrams).
+    "text_pmi_bigrams"    -> ((s, d) =>
+      TextRules.pmiBigrams(StandIn.documents(s, d))),
+    // Character-class Shannon entropy per doc: fixed 38-symbol alphabet +
+    // "other" bucket, zero-shuffle projection (TextRules.charEntropy).
+    "text_char_entropy"   -> ((s, d) =>
+      TextRules.charEntropy(StandIn.documents(s, d))),
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
     "alert_lifecycle"     -> ((s, d) => alertLifecycle(s, d)),
@@ -1472,7 +1504,12 @@ object SparkEntry {
     // Image near-dup pairs: aHash through the SAME banded Hamming machine
     // as dedup_simhash_pairs (band equi-join + exact verify, no product).
     "mm_phash_pairs"      -> ((s, d) =>
-      Multimodal.phashPairs(Multimodal.pngMedia(s, d)))
+      Multimodal.phashPairs(Multimodal.pngMedia(s, d))),
+    // Image quality gate over the real decode: dims / integer-exact
+    // aspect / mean-RGB exposure rules from the in-stage pixel sums, pass
+    // booleans at documented thresholds (the LAION-screen shape).
+    "mm_image_gate"       -> ((s, d) =>
+      Multimodal.imageGate(Multimodal.pngMedia(s, d)))
   )
 
   // Gaps-and-islands session CTEs (twin of Sessionize.sessions) — shared
@@ -1722,6 +1759,22 @@ object SparkEntry {
          |        i -> sn.sig[CAST(i AS INT)] = sr.sig[CAST(i AS INT)]))
          |        / CAST($MinhashK AS DOUBLE) >= $MinhashEstThreshold"""
         .stripMargin,
+
+    // Cross-snapshot exact-screen twin (Dedup.incrementalExact): the
+    // Bloom prefilter is pure shuffle avoidance — the confirming join
+    // makes the output identical to this plain text-equality left join.
+    "dedup_incremental_exact" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id + 1000000 AS new_id, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS new_id, concat(text, ' v2') AS text
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), refh AS (
+        |  SELECT text, min(doc_id) AS ref_id FROM documents GROUP BY text
+        |)
+        |SELECT n.new_id, r.ref_id, (r.ref_id IS NOT NULL) AS is_dup
+        |FROM newsnap n LEFT JOIN refh r ON n.text = r.text""".stripMargin,
 
     // Fuzzy-decontamination twin (Curation.contaminationNearDup): the
     // cross-side candidate/estimate CTEs of dedup_incremental with the
@@ -3123,6 +3176,152 @@ object SparkEntry {
          |            ELSE 0.0 END AS top_bigram_share
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
+    // Gopher rule-report twin (TextRules.gopherReport): same metrics, same
+    // Table-A1 thresholds (interpolated from the shared constants).
+    "text_gopher_rules" -> {
+      val stop = TextRules.GopherStopWords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $rawToksSql, gbase AS (
+         |  SELECT d.doc_id, coalesce(d.text, '') AS s, k.t AS t,
+         |         string_split(coalesce(d.text, ''), chr(10)) AS ls
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), gm AS (
+         |  SELECT doc_id,
+         |         CAST(len(t) AS INT) AS n_words,
+         |         round(CAST(coalesce(list_sum(list_transform(t,
+         |                 w -> length(w))), 0) AS DOUBLE)
+         |               / greatest(len(t), 1), 6) AS mean_word_len,
+         |         round((length(s) - length(replace(s, '#', ''))
+         |                + len(regexp_extract_all(s, '\\.\\.\\.'))
+         |                + len(regexp_extract_all(s, '…')))
+         |               / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS symbol_ratio,
+         |         round(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+         |               / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS alpha_ratio,
+         |         round(len(list_filter(ls, l -> starts_with(trim(l), '- ')
+         |                 OR starts_with(trim(l), '* ')
+         |                 OR starts_with(trim(l), '•')))
+         |               / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+         |           AS bullet_line_ratio,
+         |         round(len(list_filter(ls, l -> ends_with(trim(l), '...')
+         |                 OR ends_with(trim(l), '…')))
+         |               / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+         |           AS ellipsis_line_ratio,
+         |         CAST(len(list_filter($stop, w -> list_contains(t, w))) AS INT)
+         |           AS stop_hits
+         |  FROM gbase
+         |)
+         |SELECT *,
+         |       ok_words AND ok_mean_len AND ok_symbols AND ok_bullets
+         |         AND ok_ellipsis AND ok_alpha AND ok_stops AS passed
+         |FROM (
+         |  SELECT *,
+         |         n_words >= ${TextRules.GopherMinWords}
+         |           AND n_words <= ${TextRules.GopherMaxWords} AS ok_words,
+         |         mean_word_len >= ${TextRules.GopherMinMeanWordLen}
+         |           AND mean_word_len <= ${TextRules.GopherMaxMeanWordLen}
+         |           AS ok_mean_len,
+         |         symbol_ratio <= ${TextRules.GopherMaxSymbolRatio} AS ok_symbols,
+         |         bullet_line_ratio <= ${TextRules.GopherMaxBulletRatio}
+         |           AS ok_bullets,
+         |         ellipsis_line_ratio <= ${TextRules.GopherMaxEllipsisRatio}
+         |           AS ok_ellipsis,
+         |         alpha_ratio >= ${TextRules.GopherMinAlphaRatio} AS ok_alpha,
+         |         stop_hits >= ${TextRules.GopherMinStopHits} AS ok_stops
+         |  FROM gm
+         |)""".stripMargin
+    },
+
+    // C4 cleanup twin (TextRules.c4Filters over the wrapped-line view):
+    // same 10-token wrap as dedup_lines, same strict/relaxed line rules.
+    "text_c4_filters" -> {
+      val W = TextRules.C4MinLineWords
+      val lw = s"len(list_filter(string_split_regex(trim(l), '\\s+'), " +
+        s"w -> len(w) > 0))"
+      s"""WITH $rawToksSql, wrapped AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) > 0 THEN
+         |           array_to_string(list_transform(range(0, (len(t) + 9) // 10),
+         |             i -> array_to_string(
+         |               t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')),
+         |             chr(10))
+         |         ELSE '' END AS s
+         |  FROM toks
+         |), cbase AS (
+         |  SELECT doc_id, s, string_split(s, chr(10)) AS ls FROM wrapped
+         |), cm AS (
+         |  SELECT doc_id,
+         |         CAST(len(ls) AS INT) AS n_lines,
+         |         CAST(len(list_filter(ls, l ->
+         |             regexp_matches(trim(l), '[.!?"]$$') AND $lw >= $W))
+         |           AS INT) AS n_kept_strict,
+         |         CAST(len(list_filter(ls, l -> $lw >= $W)) AS INT)
+         |           AS n_kept_relaxed,
+         |         array_to_string(list_filter(ls, l -> $lw >= $W), chr(10))
+         |           AS clean_text,
+         |         contains(lower(s), 'lorem ipsum') AS has_lorem,
+         |         contains(s, '{') AS has_brace,
+         |         CAST(len(regexp_extract_all(s, '[.!?]')) AS INT)
+         |           AS n_sentences
+         |  FROM cbase
+         |)
+         |SELECT *, n_sentences >= ${TextRules.C4MinSentences} AS ok_sentences,
+         |       NOT has_lorem AND NOT has_brace AS doc_pass
+         |FROM cm""".stripMargin
+    },
+
+    // PMI collocation twin (TextRules.pmiBigrams): same pair/unigram
+    // counts, same ln PMI, same (pmi desc, w1, w2) top-k.
+    "text_pmi_bigrams" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT unnest(t) AS term FROM toks
+         |), uni AS (
+         |  SELECT term, count(*) AS c1 FROM ex GROUP BY term
+         |), tot AS (SELECT sum(c1) AS n_total FROM uni),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |         i -> concat(t[CAST(i AS INT)], ' ',
+         |                     t[CAST(i AS INT) + 1]))) AS g
+         |  FROM toks WHERE len(t) >= 2
+         |), pg AS (
+         |  SELECT g, count(*) AS c_pair FROM bg GROUP BY g
+         |  HAVING count(*) >= ${TextRules.PmiMinCount}
+         |), sp AS (
+         |  SELECT string_split(g, ' ')[1] AS w1,
+         |         string_split(g, ' ')[2] AS w2, c_pair
+         |  FROM pg
+         |)
+         |SELECT w1, w2, c_pair, u1.c1 AS c_w1, u2.c1 AS c_w2,
+         |       round(ln(CAST(c_pair AS DOUBLE) * n_total
+         |                / (CAST(u1.c1 AS DOUBLE) * u2.c1)), 6) AS pmi
+         |FROM sp JOIN uni u1 ON sp.w1 = u1.term
+         |        JOIN uni u2 ON sp.w2 = u2.term, tot
+         |ORDER BY pmi DESC, w1, w2
+         |LIMIT ${TextRules.PmiTopK}""".stripMargin,
+
+    // Char-entropy twin (TextRules.charEntropy): identical fixed alphabet,
+    // identical count formulas, identical left-to-right summation order.
+    "text_char_entropy" -> {
+      val cnts = TextRules.EntropyAlphabet
+        .map(c => s"length(s) - length(replace(s, '$c', ''))")
+        .mkString(", ")
+      s"""WITH ebase AS (
+         |  SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+         |), ec AS (
+         |  SELECT doc_id, length(s) AS n, list_value($cnts) AS kc FROM ebase
+         |), ee AS (
+         |  SELECT doc_id, n,
+         |         list_sum(list_transform(list_append(kc, n - list_sum(kc)),
+         |           x -> CASE WHEN x > 0 THEN
+         |                  -(x / CAST(greatest(n, 1) AS DOUBLE))
+         |                    * log2(x / CAST(greatest(n, 1) AS DOUBLE))
+         |                ELSE 0.0 END)) AS h
+         |  FROM ec
+         |)
+         |SELECT doc_id, CAST(n AS INT) AS n_chars,
+         |       round(CASE WHEN n > 0 THEN h ELSE 0.0 END, 6) AS char_entropy
+         |FROM ee""".stripMargin
+    },
+
     // Unigram-LM twin (TextAnalysis.unigramLogProb): same add-one-smoothed
     // distribution, 6-dp rounding absorbs double-summation order.
     "text_unigram_logprob" ->
@@ -3951,6 +4150,36 @@ object SparkEntry {
          |       pass_level, pass_silence, pass_clip,
          |       (pass_level AND pass_silence AND pass_clip) AS pass
          |FROM wb""".stripMargin,
+
+    // Image-gate twin (Multimodal.imageGate): same thresholds from the
+    // shared constants, aspect as the same integer cross-multiplication,
+    // exposure compared at the same rounded mean — all re-derived from
+    // the pixel formula; PNG losslessness makes the match exact.
+    "mm_image_gate" -> {
+      val m = Multimodal
+      s"""WITH $pngPixelCtesSql, ist AS (
+         |  SELECT doc_id, max(w) AS w, max(h) AS h,
+         |         sum(r) + sum(g) + sum(b) AS rgb,
+         |         max(w) * max(h) AS n
+         |  FROM ch GROUP BY doc_id
+         |), ig AS (
+         |  SELECT doc_id,
+         |         CAST(w AS INT) AS width_px, CAST(h AS INT) AS height_px,
+         |         round(rgb / (3.0 * greatest(n, 1)), 6) AS rgb_mean,
+         |         (w >= ${m.ImgMinSide} AND h >= ${m.ImgMinSide}) AS ok_dims,
+         |         (${m.ImgAspectDen} * greatest(w, h)
+         |            <= ${m.ImgAspectNum} * least(w, h)) AS ok_aspect
+         |  FROM ist
+         |)
+         |SELECT doc_id AS media_id, TRUE AS decoded,
+         |       width_px, height_px, rgb_mean, ok_dims, ok_aspect,
+         |       (rgb_mean >= ${m.ImgMeanMin} AND rgb_mean <= ${m.ImgMeanMax})
+         |         AS ok_exposure,
+         |       (ok_dims AND ok_aspect
+         |        AND rgb_mean >= ${m.ImgMeanMin}
+         |        AND rgb_mean <= ${m.ImgMeanMax}) AS pass
+         |FROM ig""".stripMargin
+    },
 
     // JPEG contract twin (Multimodal.jpegDecodeContract): the lossy
     // round-trip pins container dims + pixel count exactly and the

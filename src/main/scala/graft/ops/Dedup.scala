@@ -197,6 +197,53 @@ object Dedup {
       .agg(min(col("doc_id")).alias("keeper_id"),
         count(lit(1)).alias("n_copies"))
 
+  /** Cross-snapshot EXACT dedup screen with a Bloom prefilter — the
+    * "which re-ingested documents are byte-identical to something already
+    * in the corpus" pass an incremental crawl pipeline runs per snapshot
+    * (the exact-granularity sibling of [[crossCorpusCandidates]]).
+    *
+    * Scale shape: the reference corpus reduces ONCE to its distinct
+    * content hashes (map-side-combinable groupBy on a fixed-width sha-256
+    * key — the [[contentHash]] argument), materialized because the Bloom
+    * build is an eager action and the match join reuses the frame. The
+    * filter over those hashes builds DISTRIBUTED (native
+    * BloomFilterAggregate) and probes the new snapshot map-side as a
+    * codegen literal, so at 100 TB the new side drops to its candidate
+    * sliver BEFORE any shuffle; the confirming hash equi-join kills Bloom
+    * false positives — output is identical to the plain left join the
+    * oracle runs, the filter is pure shuffle avoidance. Text never
+    * shuffles anywhere: hashes and ids are the only wide-plan columns.
+    *
+    * Emits one row per new-snapshot document: `(new_id, ref_id
+    * nullable = lowest-id identical reference doc, is_dup)` — the flag
+    * face; `WHERE NOT is_dup` is the novel-docs keep set.
+    */
+  def incrementalExact(
+      newDocs: DataFrame,
+      refDocs: DataFrame,
+      expectedRefHashes: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val refHashes = Materialize(refDocs
+      .groupBy(sha2(col("text"), 256).alias("content_hash"))
+      .agg(min(col("doc_id")).alias("ref_id")))
+    val bloomBytes = refHashes
+      .agg(graft.functions.Bloom
+        .aggregate(xxhash64(col("content_hash")), expectedRefHashes, fpp)
+        .alias("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val matches = newDocs
+      .select(col("doc_id").alias("new_id"),
+        sha2(col("text"), 256).alias("content_hash"))
+      .where(graft.functions.Bloom
+        .mightContain(bloomBytes, xxhash64(col("content_hash"))))
+      .join(refHashes, "content_hash")
+      .select(col("new_id"), col("ref_id"))
+    newDocs.select(col("doc_id").alias("new_id"))
+      .join(matches, Seq("new_id"), "left")
+      .select(col("new_id"), col("ref_id"),
+        col("ref_id").isNotNull.alias("is_dup"))
+  }
+
   /** Shingle length (in word tokens) for span-level exact-substring
     * dedup — the distributed counterpart of suffix-array substring dedup
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models

@@ -601,6 +601,52 @@ object Multimodal {
         .select(col("media_id").alias("doc_id"), col("ahash").alias("sig")),
       bands = 4, bandBits = 15, maxHamming = maxHamming)
 
+  /** Image-gate thresholds (the LAION/DataComp-style screen): minimum
+    * side length, max aspect ratio as an EXACT integer cross-multiply
+    * ([[ImgAspectNum]]:[[ImgAspectDen]] — no float ratio can sit on a
+    * threshold boundary), and a mean-RGB exposure band rejecting
+    * near-black / near-white frames. Shared with the oracle twin.
+    */
+  val ImgMinSide = 10
+  val ImgAspectNum = 3
+  val ImgAspectDen = 2
+  val ImgMeanMin = 8.0
+  val ImgMeanMax = 248.0
+
+  /** Image quality GATE over the REAL decode — the curation screen an
+    * image-text pipeline runs before captioning/embedding anything (the
+    * image twin of the text/audio quality gates): container dims, aspect
+    * ratio, and mean-RGB exposure, each from the exact integer sums
+    * [[decodeImageStats]] already computes inside the codec stage, with
+    * pass/fail booleans at the documented thresholds. Undecodable blobs
+    * FAIL every rule (an image you cannot decode is not trainable data).
+    *
+    * Dims/aspect rules are pure integer comparisons; the exposure mean
+    * compares at its ROUNDED value so the boundary is bit-stable
+    * cross-engine — the [[wavGate]] conventions exactly.
+    */
+  def imageGate(media: DataFrame): DataFrame = {
+    val s = decodeImageStats(media)
+    val rgbMean = round(
+      (col("r_sum") + col("g_sum") + col("b_sum")).cast("double") /
+        (lit(3.0) * greatest(col("n_px"), lit(1L))), 6)
+    s.select(
+        col("media_id"), col("decoded"), col("width_px"), col("height_px"),
+        rgbMean.alias("rgb_mean"))
+      .withColumn("ok_dims",
+        col("decoded") && col("width_px") >= ImgMinSide &&
+          col("height_px") >= ImgMinSide)
+      .withColumn("ok_aspect",
+        col("decoded") &&
+          lit(ImgAspectDen) * greatest(col("width_px"), col("height_px")) <=
+          lit(ImgAspectNum) * least(col("width_px"), col("height_px")))
+      .withColumn("ok_exposure",
+        col("decoded") && col("rgb_mean") >= ImgMeanMin &&
+          col("rgb_mean") <= ImgMeanMax)
+      .withColumn("pass",
+        col("ok_dims") && col("ok_aspect") && col("ok_exposure"))
+  }
+
   /** Synthetic PNG media frame: one REAL PNG payload per document id,
     * encoded per partition (encoder state reused, bytes never shuffled).
     * The pixel content is the [[ImageCodec.syntheticPng]] formula, so

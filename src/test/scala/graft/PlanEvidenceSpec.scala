@@ -376,4 +376,57 @@ class PlanEvidenceSpec extends SparkSpec {
     for (c <- Seq("event_id", "props", "user_id", "value"))
       assert(!scan.contains(c), s"chisquare scan reads $c: $scan")
   }
+
+  test("rule reports (gopher/c4/entropy): zero-Exchange projections over one scan") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // The whole point of a fixed-alphabet / per-doc rule design: every
+    // report runs at scan speed — no shuffle ever touches the documents.
+    for (q <- Seq("text_gopher_rules", "text_c4_filters", "text_char_entropy")) {
+      val p = (q match {
+        case "text_gopher_rules" => graft.ops.TextRules.gopherReport(
+          spark.read.parquet(s"$dir/documents.parquet"))
+        case "text_c4_filters" => graft.ops.TextRules.c4Filters(
+          graft.ops.Dedup.wrapTokenLines(
+            spark.read.parquet(s"$dir/documents.parquet")))
+        case _ => graft.ops.TextRules.charEntropy(
+          spark.read.parquet(s"$dir/documents.parquet"))
+      }).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1,
+        s"$q must scan documents exactly once:\n$p")
+    }
+  }
+
+  test("dedup_incremental_exact: Bloom probe gates the new side inside codegen; no text in wide plan") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("dedup_incremental_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The native might_contain literal probes map-side BEFORE any join —
+    // at scale the new snapshot drops to its candidate sliver pre-shuffle.
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"bloom prefilter missing from the new-side scan path:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"product join in the exact screen:\n$plan")
+    // Only hashes and ids shuffle — document text never enters an Exchange.
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text#"), s"text in a shuffle: $l")
+  }
+
+  test("text_pmi_bigrams: top-k is TakeOrdered; unigrams computed once, not per consumer") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("text_pmi_bigrams")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"PMI top-k must be a distributed TakeOrdered:\n$plan")
+    // The only nested-loop join allowed is the 1-row n_total scalar (the
+    // bounded crossJoin(broadcast) pattern); never a CartesianProduct.
+    assert(!plan.contains("CartesianProduct"), s"PMI plans a product:\n$plan")
+    // The unigram table feeds both joins AND the total: materialized once,
+    // so the final DAG scans the corpus only for the pair stream — three
+    // unigram replays would each re-scan + re-aggregate the corpus.
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 1,
+      s"PMI must not replay the corpus per unigram consumer, saw $scans scans:\n$plan")
+  }
 }

@@ -351,4 +351,24 @@ class DedupSpec extends SparkSpec {
         s"$sf simhash hot band-bucket $shMax ≥ cap ${Dedup.DefaultBucketCap}")
     }
   }
+
+  test("incrementalExact: verbatim re-ingest flags, edits and novelties don't") {
+    import spark.implicits._
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma")) // 1 and 3 identical → keeper = min id
+      .toDF("doc_id", "text")
+    val snap = Seq(
+      (101L, "alpha beta gamma"), // exact dup of ref 1/3 → ref_id 1
+      (102L, "delta epsilon zeta"), // near-miss edit → novel
+      (103L, "entirely new content")) // novel
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(snap, ref).collect()
+      .map(r => r.getAs[Long]("new_id") -> r).toMap
+    assert(out.size === 3)
+    assert(out(101L).getAs[Boolean]("is_dup"))
+    assert(out(101L).getAs[Long]("ref_id") === 1L)
+    assert(!out(102L).getAs[Boolean]("is_dup"))
+    assert(out(102L).isNullAt(out(102L).fieldIndex("ref_id")))
+    assert(!out(103L).getAs[Boolean]("is_dup"))
+  }
 }

@@ -447,4 +447,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === 1)
     assert(!out.head.getAs[Boolean]("decoded"))
   }
+
+  test("imageGate: dims and aspect rules are exact; corrupt fails everything") {
+    import spark.implicits._
+    // id 1 → 9×8 (a side < 10: ok_dims false, aspect 9:8 ok);
+    // id 8 → 16×8 (2·16 > 3·8: ok_aspect false);
+    // id 20 → 10×10 (square, both sides at the floor: all pass).
+    val df = Seq(1L, 8L, 20L)
+      .map(id => (id, Multimodal.ImageCodec.syntheticPng(id))) :+
+      (99L, "not an image".getBytes)
+    val out = Multimodal.imageGate(df.toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("ok_dims"))
+    assert(out(1L).getAs[Boolean]("ok_aspect"))
+    assert(!out(8L).getAs[Boolean]("ok_aspect"))
+    assert(out(20L).getAs[Boolean]("ok_dims"))
+    assert(out(20L).getAs[Boolean]("ok_aspect"))
+    assert(out(20L).getAs[Boolean]("ok_exposure"))
+    assert(out(20L).getAs[Boolean]("pass"))
+    // Undecodable blob: every rule false, gate fails.
+    assert(!out(99L).getAs[Boolean]("decoded"))
+    assert(!out(99L).getAs[Boolean]("ok_dims"))
+    assert(!out(99L).getAs[Boolean]("pass"))
+  }
 }

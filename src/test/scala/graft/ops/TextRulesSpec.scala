@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit coverage for the published rule-sets on inputs the synthetic
+  * corpus cannot produce: bullet/ellipsis lines, terminal punctuation,
+  * lorem-ipsum/code markers, exactly-computable entropies. The oracle
+  * queries pin the corpus-scale behavior; these pin the rule semantics.
+  */
+class TextRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("gopher: bullet and ellipsis line ratios read real lines") {
+    val d = docs(
+      1L -> "- first bullet\n- second bullet\nplain line ends here...\nanother plain",
+      2L -> "no list formatting at all")
+    val r = TextRules.gopherReport(d).orderBy("doc_id").collect()
+    val r1 = r(0)
+    assert(r1.getAs[Double]("bullet_line_ratio") === 0.5) // 2 of 4 lines
+    assert(r1.getAs[Double]("ellipsis_line_ratio") === 0.25) // 1 of 4
+    assert(r(1).getAs[Double]("bullet_line_ratio") === 0.0)
+  }
+
+  test("gopher: stop-word hits are DISTINCT words present") {
+    val d = docs(1L -> "the the the the", 2L -> "the cat sat with the dog and ran")
+    val r = TextRules.gopherReport(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("stop_hits") === 1) // 'the' once, not 4
+    assert(r(1).getAs[Int]("stop_hits") === 3) // the, with, and
+    assert(!r(0).getAs[Boolean]("ok_stops"))
+    assert(r(1).getAs[Boolean]("ok_stops"))
+  }
+
+  test("gopher: symbol ratio counts # and ellipses against words") {
+    val d = docs(1L -> "alpha # beta ## gamma ... delta")
+    val r = TextRules.gopherReport(d).head()
+    // 3 '#' chars + 1 '...' over 7 whitespace tokens.
+    assert(r.getAs[Double]("symbol_ratio") === math.rint(4.0 / 7 * 1e6) / 1e6)
+    assert(!r.getAs[Boolean]("ok_symbols"))
+  }
+
+  test("gopher: word-count and alpha rules") {
+    val fifty = Seq.fill(50)("word").mkString(" ")
+    val d = docs(1L -> fifty, 2L -> "1 2 3 4 5 6 7 8 9 10")
+    val r = TextRules.gopherReport(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("ok_words"))
+    assert(r(0).getAs[Double]("alpha_ratio") === 1.0)
+    assert(!r(1).getAs[Boolean]("ok_words")) // 10 < 50
+    assert(r(1).getAs[Double]("alpha_ratio") === 0.0)
+    assert(!r(1).getAs[Boolean]("ok_alpha"))
+  }
+
+  test("c4: strict keeps only punctuated >=5-word lines; relaxed drops punct rule") {
+    val d = docs(1L ->
+      ("this line has five words.\n" + // strict + relaxed
+        "short line.\n" + // punct but 2 words → neither
+        "five words but no punctuation here\n" + // relaxed only
+        "ends with a question mark ok?")) // strict + relaxed
+    val r = TextRules.c4Filters(d).head()
+    assert(r.getAs[Int]("n_lines") === 4)
+    assert(r.getAs[Int]("n_kept_strict") === 2)
+    assert(r.getAs[Int]("n_kept_relaxed") === 3)
+    assert(r.getAs[String]("clean_text").split("\n").length === 3)
+    assert(r.getAs[Int]("n_sentences") === 3)
+    assert(r.getAs[Boolean]("ok_sentences"))
+  }
+
+  test("c4: lorem ipsum and brace docs flagged, doc_pass false") {
+    val d = docs(
+      1L -> "Some Lorem Ipsum filler text here.",
+      2L -> "function f() { return 1; }",
+      3L -> "a perfectly normal document.")
+    val r = TextRules.c4Filters(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("has_lorem") && !r(0).getAs[Boolean]("doc_pass"))
+    assert(r(1).getAs[Boolean]("has_brace") && !r(1).getAs[Boolean]("doc_pass"))
+    assert(r(2).getAs[Boolean]("doc_pass"))
+  }
+
+  test("char entropy: closed-form values") {
+    val d = docs(
+      1L -> "aaaa", // one symbol → H = 0
+      2L -> "aabb", // two equal symbols → H = 1 bit
+      3L -> "", // empty → 0 by contract
+      4L -> "abcd") // four equal → 2 bits
+    val r = TextRules.charEntropy(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("char_entropy") === 0.0)
+    assert(r(1).getAs[Double]("char_entropy") === 1.0)
+    assert(r(2).getAs[Double]("char_entropy") === 0.0)
+    assert(r(2).getAs[Int]("n_chars") === 0)
+    assert(r(3).getAs[Double]("char_entropy") === 2.0)
+  }
+
+  test("char entropy: uppercase folds, unknown chars pool into one bucket") {
+    // "AA§§" lowers to "aa§§": counts {a:2, other:2} → H = 1 bit.
+    val r = TextRules.charEntropy(docs(1L -> "AA§§")).head()
+    assert(r.getAs[Double]("char_entropy") === 1.0)
+  }
+
+  test("pmi: collocation outranks frequent-but-independent pair") {
+    // 'san francisco' always adjacent; 'the cat' co-occurs but 'the' is
+    // everywhere, diluting its PMI.
+    val phrase = Seq.fill(6)("san francisco").mkString(" ")
+    val noise = Seq.fill(6)("the cat the dog the bird").mkString(" ")
+    val r = TextRules.pmiBigrams(docs(1L -> phrase, 2L -> noise), minCount = 5, k = 3)
+      .collect()
+    assert(r.nonEmpty)
+    val top = r.head
+    assert(top.getAs[String]("w1") === "san" || top.getAs[String]("w2") === "francisco")
+    // Every emitted pair respects the support floor.
+    assert(r.forall(_.getAs[Long]("c_pair") >= 5))
+  }
+
+  test("pmi: deterministic ordering and k-bound") {
+    val d = docs(1L -> Seq.fill(10)("a b c d").mkString(" "))
+    val r1 = TextRules.pmiBigrams(d, minCount = 2, k = 2).collect()
+    val r2 = TextRules.pmiBigrams(d, minCount = 2, k = 2).collect()
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.length <= 2)
+  }
+}
