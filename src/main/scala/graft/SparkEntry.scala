@@ -1181,6 +1181,11 @@ object SparkEntry {
     "sim_ivfpq"           -> ((s, d) =>
       Similarity.ivfPqTopK(StandIn.embeddings(s, d), IvfCells, k = TopK)),
     "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
+    // Johnson–Lindenstrauss random projection to 16 dims (Rademacher
+    // planes, the SRP machinery reused): per-vector components + the
+    // ‖y‖²/‖x‖² distortion report (Similarity.randomProjection).
+    "sim_rp_project"      -> ((s, d) =>
+      Similarity.randomProjection(StandIn.embeddings(s, d))),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
@@ -1278,6 +1283,27 @@ object SparkEntry {
       TextAnalysis.qualityPercentilesAudit(StandIn.documents(s, d), QualityPs)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
+    // Interval×interval OVERLAP join (bin-bucketed, exactly-once via the
+    // first-shared-bin rule — RangeJoin.intervalOverlap): user sessions
+    // overlapped with global high-value activity bursts per event type
+    // (Sessionize.typeBursts); oracle = DuckDB's declarative overlap join.
+    "join_interval_overlap" -> ((s, d) => {
+      val ev = StandIn.events(s, d)
+      val sessions = Sessionize.sessions(ev)
+        .select(col("user_id"), col("session_seq"),
+          col("start_sec"), col("end_sec"))
+      val bursts = Sessionize.typeBursts(ev)
+        .select(col("event_type"), col("burst_seq"),
+          col("b_start"), col("b_end"))
+      graft.ops.RangeJoin.intervalOverlap(
+        sessions, "start_sec", "end_sec", bursts, "b_start", "b_end")
+        .select(col("user_id"), col("session_seq"),
+          col("start_sec"), col("end_sec"),
+          col("event_type"), col("burst_seq"), col("b_start"), col("b_end"),
+          (least(col("end_sec"), col("b_end")) -
+            greatest(col("start_sec"), col("b_start")) + 1)
+            .alias("overlap_sec"))
+    }),
     "olap_pivot_events"   -> ((s, d) => olapPivotEvents(s, d)),
     "olap_rollup_events"  -> ((s, d) => olapRollupEvents(s, d)),
     "olap_cube_events"    -> ((s, d) => olapCubeEvents(s, d)),
@@ -1938,6 +1964,39 @@ object SparkEntry {
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,
          |       TRUE AS floor_met""".stripMargin,
+
+    // JL random-projection twin (Similarity.randomProjection): the same
+    // seed-13 Rademacher planes interpolated as literals, the same fold
+    // order, the ratio recomputed from the ROUNDED components.
+    "sim_rp_project" -> {
+      val k = Similarity.RpDims
+      val scale = math.sqrt(k.toDouble)
+      val ys = Similarity.planes(k, seed = Similarity.RpSeed).zipWithIndex
+        .map { case (p, i) =>
+          s"round(${dotSql("vec", planeLiteral(p))} / $scale, 6) AS y$i"
+        }.mkString(",\n       ")
+      val yn2 = (0 until k).map(i => s"y$i * y$i").mkString(" + ")
+      s"""WITH rp AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), ry AS (
+         |  SELECT vec_id,
+         |       $ys,
+         |       ${dotSql("vec", "vec")} AS xn2
+         |  FROM rp
+         |), rr AS (
+         |  SELECT * EXCLUDE (xn2),
+         |         round(CASE WHEN xn2 > 0 THEN ($yn2) / xn2 END, 6)
+         |           AS norm_ratio
+         |  FROM ry
+         |)
+         |SELECT *,
+         |       (norm_ratio IS NOT NULL
+         |        AND norm_ratio >= ${Similarity.RpRatioMin}
+         |        AND norm_ratio <= ${Similarity.RpRatioMax}) AS ok_distortion
+         |FROM rr""".stripMargin
+    },
 
     "sim_lsh_topk" ->
       s"""WITH $prepSql, $bucketsSimSql, pairs AS (
@@ -3485,6 +3544,49 @@ object SparkEntry {
          |JOIN sessions s
          |  ON p.user_id = s.user_id
          | AND p.ts_sec BETWEEN s.start_sec AND s.end_sec""".stripMargin,
+
+    // Interval-overlap twin (RangeJoin.intervalOverlap): DuckDB states
+    // the overlap DIRECTLY; the bin-bucketed first-shared-bin equi-join
+    // must reproduce it pair for pair. Sessions share the sessionize
+    // CTEs; bursts re-derive Sessionize.typeBursts declaratively.
+    "join_interval_overlap" ->
+      s"""WITH $sessionCtesSql, sessions AS (
+         |  SELECT user_id, session_seq,
+         |         min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+         |  FROM sess GROUP BY user_id, session_seq
+         |), hv AS (
+         |  SELECT event_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+         |  FROM events WHERE ts IS NOT NULL AND value > 250
+         |), bflag AS (
+         |  SELECT event_type, ts_sec,
+         |         CASE WHEN lag(ts_sec) OVER
+         |                (PARTITION BY event_type ORDER BY ts_sec, event_id)
+         |                IS NULL
+         |              OR ts_sec - lag(ts_sec) OVER
+         |                (PARTITION BY event_type ORDER BY ts_sec, event_id)
+         |                > 21600
+         |              THEN 1 ELSE 0 END AS nb,
+         |         event_id
+         |  FROM hv
+         |), bseq AS (
+         |  SELECT event_type, ts_sec,
+         |         CAST(sum(nb) OVER
+         |           (PARTITION BY event_type ORDER BY ts_sec, event_id)
+         |           AS INT) AS burst_seq
+         |  FROM bflag
+         |), bursts AS (
+         |  SELECT event_type, burst_seq,
+         |         min(ts_sec) AS b_start, max(ts_sec) AS b_end
+         |  FROM bseq GROUP BY event_type, burst_seq
+         |)
+         |SELECT s.user_id, s.session_seq, s.start_sec, s.end_sec,
+         |       b.event_type, b.burst_seq, b.b_start, b.b_end,
+         |       least(s.end_sec, b.b_end) - greatest(s.start_sec, b.b_start)
+         |         + 1 AS overlap_sec
+         |FROM sessions s
+         |JOIN bursts b
+         |  ON s.start_sec <= b.b_end AND b.b_start <= s.end_sec""".stripMargin,
 
     "sim_cosine_neardup" ->
       s"""WITH $prepSql, $bucketsSimSql

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval-containment) join: match each point to the interval(s)
@@ -46,20 +46,71 @@ object RangeJoin {
       maxBins: Long = MaxBinsPerInterval): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
     require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    val binned = intervals.withColumn("__bin",
+      explode(guardedBins(start, end, binSize, maxBins)))
+    val pts = points.withColumn("__bin", expr(s"$ts div $binSize"))
+    pts.join(binned, Seq(key, "__bin"))
+      .where(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop("__bin")
+  }
+
+  /** The bins an interval overlaps, as a sequence column. The explosion
+    * guard lives INSIDE the sequence bound so column pruning cannot drop
+    * it: raise_error fires on the offending row, naming the span.
+    */
+  private def guardedBins(
+      start: String, end: String, binSize: Long, maxBins: Long): Column = {
     val startBin = expr(s"$start div $binSize")
     val endBin = expr(s"$end div $binSize")
-    // The guard lives INSIDE the sequence bound so column pruning cannot
-    // drop it: raise_error fires on the offending row, naming the span.
     val endBinGuarded = when(endBin - startBin < lit(maxBins), endBin)
       .otherwise(raise_error(concat(
         lit(s"interval spans ≥ $maxBins bins of $binSize s (start="),
         col(start), lit(", end="), col(end),
         lit(") — widen binSize or split the interval"))).cast("long"))
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(startBin, endBinGuarded)))
-    val pts = points.withColumn("__bin", expr(s"$ts div $binSize"))
-    pts.join(binned, Seq(key, "__bin"))
-      .where(col(ts) >= col(start) && col(ts) <= col(end))
+    sequence(startBin, endBinGuarded)
+  }
+
+  /** Interval–interval OVERLAP join: every `(left, right)` pair whose
+    * [start, end] ranges intersect (inclusive ends) — the join behind
+    * concurrency analysis, maintenance-window attribution, and
+    * session×incident overlap, which Spark would otherwise plan as a
+    * nested loop over the inequality condition.
+    *
+    * Same bin-bucketing engine as [[pointInInterval]], with BOTH sides
+    * exploded to their overlapped bins and the pair match made a hash
+    * equi-join on the bin. An overlapping pair shares every bin of its
+    * intersection, so it would match once per shared bin; the
+    * FIRST-SHARED-BIN rule — keep the match only in bin
+    * `max(l_start div b, r_start div b)`, the earliest bin both cover —
+    * makes the join exactly-once BY CONSTRUCTION (no distinct pass, which
+    * would shuffle the matched pairs a second time).
+    *
+    * `key` optionally co-partitions both sides (e.g. per-user overlap);
+    * without it the join keys on the bin alone, which is the right shape
+    * when one side is a small global interval set (incidents, deploy
+    * windows) — at 100 TB put the BIG side on the left and keep the
+    * global side bounded, or supply a key.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binSize: Long = 3600L,
+      maxBins: Long = MaxBinsPerInterval,
+      key: Option[String] = None): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    val lb = left.withColumn("__bin",
+      explode(guardedBins(lStart, lEnd, binSize, maxBins)))
+    val rb = right.withColumn("__bin",
+      explode(guardedBins(rStart, rEnd, binSize, maxBins)))
+    lb.join(rb, key.toSeq :+ "__bin")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(
+          expr(s"$lStart div $binSize"), expr(s"$rStart div $binSize")))
       .drop("__bin")
   }
 

@@ -48,6 +48,41 @@ object Sessionize {
         max(col("ts_sec")).alias("end_sec"))
   }
 
+  /** High-value activity BURSTS per event type — gaps-and-islands keyed
+    * by `event_type` over events with `value > minValue`: the global
+    * "incident window" table an ops/curation pipeline overlaps sessions
+    * against. Same engine as [[sessions]] (one shuffle, the groupBy
+    * reuses the window partitioning); the event-type key keeps the window
+    * parallel across the dimension-bounded type set — never a
+    * single-partition sort.
+    */
+  def typeBursts(
+      events: DataFrame,
+      minValue: Double = 250.0,
+      gapSeconds: Long = 21600): DataFrame = {
+    require(gapSeconds > 0, s"burst gap must be positive, got $gapSeconds")
+    val prep = events
+      .where(col("ts").isNotNull && col("value") > minValue)
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast("long").alias("ts_sec"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val newBurst =
+      when(lag(col("ts_sec"), 1).over(w).isNull
+        .or(col("ts_sec") - lag(col("ts_sec"), 1).over(w) > gapSeconds), 1)
+        .otherwise(0)
+    prep
+      .select(col("event_type"), col("ts_sec"), newBurst.alias("nb"),
+        col("event_id"))
+      .select(col("event_type"), col("ts_sec"),
+        sum(col("nb")).over(w).cast("int").alias("burst_seq"))
+      .groupBy(col("event_type"), col("burst_seq"))
+      .agg(
+        count(lit(1)).cast("int").alias("n_burst_events"),
+        min(col("ts_sec")).alias("b_start"),
+        max(col("ts_sec")).alias("b_end"))
+  }
+
   /** Streaming sessionization on Spark's native session windows: state
     * merges events within `gap` of each other per user and the window
     * closes (emits, evicts) once the watermark passes its end — bounded

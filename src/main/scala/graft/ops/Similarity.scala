@@ -60,6 +60,54 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Johnson–Lindenstrauss random-projection parameters: target
+    * dimensionality, the Rademacher-plane seed (distinct from the SRP/IVF
+    * seeds so the three plane families never alias), and the distortion
+    * band the report flags against. With k=16 the norm-ratio standard
+    * deviation is ≈ √(2/k) ≈ 0.35, so [0.25, 2.5] is a generous
+    * several-sigma band — a vector outside it is a real outlier, not
+    * noise.
+    */
+  val RpDims = 16
+  val RpSeed = 13L
+  val RpRatioMin = 0.25
+  val RpRatioMax = 2.5
+
+  /** Random projection to [[RpDims]] dimensions (Johnson–Lindenstrauss;
+    * Achlioptas 2003 shows ±1 entries suffice): `y_i = ⟨x, s_i⟩ / √k`
+    * with the SAME deterministic Rademacher planes machinery the SRP/IVF
+    * paths use — the dimensionality-reduction step that shrinks an
+    * embedding index 4× before ANN/clustering.
+    *
+    * Pure zero-shuffle projection: k codegen'd dot products per row, no
+    * training, no state — the cheapest index-compression knob, and a
+    * preprocessing stage the IVF/PQ paths can consume unchanged (the
+    * output is just a narrower `array<float>`-shaped frame).
+    *
+    * Emits the k rounded components plus `norm_ratio` = ‖y‖²/‖x‖²
+    * (computed from the ROUNDED components so the oracle reproduces it
+    * bit-for-bit) and its distortion verdict. E[‖y‖²] = ‖x‖², so ratios
+    * concentrate around 1 — the JL guarantee made visible per row.
+    */
+  def randomProjection(embeddings: DataFrame, k: Int = RpDims): DataFrame = {
+    val pl = planes(k, seed = RpSeed)
+    val scale = math.sqrt(k.toDouble)
+    val prep = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").alias("vec"))
+    val ys = pl.zipWithIndex.map { case (p, i) =>
+      round(dot(col("vec"), typedlit(p)) / scale, 6).alias(s"y$i")
+    }
+    val base = prep.select(
+      (col("vec_id") +: dot(col("vec"), col("vec")).alias("xn2") +: ys): _*)
+    val yn2 = (0 until k).map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)
+    base
+      .select(col("vec_id") +: (0 until k).map(i => col(s"y$i")) :+
+        round(when(col("xn2") > 0, yn2 / col("xn2")), 6).alias("norm_ratio"): _*)
+      .withColumn("ok_distortion",
+        col("norm_ratio").isNotNull && col("norm_ratio") >= RpRatioMin &&
+          col("norm_ratio") <= RpRatioMax)
+  }
+
   /** (id, vec, norm): embeddings cast to double with their L2 norm
     * materialized (staged — see Dedup.shingleSets on lambda staging).
     */

@@ -413,6 +413,20 @@ class PlanEvidenceSpec extends SparkSpec {
       assert(!l.contains("text#"), s"text in a shuffle: $l")
   }
 
+  test("join_interval_overlap: overlap runs as a bin equi-join, never a nested loop") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("join_interval_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The inequality overlap predicate must ride a hash/merge equi-join
+    // on the bin — the declarative BETWEEN formulation would plan the
+    // per-pair nested loop this operator exists to avoid.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join planned as a product:\n$plan")
+    assert(plan.contains("__bin"),
+      s"bin bucketing missing from the overlap join:\n$plan")
+  }
+
   test("text_pmi_bigrams: top-k is TakeOrdered; unigrams computed once, not per consumer") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("text_pmi_bigrams")(spark, dir)

@@ -49,6 +49,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("widen binSize")), ex.toString)
   }
 
+  test("intervalOverlap: exactly one row per overlapping pair across shared bins") {
+    import spark.implicits._
+    // binSize 10. Pair (L1, R1) shares bins 1..3 — exactly-once must hold
+    // without a distinct; touching endpoints overlap (inclusive); disjoint
+    // and adjacent-bin-but-disjoint pairs must not match.
+    val left = Seq((1L, 12L, 38L), (2L, 50L, 55L), (3L, 70L, 71L))
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 15L, 60L), // overlaps L1 (bins 1..3 shared) AND L2
+      (11L, 38L, 40L), // touches L1's end exactly → overlap
+      (12L, 56L, 58L), // same bin as L2 but disjoint → no match
+      (13L, 100L, 110L)) // far away
+      .toDF("rid", "rs", "re")
+    val out = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+      binSize = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq === Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("intervalOverlap with a key joins within the key only") {
+    import spark.implicits._
+    val left = Seq(("a", 0L, 10L), ("b", 0L, 10L)).toDF("k", "ls", "le")
+    val right = Seq(("a", 5L, 15L)).toDF("k", "rs", "re")
+    val out = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+      binSize = 10L, key = Some("k")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("k") === "a")
+  }
+
   test("purchasesInSessions: every purchase lands in exactly one session") {
     import java.sql.Timestamp
     import spark.implicits._

@@ -279,4 +279,32 @@ class SimilaritySpec extends SparkSpec {
         s"cos_sim must be non-increasing in rank: ${byRank.toSeq}")
     }
   }
+
+  test("random projection: basis vector has exact ±1/√k components and ratio 1") {
+    // x = e₀: y_i = s_i0/4 = ±0.25 exactly, ‖y‖² = 16·(1/16) = ‖x‖² = 1.
+    val out = Similarity.randomProjection(emb(1L -> Seq(1.0))).head()
+    for (i <- 0 until Similarity.RpDims) {
+      val y = out.getAs[Double](s"y$i")
+      assert(math.abs(y) === 0.25, s"y$i = $y")
+    }
+    assert(out.getAs[Double]("norm_ratio") === 1.0)
+    assert(out.getAs[Boolean]("ok_distortion"))
+  }
+
+  test("random projection: zero vector yields null ratio and fails the verdict") {
+    val out = Similarity.randomProjection(emb(1L -> Seq(0.0))).head()
+    assert(out.isNullAt(out.fieldIndex("norm_ratio")))
+    assert(!out.getAs[Boolean]("ok_distortion"))
+  }
+
+  test("random projection: ratios concentrate near 1 across a spread of vectors") {
+    val data = emb((0L until 40L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 3.1 + j).abs + 0.1)): _*)
+    val rows = Similarity.randomProjection(data).collect()
+    val ratios = rows.map(_.getAs[Double]("norm_ratio"))
+    assert(rows.forall(_.getAs[Boolean]("ok_distortion")),
+      s"distortion outlier in ${ratios.toSeq}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 1.6, s"mean ratio $mean far from 1")
+  }
 }
