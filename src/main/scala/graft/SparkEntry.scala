@@ -1186,6 +1186,21 @@ object SparkEntry {
     // ‖y‖²/‖x‖² distortion report (Similarity.randomProjection).
     "sim_rp_project"      -> ((s, d) =>
       Similarity.randomProjection(StandIn.embeddings(s, d))),
+    // RP-space vs full-space recall report (rows-only by design — the
+    // recall value is engine-measured; the audit twin hash-checks its
+    // floor): Similarity.rpRecallReport.
+    "sim_rp_recall"       -> ((s, d) =>
+      Similarity.rpRecallReport(StandIn.embeddings(s, d))),
+    // Collapse-guard recall contract (floor 6× the random baseline —
+    // see Similarity.RpRecallFloor scaladoc for the honest reading) +
+    // the ACTUAL JL guarantee: pairwise-cosine distortion over the
+    // constant draw, bounds hash-checked (Similarity.rpCosineAudit).
+    "sim_rp_recall_audit" -> ((s, d) =>
+      Similarity.rpRecallAudit(StandIn.embeddings(s, d))),
+    "sim_rp_cosine"       -> ((s, d) =>
+      Similarity.rpCosineReport(StandIn.embeddings(s, d))),
+    "sim_rp_cosine_audit" -> ((s, d) =>
+      Similarity.rpCosineAudit(StandIn.embeddings(s, d))),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
@@ -1958,6 +1973,20 @@ object SparkEntry {
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,
          |       TRUE AS floor_met""".stripMargin,
+
+    "sim_rp_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    // JL distortion contract: the oracle derives the pair count from its
+    // own draw CTE and pins both error bounds TRUE.
+    "sim_rp_cosine_audit" ->
+      s"""WITH $prepSql, qc AS (SELECT count(*) AS c FROM queries)
+         |SELECT CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs,
+         |       TRUE AS mean_ok, TRUE AS max_ok
+         |FROM qc""".stripMargin,
 
     "sim_ivfpq_recall_audit" ->
       s"""WITH $prepSql
