@@ -1201,6 +1201,11 @@ object SparkEntry {
       Similarity.rpCosineReport(StandIn.embeddings(s, d))),
     "sim_rp_cosine_audit" -> ((s, d) =>
       Similarity.rpCosineAudit(StandIn.embeddings(s, d))),
+    // k-NN label-agreement eval over the exact top-k: majority-vote
+    // predictions vs true labels per drawn query — the embedding-quality
+    // probe (Similarity.knnLabelEval).
+    "sim_knn_label_eval"  -> ((s, d) =>
+      Similarity.knnLabelEval(StandIn.embeddings(s, d))),
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
@@ -1271,6 +1276,10 @@ object SparkEntry {
     "profile_events_audit" -> ((s, d) =>
       Profile.profileAudit(StandIn.events(s, d))),
     "profile_key_skew"    -> ((s, d) => profileKeySkew(s, d)),
+    // Per-dimension embedding health profile: n/mean/std/min/max per
+    // coordinate, DECIMAL-exact sums (Profile.embeddingProfile).
+    "profile_embeddings"  -> ((s, d) =>
+      Profile.embeddingProfile(StandIn.embeddings(s, d))),
     "profile_constraints" -> ((s, d) =>
       Profile.checkConstraints(StandIn.events(s, d))),
     // HLL-uniqueness variant — engine-specific sketch metric → rows-only
@@ -1387,6 +1396,10 @@ object SparkEntry {
       graft.ops.Olap.retentionCohorts(StandIn.events(s, d))),
     "olap_histogram"      -> ((s, d) =>
       graft.ops.Olap.valueHistogram(StandIn.events(s, d))),
+    // Seasonality heatmap: (dow, hour, type) activity matrix, epoch
+    // arithmetic only, DECIMAL-exact value sums (Olap.seasonality).
+    "olap_seasonality"    -> ((s, d) =>
+      graft.ops.Olap.seasonality(StandIn.events(s, d))),
     "olap_revenue_share"  -> ((s, d) => olapRevenueShare(s, d)),
     "text_normalize"      -> ((s, d) =>
       TextAnalysis.normalize(StandIn.documents(s, d))),
@@ -1440,6 +1453,12 @@ object SparkEntry {
     // summaries in ONE row (Curation.corpusReport).
     "corpus_report"       -> ((s, d) =>
       Curation.corpusReport(StandIn.documents(s, d))),
+    // Deduplication dashboard: exact / near / line-level duplication of
+    // the snapshot in ONE row (Curation.dedupReport) — each figure reuses
+    // the operator behind its standalone query.
+    "corpus_dedup_report" -> ((s, d) =>
+      Curation.dedupReport(StandIn.documents(s, d),
+        MinhashK, MinhashBands, MinhashEstThreshold)),
     // Context-length distribution: power-of-two bins by BPE-ish count,
     // integer bit-length binning (Curation.lengthHistogram).
     "corpus_length_histogram" -> ((s, d) =>
@@ -1959,6 +1978,35 @@ object SparkEntry {
          |  FROM pairs)
          |WHERE rank <= $TopK""".stripMargin,
 
+    // k-NN label-eval twin (Similarity.knnLabelEval): the brute-force
+    // pairs CTE + the same (votes desc, label asc) majority tie-break.
+    "sim_knn_label_eval" ->
+      s"""WITH $prepSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM prepn p, queries q WHERE p.vec_id <> q.q_id
+         |), topk AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM pairs)
+         |  WHERE rank <= $TopK
+         |), votes AS (
+         |  SELECT t.q_id, e.label AS n_label, count(*) AS votes
+         |  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+         |  GROUP BY t.q_id, e.label
+         |), pred AS (
+         |  SELECT q_id, n_label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY votes DESC, n_label) AS rnk
+         |    FROM votes)
+         |  WHERE rnk = 1
+         |)
+         |SELECT p.q_id, e.label AS true_label, p.pred_label,
+         |       CAST(p.votes AS INT) AS n_votes,
+         |       (p.pred_label = e.label) AS correct
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin,
+
     // Trained-IVF recall audit (Similarity.ivfRecallAudit): expected is
     // queries × k from the oracle's own draw CTE; floor_met pinned TRUE
     // (training is deterministic — driver Lloyd over the fixed hash draw).
@@ -2424,6 +2472,37 @@ object SparkEntry {
          |       round(n / CAST(greatest(t, 1) AS DOUBLE), 6) AS share
          |FROM c, tot
          |ORDER BY n DESC, key_value LIMIT $SkewTopK""".stripMargin,
+
+    // Embedding-profile twin (Profile.embeddingProfile): same DECIMAL
+    // staging of the sums, same variance formula and clamps.
+    "profile_embeddings" ->
+      """WITH pe0 AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS i, embedding
+        |  FROM embeddings
+        |), pe AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM pe0
+        |), pa AS (
+        |  SELECT dim, count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(x AS DECIMAL(18,9))
+        |                   * CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS s2,
+        |         min(x) AS mn, max(x) AS mx
+        |  FROM pe GROUP BY dim
+        |), pv AS (
+        |  SELECT dim, n, s1, s2, mn, mx,
+        |         CASE WHEN n > 1 THEN greatest(
+        |           (s2 - s1 * s1 / n) / (n - 1), 0.0) END AS var_x
+        |  FROM pa
+        |)
+        |SELECT dim, n,
+        |       round(s1 / n, 6) AS mean,
+        |       round(var_x, 6) AS variance,
+        |       round(sqrt(var_x), 6) AS std,
+        |       round(mn, 6) AS min_x,
+        |       round(mx, 6) AS max_x
+        |FROM pv""".stripMargin,
 
     // Percentile twin (TextAnalysis.qualityPercentiles): DuckDB's
     // quantile_cont uses the same sorted-linear-interpolation definition
@@ -2940,6 +3019,26 @@ object SparkEntry {
         |       count(DISTINCT t.user_id) AS active_users
         |FROM dated t JOIN first_seen f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Seasonality twin (Olap.seasonality): identical epoch div/mod
+    // bucketing (Thursday-anchored dow), DECIMAL-staged value sums.
+    "olap_seasonality" ->
+      """WITH se AS (
+        |  SELECT event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+        |  FROM events WHERE ts IS NOT NULL
+        |), sa AS (
+        |  SELECT CAST((s // 86400 + 4) % 7 AS INT) AS dow,
+        |         CAST((s // 3600) % 24 AS INT) AS hour,
+        |         event_type,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |  FROM se GROUP BY 1, 2, 3
+        |)
+        |SELECT dow, hour, event_type, n_events,
+        |       round(sv, 6) AS total_value,
+        |       round(sv / n_events, 6) AS avg_value
+        |FROM sa""".stripMargin,
 
     // Histogram twin (Olap.valueHistogram): lo=0, hi=100, bins=20 → width 5.
     "olap_histogram" ->
@@ -3816,6 +3915,51 @@ object SparkEntry {
          |       round(CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1), 6)
          |         AS avg_doc_tokens
          |FROM csd, cst, csv""".stripMargin,
+
+    // Dedup-dashboard twin (Curation.dedupReport): exact distincts +
+    // cluster keepers (the recursive-CTE components) + duplicated-line
+    // totals over the wrapped view, one row.
+    "corpus_dedup_report" -> {
+      val L = graft.ops.Dedup.LineDedupMinChars
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |$componentsSql, $rawToksSql, wrapped AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) > 0 THEN
+         |           array_to_string(list_transform(range(0, (len(t) + 9) // 10),
+         |             i -> array_to_string(
+         |               t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')),
+         |             chr(10))
+         |         ELSE '' END AS text
+         |  FROM toks
+         |), ln AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |  FROM wrapped
+         |), ddup AS (
+         |  SELECT line FROM ln WHERE len(line) >= $L
+         |  GROUP BY line HAVING count(*) >= 2
+         |), lstats AS (
+         |  SELECT (SELECT count(*) FROM ln) AS total_lines,
+         |         (SELECT count(*) FROM ln
+         |          WHERE len(line) >= $L
+         |            AND line IN (SELECT line FROM ddup)) AS dup_lines
+         |), estats AS (
+         |  SELECT count(*) AS n_docs,
+         |         count(DISTINCT text) AS n_distinct_texts
+         |  FROM documents
+         |), kstats AS (
+         |  SELECT count(*) AS n_keepers FROM labels WHERE doc_id = cluster_id
+         |)
+         |SELECT n_docs,
+         |       n_docs - n_distinct_texts AS exact_dup_docs,
+         |       n_docs - n_keepers AS near_dup_prunable,
+         |       round((n_docs - n_keepers)
+         |             / CAST(greatest(n_docs, 1) AS DOUBLE), 6)
+         |         AS near_dup_share,
+         |       total_lines, dup_lines,
+         |       round(dup_lines / CAST(greatest(total_lines, 1) AS DOUBLE), 6)
+         |         AS dup_line_share
+         |FROM estats, kstats, lstats""".stripMargin
+    },
 
     // Snapshot-report composite (Curation.corpusReport): the dashboard
     // row + the drift verdict + two length-histogram summaries, composed

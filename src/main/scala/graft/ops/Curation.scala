@@ -31,6 +31,41 @@ object Curation {
       .where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
 
+  /** One-row DEDUPLICATION dashboard — the corpus's duplication measured
+    * at every granularity the engine dedups at, in one scheduled query:
+    * exact (content-hash distinct), near (MinHash cluster non-keepers),
+    * and line-level (duplicated-line share over the wrapped view). The
+    * "how redundant is this snapshot" companion of [[corpusReport]].
+    *
+    * Three bounded 1-row aggregates cross-joined (the scalar-broadcast
+    * pattern); each reuses the exact operator its standalone query runs,
+    * so the dashboard cannot drift from the detailed reports.
+    */
+  def dedupReport(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val exact = docs.agg(
+      count(lit(1)).alias("n_docs"),
+      countDistinct(sha2(col("text"), 256)).alias("n_distinct_texts"))
+    val keep = keepers(docs, k, bands, threshold)
+      .agg(count(lit(1)).alias("n_keepers"))
+    val lines = Dedup.lineDedup(Dedup.wrapTokenLines(docs)).agg(
+      sum(col("n_lines")).alias("total_lines"),
+      sum(col("n_dropped")).alias("dup_lines"))
+    exact.crossJoin(broadcast(keep)).crossJoin(broadcast(lines))
+      .select(
+        col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).alias("exact_dup_docs"),
+        (col("n_docs") - col("n_keepers")).alias("near_dup_prunable"),
+        round((col("n_docs") - col("n_keepers")).cast("double") /
+          greatest(col("n_docs"), lit(1L)), 6).alias("near_dup_share"),
+        col("total_lines"), col("dup_lines"),
+        round(col("dup_lines").cast("double") /
+          greatest(col("total_lines"), lit(1L)), 6).alias("dup_line_share"))
+  }
+
   /** Curated-corpus manifest: documents that pass the quality gate AND are
     * their cluster's keeper, with language and token counts attached —
     * `(doc_id, predicted_lang, ws_tokens, bpeish_tokens)`, what a sampler

@@ -135,6 +135,32 @@ object Olap {
       .agg(countDistinct(col("user_id")).alias("n_users"),
         count(lit(1)).alias("n_events"))
 
+  /** Seasonality heatmap: activity and value by (day-of-week, hour-of-day,
+    * event type) — the traffic-shape matrix behind capacity planning and
+    * "is this Tuesday normal" checks. Day/hour derive from pure epoch
+    * arithmetic (`div`/`%`, Thursday-anchored dow), never calendar
+    * functions, so the bucketing is timezone-free and engine-identical;
+    * value sums go through DECIMAL per the [[pricingSummary]] exactness
+    * argument. ONE map-side-combined groupBy over a 7×24×|types|-bounded
+    * key space.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    events.where(col("ts").isNotNull)
+      .select(col("event_type"), col("value"),
+        col("ts").cast("long").alias("s"))
+      .groupBy(
+        expr("CAST((s div 86400 + 4) % 7 AS INT)").alias("dow"),
+        expr("CAST((s div 3600) % 24 AS INT)").alias("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        sum(v).cast("double").alias("sv"))
+      .select(col("dow"), col("hour"), col("event_type"), col("n_events"),
+        round(col("sv"), 6).alias("total_value"),
+        round(col("sv") / col("n_events"), 6).alias("avg_value"))
+  }
+
   /** TPC-H Q1-style pricing summary over `lineitem` — the canonical
     * scan-heavy aggregate (a handful of groups over the whole fact table).
     * Money/quantity columns are summed as DECIMAL, not double: a

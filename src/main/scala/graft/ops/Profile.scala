@@ -437,4 +437,40 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).alias("c")).select(col("c.*"))
   }
+
+  /** Per-DIMENSION profile of an embedding table: n/mean/std/min/max for
+    * each coordinate — the drift/health check an embedding pipeline runs
+    * per snapshot (a collapsed dimension, a scale shift, or a dead
+    * encoder head shows up as one anomalous row in a 64-row report).
+    *
+    * Scale shape: `posexplode` then ONE map-side-combined groupBy on the
+    * dimension index — partial states are dims × partitions, the shuffle
+    * carries only those. Sums go through DECIMAL(18,9) (the
+    * [[valueMoments]] exactness argument: float inputs carry ~7
+    * significant digits, so the 9-dp decimal cast is faithful and the
+    * sum is order-independent — a plain double sum would hash-differ per
+    * partitioning); min/max are order-independent already.
+    */
+  def embeddingProfile(embeddings: DataFrame): DataFrame = {
+    val xd = col("x").cast("decimal(18,9)")
+    val variance = when(col("n") > 1, greatest(
+      (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+      lit(0.0)))
+    embeddings
+      .select(posexplode(col("embedding")))
+      .select(col("pos").alias("dim"), col("col").cast("double").alias("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(xd).cast("double").alias("s1"),
+        sum(xd * xd).cast("double").alias("s2"),
+        min(col("x")).alias("mn"),
+        max(col("x")).alias("mx"))
+      .select(col("dim"), col("n"),
+        round(col("s1") / col("n"), 6).alias("mean"),
+        round(variance, 6).alias("variance"),
+        round(sqrt(variance), 6).alias("std"),
+        round(col("mn"), 6).alias("min_x"),
+        round(col("mx"), 6).alias("max_x"))
+  }
 }

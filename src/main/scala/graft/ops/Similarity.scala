@@ -214,6 +214,40 @@ object Similarity {
       (col("mean_abs_err") <= meanBound).alias("mean_ok"),
       (col("max_abs_err") <= maxBound).alias("max_ok"))
 
+  /** k-NN LABEL-AGREEMENT evaluation — the standard "are these embeddings
+    * any good" probe: each drawn query is classified by majority vote of
+    * its exact top-k neighbors' labels, compared to its own label. One
+    * row per query `(q_id, true_label, pred_label, n_votes, correct)`;
+    * aggregate `correct` for the accuracy headline.
+    *
+    * Vote tie-break is (count desc, label asc) — deterministic, shared
+    * with the oracle. Scale shape: the brute-force top-k machinery
+    * (bounded query broadcast, data never shuffles) + a labels join that
+    * touches queries×k rows only.
+    */
+  def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val top = bruteForceTopK(embeddings, k)
+    val votes = top
+      .join(labels.select(col("vec_id").alias("neighbor_id"),
+        col("label").alias("n_label")), "neighbor_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).alias("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val pred = votes
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("q_id"), col("n_label").alias("pred_label"),
+        col("votes").alias("n_votes"))
+    pred
+      .join(labels.select(col("vec_id").alias("q_id"),
+        col("label").alias("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        col("n_votes").cast("int").alias("n_votes"),
+        (col("pred_label") === col("true_label")).alias("correct"))
+  }
+
   /** (id, vec, norm): embeddings cast to double with their L2 norm
     * materialized (staged — see Dedup.shingleSets on lambda staging).
     */

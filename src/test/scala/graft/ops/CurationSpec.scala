@@ -418,4 +418,21 @@ class CurationSpec extends SparkSpec {
     val again = Curation.selectByDsir(corpus.repartition(5), k = 3).collect()
     assert(again.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq)
   }
+
+  test("dedupReport: composite figures match hand-built duplication") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      1L -> base, 2L -> base, // exact dup pair (also near dups)
+      3L -> (base + " extra"), // near dup of the pair
+      4L -> "totally different content with nothing shared here at all")
+      .toDF("doc_id", "text")
+    val r = Curation.dedupReport(corpus).head()
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("exact_dup_docs") === 1L) // 2 copies -> 1 extra
+    // Cluster {1,2,3} keeps doc 1; doc 4 is a singleton keeper.
+    assert(r.getAs[Long]("near_dup_prunable") === 2L)
+    assert(r.getAs[Double]("near_dup_share") === 0.5)
+    assert(r.getAs[Long]("total_lines") > 0L)
+  }
 }

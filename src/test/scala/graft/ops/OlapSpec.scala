@@ -289,4 +289,20 @@ class OlapSpec extends SparkSpec {
     assert(audit.length === 2)
     assert(audit.forall(_.getBoolean(3)), "union estimate must hold its tol")
   }
+
+  test("seasonality: epoch bucketing is exact and timezone-free") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 1970-01-01 (Thursday) 01:30 UTC -> dow 4, hour 1;
+    // 1970-01-04 (Sunday) 23:10 UTC -> dow 0, hour 23.
+    val ev = Seq(
+      (1L, new Timestamp(1L * 3600000 + 1800000), 7L, "view", 10.0, ""),
+      (2L, new Timestamp(3L * 86400000 + 23L * 3600000 + 600000), 7L, "view", 2.5, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Olap.seasonality(ev).collect()
+      .map(r => (r.getAs[Int]("dow"), r.getAs[Int]("hour")) -> r).toMap
+    assert(out.keySet === Set((4, 1), (0, 23)))
+    assert(out((4, 1)).getAs[Double]("total_value") === 10.0)
+    assert(out((0, 23)).getAs[Double]("avg_value") === 2.5)
+  }
 }

@@ -353,4 +353,20 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Expand"),
       s"approx constraints must not Expand the scan:\n$plan")
   }
+
+  test("embeddingProfile: closed-form per-dimension stats") {
+    import spark.implicits._
+    // dim0: {1.0, 3.0} -> mean 2, var 2; dim1: {2.0, 2.0} -> var 0.
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Profile.embeddingProfile(df).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(out(0).getAs[Long]("n") === 2L)
+    assert(out(0).getAs[Double]("mean") === 2.0)
+    assert(out(0).getAs[Double]("variance") === 2.0)
+    assert(out(0).getAs[Double]("min_x") === 1.0)
+    assert(out(0).getAs[Double]("max_x") === 3.0)
+    assert(out(1).getAs[Double]("variance") === 0.0)
+    assert(out(1).getAs[Double]("std") === 0.0)
+  }
 }

@@ -280,6 +280,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelEval: separable clusters classify correctly; ties break low-label") {
+    import spark.implicits._
+    // Two tight clusters along different axes: labels follow the cluster.
+    def v(axis: Int, eps: Double) =
+      Seq.tabulate(Similarity.Dim)(j =>
+        (if (j == axis) 1.0 else 0.0) + (if (j == 63) eps else 0.0))
+        .map(_.toFloat)
+    val rows = (0 until 12).map { i =>
+      val cl = i % 2
+      (i.toLong, v(cl * 7, 0.01 * (i / 2)), cl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelEval(df, k = 3).collect()
+    assert(out.nonEmpty)
+    // Every query's neighbors stay in its own cluster → all correct.
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      out.map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("true_label"),
+        r.getAs[Int]("pred_label"))).toSeq.toString)
+    assert(out.forall(_.getAs[Int]("n_votes") === 3))
+  }
+
   test("random projection: basis vector has exact ±1/√k components and ratio 1") {
     // x = e₀: y_i = s_i0/4 = ±0.25 exactly, ‖y‖² = 16·(1/16) = ‖x‖² = 1.
     val out = Similarity.randomProjection(emb(1L -> Seq(1.0))).head()
