@@ -1389,6 +1389,11 @@ object SparkEntry {
     "stat_chisquare"      -> ((s, d) =>
       Profile.chiSquareCells(StandIn.events(s, d),
         col("event_type"), weekday(col("ts")).cast("int"))),
+    // Exact two-sample Kolmogorov-Smirnov drift test between two event
+    // types' value distributions; running CDFs over the bounded
+    // distinct-value cell table (Profile.ksTest).
+    "stat_ks_test"        -> ((s, d) =>
+      Profile.ksTest(StandIn.events(s, d))),
     "stat_cramers_v"      -> ((s, d) =>
       Profile.chiSquareStat(StandIn.events(s, d),
         col("event_type"), weekday(col("ts")).cast("int"))),
@@ -2917,6 +2922,42 @@ object SparkEntry {
         |FROM pairs JOIN m ma ON ma.event_type = type_a
         |           JOIN m mb ON mb.event_type = type_b
         |           CROSS JOIN tot""".stripMargin,
+
+    // KS twin (Profile.ksTest): same cell table, same running-CDF max,
+    // same classical 5% critical value; D and crit compared at their
+    // rounded values so the verdict is bit-stable.
+    "stat_ks_test" ->
+      """WITH kf AS (
+        |  SELECT value, event_type FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        |), kc AS (
+        |  SELECT value,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS nb
+        |  FROM kf GROUP BY value
+        |), kt AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |         CAST(sum(nb) AS BIGINT) AS tb,
+        |         count(*) AS n_values
+        |  FROM kc
+        |), kr AS (
+        |  SELECT sum(na) OVER (ORDER BY value) AS ca,
+        |         sum(nb) OVER (ORDER BY value) AS cb
+        |  FROM kc
+        |), kd AS (
+        |  SELECT max(abs(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE)))
+        |           AS d,
+        |         max(ta) AS ta, max(tb) AS tb, max(n_values) AS n_values
+        |  FROM kr, kt
+        |)
+        |SELECT ta AS n_a, tb AS n_b, n_values,
+        |       round(d, 6) AS ks_d,
+        |       round(1.358 * sqrt((ta + tb)
+        |             / (CAST(ta AS DOUBLE) * tb)), 6) AS crit_05,
+        |       (round(d, 6) <= round(1.358 * sqrt((ta + tb)
+        |             / (CAST(ta AS DOUBLE) * tb)), 6)) AS same_dist_05
+        |FROM kd""".stripMargin,
 
     // χ² cell twin (Profile.chiSquareCells): same exact integer marginals,
     // same one double expression per cell. Spark weekday (0 = Monday) ≡

@@ -438,6 +438,54 @@ object Profile {
     one.select(explode(array(rows: _*)).alias("c")).select(col("c.*"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between the value distributions
+    * of two event types — the nonparametric "did this metric's
+    * distribution drift" check (χ² sees category mixes; KS sees shape).
+    * `D = max |F_a(x) − F_b(x)|` computed EXACTLY over the distinct-value
+    * cell table, with the 5%-level verdict from the classical critical
+    * value `1.358·√((n+m)/(n·m))`.
+    *
+    * Plan shape at 100 TB (the [[chiSquareBase]] argument): ONE fact scan
+    * aggregates to (value, type) cells; the running-CDF window runs over
+    * the CELL table, bounded by the value domain (fixed-precision
+    * measurements — cents, basis points — have bounded domains), never
+    * the events. The one unpartitioned window is over that bounded table,
+    * same as the revenue-share pattern.
+    */
+  def ksTest(
+      events: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    val cells = events
+      .where(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).alias("na"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).alias("nb"))
+    val w = Window.orderBy(col("value"))
+    val tot = cells.agg(
+      sum(col("na")).alias("ta"), sum(col("nb")).alias("tb"),
+      count(lit(1)).alias("n_values"))
+    val run = cells
+      .select(col("value"),
+        sum(col("na")).over(w).alias("ca"),
+        sum(col("nb")).over(w).alias("cb"))
+    run.crossJoin(broadcast(tot))
+      .agg(max(abs(col("ca") / col("ta").cast("double") -
+        col("cb") / col("tb").cast("double"))).alias("d"),
+        first(col("ta")).alias("ta"), first(col("tb")).alias("tb"),
+        first(col("n_values")).alias("n_values"))
+      .select(
+        col("ta").alias("n_a"), col("tb").alias("n_b"), col("n_values"),
+        round(col("d"), 6).alias("ks_d"),
+        round(lit(1.358) * sqrt((col("ta") + col("tb")).cast("double") /
+          (col("ta").cast("double") * col("tb"))), 6).alias("crit_05"),
+        (round(col("d"), 6) <= round(lit(1.358) *
+          sqrt((col("ta") + col("tb")).cast("double") /
+            (col("ta").cast("double") * col("tb"))), 6))
+          .alias("same_dist_05"))
+  }
+
   /** Per-DIMENSION profile of an embedding table: n/mean/std/min/max for
     * each coordinate — the drift/health check an embedding pipeline runs
     * per snapshot (a collapsed dimension, a scale shift, or a dead

@@ -304,6 +304,37 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming rule gates: gopher report streams per-batch ≡ batch") {
+    import graft.ops.TextRules
+    import spark.implicits._
+    // gopherReport is a pure projection, so the published rule-set gates
+    // an unbounded document stream unchanged — same evidence pattern as
+    // "streaming curation" above.
+    val input = MemoryStream[(Long, String)](spark)
+    val report = TextRules.gopherReport(input.toDF().toDF("doc_id", "text"))
+    assert(report.isStreaming)
+    val query = report.writeStream.format("memory").queryName("gopher_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-gopher-ckpt").toString)
+      .start()
+    try {
+      val rows = Seq(
+        (1L, Seq.fill(60)("the word and that").mkString(" ")),
+        (2L, "- bullet\n- bullet\n- bullet"))
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val out = spark.table("gopher_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passed")).toMap
+      val batch = TextRules.gopherReport(rows.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passed")).toMap
+      assert(out === batch)
+      assert(out(1L)) // long stop-worded doc passes
+      assert(!out(2L)) // all-bullet short doc fails
+    } finally query.stop()
+  }
+
   test("streaming funnel: stage advances across micro-batches, forward-only") {
     import graft.ops.Funnel
     import spark.implicits._

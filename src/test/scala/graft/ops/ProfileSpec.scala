@@ -369,4 +369,32 @@ class ProfileSpec extends SparkSpec {
     assert(out(1).getAs[Double]("variance") === 0.0)
     assert(out(1).getAs[Double]("std") === 0.0)
   }
+
+  test("ksTest: closed-form D on separated samples; shift detected at 5%") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // view values {1..10}, purchase values {11..20}: fully separated ->
+    // D = 1.0, far above crit.
+    val ev = ((1 to 10).map(i => (i.toLong, new Timestamp(i * 1000L), 1L,
+      "view", i.toDouble, "")) ++
+      (1 to 10).map(i => (100L + i, new Timestamp(i * 1000L), 1L,
+        "purchase", 10.0 + i, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Profile.ksTest(ev).head()
+    assert(r.getAs[Double]("ks_d") === 1.0)
+    assert(!r.getAs[Boolean]("same_dist_05"))
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("n_b") === 10L)
+  }
+
+  test("ksTest: identical samples give D = 0 and pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = (1 to 8).flatMap(i => Seq(
+      (i.toLong, new Timestamp(i * 1000L), 1L, "view", i.toDouble, ""),
+      (50L + i, new Timestamp(i * 1000L), 1L, "purchase", i.toDouble, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Profile.ksTest(ev).head()
+    assert(r.getAs[Double]("ks_d") === 0.0)
+    assert(r.getAs[Boolean]("same_dist_05"))
+  }
 }
