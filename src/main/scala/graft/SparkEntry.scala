@@ -1306,6 +1306,11 @@ object SparkEntry {
     "text_quality_percentiles_audit" -> ((s, d) =>
       TextAnalysis.qualityPercentilesAudit(StandIn.documents(s, d), QualityPs)),
     "asof_purchase_view"  -> ((s, d) => asofPurchaseView(s, d)),
+    // NEAREST-in-time as-of (either direction, backward-preferred ties,
+    // microsecond arithmetic): AsOf.asofNearest via the one-exchange
+    // double-window trick; oracle = the declarative per-key product.
+    "asof_nearest_view"   -> ((s, d) =>
+      graft.ops.AsOf.purchasesWithNearestView(StandIn.events(s, d))),
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
     // Interval×interval OVERLAP join (bin-bucketed, exactly-once via the
     // first-shared-bin rule — RangeJoin.intervalOverlap): user sessions
@@ -3306,6 +3311,42 @@ object SparkEntry {
         |       v.view_id, v.view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // Nearest-as-of twin (AsOf.purchasesWithNearestView): DuckDB states
+    // nearest declaratively (per-key product + (distance, backward
+    // -preferred) rank) — checking the double-window implementation
+    // against the definition. Micros arithmetic on both sides.
+    "asof_nearest_view" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type, value
+        |  FROM events WHERE ts IS NOT NULL
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM ev WHERE event_type = 'purchase'
+        |), v0 AS (
+        |  SELECT event_id AS view_id, user_id, ts, value AS view_value,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE event_type = 'view'
+        |), v AS (
+        |  SELECT view_id, user_id, ts, view_value FROM v0 WHERE rn = 1
+        |), cand AS (
+        |  SELECT p.purchase_id, v.view_id, v.view_value,
+        |         epoch_us(v.ts) - epoch_us(p.ts) AS dt_us,
+        |         row_number() OVER (
+        |           PARTITION BY p.purchase_id
+        |           ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)),
+        |                    (v.ts <= p.ts) DESC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |)
+        |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.view_id, c.view_value, c.dt_us,
+        |       CASE WHEN c.view_id IS NULL THEN NULL
+        |            WHEN c.dt_us <= 0 THEN 'backward'
+        |            ELSE 'forward' END AS direction
+        |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  USING (purchase_id)""".stripMargin,
 
     // Redaction twin (TextAnalysis.redact): same patterns (valid and
     // equivalent in both Java regex and RE2 — no lookaround), same

@@ -69,4 +69,43 @@ class AsOfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(11L, 12L))
   }
+
+  test("asofNearest: picks the closer side, backward on ties, left-outer") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts("2026-01-01 10:00:00")), // back 1 min vs fwd 3 min → back
+      (101L, 1L, ts("2026-01-01 10:02:30")), // back 3.5 min vs fwd 30 s → fwd
+      (102L, 2L, ts("2026-01-01 09:00:00")), // only a future right row → fwd
+      (103L, 3L, ts("2026-01-01 09:00:00"))) // no right rows at all
+      .toDF("lid", "user_id", "ts")
+    val right = Seq(
+      (200L, 1L, ts("2026-01-01 09:59:00"), 1.0),
+      (201L, 1L, ts("2026-01-01 10:03:00"), 2.0),
+      (202L, 2L, ts("2026-01-01 09:30:00"), 3.0))
+      .toDF("rid", "user_id", "ts", "v")
+    val out = AsOf.asofNearest(left, right, "user_id", "ts", Seq("rid", "v"))
+      .collect().map(r => r.getAs[Long]("lid") -> r).toMap
+    assert(out(100L).getAs[Long]("nearest_rid") === 200L)
+    assert(out(100L).getAs[String]("nearest_dir") === "backward")
+    assert(out(100L).getAs[Long]("nearest_dt_us") === -60L * 1000000)
+    assert(out(101L).getAs[Long]("nearest_rid") === 201L)
+    assert(out(101L).getAs[String]("nearest_dir") === "forward")
+    assert(out(101L).getAs[Long]("nearest_dt_us") === 30L * 1000000)
+    assert(out(102L).getAs[Long]("nearest_rid") === 202L)
+    assert(out(102L).getAs[String]("nearest_dir") === "forward")
+    assert(out(103L).isNullAt(out(103L).fieldIndex("nearest_rid")))
+    assert(out(103L).isNullAt(out(103L).fieldIndex("nearest_dir")))
+  }
+
+  test("asofNearest: exact tie prefers the backward sample") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, ts("2026-01-01 12:00:00"))).toDF("lid", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 11:59:00"), 1.0),
+      (11L, 7L, ts("2026-01-01 12:01:00"), 2.0))
+      .toDF("rid", "user_id", "ts", "v")
+    val r = AsOf.asofNearest(left, right, "user_id", "ts", Seq("rid")).head()
+    assert(r.getAs[Long]("nearest_rid") === 10L)
+    assert(r.getAs[String]("nearest_dir") === "backward")
+  }
 }
