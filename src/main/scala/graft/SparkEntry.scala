@@ -1209,6 +1209,10 @@ object SparkEntry {
     "sessionize"          -> ((s, d) => sessionize(s, d)),
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
+    // Keyword extraction: top-3 TF-IDF terms per doc, WindowGroupLimit
+    // per-doc k-heap (TextAnalysis.keywords).
+    "text_keywords"       -> ((s, d) =>
+      TextAnalysis.keywords(StandIn.documents(s, d))),
     // HLL++ sketch — engine-specific, so no DuckDB twin exists; the driver
     // records a rows-only check (TextAnalysisSpec bounds the error vs the
     // exact termStats).
@@ -1406,6 +1410,11 @@ object SparkEntry {
       graft.ops.Olap.retentionCohorts(StandIn.events(s, d))),
     "olap_histogram"      -> ((s, d) =>
       graft.ops.Olap.valueHistogram(StandIn.events(s, d))),
+    // Incremental aggregate maintenance: per-key state merged with the
+    // delta; the oracle is the FULL recompute, so the hash check proves
+    // the merge law (Olap.incrementalMerge).
+    "agg_incremental_merge" -> ((s, d) =>
+      graft.ops.Olap.incrementalMerge(StandIn.events(s, d))),
     // Seasonality heatmap: (dow, hour, type) activity matrix, epoch
     // arithmetic only, DECIMAL-exact value sums (Olap.seasonality).
     "olap_seasonality"    -> ((s, d) =>
@@ -3066,6 +3075,20 @@ object SparkEntry {
         |FROM dated t JOIN first_seen f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Incremental-merge twin: the FULL-history aggregate — Spark builds
+    // it as state ⊕ delta, so equality IS the merge-law proof.
+    "agg_incremental_merge" ->
+      """SELECT user_id, event_type,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS total_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS avg_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY user_id, event_type""".stripMargin,
+
     // Seasonality twin (Olap.seasonality): identical epoch div/mod
     // bucketing (Thursday-anchored dow), DECIMAL-staged value sums.
     "olap_seasonality" ->
@@ -3384,6 +3407,29 @@ object SparkEntry {
          |SELECT doc_id, term, tf,
          |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
          |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
+
+    // Keywords twin (TextAnalysis.keywords): the tfidf CTE + the same
+    // (tfidf desc, term) rank at the ROUNDED score.
+    "text_keywords" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), tfs AS (
+         |  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+         |  FROM ex GROUP BY doc_id, term
+         |), dfs AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, term,
+         |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tfs JOIN dfs USING (term), tot
+         |)
+         |SELECT doc_id, rnk, term, tfidf FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin,
 
     // Attribution twin (StreamJoin.purchaseAttribution, batch face): the
     // same inclusive time-range join, declaratively.

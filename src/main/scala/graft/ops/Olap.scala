@@ -135,6 +135,47 @@ object Olap {
       .agg(countDistinct(col("user_id")).alias("n_users"),
         count(lit(1)).alias("n_events"))
 
+  /** Incremental aggregate MAINTENANCE: yesterday's per-key state merged
+    * with today's delta — the pattern that turns a daily 100 TB full
+    * rescan into a delta-sized job. Only mergeable aggregates ride the
+    * state (count/sum/min/max; avg DERIVES from the merged sums — an avg
+    * column itself would not merge), sums DECIMAL-staged so
+    * state + delta = full-history exactly.
+    *
+    * The registered query's oracle is the FULL recompute over all
+    * history, so the hash check proves the merge law itself: merging the
+    * two partial aggregates reproduces the scan-everything answer bit for
+    * bit. The full-outer key join handles keys that exist on one side
+    * only (a brand-new user in the delta, a dormant one in the state).
+    */
+  def incrementalMerge(
+      events: DataFrame,
+      cutSec: Long = 1705363200L): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    val ev = events.where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("long").alias("s"))
+    def part(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("user_id"), col("event_type")).agg(
+        count(lit(1)).alias(s"n_$tag"), sum(v).alias(s"sv_$tag"),
+        min(col("value")).alias(s"mn_$tag"),
+        max(col("value")).alias(s"mx_$tag"))
+    val merged = part(ev.where(col("s") < cutSec), "a")
+      .join(part(ev.where(col("s") >= cutSec), "b"),
+        Seq("user_id", "event_type"), "full_outer")
+    val n = coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+    val sv = when(col("sv_a").isNull && col("sv_b").isNull,
+      lit(null).cast("decimal(28,6)"))
+      .otherwise(coalesce(col("sv_a"), lit(0).cast("decimal(18,6)")) +
+        coalesce(col("sv_b"), lit(0).cast("decimal(18,6)")))
+    merged.select(col("user_id"), col("event_type"),
+      n.alias("n"),
+      round(sv.cast("double"), 6).alias("total_value"),
+      least(col("mn_a"), col("mn_b")).alias("min_value"),
+      greatest(col("mx_a"), col("mx_b")).alias("max_value"),
+      round(sv.cast("double") / n, 6).alias("avg_value"))
+  }
+
   /** Seasonality heatmap: activity and value by (day-of-week, hour-of-day,
     * event type) — the traffic-shape matrix behind capacity planning and
     * "is this Tuesday normal" checks. Day/hour derive from pure epoch

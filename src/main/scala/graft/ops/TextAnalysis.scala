@@ -102,6 +102,23 @@ object TextAnalysis {
           .alias("tfidf"))
   }
 
+  /** Per-document KEYWORDS: the top-`k` TF-IDF terms of each doc — the
+    * extraction face of [[tfIdf]] (tagging, retrieval snippets, topic
+    * drift eyeballing). Deterministic (tfidf desc, term asc) rank; the
+    * `rnk <= k` predicate pushes into the window exec as WindowGroupLimit,
+    * so each map task keeps a k-heap per doc and the exchange carries
+    * ≤ k·partitions rows per doc — never the full (doc, term) table twice.
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfIdf(docs)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("int").alias("rnk"),
+        col("term"), col("tfidf"))
+  }
+
   /** Unigram language-model fluency score — the "perplexity-ish" quality
     * signal: each document's per-token mean log10 probability under the
     * corpus's OWN add-one-smoothed unigram distribution,

@@ -427,6 +427,17 @@ class PlanEvidenceSpec extends SparkSpec {
       s"bin bucketing missing from the overlap join:\n$plan")
   }
 
+  test("text_keywords: per-doc top-k runs as WindowGroupLimit") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("text_keywords")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // rnk <= k must push into the window exec: map tasks keep a k-heap
+    // per doc, the exchange never carries the full (doc, term) table
+    // a second time.
+    assert(plan.contains("WindowGroupLimit"),
+      s"keywords must plan a per-doc group limit:\n$plan")
+  }
+
   test("text_pmi_bigrams: top-k is TakeOrdered; unigrams computed once, not per consumer") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("text_pmi_bigrams")(spark, dir)

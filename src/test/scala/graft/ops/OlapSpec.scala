@@ -305,4 +305,30 @@ class OlapSpec extends SparkSpec {
     assert(out((4, 1)).getAs[Double]("total_value") === 10.0)
     assert(out((0, 23)).getAs[Double]("avg_value") === 2.5)
   }
+
+  test("incrementalMerge: state ⊕ delta handles one-sided keys exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val cut = 1705363200L // 2024-01-16T00:00:00Z
+    val ev = Seq(
+      // user 1: rows on both sides of the cut
+      (1L, new Timestamp((cut - 100) * 1000), 1L, "view", 10.0, ""),
+      (2L, new Timestamp((cut + 100) * 1000), 1L, "view", 30.0, ""),
+      // user 2: state-only (dormant after the cut)
+      (3L, new Timestamp((cut - 50) * 1000), 2L, "view", 7.0, ""),
+      // user 3: delta-only (brand-new)
+      (4L, new Timestamp((cut + 50) * 1000), 3L, "view", 5.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Olap.incrementalMerge(ev, cut).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n") === 2L)
+    assert(out(1L).getAs[Double]("total_value") === 40.0)
+    assert(out(1L).getAs[Double]("min_value") === 10.0)
+    assert(out(1L).getAs[Double]("max_value") === 30.0)
+    assert(out(1L).getAs[Double]("avg_value") === 20.0)
+    assert(out(2L).getAs[Long]("n") === 1L)
+    assert(out(2L).getAs[Double]("total_value") === 7.0)
+    assert(out(3L).getAs[Long]("n") === 1L)
+    assert(out(3L).getAs[Double]("max_value") === 5.0)
+  }
 }
