@@ -1229,6 +1229,12 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 === 0),
         MinhashK, MinhashBands, MinhashEstThreshold)
     }),
+    // Contamination dashboard: exact / fuzzy / union flag counts in ONE
+    // row (Curation.contaminationReport) - the eval-card figure.
+    "corpus_contamination_report" -> ((s, d) =>
+      Curation.contaminationReport(StandIn.documents(s, d),
+        col("doc_id") % 10 === 0, minShared = 3, dfCap = 20,
+        MinhashK, MinhashBands, MinhashEstThreshold)),
     "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
     "corpus_bpe_train"    -> ((s, d) =>
       Bpe.trainTable(s, StandIn.documents(s, d))),
@@ -1415,6 +1421,11 @@ object SparkEntry {
     // the merge law (Olap.incrementalMerge).
     "agg_incremental_merge" -> ((s, d) =>
       graft.ops.Olap.incrementalMerge(StandIn.events(s, d))),
+    // Z-order (Morton) layout key: codegen'd bit interleave of two
+    // bounded dims - the multi-dimensional row-group-pruning layout
+    // (graft.ops.Zorder scaladoc has the 100 TB story).
+    "olap_zorder_key"     -> ((s, d) =>
+      graft.ops.Zorder.eventKeys(StandIn.events(s, d))),
     // Seasonality heatmap: (dow, hour, type) activity matrix, epoch
     // arithmetic only, DECIMAL-exact value sums (Olap.seasonality).
     "olap_seasonality"    -> ((s, d) =>
@@ -1884,6 +1895,56 @@ object SparkEntry {
          |       cfl.max_est_sim
          |FROM documents d LEFT JOIN cfl USING (doc_id)
          |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
+    // Contamination-dashboard twin: the decontaminate + neardup CTEs
+    // (same thresholds as the standalone twins) folded to one count row.
+    "corpus_contamination_report" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, ex AS (
+         |  SELECT doc_id, unnest(g) AS g FROM grams
+         |), rare AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS gram_df FROM ex GROUP BY g
+         |  ) WHERE gram_df <= 20
+         |), rex AS (
+         |  SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
+         |), exact_ids AS (
+         |  SELECT DISTINCT c.doc_id FROM rex c
+         |  JOIN rex b ON c.g = b.g
+         |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY c.doc_id, b.doc_id
+         |  HAVING count(DISTINCT c.g) >= 3
+         |), cpairs AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |  FROM buckets n
+         |  JOIN buckets r ON n.band = r.band AND n.bucket = r.bucket
+         |  WHERE n.doc_id % 10 <> 0 AND r.doc_id % 10 = 0
+         |), fuzzy_ids AS (
+         |  SELECT DISTINCT p.new_id AS doc_id
+         |  FROM cpairs p
+         |  JOIN sigs sn ON sn.doc_id = p.new_id
+         |  JOIN sigs sr ON sr.doc_id = p.ref_id
+         |  WHERE len(list_filter(range(1, ${MinhashK + 1}),
+         |          i -> sn.sig[CAST(i AS INT)] = sr.sig[CAST(i AS INT)]))
+         |          / CAST($MinhashK AS DOUBLE) >= $MinhashEstThreshold
+         |), ccounts AS (
+         |  SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_bench,
+         |         CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END)
+         |           AS BIGINT) AS n_corpus
+         |  FROM documents
+         |)
+         |SELECT n_corpus, n_bench,
+         |       (SELECT count(*) FROM exact_ids) AS exact_flagged,
+         |       (SELECT count(*) FROM fuzzy_ids) AS fuzzy_flagged,
+         |       (SELECT count(*) FROM
+         |          (SELECT doc_id FROM exact_ids
+         |           UNION SELECT doc_id FROM fuzzy_ids)) AS either_flagged,
+         |       round((SELECT count(*) FROM
+         |          (SELECT doc_id FROM exact_ids
+         |           UNION SELECT doc_id FROM fuzzy_ids))
+         |          / CAST(greatest(n_corpus, 1) AS DOUBLE), 6)
+         |         AS flagged_share
+         |FROM ccounts""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $toksSql, hashes AS (
@@ -3074,6 +3135,20 @@ object SparkEntry {
         |       count(DISTINCT t.user_id) AS active_users
         |FROM dated t JOIN first_seen f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Z-order twin (Zorder.eventKeys): the same shift/mask interleave,
+    // term for term.
+    "olap_zorder_key" ->
+      """WITH zz AS (
+        |  SELECT event_id,
+        |         user_id % 1024 AS za,
+        |         least(greatest(CAST(floor(value) AS BIGINT), 0), 1023)
+        |           AS zb
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_id, za, zb,
+        |       CAST((((za >> 0) & 1) << 1) | (((zb >> 0) & 1) << 0) | (((za >> 1) & 1) << 3) | (((zb >> 1) & 1) << 2) | (((za >> 2) & 1) << 5) | (((zb >> 2) & 1) << 4) | (((za >> 3) & 1) << 7) | (((zb >> 3) & 1) << 6) | (((za >> 4) & 1) << 9) | (((zb >> 4) & 1) << 8) | (((za >> 5) & 1) << 11) | (((zb >> 5) & 1) << 10) | (((za >> 6) & 1) << 13) | (((zb >> 6) & 1) << 12) | (((za >> 7) & 1) << 15) | (((zb >> 7) & 1) << 14) | (((za >> 8) & 1) << 17) | (((zb >> 8) & 1) << 16) | (((za >> 9) & 1) << 19) | (((zb >> 9) & 1) << 18) AS BIGINT) AS zkey
+        |FROM zz""".stripMargin,
 
     // Incremental-merge twin: the FULL-history aggregate — Spark builds
     // it as state ⊕ delta, so equality IS the merge-law proof.

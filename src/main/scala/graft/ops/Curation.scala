@@ -31,6 +31,43 @@ object Curation {
       .where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
 
+  /** One-row CONTAMINATION dashboard — what share of the corpus each
+    * decontamination screen flags against the benchmark split: exact
+    * rare-gram overlap, fuzzy MinHash near-dup, and their union (the
+    * both-screens figure an eval card reports). Each screen reuses the
+    * exact operator behind its standalone query; the two flagged-id
+    * frames are materialized once and feed both their own counts and the
+    * union count.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      benchPredicate: Column,
+      minShared: Int = 3,
+      dfCap: Int = 10,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val counts = docs.agg(
+      sum(when(benchPredicate, 1L).otherwise(0L)).alias("n_bench"),
+      sum(when(benchPredicate, 0L).otherwise(1L)).alias("n_corpus"))
+    val exactIds = Materialize(
+      contamination(docs, benchPredicate, minShared, dfCap)
+        .select(col("doc_id")).distinct())
+    val fuzzyIds = Materialize(
+      contaminationNearDup(docs.where(!benchPredicate),
+        docs.where(benchPredicate), k, bands, threshold)
+        .where(col("contaminated")).select(col("doc_id")))
+    counts
+      .crossJoin(broadcast(exactIds.agg(count(lit(1)).alias("exact_flagged"))))
+      .crossJoin(broadcast(fuzzyIds.agg(count(lit(1)).alias("fuzzy_flagged"))))
+      .crossJoin(broadcast(exactIds.unionByName(fuzzyIds).distinct()
+        .agg(count(lit(1)).alias("either_flagged"))))
+      .select(col("n_corpus"), col("n_bench"),
+        col("exact_flagged"), col("fuzzy_flagged"), col("either_flagged"),
+        round(col("either_flagged").cast("double") /
+          greatest(col("n_corpus"), lit(1L)), 6).alias("flagged_share"))
+  }
+
   /** One-row DEDUPLICATION dashboard — the corpus's duplication measured
     * at every granularity the engine dedups at, in one scheduled query:
     * exact (content-hash distinct), near (MinHash cluster non-keepers),
