@@ -1197,6 +1197,11 @@ object SparkEntry {
     // constant draw, bounds hash-checked (Similarity.rpCosineAudit).
     "sim_rp_recall_audit" -> ((s, d) =>
       Similarity.rpRecallAudit(StandIn.embeddings(s, d))),
+    // Density outlier screen over the SRP near-dup graph: vectors with
+    // < 2 bucket-mates at the near-dup cosine (Similarity.densityOutliers).
+    "sim_density_outliers" -> ((s, d) =>
+      Similarity.densityOutliers(StandIn.embeddings(s, d),
+        SrpBits, NearDupCosine)),
     "sim_rp_cosine"       -> ((s, d) =>
       Similarity.rpCosineReport(StandIn.embeddings(s, d))),
     "sim_rp_cosine_audit" -> ((s, d) =>
@@ -1498,6 +1503,10 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(StandIn.documents(s, d))),
     "text_quality_gate"   -> ((s, d) => textQualityGate(s, d)),
+    // Rejection-reason histogram per predicted language: one fused scan,
+    // languages-by-verdicts cell table (TextAnalysis.qualityReport).
+    "text_quality_report" -> ((s, d) =>
+      TextAnalysis.qualityReport(StandIn.documents(s, d))),
     // Bigram-LM fluency (the KenLM-filter shape, add-one smoothed so the
     // arithmetic has an exact SQL twin — TextAnalysis.bigramLogProb).
     "text_bigram_logprob" -> ((s, d) =>
@@ -2045,6 +2054,37 @@ object SparkEntry {
          |JOIN gated g ON g.doc_id = d.doc_id AND g.reject_reason IS NULL
          |JOIN best b ON b.doc_id = d.doc_id
          |JOIN toks k ON k.doc_id = d.doc_id""".stripMargin,
+
+    // Quality-report twin (TextAnalysis.qualityReport): gate + language
+    // CTE fragments shared with text_quality_gate / corpus_curate.
+    "text_quality_report" ->
+      s"""WITH $rawToksSql, $gateSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), lg AS (
+         |  SELECT b.doc_id,
+         |         CASE WHEN b.en_score = b.top AND b.top > 0 THEN 'en'
+         |              WHEN b.fr_score = b.top AND b.top > 0 THEN 'fr'
+         |              WHEN b.de_score = b.top AND b.top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best b
+         |), qcells AS (
+         |  SELECT lg.predicted_lang,
+         |         coalesce(g.reject_reason, 'passed') AS verdict,
+         |         count(*) AS n_docs,
+         |         CAST(sum(len(k.t)) AS BIGINT) AS n_tokens
+         |  FROM lg
+         |  JOIN gated g ON g.doc_id = lg.doc_id
+         |  JOIN toks k ON k.doc_id = lg.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT predicted_lang, verdict, n_docs, n_tokens,
+         |       round(n_docs / CAST(sum(n_docs) OVER (
+         |         PARTITION BY predicted_lang) AS DOUBLE), 6) AS lang_share
+         |FROM qcells""".stripMargin,
 
     "sim_brute_topk" ->
       s"""WITH $prepSql, pairs AS (
@@ -3918,6 +3958,26 @@ object SparkEntry {
          |FROM sessions s
          |JOIN bursts b
          |  ON s.start_sec <= b.b_end AND b.b_start <= s.end_sec""".stripMargin,
+
+    // Density-outlier twin (Similarity.densityOutliers): the
+    // sim_cosine_neardup pair CTEs folded to per-vector degrees.
+    "sim_density_outliers" ->
+      s"""WITH $prepSql, $bucketsSimSql, dpairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bsim a
+         |  JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |        >= $NearDupCosine
+         |), ddeg AS (
+         |  SELECT vec_id, count(*) AS n_neighbors FROM (
+         |    SELECT a_id AS vec_id FROM dpairs
+         |    UNION ALL SELECT b_id FROM dpairs)
+         |  GROUP BY vec_id
+         |)
+         |SELECT e.vec_id,
+         |       coalesce(d.n_neighbors, 0) AS n_neighbors,
+         |       coalesce(d.n_neighbors, 0) < 2 AS is_outlier
+         |FROM embeddings e LEFT JOIN ddeg d ON d.vec_id = e.vec_id""".stripMargin,
 
     "sim_cosine_neardup" ->
       s"""WITH $prepSql, $bucketsSimSql

@@ -919,6 +919,34 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Density-based OUTLIER screen over the SRP near-dup graph: vectors
+    * with fewer than `minNeighbors` bucket-mates at cosine ≥ `threshold`
+    * are flagged — the cheap DBSCAN-noise-point analogue for catching
+    * anomalous embeddings (encoder glitches, wrong-modality rows) before
+    * they pollute an index or a SemDeDup pass. Honest scope: density is
+    * measured WITHIN the SRP bucket (the same candidate graph every
+    * near-dup operator here uses), so an isolated-but-split cluster can
+    * flag; at scale raise `bits` coverage the same way the dedup family
+    * does. Reuses [[cosineNearDup]]'s pair machinery verbatim — bucket
+    * equi-join, never a product.
+    */
+  def densityOutliers(
+      embeddings: DataFrame,
+      bits: Int = 6,
+      threshold: Double = 0.25,
+      minNeighbors: Int = 2): DataFrame = {
+    val pairs = cosineNearDup(embeddings, bits, threshold)
+    val degrees = pairs.select(col("a_id").alias("vec_id"))
+      .unionAll(pairs.select(col("b_id").alias("vec_id")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).alias("n_neighbors"))
+    embeddings.select(col("vec_id"))
+      .join(degrees, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).alias("n_neighbors"))
+      .withColumn("is_outlier", col("n_neighbors") < minNeighbors)
+  }
+
   /** Cosine histogram of the SRP bucket-sharing pairs, in 0.1-wide bins —
     * the embedding-space threshold-tuning curve (see
     * Dedup.candidateSimHistogram): on near-orthogonal corpora it shows

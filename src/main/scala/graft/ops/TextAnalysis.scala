@@ -598,6 +598,26 @@ object TextAnalysis {
       col("bpeish_tokens"))
   }
 
+  /** Per-(language, verdict) QUALITY REPORT: how many docs each gate
+    * verdict claims in each predicted language, with token totals and
+    * the share within the language — the rejection-reason histogram a
+    * curation review reads before touching thresholds. ONE corpus scan
+    * (the fused [[curationSignals]] projection) → a languages×verdicts
+    * bounded groupBy → a window over that tiny cell table.
+    */
+  def qualityReport(docs: DataFrame): DataFrame = {
+    val cells = curationSignals(docs)
+      .groupBy(col("predicted_lang"),
+        coalesce(col("reject_reason"), lit("passed")).alias("verdict"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("ws_tokens").cast("long")).alias("n_tokens"))
+    val w = Window.partitionBy(col("predicted_lang"))
+    cells.select(col("predicted_lang"), col("verdict"),
+      col("n_docs"), col("n_tokens"),
+      round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(w), 6).alias("lang_share"))
+  }
+
   /** Per-language EXACT quality percentiles — the distribution report a
     * curation run reads before picking gate thresholds (where does the
     * p99 of stopword density sit for German?). Exact `percentile` (sorted
