@@ -1431,6 +1431,18 @@ object SparkEntry {
     // (graft.ops.Zorder scaladoc has the 100 TB story).
     "olap_zorder_key"     -> ((s, d) =>
       graft.ops.Zorder.eventKeys(StandIn.events(s, d))),
+    // Week-over-week movement: daily counts + lag(7) over the bounded
+    // (type, day) table, join-free, calendar-gap-safe (Olap.weekOverWeek).
+    "olap_wow"            -> ((s, d) =>
+      graft.ops.Olap.weekOverWeek(StandIn.events(s, d))),
+    // Benford first-digit screen: observed vs log10(1+1/d) expectation
+    // per digit (Olap.benfordScreen).
+    "stat_benford"        -> ((s, d) =>
+      graft.ops.Olap.benfordScreen(StandIn.events(s, d))),
+    // Lexical diversity: TTR + Guiraud root TTR, zero-shuffle projection
+    // (TextAnalysis.typeTokenRatio).
+    "text_ttr"            -> ((s, d) =>
+      TextAnalysis.typeTokenRatio(StandIn.documents(s, d))),
     // Seasonality heatmap: (dow, hour, type) activity matrix, epoch
     // arithmetic only, DECIMAL-exact value sums (Olap.seasonality).
     "olap_seasonality"    -> ((s, d) =>
@@ -3203,6 +3215,63 @@ object SparkEntry {
         |             / count(*), 6) AS avg_value
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY user_id, event_type""".stripMargin,
+
+    // Week-over-week twin (Olap.weekOverWeek): same day arithmetic,
+    // same lag-7 + calendar-week guard over the daily CTE.
+    "olap_wow" ->
+      """WITH wd AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+        |         count(*) AS n_events
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), wl AS (
+        |  SELECT event_type, day, n_events,
+        |         lag(n_events, 7) OVER w AS prev_week,
+        |         lag(day, 7) OVER w AS prev_day
+        |  FROM wd
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), wg AS (
+        |  SELECT event_type, day, n_events,
+        |         CASE WHEN prev_day = day - 7 THEN prev_week END AS baseline
+        |  FROM wl
+        |)
+        |SELECT event_type, day, n_events,
+        |       baseline AS prev_week_events,
+        |       round(CASE WHEN baseline > 0
+        |             THEN (n_events - baseline) / CAST(baseline AS DOUBLE)
+        |             END, 6) AS wow_change
+        |FROM wg""".stripMargin,
+
+    // Benford twin (Olap.benfordScreen): leading digit via the same
+    // first-character extraction, same literal expectation.
+    "stat_benford" ->
+      """WITH bd AS (
+        |  SELECT CAST(substr(CAST(abs(value) AS VARCHAR), 1, 1) AS INT)
+        |           AS digit,
+        |         count(*) AS n
+        |  FROM events WHERE value IS NOT NULL AND abs(value) >= 1
+        |  GROUP BY 1
+        |), bt AS (SELECT sum(n) AS t FROM bd)
+        |SELECT digit, n,
+        |       round(n / CAST(t AS DOUBLE), 6) AS observed,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS expected,
+        |       round(abs(round(n / CAST(t AS DOUBLE), 6)
+        |             - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+        |FROM bd, bt""".stripMargin,
+
+    // TTR twin (TextAnalysis.typeTokenRatio).
+    "text_ttr" ->
+      s"""WITH $rawToksSql
+         |SELECT doc_id,
+         |       CAST(len(t) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct(t)) AS INT) AS n_types,
+         |       round(len(list_distinct(t))
+         |             / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS ttr,
+         |       round(len(list_distinct(t))
+         |             / sqrt(CAST(greatest(len(t), 1) AS DOUBLE)), 6)
+         |         AS root_ttr
+         |FROM toks""".stripMargin,
 
     // Seasonality twin (Olap.seasonality): identical epoch div/mod
     // bucketing (Thursday-anchored dow), DECIMAL-staged value sums.

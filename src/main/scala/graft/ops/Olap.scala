@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic OLAP reshaping over the event stream: pivot (long → wide) and
@@ -134,6 +135,58 @@ object Olap {
       .groupBy(col("day"), col("event_type"))
       .agg(countDistinct(col("user_id")).alias("n_users"),
         count(lit(1)).alias("n_events"))
+
+  /** Week-over-week movement per event type: daily activity compared to
+    * the same weekday one week earlier — the period-over-period report
+    * behind "is this Tuesday normal", computed join-free: ONE map-side-
+    * combined daily groupBy, then `lag(7)` over the bounded (type × day)
+    * table (a self-join formulation would shuffle the day table twice).
+    * Day buckets are pure epoch arithmetic (timezone-free); the change
+    * ratio is null for the first week (no baseline), never a fake 0.
+    */
+  def weekOverWeek(events: DataFrame): DataFrame = {
+    val daily = events.where(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("CAST(CAST(ts AS LONG) div 86400 AS BIGINT)").alias("day"))
+      .agg(count(lit(1)).alias("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_week", lag(col("n_events"), 7).over(w))
+      .withColumn("prev_day", lag(col("day"), 7).over(w))
+      // lag(7) is "7 rows back": only a true calendar week counts as a
+      // baseline — gaps in the day sequence must not masquerade as one.
+      .withColumn("baseline",
+        when(col("prev_day") === col("day") - 7, col("prev_week")))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("baseline").alias("prev_week_events"),
+        round(when(col("baseline") > 0,
+          (col("n_events") - col("baseline")).cast("double") /
+            col("baseline")), 6).alias("wow_change"))
+  }
+
+  /** Benford first-digit screen over the value column: observed share of
+    * each leading digit vs Benford's log10(1 + 1/d) expectation, with
+    * per-digit deviation — the classic fabricated-numbers / broken-ETL
+    * smell test. ONE map-side-combined groupBy on a 9-value key; the
+    * expectation is a literal, so everything after the count is free.
+    * (The synthetic uniform fixture does NOT follow Benford — the report
+    * honestly shows the deviation; the operator's job is measurement.)
+    */
+  def benfordScreen(events: DataFrame): DataFrame = {
+    val digit = substring(abs(col("value")).cast("string"), 1, 1).cast("int")
+    val counts = events
+      .where(col("value").isNotNull && abs(col("value")) >= 1)
+      .groupBy(digit.alias("digit"))
+      .agg(count(lit(1)).alias("n"))
+    val total = counts.agg(sum(col("n")).alias("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("t"), 6).alias("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).alias("expected"))
+      .withColumn("abs_dev",
+        round(abs(col("observed") - round(log10(lit(1.0) + lit(1.0) /
+          col("digit")), 6)), 6))
+  }
 
   /** Incremental aggregate MAINTENANCE: yesterday's per-key state merged
     * with today's delta — the pattern that turns a daily 100 TB full

@@ -598,6 +598,24 @@ object TextAnalysis {
       col("bpeish_tokens"))
   }
 
+  /** Lexical diversity per document: type-token ratio (distinct words /
+    * words) and Guiraud's root TTR (types / √tokens — the length-
+    * normalized form, since raw TTR shrinks mechanically with length) —
+    * the cheap "word salad vs varied prose" diversity signal next to
+    * [[repetition]]. Pure zero-shuffle projection.
+    */
+  def typeTokenRatio(docs: DataFrame): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).alias("n_tokens"),
+      size(array_distinct(t)).alias("n_types"),
+      round(size(array_distinct(t)).cast("double") /
+        greatest(size(t), lit(1)), 6).alias("ttr"),
+      round(size(array_distinct(t)).cast("double") /
+        sqrt(greatest(size(t), lit(1)).cast("double")), 6).alias("root_ttr"))
+  }
+
   /** Per-(language, verdict) QUALITY REPORT: how many docs each gate
     * verdict claims in each predicted language, with token totals and
     * the share within the language — the rejection-reason histogram a

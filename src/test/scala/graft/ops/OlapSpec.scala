@@ -331,4 +331,43 @@ class OlapSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n") === 1L)
     assert(out(3L).getAs[Double]("max_value") === 5.0)
   }
+
+  test("weekOverWeek: lag(7) only counts as baseline across a true calendar week") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 14 consecutive days of 'view' with a known jump, then a day series
+    // WITH A GAP for 'click' where row-7-back is NOT day-7-back.
+    val ev = ((0 until 14).map(i => (i.toLong, new Timestamp(i * 86400000L),
+      1L, "view", 1.0, "")) ++
+      Seq(0, 1, 2, 3, 4, 5, 6, 9).zipWithIndex.map { case (d, i) =>
+        (100L + i, new Timestamp(d * 86400000L), 1L, "click", 1.0, "")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Olap.weekOverWeek(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) -> r)
+      .toMap
+    // view day 7 has view day 0 as a true week-back baseline.
+    assert(out(("view", 7L)).getAs[Long]("prev_week_events") === 1L)
+    assert(out(("view", 7L)).getAs[Double]("wow_change") === 0.0)
+    // click day 9: 7 rows back is day 0, which is NOT day 2 — no baseline.
+    assert(out(("click", 9L)).isNullAt(
+      out(("click", 9L)).fieldIndex("prev_week_events")))
+  }
+
+  test("benfordScreen: shares sum to 1 and expectation is the Benford law") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(1.5, 19.0, 190.0, 2.0, 31.0, 0.5, 9.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, new Timestamp(1000L), 1L, "view", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Olap.benfordScreen(ev).collect()
+    // 0.5 is excluded (< 1); digits: 1->3, 2->1, 3->1, 9->1 of 6 rows.
+    assert(out.map(_.getAs[Long]("n")).sum === 6L)
+    val d1 = out.find(_.getAs[Int]("digit") === 1).get
+    assert(d1.getAs[Long]("n") === 3L)
+    assert(d1.getAs[Double]("observed") === 0.5)
+    assert(d1.getAs[Double]("expected") === 0.30103)
+    // observed shares are 6-dp rounded, so the sum carries up to
+    // n_digits*5e-7 of rounding residue.
+    assert(math.abs(out.map(_.getAs[Double]("observed")).sum - 1.0) < 1e-5)
+  }
 }
