@@ -1616,6 +1616,10 @@ object SparkEntry {
     // as dedup_simhash_pairs (band equi-join + exact verify, no product).
     "mm_phash_pairs"      -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.pngMedia(s, d))),
+    // Image near-dup clusters: CC over the banded Hamming pair graph -
+    // the image-dedup pipeline end to end (Multimodal.phashClusters).
+    "mm_phash_clusters"   -> ((s, d) =>
+      Multimodal.phashClusters(Multimodal.pngMedia(s, d))),
     // Image quality gate over the real decode: dims / integer-exact
     // aspect / mean-RGB exposure rules from the in-stage pixel sums, pass
     // booleans at documented thresholds (the LAION-screen shape).
@@ -4857,6 +4861,37 @@ object SparkEntry {
          |JOIN ah sa ON sa.doc_id = p.a_id
          |JOIN ah sb ON sb.doc_id = p.b_id
          |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 8""".stripMargin,
+
+    // Image-cluster twin: the mm_phash_pairs CTEs + the recursive-CTE
+    // components the text/embedding cluster oracles use.
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCtesSql, pbands AS (
+         |  SELECT doc_id, ahash, b.band AS band,
+         |         (ahash >> CAST(b.band * 15 AS INT)) & 32767 AS bv
+         |  FROM ah, (SELECT unnest(range(0, 4)) AS band) b
+         |), ppairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pbands a
+         |  JOIN pbands b ON a.band = b.band AND a.bv = b.bv
+         |              AND a.doc_id < b.doc_id
+         |), pverified AS (
+         |  SELECT p.a_id, p.b_id
+         |  FROM ppairs p
+         |  JOIN ah sa ON sa.doc_id = p.a_id
+         |  JOIN ah sb ON sb.doc_id = p.b_id
+         |  WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 8
+         |), pedges AS (
+         |  SELECT a_id, b_id FROM pverified
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pverified
+         |), preach(media_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a_id, r.label FROM pedges e JOIN preach r
+         |    ON r.media_id = e.b_id
+         |)
+         |SELECT media_id, min(label) AS cluster_id
+         |FROM preach GROUP BY media_id""".stripMargin,
 
     // FixedSizeFrameSampler twin: byte windows sliced on the hex string
     // (2 chars/byte — DuckDB has no BLOB substring and a frame need not be

@@ -601,6 +601,21 @@ object Multimodal {
         .select(col("media_id").alias("doc_id"), col("ahash").alias("sig")),
       bands = 4, bandBits = 15, maxHamming = maxHamming)
 
+  /** Image near-dup CLUSTERS: connected components over the banded
+    * Hamming pair graph — the end of the image-dedup pipeline (decode →
+    * pHash → band pairs → clusters → keep one per cluster), composed
+    * from [[phashPairs]] and the SAME label-propagation CC engine every
+    * dedup family uses ([[Dedup.componentsFromPairs]] — candidate-graph-
+    * only iteration, singletons attached once after convergence).
+    * `cluster_id` = the component's minimum media id; dedup keeps
+    * `media_id === cluster_id`.
+    */
+  def phashClusters(media: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.componentsFromPairs(
+      phashPairs(media, maxHamming).select(col("a_id"), col("b_id")),
+      media.select(col("media_id").alias("doc_id")))
+      .select(col("doc_id").alias("media_id"), col("cluster_id"))
+
   /** Image-gate thresholds (the LAION/DataComp-style screen): minimum
     * side length, max aspect ratio as an EXACT integer cross-multiply
     * ([[ImgAspectNum]]:[[ImgAspectDen]] — no float ratio can sit on a
