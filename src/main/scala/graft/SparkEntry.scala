@@ -1435,6 +1435,11 @@ object SparkEntry {
     // (type, day) table, join-free, calendar-gap-safe (Olap.weekOverWeek).
     "olap_wow"            -> ((s, d) =>
       graft.ops.Olap.weekOverWeek(StandIn.events(s, d))),
+    // Seasonal-naive forecast-baseline eval: MAE/MAPE of the week-back
+    // predictor per type, composed on weekOverWeek's daily table
+    // (Olap.seasonalNaiveEval).
+    "ts_forecast_eval"    -> ((s, d) =>
+      graft.ops.Olap.seasonalNaiveEval(StandIn.events(s, d))),
     // Benford first-digit screen: observed vs log10(1+1/d) expectation
     // per digit (Olap.benfordScreen).
     "stat_benford"        -> ((s, d) =>
@@ -3246,6 +3251,40 @@ object SparkEntry {
         |             THEN (n_events - baseline) / CAST(baseline AS DOUBLE)
         |             END, 6) AS wow_change
         |FROM wg""".stripMargin,
+
+    // Forecast-eval twin: the olap_wow CTEs folded to per-type MAE/MAPE
+    // with the same DECIMAL-staged ratio average.
+    "ts_forecast_eval" ->
+      """WITH wd AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+        |         count(*) AS n_events
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), wl AS (
+        |  SELECT event_type, day, n_events,
+        |         lag(n_events, 7) OVER w AS prev_week,
+        |         lag(day, 7) OVER w AS prev_day
+        |  FROM wd
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), ev AS (
+        |  SELECT event_type, n_events,
+        |         CASE WHEN prev_day = day - 7 THEN prev_week END AS baseline
+        |  FROM wl
+        |), fe AS (
+        |  SELECT event_type,
+        |         count(*) AS n_eval,
+        |         sum(abs(n_events - baseline)) AS abs_err_sum,
+        |         sum(CAST(round(abs(n_events - baseline)
+        |               / CAST(baseline AS DOUBLE), 8) AS DECIMAL(20,8)))
+        |           AS r8_sum
+        |  FROM ev WHERE baseline IS NOT NULL AND baseline > 0
+        |  GROUP BY event_type
+        |)
+        |SELECT event_type, n_eval,
+        |       round(CAST(abs_err_sum AS DOUBLE) / n_eval, 6) AS mae,
+        |       round(CAST(r8_sum / n_eval AS DOUBLE), 6) AS mape
+        |FROM fe""".stripMargin,
 
     // Benford twin (Olap.benfordScreen): leading digit via the same
     // first-character extraction, same literal expectation.

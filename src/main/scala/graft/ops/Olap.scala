@@ -164,6 +164,34 @@ object Olap {
             col("baseline")), 6).alias("wow_change"))
   }
 
+  /** Seasonal-naive FORECAST BASELINE evaluation: predict each day's
+    * activity with the same weekday one week earlier (the baseline every
+    * forecasting effort must beat) and report per-type MAE/MAPE over the
+    * evaluable days — composed directly on [[weekOverWeek]]'s daily
+    * table, so the baseline definition cannot drift from the report.
+    * MAE derives from exact integer error sums; MAPE stages the per-day
+    * ratio through an 8-dp DECIMAL so the average is order-independent
+    * (a raw double sum of fractions would hash-drift with partitioning).
+    */
+  def seasonalNaiveEval(events: DataFrame): DataFrame = {
+    val err = abs(col("n_events") - col("prev_week_events"))
+    val r8 = round(err.cast("double") / col("prev_week_events"), 8)
+      .cast("decimal(20,8)")
+    weekOverWeek(events)
+      .where(col("prev_week_events").isNotNull &&
+        col("prev_week_events") > 0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).alias("n_eval"),
+        sum(err).alias("abs_err_sum"),
+        sum(r8).alias("r8_sum"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("abs_err_sum").cast("double") / col("n_eval"), 6)
+          .alias("mae"),
+        round((col("r8_sum") / col("n_eval")).cast("double"), 6)
+          .alias("mape"))
+  }
+
   /** Benford first-digit screen over the value column: observed share of
     * each leading digit vs Benford's log10(1 + 1/d) expectation, with
     * per-digit deviation — the classic fabricated-numbers / broken-ETL

@@ -310,4 +310,56 @@ class PropertySpec extends SparkSpec {
         assert(chunks.map(_.getString(3)).mkString(" ") === doc)
     }
   }
+
+  private val genDocText: Gen[String] = for {
+    n <- Gen.chooseNum(0, 80)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "the", "cat", "sat", "on", "a", "mat", "and", "ran", "#", "...",
+      "- bullet", "word2026", "…"))
+  } yield words.mkString(" ")
+
+  test("property: char entropy is bounded by the alphabet size and non-negative") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(25, genDocText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val hs = TextRules.charEntropy(df).collect()
+        .map(_.getAs[Double]("char_entropy"))
+      // 38 alphabet symbols + the other bucket → H ≤ log2(39) < 5.3.
+      assert(hs.forall(h => h >= 0.0 && h <= 5.3), hs.toSeq.toString)
+    }
+  }
+
+  test("property: gopher ratios live in [0,1]; verdict equals its rule conjunction") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(25, genDocText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      TextRules.gopherReport(df).collect().foreach { r =>
+        for (c <- Seq("alpha_ratio", "bullet_line_ratio",
+          "ellipsis_line_ratio")) {
+          val v = r.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+        }
+        val conj = r.getAs[Boolean]("ok_words") &&
+          r.getAs[Boolean]("ok_mean_len") && r.getAs[Boolean]("ok_symbols") &&
+          r.getAs[Boolean]("ok_bullets") && r.getAs[Boolean]("ok_ellipsis") &&
+          r.getAs[Boolean]("ok_alpha") && r.getAs[Boolean]("ok_stops")
+        assert(r.getAs[Boolean]("passed") === conj)
+      }
+    }
+  }
+
+  test("property: TTR bounds — types ≤ tokens, root TTR ≤ √tokens") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(25, genDocText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      TextAnalysis.typeTokenRatio(df).collect().foreach { r =>
+        val (tok, typ) = (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_types"))
+        assert(typ <= tok || tok == 0)
+        assert(r.getAs[Double]("ttr") >= 0.0 && r.getAs[Double]("ttr") <= 1.0)
+      }
+    }
+  }
 }
