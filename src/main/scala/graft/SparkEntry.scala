@@ -1128,6 +1128,12 @@ object SparkEntry {
     "dedup_lines_join"    -> ((s, d) =>
       Dedup.lineDedupJoin(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
+    // LSH precision eval card: candidates exact-verified in one pass,
+    // reduced to (n_candidates, n_confirmed, precision) — the dedup
+    // analogue of the ANN recall audits (Dedup.lshPrecision).
+    "dedup_lsh_precision" -> ((s, d) =>
+      Dedup.lshPrecision(StandIn.documents(s, d),
+        MinhashK, MinhashBands, MinhashEstThreshold, JaccardThreshold)),
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
     "dedup_clusters_bigstar" -> ((s, d) =>
@@ -2004,6 +2010,27 @@ object SparkEntry {
          |)
          |SELECT a_id, b_id, jaccard FROM verified
          |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    // LSH-precision twin: the ngram-jaccard verify CTE folded to counts.
+    "dedup_lsh_precision" ->
+      s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql, pverf AS (
+         |  SELECT round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |           / CAST(len(ga.g) + len(gb.g)
+         |               - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |             AS DOUBLE), 6) AS jaccard
+         |  FROM est e
+         |  JOIN grams ga ON ga.doc_id = e.a_id
+         |  JOIN grams gb ON gb.doc_id = e.b_id
+         |  WHERE e.est_sim >= $MinhashEstThreshold
+         |)
+         |SELECT count(*) AS n_candidates,
+         |       CAST(sum(CASE WHEN jaccard >= $JaccardThreshold
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed,
+         |       round(sum(CASE WHEN jaccard >= $JaccardThreshold
+         |                      THEN 1 ELSE 0 END)
+         |             / CAST(greatest(count(*), 1) AS DOUBLE), 6)
+         |         AS precision
+         |FROM pverf""".stripMargin,
 
     // Bigram-shingle simhash + Hamming-band near-dup twin of
     // Dedup.simhashNearDup.

@@ -668,6 +668,41 @@ object Dedup {
       .where(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Precision eval card of the LSH candidate stage: every estimated
+    * candidate pair exact-verified in ONE pass, reduced to `(n_candidates,
+    * n_confirmed, precision)` — the figure that justifies (or retunes)
+    * the band/threshold parameters, the dedup family's analogue of the
+    * ANN recall audits. The banded generator's recall cannot be measured
+    * without an all-pairs pass (exactly what LSH exists to avoid), so
+    * precision over the candidate set is the honest measurable face.
+    */
+  def lshPrecision(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      estThreshold: Double = 0.5,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val grams = shingleSets(docs)
+    val cands = minhashCandidates(docs, k, bands, estThreshold)
+      .select(col("a_id"), col("b_id"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val jac = inter.cast("double") /
+      (size(col("grams_a")) + size(col("grams_b")) - inter)
+    cands
+      .join(grams.select(col("doc_id").alias("a_id"),
+        col("grams").alias("grams_a")), "a_id")
+      .join(grams.select(col("doc_id").alias("b_id"),
+        col("grams").alias("grams_b")), "b_id")
+      .select(round(jac, 6).alias("jaccard"))
+      .agg(
+        count(lit(1)).alias("n_candidates"),
+        sum(when(col("jaccard") >= jaccardThreshold, 1L).otherwise(0L))
+          .alias("n_confirmed"))
+      .select(col("n_candidates"), col("n_confirmed"),
+        round(col("n_confirmed").cast("double") /
+          greatest(col("n_candidates"), lit(1L)), 6).alias("precision"))
+  }
+
   /** Near-duplicate cluster assignment: connected components over the LSH
     * candidate graph, each document labeled with the smallest doc_id in its
     * component (singletons label themselves).
