@@ -1128,6 +1128,16 @@ object SparkEntry {
     "dedup_lines_join"    -> ((s, d) =>
       Dedup.lineDedupJoin(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
     "dedup_simhash"       -> ((s, d) => dedupSimhash(s, d)),
+    // Duplicate-family size distribution: clusters folded to a
+    // (cluster_size, n_clusters) histogram - "how big are my dup
+    // families" (composes Dedup.clusters).
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusters(StandIn.documents(s, d),
+        MinhashK, MinhashBands, MinhashEstThreshold)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).alias("sz"))
+        .groupBy(col("sz").cast("int").alias("cluster_size"))
+        .agg(count(lit(1)).alias("n_clusters"))),
     // LSH precision eval card: candidates exact-verified in one pass,
     // reduced to (n_candidates, n_confirmed, precision) — the dedup
     // analogue of the ANN recall audits (Dedup.lshPrecision).
@@ -2010,6 +2020,15 @@ object SparkEntry {
          |)
          |SELECT a_id, b_id, jaccard FROM verified
          |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    // Cluster-size histogram twin: the components CTE double-folded.
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |$componentsSql, csz AS (
+         |  SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id
+         |)
+         |SELECT CAST(sz AS INT) AS cluster_size, count(*) AS n_clusters
+         |FROM csz GROUP BY sz""".stripMargin,
 
     // LSH-precision twin: the ngram-jaccard verify CTE folded to counts.
     "dedup_lsh_precision" ->
