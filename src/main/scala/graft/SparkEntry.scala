@@ -1640,7 +1640,8 @@ object SparkEntry {
     // Image near-dup clusters: CC over the banded Hamming pair graph -
     // the image-dedup pipeline end to end (Multimodal.phashClusters).
     "mm_phash_clusters"   -> ((s, d) =>
-      Multimodal.phashClusters(Multimodal.pngMedia(s, d))),
+      Multimodal.phashClusters(Multimodal.pngMedia(s, d),
+        universeIds = Some(StandIn.documents(s, d).select(col("doc_id"))))),
     // Image quality gate over the real decode: dims / integer-exact
     // aspect / mean-RGB exposure rules from the in-stage pixel sums, pass
     // booleans at documented thresholds (the LAION-screen shape).

@@ -609,11 +609,20 @@ object Multimodal {
     * only iteration, singletons attached once after convergence).
     * `cluster_id` = the component's minimum media id; dedup keeps
     * `media_id === cluster_id`.
+    *
+    * `universeIds`: the singleton-attachment join needs only the id set,
+    * but a media frame built by an opaque per-partition encoder cannot be
+    * column-pruned — projecting ids "from the media" would re-run the
+    * whole codec stage. Callers with a cheap id source (the backing
+    * document table) pass it here and skip that second codec pass.
     */
-  def phashClusters(media: DataFrame, maxHamming: Int = 8): DataFrame =
+  def phashClusters(
+      media: DataFrame,
+      maxHamming: Int = 8,
+      universeIds: Option[DataFrame] = None): DataFrame =
     Dedup.componentsFromPairs(
       phashPairs(media, maxHamming).select(col("a_id"), col("b_id")),
-      media.select(col("media_id").alias("doc_id")))
+      universeIds.getOrElse(media.select(col("media_id"))).toDF("doc_id"))
       .select(col("doc_id").alias("media_id"), col("cluster_id"))
 
   /** Image-gate thresholds (the LAION/DataComp-style screen): minimum
