@@ -456,12 +456,15 @@ object Profile {
       events: DataFrame,
       typeA: String = "view",
       typeB: String = "purchase"): DataFrame = {
-    val cells = events
+    // Materialized: the cell table feeds BOTH the totals and the running
+    // CDFs — without it Spark replays the corpus-scale aggregation per
+    // consumer (the DSIR triple-scan lesson; plan-asserted one scan).
+    val cells = Materialize(events
       .where(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
       .groupBy(col("value"))
       .agg(
         sum(when(col("event_type") === typeA, 1L).otherwise(0L)).alias("na"),
-        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).alias("nb"))
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).alias("nb")))
     val w = Window.orderBy(col("value"))
     val tot = cells.agg(
       sum(col("na")).alias("ta"), sum(col("nb")).alias("tb"),

@@ -438,6 +438,40 @@ class PlanEvidenceSpec extends SparkSpec {
       s"keywords must plan a per-doc group limit:\n$plan")
   }
 
+  test("new cell-table reports: ONE fact scan; windows run over bounded cells") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    // ks/wow/forecast: the running-CDF / lag windows must consume the
+    // AGGREGATED cell table — a window over raw events would funnel the
+    // fact table through sorts at 100 TB.
+    for (q <- Seq("stat_ks_test", "olap_wow", "ts_forecast_eval")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      // ≤ 1: a Materialize'd cell table (ks) ran its single corpus pass
+      // eagerly, so the final DAG shows zero file scans; what the assert
+      // forbids is a REPLAYED scan per consumer.
+      assert(scans <= 1, s"$q replays the events scan, saw $scans:\n$plan")
+      val lines = plan.linesIterator.toSeq
+      val winIdx = lines.indexWhere(l =>
+        l.contains("Window ") || l.trim.endsWith("Window"))
+      assert(winIdx >= 0, s"$q plans no Window:\n$plan")
+      // Below the window: the (aggregated or checkpointed) cell table,
+      // never the raw fact scan.
+      assert(!lines.drop(winIdx + 1).exists(_.contains("FileScan parquet")) ||
+        lines.drop(winIdx + 1).exists(_.contains("HashAggregate")),
+        s"$q window consumes the raw fact scan:\n$plan")
+    }
+  }
+
+  test("text_quality_report: one fused corpus scan feeds the verdict histogram") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("text_quality_report")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1,
+      s"quality report must not re-scan per signal, saw $scans:\n$plan")
+  }
+
   test("text_pmi_bigrams: top-k is TakeOrdered; unigrams computed once, not per consumer") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("text_pmi_bigrams")(spark, dir)
