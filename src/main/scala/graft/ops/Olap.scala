@@ -202,10 +202,12 @@ object Olap {
     */
   def benfordScreen(events: DataFrame): DataFrame = {
     val digit = substring(abs(col("value")).cast("string"), 1, 1).cast("int")
-    val counts = events
+    // Materialized: the 9-row digit table feeds both the total and the
+    // report — without it the corpus-scale count replays per consumer.
+    val counts = Materialize(events
       .where(col("value").isNotNull && abs(col("value")) >= 1)
       .groupBy(digit.alias("digit"))
-      .agg(count(lit(1)).alias("n"))
+      .agg(count(lit(1)).alias("n")))
     val total = counts.agg(sum(col("n")).alias("t"))
     counts.crossJoin(broadcast(total))
       .select(col("digit"), col("n"),

@@ -463,6 +463,16 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("stat_benford: the digit count runs once, not once per consumer") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("stat_benford")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 0, // materialized digit table: the single corpus
+      // pass ran eagerly; any FileScan here is a replay.
+      s"benford replays the events scan, saw $scans:\n$plan")
+  }
+
   test("text_quality_report: one fused corpus scan feeds the verdict histogram") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("text_quality_report")(spark, dir)
