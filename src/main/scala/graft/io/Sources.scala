@@ -58,6 +58,29 @@ object Sources {
     graft.ops.Parse.jsonToReadings(
       spark.read.text(path).withColumnRenamed("value", "json"), "json")
 
+  /** Batch CSV ingest with an EXPLICIT schema and PERMISSIVE corrupt-row
+    * capture — the data-lake landing-zone face of the parse chain (the
+    * third wire format next to parquet and JSONL). Schema inference is
+    * deliberately off: at 100 TB an inference pass is a full extra read,
+    * and a drifting inferred type silently rewrites downstream semantics;
+    * the explicit schema + `_corrupt_record` column makes bad rows
+    * VISIBLE (`WHERE _corrupt_record IS NOT NULL` is the quarantine
+    * query) instead of dropped or job-fatal.
+    */
+  def eventsFromCsv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING, " +
+          "_corrupt_record STRING"))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** Streaming replay of an archived readings directory (the parquet files
     * [[Sinks.parquetArchive]] writes): history flows through the exact same
     * downstream operators as live Kafka traffic. `maxFilesPerTrigger`

@@ -27,4 +27,23 @@ class BatchSourcesSpec extends SparkSpec {
     // PERMISSIVE: the malformed line lands as an all-null row, not a crash.
     assert(out.exists(_.getAs[String]("sensor_id") == null))
   }
+
+  test("eventsFromCsv: explicit schema, malformed rows quarantined not dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("events.csv")
+    java.nio.file.Files.writeString(f,
+      "event_id,ts,user_id,event_type,value,props\n" +
+        "1,2024-01-01 10:00:00,7,view,10.5,\"{}\"\n" +
+        "not_a_number,2024-01-01 10:00:01,7,click,1.0,\"{}\"\n" +
+        "3,2024-01-01 10:00:02,8,purchase,99.0,\"{}\"\n")
+    val out = Sources.eventsFromCsv(spark, dir.toString).collect()
+    assert(out.length === 3) // bad row kept, not silently dropped
+    val good = out.filter(_.isNullAt(out.head.fieldIndex("_corrupt_record")))
+    assert(good.length === 2)
+    assert(good.map(_.getAs[Long]("event_id")).toSet === Set(1L, 3L))
+    val bad = out.filter(!_.isNullAt(out.head.fieldIndex("_corrupt_record")))
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("_corrupt_record").startsWith("not_a_number"))
+    assert(bad.head.isNullAt(bad.head.fieldIndex("event_id")))
+  }
 }
