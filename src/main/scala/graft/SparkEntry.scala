@@ -1115,6 +1115,25 @@ object SparkEntry {
     // token spans (Dedup.substringSpans scaladoc has the shape).
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.substringSpans(StandIn.documents(s, d))),
+    // Span-dedup one-row report: spans / affected docs / duplicated-token
+    // share of the corpus (folds substringSpans + one token-count pass).
+    "dedup_span_report" -> ((s, d) => {
+      val docs = StandIn.documents(s, d)
+      val rep = Dedup.substringSpans(docs).agg(
+        count(lit(1)).alias("n_spans"),
+        countDistinct(col("doc_id")).alias("n_docs_affected"),
+        sum(col("span_tokens").cast("long")).alias("dup_tokens"))
+      val tot = docs
+        .select(size(Dedup.tokens(col("text"))).cast("long").alias("nt"))
+        .agg(sum(col("nt")).alias("n_corpus_tokens"))
+      rep.crossJoin(broadcast(tot)).select(
+        col("n_spans"), col("n_docs_affected"),
+        coalesce(col("dup_tokens"), lit(0L)).alias("dup_tokens"),
+        col("n_corpus_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_corpus_tokens"), lit(1L)), 6)
+          .alias("dup_token_share"))
+    }),
     // CCNet-style LINE-level dedup over a deterministic 10-token-per-line
     // re-wrap of the corpus (the fixture ships no newlines; the wrap is a
     // pure map-side projection both engines rebuild identically). Hashes
@@ -1623,6 +1642,11 @@ object SparkEntry {
     // one exact stat row per frame (Multimodal.GifCodec scaladoc).
     "mm_gif_frames"       -> ((s, d) =>
       Multimodal.decodeGifFrameStats(Multimodal.gifMedia(s, d))),
+    // Temporal motion over the real multi-frame decode: exact |dGray|
+    // across consecutive frames - the still-vs-motion video-gate signal
+    // (Multimodal.gifMotionStats).
+    "mm_gif_motion"       -> ((s, d) =>
+      Multimodal.gifMotionStats(Multimodal.gifMedia(s, d))),
     // Audio quality gate over the real decode: per-channel RMS/peak +
     // silence/clip shares from exact in-stage integer counters, pass
     // booleans at the documented thresholds (Multimodal.SilenceAmp etc.).
@@ -1844,6 +1868,46 @@ object SparkEntry {
          |       CAST(max(off) - min(off) + $L AS INT) AS span_tokens,
          |       count(*) AS n_shingles
          |FROM isl GROUP BY doc_id, grp""".stripMargin
+    },
+
+    // Span-report twin: the substring-span CTEs folded to one row plus
+    // a corpus token total.
+    "dedup_span_report" -> {
+      val L = Dedup.SubstringShingleLen
+      val shingle =
+        s"array_to_string(t[(CAST(i AS INT) + 1):(CAST(i AS INT) + $L)], ' ')"
+      s"""WITH $rawToksSql, sh0 AS (
+         |  SELECT doc_id,
+         |         unnest(range(0, greatest(len(t) - ${L - 1}, 0))) AS off,
+         |         unnest(list_transform(
+         |           range(0, greatest(len(t) - ${L - 1}, 0)),
+         |           i -> ${hashSql("'0:'", shingle)})) AS h
+         |  FROM toks
+         |), sh AS (SELECT doc_id, CAST(off AS INT) AS off, h FROM sh0),
+         |dup AS (
+         |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sh)
+         |  GROUP BY h HAVING count(*) > 1
+         |), isl AS (
+         |  SELECT doc_id, off,
+         |         off - row_number()
+         |           OVER (PARTITION BY doc_id ORDER BY off) AS grp
+         |  FROM sh JOIN dup USING (h)
+         |), sspans AS (
+         |  SELECT doc_id,
+         |         CAST(max(off) - min(off) + $L AS INT) AS span_tokens
+         |  FROM isl GROUP BY doc_id, grp
+         |), srep AS (
+         |  SELECT count(*) AS n_spans,
+         |         count(DISTINCT doc_id) AS n_docs_affected,
+         |         CAST(coalesce(sum(span_tokens), 0) AS BIGINT) AS dup_tokens
+         |  FROM sspans
+         |), stot AS (
+         |  SELECT CAST(sum(len(t)) AS BIGINT) AS n_corpus_tokens FROM toks
+         |)
+         |SELECT n_spans, n_docs_affected, dup_tokens, n_corpus_tokens,
+         |       round(dup_tokens / CAST(greatest(n_corpus_tokens, 1)
+         |             AS DOUBLE), 6) AS dup_token_share
+         |FROM srep, stot""".stripMargin
     },
 
     // Line-level dedup twin (Dedup.lineDedup over wrapTokenLines): the
@@ -4978,6 +5042,33 @@ object SparkEntry {
          |)
          |SELECT media_id, min(label) AS cluster_id
          |FROM preach GROUP BY media_id""".stripMargin,
+
+    // Motion twin: consecutive-frame |delta| re-derived from the gray
+    // formula over the (frame-pair, x, y) grid - lossless round-trip
+    // makes the match exact.
+    "mm_gif_motion" ->
+      """WITH md AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h,
+        |         2 + doc_id % 4 AS nf
+        |  FROM documents
+        |), mf AS (SELECT doc_id, w, h, nf,
+        |                 unnest(range(0, nf - 1)) AS f FROM md),
+        |mx AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x FROM mf),
+        |mp AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y
+        |       FROM mx),
+        |mv AS (
+        |  SELECT doc_id, nf,
+        |         abs(((doc_id * 31 + (f + 1) * 41 + x * 7 + y * 13) % 256)
+        |           - ((doc_id * 31 + f * 41 + x * 7 + y * 13) % 256)) AS dv
+        |  FROM mp
+        |)
+        |SELECT doc_id AS media_id, TRUE AS decoded,
+        |       CAST(max(nf) AS INT) AS n_frames,
+        |       CAST(sum(dv) AS BIGINT) AS delta_sum,
+        |       CAST(count(*) AS BIGINT) AS n_deltas,
+        |       round(CAST(sum(dv) AS DOUBLE)
+        |             / greatest(count(*), 1), 6) AS mean_abs_delta
+        |FROM mv GROUP BY doc_id""".stripMargin,
 
     // FixedSizeFrameSampler twin: byte windows sliced on the hex string
     // (2 chars/byte — DuckDB has no BLOB substring and a frame need not be

@@ -293,6 +293,49 @@ object Multimodal {
         "n_px", "gray_sum", "gray_min", "gray_max")
   }
 
+  /** TEMPORAL motion statistics over the real multi-frame decode: the
+    * exact per-pixel |Δgray| summed across consecutive frame pairs — the
+    * still-vs-motion signal a video-curation gate thresholds (static
+    * slideshows vs actual motion), computed at the same codec altitude as
+    * [[decodeGifFrameStats]]: frames die inside the stage, one integer
+    * row per clip leaves it. The indexed-gray round-trip is lossless, so
+    * the motion sums have a closed-form oracle over the (frame, x, y)
+    * formula grid; corrupt payloads emit a visible `decoded=false` row.
+    */
+  def gifMotionStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          GifCodec.decode(payload) match {
+            case Some(frames) if frames.length >= 2 =>
+              var delta = 0L
+              var pairs = 0L
+              frames.sliding(2).foreach {
+                case Seq((_, _, a), (_, _, b)) =>
+                  var k = 0
+                  while (k < a.length) {
+                    delta += math.abs(((b(k) >> 16) & 0xff) -
+                      ((a(k) >> 16) & 0xff))
+                    k += 1
+                  }
+                  pairs += a.length
+                case _ => ()
+              }
+              (id, true, frames.length, delta, pairs)
+            case Some(frames) => (id, true, frames.length, 0L, 0L)
+            case None => (id, false, 0, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_frames", "delta_sum", "n_deltas")
+      .withColumn("mean_abs_delta",
+        round(col("delta_sum").cast("double") /
+          greatest(col("n_deltas"), lit(1L)), 6))
+  }
+
   /** Synthetic animated-GIF media frame (one REAL multi-frame payload per
     * document id, encoded per partition; see [[GifCodec]]).
     */

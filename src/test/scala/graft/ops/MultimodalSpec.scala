@@ -470,4 +470,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(99L).getAs[Boolean]("ok_dims"))
     assert(!out(99L).getAs[Boolean]("pass"))
   }
+
+  test("gifMotionStats: hand-checked deltas; corrupt flagged not thrown") {
+    import spark.implicits._
+    val good = Multimodal.GifCodec.syntheticGif(3L)
+    val df = Seq((3L, good), (9L, "not a gif".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.gifMotionStats(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val r3 = out(3L)
+    assert(r3.getAs[Boolean]("decoded"))
+    val (w, h, nf) = (11, 8, 2 + 3 % 4) // widthOf/heightOf/framesOf(3)
+    assert(r3.getAs[Int]("n_frames") === nf)
+    assert(r3.getAs[Long]("n_deltas") === (nf - 1).toLong * w * h)
+    // Recompute the exact formula deltas.
+    var exp = 0L
+    for (f <- 0 until nf - 1; x <- 0 until w; y <- 0 until h)
+      exp += math.abs(
+        ((3L * 31 + (f + 1) * 41 + x * 7 + y * 13) % 256) -
+          ((3L * 31 + f * 41 + x * 7 + y * 13) % 256))
+    assert(r3.getAs[Long]("delta_sum") === exp)
+    assert(!out(9L).getAs[Boolean]("decoded"))
+    assert(out(9L).getAs[Long]("n_deltas") === 0L)
+  }
 }
