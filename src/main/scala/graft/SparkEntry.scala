@@ -1276,6 +1276,11 @@ object SparkEntry {
         col("doc_id") % 10 === 0, minShared = 3, dfCap = 20,
         MinhashK, MinhashBands, MinhashEstThreshold)),
     "corpus_pack"         -> ((s, d) => corpusPack(s, d)),
+    // Packing-efficiency headline: fill rate vs the budget + overflow
+    // share in ONE row (Curation.packEfficiency over the same layout).
+    "corpus_pack_efficiency" -> ((s, d) =>
+      Curation.packEfficiency(StandIn.documents(s, d),
+        PackBudget, PackBuckets)),
     "corpus_bpe_train"    -> ((s, d) =>
       Bpe.trainTable(s, StandIn.documents(s, d))),
     "corpus_bpe_train_dist" -> ((s, d) =>
@@ -2400,6 +2405,36 @@ object SparkEntry {
          |         / ${PackBudget.toDouble}) AS INT) AS pack_id,
          |       ws_tokens
          |FROM tc""".stripMargin,
+
+    // Pack-efficiency twin: the corpus_pack CTEs folded to one row.
+    "corpus_pack_efficiency" ->
+      s"""WITH $rawToksSql, tc AS (
+         |  SELECT d.doc_id, CAST(len(k.t) AS INT) AS ws_tokens,
+         |         CAST(${hashSql("'0:'", "CAST(d.doc_id AS VARCHAR)")}
+         |              % $PackBuckets AS INT) AS bucket
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), pk AS (
+         |  SELECT bucket,
+         |         CAST(floor((sum(ws_tokens) OVER
+         |           (PARTITION BY bucket ORDER BY doc_id) - ws_tokens)
+         |           / ${PackBudget.toDouble}) AS INT) AS pack_id,
+         |         ws_tokens
+         |  FROM tc
+         |), pt AS (
+         |  SELECT bucket, pack_id,
+         |         CAST(sum(ws_tokens) AS BIGINT) AS pack_tokens
+         |  FROM pk GROUP BY bucket, pack_id
+         |)
+         |SELECT count(*) AS n_packs,
+         |       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         |       round(sum(pack_tokens)
+         |             / CAST(greatest(count(*) * $PackBudget, 1) AS DOUBLE),
+         |             6) AS fill_rate,
+         |       round(sum(CASE WHEN pack_tokens > $PackBudget
+         |                      THEN 1 ELSE 0 END)
+         |             / CAST(greatest(count(*), 1) AS DOUBLE), 6)
+         |         AS overflow_share
+         |FROM pt""".stripMargin,
 
     // BPE training twin: the merge loop replayed in unrolled SQL (see
     // bpeTrainOracle) — every learned (rank, pair, count) must match.

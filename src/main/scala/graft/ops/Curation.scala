@@ -153,6 +153,33 @@ object Curation {
         col("ws_tokens"))
   }
 
+  /** Packing-efficiency report: ONE row over [[packSequences]]' layout —
+    * pack count, token fill rate against the budget, and the share of
+    * packs the cumulative-offset rule let overflow (a doc straddling the
+    * boundary lands in the pack where it STARTS) — the metric that turns
+    * into training throughput: fill rate IS the fraction of non-padding
+    * positions in a fixed-length batch.
+    */
+  def packEfficiency(
+      docs: DataFrame,
+      budget: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    val packs = packSequences(docs, budget, buckets)
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(sum(col("ws_tokens")).alias("pack_tokens"))
+    packs
+      .agg(
+        count(lit(1)).alias("n_packs"),
+        sum(col("pack_tokens")).alias("total_tokens"),
+        sum(when(col("pack_tokens") > budget, 1L).otherwise(0L))
+          .alias("n_overflow"))
+      .select(col("n_packs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") /
+          greatest(col("n_packs") * budget, lit(1L)), 6).alias("fill_rate"),
+        round(col("n_overflow").cast("double") /
+          greatest(col("n_packs"), lit(1L)), 6).alias("overflow_share"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * every RAG/pretraining pipeline runs on long documents: windows of
     * `chunkSize` tokens starting every `stride` tokens (overlap =
