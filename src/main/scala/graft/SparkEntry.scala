@@ -1556,6 +1556,11 @@ object SparkEntry {
     "corpus_length_histogram" -> ((s, d) =>
       Curation.lengthHistogram(StandIn.documents(s, d))),
     "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
+    // Two-classifier agreement matrix: function-word vs char-trigram
+    // language votes cross-tabulated (TextAnalysis.langAgreement) -
+    // disagreement cells are the escalate-to-a-real-model set.
+    "text_lang_agreement" -> ((s, d) =>
+      TextAnalysis.langAgreement(StandIn.documents(s, d))),
     "text_quality"        -> ((s, d) => textQuality(s, d)),
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(StandIn.documents(s, d))),
@@ -4588,6 +4593,61 @@ object SparkEntry {
          |       round(fr_tg, 6) AS fr_score,
          |       round(de_tg, 6) AS de_score
          |FROM best""".stripMargin
+    },
+
+    // Agreement-matrix twin: both classifiers' argmax CTEs joined and
+    // cross-tabulated.
+    "text_lang_agreement" -> {
+      def prof(lang: String): String =
+        TextAnalysis.TrigramProfiles.toMap.apply(lang)
+          .map(t => s"'${t}'").mkString("[", ", ", "]")
+      val tscores = TextAnalysis.TrigramProfiles.map { case (lang, _) =>
+        s"""len(list_filter(tg, t -> list_contains(${prof(lang)}, t)))
+           |  / CAST(greatest(len(tg), 1) AS DOUBLE) AS ${lang}_tg"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $rawToksSql, wsc AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), wbest AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM wsc
+         |), wl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS word_lang
+         |  FROM wbest
+         |), tgrams AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(lt) >= 3
+         |           THEN list_transform(range(1, length(lt) - 1),
+         |                i -> substr(lt, CAST(i AS INT), 3))
+         |           ELSE [] END AS tg
+         |  FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+         |), tsc AS (
+         |  SELECT doc_id,
+         |$tscores
+         |  FROM tgrams
+         |), tbest AS (
+         |  SELECT *, greatest(en_tg, fr_tg, de_tg) AS top FROM tsc
+         |), tl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_tg = top AND top > 0 THEN 'en'
+         |              WHEN fr_tg = top AND top > 0 THEN 'fr'
+         |              WHEN de_tg = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS trigram_lang
+         |  FROM tbest
+         |), acells AS (
+         |  SELECT word_lang, trigram_lang, count(*) AS n_docs
+         |  FROM wl JOIN tl USING (doc_id)
+         |  GROUP BY 1, 2
+         |), atot AS (SELECT sum(n_docs) AS t FROM acells)
+         |SELECT word_lang, trigram_lang, n_docs,
+         |       round(n_docs / CAST(greatest(t, 1) AS DOUBLE), 6) AS share,
+         |       (word_lang = trigram_lang) AS agree
+         |FROM acells, atot""".stripMargin
     },
 
     "text_quality" -> {

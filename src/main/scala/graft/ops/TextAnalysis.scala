@@ -598,6 +598,30 @@ object TextAnalysis {
       col("bpeish_tokens"))
   }
 
+  /** Classifier-AGREEMENT matrix between the two language identifiers:
+    * function-word [[langId]] vs character-trigram [[charNgramLangId]]
+    * votes cross-tabulated — the audit that finds where two cheap
+    * classifiers disagree (those docs are exactly where a production
+    * pipeline escalates to a real model). One scan per featurization
+    * (they read different views of the text), a doc_id join, then a
+    * languages²-bounded cell table with shares off the 1-row total.
+    */
+  def langAgreement(docs: DataFrame): DataFrame = {
+    val a = langId(docs)
+      .select(col("doc_id"), col("predicted_lang").alias("word_lang"))
+    val b = charNgramLangId(docs)
+      .select(col("doc_id"), col("predicted_lang").alias("trigram_lang"))
+    val cells = Materialize(a.join(b, "doc_id")
+      .groupBy(col("word_lang"), col("trigram_lang"))
+      .agg(count(lit(1)).alias("n_docs")))
+    val total = cells.agg(sum(col("n_docs")).alias("t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("word_lang"), col("trigram_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / greatest(col("t"), lit(1L)), 6)
+          .alias("share"),
+        (col("word_lang") === col("trigram_lang")).alias("agree"))
+  }
+
   /** Lexical diversity per document: type-token ratio (distinct words /
     * words) and Guiraud's root TTR (types / √tokens — the length-
     * normalized form, since raw TTR shrinks mechanically with length) —
