@@ -66,6 +66,12 @@ object Sources {
     * the explicit schema + `_corrupt_record` column makes bad rows
     * VISIBLE (`WHERE _corrupt_record IS NOT NULL` is the quarantine
     * query) instead of dropped or job-fatal.
+    *
+    * Spark restriction: a query whose required schema prunes to ONLY the
+    * internal corrupt-record column (e.g. `.select("_corrupt_record")`,
+    * or a filtered `.count()` after the quarantine predicate) raises
+    * AnalysisException — `cache()` the parsed frame first, or keep a data
+    * column in the projection alongside `_corrupt_record`.
     */
   def eventsFromCsv(
       spark: SparkSession,

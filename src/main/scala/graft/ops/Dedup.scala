@@ -649,7 +649,10 @@ object Dedup {
       bands: Int = 4,
       estThreshold: Double = 0.5,
       jaccardThreshold: Double = 0.3): DataFrame = {
-    val grams = shingleSets(docs)
+    // Materialized: grams feeds BOTH sides of the candidate attach joins
+    // below — unmaterialized, the shingling pass would replay twice at
+    // corpus scale (same hazard componentsFromPairs truncates per round).
+    val grams = Materialize(shingleSets(docs))
     val cands = minhashCandidates(docs, k, bands, estThreshold)
       .select(col("a_id"), col("b_id"))
     // Built-in array_intersect: hash-based and codegen'd, O(|A|+|B|) per
@@ -682,7 +685,10 @@ object Dedup {
       bands: Int = 4,
       estThreshold: Double = 0.5,
       jaccardThreshold: Double = 0.3): DataFrame = {
-    val grams = shingleSets(docs)
+    // Materialized: grams feeds BOTH sides of the candidate attach joins
+    // below — unmaterialized, the shingling pass would replay twice at
+    // corpus scale (same hazard componentsFromPairs truncates per round).
+    val grams = Materialize(shingleSets(docs))
     val cands = minhashCandidates(docs, k, bands, estThreshold)
       .select(col("a_id"), col("b_id"))
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))

@@ -201,11 +201,18 @@ object Olap {
     * honestly shows the deviation; the operator's job is measurement.)
     */
   def benfordScreen(events: DataFrame): DataFrame = {
-    val digit = substring(abs(col("value")).cast("string"), 1, 1).cast("int")
+    // Digit derived ARITHMETICALLY (value / 10^floor(log10 value)), not
+    // from the engine's double→string rendering: the string form only
+    // agreed across engines by accident of their formatters and breaks
+    // on non-finite values. Non-finite inputs are filtered, not clamped
+    // (abs(x) <= MaxValue is false for ±Inf; isnan catches NaN).
+    val av = abs(col("value"))
+    val digit = floor(av / pow(lit(10.0), floor(log10(av)))).cast("int")
     // Materialized: the 9-row digit table feeds both the total and the
     // report — without it the corpus-scale count replays per consumer.
     val counts = Materialize(events
-      .where(col("value").isNotNull && abs(col("value")) >= 1)
+      .where(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) <= Double.MaxValue && abs(col("value")) >= 1)
       .groupBy(digit.alias("digit"))
       .agg(count(lit(1)).alias("n")))
     val total = counts.agg(sum(col("n")).alias("t"))

@@ -935,7 +935,10 @@ object Similarity {
       bits: Int = 6,
       threshold: Double = 0.25,
       minNeighbors: Int = 2): DataFrame = {
-    val pairs = cosineNearDup(embeddings, bits, threshold)
+    // Materialized: the a_id/b_id branches of the union would otherwise
+    // each replay the whole SRP bucket-join lineage (the exact
+    // double-evaluation componentsFromPairs truncates per round).
+    val pairs = Materialize(cosineNearDup(embeddings, bits, threshold))
     val degrees = pairs.select(col("a_id").alias("vec_id"))
       .unionAll(pairs.select(col("b_id").alias("vec_id")))
       .groupBy(col("vec_id"))
