@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.harness.StandIn
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis, TextRules}
+import graft.queries.QueryShared._
+
+/** Similarity/ANN family: brute-force, SRP-LSH, IVF(+trained), PQ/IVFPQ, random projection, kNN eval, density outliers, and the recall-floor audits.
+  *
+  * Registry contract: [[queries]] and [[oracleSql]] fold into
+  * [[graft.SparkEntry]]; keys must stay globally unique across the
+  * Queries* objects (asserted in QueryRegistrySpec).
+  */
+object QueriesSim {
+
+  private val TopK = 5
+
+  private val NearDupCosine = 0.25
+
+  private def simBruteTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(StandIn.embeddings(s, dir), TopK)
+
+  private def simLshTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(StandIn.embeddings(s, dir), SrpBits, TopK)
+
+  private def simCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(StandIn.embeddings(s, dir), SrpBits, NearDupCosine)
+
+  private def simIvfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(StandIn.embeddings(s, dir), IvfCells, TopK)
+
+  private def simIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIvfTopK(StandIn.embeddings(s, dir), IvfCells,
+      iters = 3, k = TopK, nprobe = 2)
+
+  // Recall@k of the trained-IVF result vs the exact brute force, as one
+  // deterministic (hits, expected, recall) row over ONE shared prepared
+  // frame. Both sides are deterministic, so the driver's rows-only check
+  // pins the row COUNT and SimilaritySpec pins the recall floor; a
+  // quantizer regression flips the unit test red instead of hiding behind
+  // a rows-only count.
+
+  // Recall@k of the trained-IVF result vs the exact brute force, as one
+  // deterministic (hits, expected, recall) row over ONE shared prepared
+  // frame. Both sides are deterministic, so the driver's rows-only check
+  // pins the row COUNT and SimilaritySpec pins the recall floor; a
+  // quantizer regression flips the unit test red instead of hiding behind
+  // a rows-only count.
+  private def simIvfRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallReport(StandIn.embeddings(s, dir),
+      IvfCells, iters = 3, k = TopK, nprobe = 2)
+
+  // The synthetic embeddings are near-uniform, where IVF recall is
+  // structurally bounded near nprobe/cells (trained cells add a margin on
+  // top): measured 0.48 at nprobe=2/cells=8, deterministically. 0.4 is a
+  // regression floor, not a quality claim — SimilaritySpec holds the 0.8
+  // floor on clustered data, the regime IVF exists for.
+
+  // The synthetic embeddings are near-uniform, where IVF recall is
+  // structurally bounded near nprobe/cells (trained cells add a margin on
+  // top): measured 0.48 at nprobe=2/cells=8, deterministically. 0.4 is a
+  // regression floor, not a quality claim — SimilaritySpec holds the 0.8
+  // floor on clustered data, the regime IVF exists for.
+  private val RecallFloor = 0.4
+
+  // Oracle-checked face of the recall report: (expected, floor_met) —
+  // expected derives from the oracle's own query-draw CTE, floor_met is
+  // pinned TRUE. A quantizer recall regression fails a hash-checked row.
+
+  // Oracle-checked face of the recall report: (expected, floor_met) —
+  // expected derives from the oracle's own query-draw CTE, floor_met is
+  // pinned TRUE. A quantizer recall regression fails a hash-checked row.
+  private def simIvfRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallAudit(StandIn.embeddings(s, dir),
+      IvfCells, iters = 3, k = TopK, nprobe = 2, floor = RecallFloor)
+
+  // PQ/IVFPQ regression floors, same posture as RecallFloor: measured
+  // 0.53 / 0.40 at the sf0.01 verify point (deterministic — driver-side
+  // training on the fixed hash draw), floored with ~25% margin. These are
+  // canaries against quantizer breakage (a broken encoder lands near
+  // k/N ≈ 0.01), not quality claims — the clustered-data unit tests hold
+  // the 0.8 quality floor in the regime PQ exists for.
+
+  // PQ/IVFPQ regression floors, same posture as RecallFloor: measured
+  // 0.53 / 0.40 at the sf0.01 verify point (deterministic — driver-side
+  // training on the fixed hash draw), floored with ~25% margin. These are
+  // canaries against quantizer breakage (a broken encoder lands near
+  // k/N ≈ 0.01), not quality claims — the clustered-data unit tests hold
+  // the 0.8 quality floor in the regime PQ exists for.
+  private def simPqRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAudit(
+      Similarity.pqRecallReport(StandIn.embeddings(s, dir), k = TopK),
+      floor = 0.4)
+
+  private def simIvfPqRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAudit(
+      Similarity.ivfPqRecallReport(StandIn.embeddings(s, dir),
+        cells = IvfCells, k = TopK, nprobe = 2),
+      floor = 0.3)
+
+  private def simQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeStats(StandIn.embeddings(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cos_histogram"   -> ((s, d) =>
+      Similarity.cosineHistogram(StandIn.embeddings(s, d), SrpBits)),
+
+    "sim_brute_topk"      -> ((s, d) => simBruteTopK(s, d)),
+
+    "sim_lsh_topk"        -> ((s, d) => simLshTopK(s, d)),
+
+    "sim_cosine_neardup"  -> ((s, d) => simCosineNearDup(s, d)),
+
+    // Clusters run at a STRICTER threshold than the pairs query: 0.25 is
+    // ~2σ of random cosine at dim 64, so on near-orthogonal synthetic
+    // embeddings it admits the random tail and welds one sprawling
+    // component whose diameter the CC loop then pays for round by round.
+    // 0.4 (3σ+) keeps only strong-similarity edges — the semantics a
+    // dedup cluster means, and an O(1)-diameter graph.
+    "sim_neardup_clusters" -> ((s, d) =>
+      Similarity.cosineNearDupClusters(
+        StandIn.embeddings(s, d), SrpBits, NearDupClusterCosine)),
+
+    "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
+
+    // K-means training is an imperative iterative fit with no practical
+    // SQL twin; the driver records a rows-only check and SimilaritySpec
+    // bounds recall vs the exact brute force.
+    "sim_ivf_kmeans"      -> ((s, d) => simIvfKmeans(s, d)),
+
+    // Trained-quantizer recall vs brute force — rows-only (the IVF side
+    // has no SQL twin) but 1-row deterministic; SimilaritySpec bounds it.
+    "sim_ivf_recall"      -> ((s, d) => simIvfRecall(s, d)),
+
+    "sim_ivf_recall_audit" -> ((s, d) => simIvfRecallAudit(s, d)),
+
+    "sim_pq_recall_audit" -> ((s, d) => simPqRecallAudit(s, d)),
+
+    "sim_ivfpq_recall_audit" -> ((s, d) => simIvfPqRecallAudit(s, d)),
+
+    // PQ training is the same imperative fit — rows-only check;
+    // SimilaritySpec bounds ADC recall against the exact baseline.
+    "sim_pq_topk"         -> ((s, d) =>
+      Similarity.pqTopK(StandIn.embeddings(s, d), k = TopK)),
+
+    // IVFPQ (coarse cells + residual PQ, the FAISS IVFADC shape) — same
+    // imperative-training caveat → rows-only + recall-bounded unit test.
+    "sim_ivfpq"           -> ((s, d) =>
+      Similarity.ivfPqTopK(StandIn.embeddings(s, d), IvfCells, k = TopK)),
+
+    "sim_quantize"        -> ((s, d) => simQuantize(s, d)),
+
+    // Johnson–Lindenstrauss random projection to 16 dims (Rademacher
+    // planes, the SRP machinery reused): per-vector components + the
+    // ‖y‖²/‖x‖² distortion report (Similarity.randomProjection).
+    "sim_rp_project"      -> ((s, d) =>
+      Similarity.randomProjection(StandIn.embeddings(s, d))),
+
+    // RP-space vs full-space recall report (rows-only by design — the
+    // recall value is engine-measured; the audit twin hash-checks its
+    // floor): Similarity.rpRecallReport.
+    "sim_rp_recall"       -> ((s, d) =>
+      Similarity.rpRecallReport(StandIn.embeddings(s, d))),
+
+    // Collapse-guard recall contract (floor 6× the random baseline —
+    // see Similarity.RpRecallFloor scaladoc for the honest reading) +
+    // the ACTUAL JL guarantee: pairwise-cosine distortion over the
+    // constant draw, bounds hash-checked (Similarity.rpCosineAudit).
+    "sim_rp_recall_audit" -> ((s, d) =>
+      Similarity.rpRecallAudit(StandIn.embeddings(s, d))),
+
+    // Density outlier screen over the SRP near-dup graph: vectors with
+    // < 2 bucket-mates at the near-dup cosine (Similarity.densityOutliers).
+    "sim_density_outliers" -> ((s, d) =>
+      Similarity.densityOutliers(StandIn.embeddings(s, d),
+        SrpBits, NearDupCosine)),
+
+    "sim_rp_cosine"       -> ((s, d) =>
+      Similarity.rpCosineReport(StandIn.embeddings(s, d))),
+
+    "sim_rp_cosine_audit" -> ((s, d) =>
+      Similarity.rpCosineAudit(StandIn.embeddings(s, d))),
+
+    // k-NN label-agreement eval over the exact top-k: majority-vote
+    // predictions vs true labels per drawn query — the embedding-quality
+    // probe (Similarity.knnLabelEval).
+    "sim_knn_label_eval"  -> ((s, d) =>
+      Similarity.knnLabelEval(StandIn.embeddings(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Embedding-space twin (Similarity.cosineHistogram): 0.1-wide integer
+    // bins of the bit-identical rounded cosine over bucket-sharing pairs.
+    "sim_cos_histogram" ->
+      s"""WITH $prepSql, $bucketsSimSql
+         |SELECT CAST(floor(${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |         * 10) AS INT) AS cos_bin,
+         |       count(*) AS n_pairs
+         |FROM bsim a
+         |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    "sim_brute_topk" ->
+      s"""WITH $prepSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM prepn p, queries q WHERE p.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM pairs)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    // k-NN label-eval twin (Similarity.knnLabelEval): the brute-force
+    // pairs CTE + the same (votes desc, label asc) majority tie-break.
+    "sim_knn_label_eval" ->
+      s"""WITH $prepSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM prepn p, queries q WHERE p.vec_id <> q.q_id
+         |), topk AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM pairs)
+         |  WHERE rank <= $TopK
+         |), votes AS (
+         |  SELECT t.q_id, e.label AS n_label, count(*) AS votes
+         |  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+         |  GROUP BY t.q_id, e.label
+         |), pred AS (
+         |  SELECT q_id, n_label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY votes DESC, n_label) AS rnk
+         |    FROM votes)
+         |  WHERE rnk = 1
+         |)
+         |SELECT p.q_id, e.label AS true_label, p.pred_label,
+         |       CAST(p.votes AS INT) AS n_votes,
+         |       (p.pred_label = e.label) AS correct
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin,
+
+    // Trained-IVF recall audit (Similarity.ivfRecallAudit): expected is
+    // queries × k from the oracle's own draw CTE; floor_met pinned TRUE
+    // (training is deterministic — driver Lloyd over the fixed hash draw).
+    "sim_ivf_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    "sim_pq_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    "sim_rp_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    // JL distortion contract: the oracle derives the pair count from its
+    // own draw CTE and pins both error bounds TRUE.
+    "sim_rp_cosine_audit" ->
+      s"""WITH $prepSql, qc AS (SELECT count(*) AS c FROM queries)
+         |SELECT CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs,
+         |       TRUE AS mean_ok, TRUE AS max_ok
+         |FROM qc""".stripMargin,
+
+    "sim_ivfpq_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    // JL random-projection twin (Similarity.randomProjection): the same
+    // seed-13 Rademacher planes interpolated as literals, the same fold
+    // order, the ratio recomputed from the ROUNDED components.
+    "sim_rp_project" -> {
+      val k = Similarity.RpDims
+      val scale = math.sqrt(k.toDouble)
+      val ys = Similarity.planes(k, seed = Similarity.RpSeed).zipWithIndex
+        .map { case (p, i) =>
+          s"round(${dotSql("vec", planeLiteral(p))} / $scale, 6) AS y$i"
+        }.mkString(",\n       ")
+      val yn2 = (0 until k).map(i => s"y$i * y$i").mkString(" + ")
+      s"""WITH rp AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), ry AS (
+         |  SELECT vec_id,
+         |       $ys,
+         |       ${dotSql("vec", "vec")} AS xn2
+         |  FROM rp
+         |), rr AS (
+         |  SELECT * EXCLUDE (xn2),
+         |         round(CASE WHEN xn2 > 0 THEN ($yn2) / xn2 END, 6)
+         |           AS norm_ratio
+         |  FROM ry
+         |)
+         |SELECT *,
+         |       (norm_ratio IS NOT NULL
+         |        AND norm_ratio >= ${Similarity.RpRatioMin}
+         |        AND norm_ratio <= ${Similarity.RpRatioMax}) AS ok_distortion
+         |FROM rr""".stripMargin
+    },
+
+    "sim_lsh_topk" ->
+      s"""WITH $prepSql, $bucketsSimSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM bsim p
+         |  JOIN (SELECT b.bucket, b.vec_id AS q_id, b.vec AS q_vec,
+         |               b.norm AS q_norm
+         |        FROM bsim b
+         |        WHERE b.vec_id IN (SELECT q_id FROM queries)) q
+         |    ON p.bucket = q.bucket AND p.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM pairs)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $prepSql, $ivfCellsSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM ivf p
+         |  JOIN (SELECT b.cell, b.vec_id AS q_id, b.vec AS q_vec,
+         |               b.norm AS q_norm
+         |        FROM ivf b
+         |        WHERE b.vec_id IN (SELECT q_id FROM queries)) q
+         |    ON p.cell = q.cell AND p.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM pairs)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    // Int8 quantization loss audit (Similarity.quantizeStats): same
+    // symmetric scale, round-half-away-from-zero on both engines, and the
+    // mean is the same left fold (list_reduce with a prepended 0).
+    "sim_quantize" ->
+      s"""WITH prep AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), scaled AS (
+         |  SELECT vec_id, vec,
+         |         greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0,
+         |                  1e-12) AS scale
+         |  FROM prep
+         |), errs AS (
+         |  SELECT vec_id, scale, len(vec) AS n,
+         |         list_transform(vec,
+         |           x -> abs(round(x / scale, 0) * scale - x)) AS e
+         |  FROM scaled
+         |)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |       round(list_max(e), 6) AS max_abs_err,
+         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), e),
+         |             (a, x) -> a + x) / greatest(n, 1), 6) AS mean_abs_err
+         |FROM errs""".stripMargin,
+
+    // Density-outlier twin (Similarity.densityOutliers): the
+    // sim_cosine_neardup pair CTEs folded to per-vector degrees.
+    "sim_density_outliers" ->
+      s"""WITH $prepSql, $bucketsSimSql, dpairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bsim a
+         |  JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |        >= $NearDupCosine
+         |), ddeg AS (
+         |  SELECT vec_id, count(*) AS n_neighbors FROM (
+         |    SELECT a_id AS vec_id FROM dpairs
+         |    UNION ALL SELECT b_id FROM dpairs)
+         |  GROUP BY vec_id
+         |)
+         |SELECT e.vec_id,
+         |       coalesce(d.n_neighbors, 0) AS n_neighbors,
+         |       coalesce(d.n_neighbors, 0) < 2 AS is_outlier
+         |FROM embeddings e LEFT JOIN ddeg d ON d.vec_id = e.vec_id""".stripMargin,
+
+    "sim_cosine_neardup" ->
+      s"""WITH $prepSql, $bucketsSimSql
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} AS cos_sim
+         |FROM bsim a
+         |JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")} >= $NearDupCosine"""
+        .stripMargin,
+
+    // Embedding-space CC twin (Similarity.cosineNearDupClusters): the
+    // cosine pair set above fed through the same recursive-CTE components
+    // shape as dedup_clusters — an independent algorithm from the engine's
+    // label-propagation loop.
+    "sim_neardup_clusters" ->
+      s"""WITH RECURSIVE $prepSql, $bucketsSimSql, cpairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bsim a
+         |  JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.vec", "a.norm", "b.vec", "b.norm")}
+         |          >= $NearDupClusterCosine
+         |), cedges AS (
+         |  SELECT a_id, b_id FROM cpairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM cpairs
+         |), creach(vec_id, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.a_id, r.label FROM cedges e JOIN creach r
+         |    ON r.vec_id = e.b_id
+         |)
+         |SELECT vec_id, min(label) AS cluster_id
+         |FROM creach GROUP BY vec_id""".stripMargin,
+  )
+}

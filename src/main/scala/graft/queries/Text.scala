@@ -1,0 +1,1027 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.harness.StandIn
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis, TextRules}
+import graft.queries.QueryShared._
+
+/** Text-analysis family: language id, quality scoring/gating/training, tf-idf, BPE encode faces, published rule-sets, term statistics and sketches.
+  *
+  * Registry contract: [[queries]] and [[oracleSql]] fold into
+  * [[graft.SparkEntry]]; keys must stay globally unique across the
+  * Queries* objects (asserted in QueryRegistrySpec).
+  */
+object QueriesText {
+
+  private def textTfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdf(StandIn.documents(s, dir))
+
+  private def textTermStatsSketch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termStatsSketch(StandIn.documents(s, dir))
+
+  // Decontamination parameters shared with the oracle twin: benchmark =
+  // every 10th doc, rare = gram df ≤ 20 (the synthetic corpus has a small
+  // shared vocabulary — median gram df is 28 — so "rare" sits below that),
+  // flag at ≥ 3 shared grams.
+
+  private def textRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(StandIn.documents(s, dir))
+
+  // Approx-quantile sketch variant of qualityPercentiles — the
+  // extreme-cardinality path. Engine-specific sketch (Greenwald-Khanna in
+  // Spark), so no DuckDB twin; rows-only driver check + an error-bound
+  // unit test vs the exact percentiles (ProfileSpec).
+  private def textQualityPercentilesApprox(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPercentilesApprox(StandIn.documents(s, dir), QualityPs)
+
+  private val QualityPs = Seq(0.5, 0.9, 0.99)
+
+  // Smoothing factor shared by the EWMA query and its oracle fold.
+
+  private def textQualityPercentiles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPercentiles(StandIn.documents(s, dir), QualityPs)
+
+  // Packing parameters shared with the oracle twin.
+
+  /** Trained-table encode twin: the training chain's learned pairs land in
+    * ONE `bests` row (a1..b${Bpe.NumMerges}); every document cross-joins
+    * that row and the replace chain references its columns from inside the
+    * per-word lambda — training AND encoding replayed in one statement. */
+  private val bpeTrainedTokensOracle = {
+    val bests = (1 to Bpe.NumMerges).map { r =>
+      s"(SELECT a FROM best$r) AS a$r, (SELECT b FROM best$r) AS b$r"
+    }.mkString(", bests AS MATERIALIZED (SELECT ", ",\n  ", ")")
+    val rep = (1 to Bpe.NumMerges).foldLeft(bpeSpacedSql("w")) { (acc, r) =>
+      s"replace($acc, ' ' || a$r || ' ' || b$r || ' ', ' ' || a$r || b$r || ' ')"
+    }
+    s"""$bpeTrainChainSql$bests
+       |SELECT doc_id,
+       |  CAST(list_reduce(list_prepend(0, list_transform($bpeWordsSql,
+       |    w -> len(string_split(trim($rep), ' ')))),
+       |    (x, y) -> x + y) AS INT) AS bpe_tokens
+       |FROM documents CROSS JOIN bests""".stripMargin
+  }
+
+  // Chunking parameters shared with the oracle twin.
+
+  private def textTermStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termStats(StandIn.documents(s, dir))
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(StandIn.documents(s, dir))
+
+  private def textLangIdNgram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charNgramLangId(StandIn.documents(s, dir))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(StandIn.documents(s, dir))
+
+  private def textQualityGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityGate(StandIn.documents(s, dir))
+
+  private def textTokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(StandIn.documents(s, dir))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(StandIn.documents(s, dir))
+
+  // Frame-sampler parameters shared by the query and its oracle twin.
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
+
+    // Keyword extraction: top-3 TF-IDF terms per doc, WindowGroupLimit
+    // per-doc k-heap (TextAnalysis.keywords).
+    "text_keywords"       -> ((s, d) =>
+      TextAnalysis.keywords(StandIn.documents(s, d))),
+
+    // HLL++ sketch — engine-specific, so no DuckDB twin exists; the driver
+    // records a rows-only check (TextAnalysisSpec bounds the error vs the
+    // exact termStats).
+    "text_term_stats_sketch" -> ((s, d) => textTermStatsSketch(s, d)),
+
+    "text_bpe_symbols"    -> ((s, d) =>
+      Bpe.encodeSymbols(StandIn.documents(s, d))),
+
+    "text_bpe_tokens"     -> ((s, d) =>
+      Bpe.tokenCounts(StandIn.documents(s, d))),
+
+    "text_bpe_tokens_trained" -> ((s, d) =>
+      Bpe.tokenCountsTrained(s, StandIn.documents(s, d))),
+
+    "text_quality_train"  -> ((s, d) =>
+      graft.ops.QualityModel.weightsTable(s, StandIn.documents(s, d))),
+
+    "text_quality_train_scores" -> ((s, d) =>
+      graft.ops.QualityModel.trainedScores(StandIn.documents(s, d))),
+
+    // Precision/recall/F1 vs the rule-gate teacher across a 9-point
+    // threshold sweep — the trained model's shipping evidence.
+    "text_quality_eval"   -> ((s, d) =>
+      graft.ops.QualityModel.evalCard(StandIn.documents(s, d))),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc mean log-ratio of
+    // target vs raw hashed-gram distributions, target = the quality-gated
+    // subset (Curation.dsirWeights scaladoc has the scale shape)...
+    "text_dsir_weights"   -> ((s, d) =>
+      Curation.dsirWeights(StandIn.documents(s, d))),
+
+    "text_redact"         -> ((s, d) => textRedact(s, d)),
+
+    // Count-Min point estimates — deterministic (pure counter sums) but
+    // not SQL-expressible → rows-only; the audit twin is the
+    // oracle-checked bounded-error contract.
+    "text_term_cms"       -> ((s, d) =>
+      TextAnalysis.termCountsCms(StandIn.documents(s, d))),
+
+    "text_term_cms_audit" -> ((s, d) =>
+      TextAnalysis.termCountsCmsAudit(StandIn.documents(s, d))),
+
+    "text_quality_percentiles" -> ((s, d) => textQualityPercentiles(s, d)),
+
+    "text_quality_percentiles_audit" -> ((s, d) =>
+      TextAnalysis.qualityPercentilesAudit(StandIn.documents(s, d), QualityPs)),
+
+    // Lexical diversity: TTR + Guiraud root TTR, zero-shuffle projection
+    // (TextAnalysis.typeTokenRatio).
+    "text_ttr"            -> ((s, d) =>
+      TextAnalysis.typeTokenRatio(StandIn.documents(s, d))),
+
+    "text_normalize"      -> ((s, d) =>
+      TextAnalysis.normalize(StandIn.documents(s, d))),
+
+    // Misra-Gries heavy hitters — counts are merge-order-dependent lower
+    // bounds (no SQL twin); rows-only (count stabilized by the 4k-capacity
+    // sketch + top-k truncation) + bound-pinning unit tests in
+    // MisraGriesSpec. text_heavy_terms_exact is the oracle-checked twin.
+    "text_heavy_terms"    -> ((s, d) =>
+      TextAnalysis.heavyTerms(StandIn.documents(s, d))),
+
+    "text_heavy_terms_exact" -> ((s, d) =>
+      TextAnalysis.heavyTermsExact(StandIn.documents(s, d))),
+
+    "text_repetition"     -> ((s, d) =>
+      TextAnalysis.repetition(StandIn.documents(s, d))),
+
+    "text_quality_percentiles_approx" ->
+      ((s, d) => textQualityPercentilesApprox(s, d)),
+
+    "text_term_stats"     -> ((s, d) => textTermStats(s, d)),
+
+    "text_term_stats_audit" -> ((s, d) =>
+      TextAnalysis.termStatsAudit(StandIn.documents(s, d))),
+
+    "text_langid"         -> ((s, d) => textLangId(s, d)),
+
+    // Tokenizer fertility per language: subwords/word + chars/subword off
+    // ONE scan (TextAnalysis.fertilityByLang).
+    "text_fertility"      -> ((s, d) =>
+      TextAnalysis.fertilityByLang(StandIn.documents(s, d))),
+
+    // Zipf rank-frequency fit: corpus-health slope/intercept/R² over the
+    // top-1000 terms (TextAnalysis.zipfFit).
+    "text_zipf_fit"       -> ((s, d) =>
+      TextAnalysis.zipfFit(StandIn.documents(s, d))),
+
+    "text_langid_ngram"   -> ((s, d) => textLangIdNgram(s, d)),
+
+    // Two-classifier agreement matrix: function-word vs char-trigram
+    // language votes cross-tabulated (TextAnalysis.langAgreement) -
+    // disagreement cells are the escalate-to-a-real-model set.
+    "text_lang_agreement" -> ((s, d) =>
+      TextAnalysis.langAgreement(StandIn.documents(s, d))),
+
+    "text_quality"        -> ((s, d) => textQuality(s, d)),
+
+    "text_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(StandIn.documents(s, d))),
+
+    "text_quality_gate"   -> ((s, d) => textQualityGate(s, d)),
+
+    // Rejection-reason histogram per predicted language: one fused scan,
+    // languages-by-verdicts cell table (TextAnalysis.qualityReport).
+    "text_quality_report" -> ((s, d) =>
+      TextAnalysis.qualityReport(StandIn.documents(s, d))),
+
+    // Bigram-LM fluency (the KenLM-filter shape, add-one smoothed so the
+    // arithmetic has an exact SQL twin — TextAnalysis.bigramLogProb).
+    "text_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(StandIn.documents(s, d))),
+
+    // fastText-style hashed-gram linear scorer (fixed weight table) —
+    // one whole-stage-codegen map, no shuffle (TextAnalysis.qualityScore).
+    "text_quality_score"  -> ((s, d) =>
+      TextAnalysis.qualityScore(StandIn.documents(s, d))),
+
+    // Gopher rule report (Rae et al. 2021 Table A1): every thresholded
+    // metric + verdicts in ONE codegen'd projection (TextRules.gopherReport).
+    "text_gopher_rules"   -> ((s, d) =>
+      TextRules.gopherReport(StandIn.documents(s, d))),
+
+    // C4 cleanup (Raffel et al. 2020 §2.2) over the wrapped-line view
+    // (the fixture corpus ships no newlines — same adapter as dedup_lines);
+    // strict + relaxed line regimes from one projection.
+    "text_c4_filters"     -> ((s, d) =>
+      TextRules.c4Filters(Dedup.wrapTokenLines(StandIn.documents(s, d)))),
+
+    // PMI collocations (Church & Hanks 1990): corpus top-k adjacent pairs
+    // by pointwise mutual information — pair counts + two Zipf-bounded
+    // unigram joins + distributed TakeOrdered (TextRules.pmiBigrams).
+    "text_pmi_bigrams"    -> ((s, d) =>
+      TextRules.pmiBigrams(StandIn.documents(s, d))),
+
+    // Character-class Shannon entropy per doc: fixed 38-symbol alphabet +
+    // "other" bucket, zero-shuffle projection (TextRules.charEntropy).
+    "text_char_entropy"   -> ((s, d) =>
+      TextRules.charEntropy(StandIn.documents(s, d))),
+
+    "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
+
+    "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Quality-report twin (TextAnalysis.qualityReport): gate + language
+    // CTE fragments shared with text_quality_gate / corpus_curate.
+    "text_quality_report" ->
+      s"""WITH $rawToksSql, $gateSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), lg AS (
+         |  SELECT b.doc_id,
+         |         CASE WHEN b.en_score = b.top AND b.top > 0 THEN 'en'
+         |              WHEN b.fr_score = b.top AND b.top > 0 THEN 'fr'
+         |              WHEN b.de_score = b.top AND b.top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best b
+         |), qcells AS (
+         |  SELECT lg.predicted_lang,
+         |         coalesce(g.reject_reason, 'passed') AS verdict,
+         |         count(*) AS n_docs,
+         |         CAST(sum(len(k.t)) AS BIGINT) AS n_tokens
+         |  FROM lg
+         |  JOIN gated g ON g.doc_id = lg.doc_id
+         |  JOIN toks k ON k.doc_id = lg.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT predicted_lang, verdict, n_docs, n_tokens,
+         |       round(n_docs / CAST(sum(n_docs) OVER (
+         |         PARTITION BY predicted_lang) AS DOUBLE), 6) AS lang_share
+         |FROM qcells""".stripMargin,
+
+    // Fixed-table encode twin: per word, chars → spaced string → the
+    // FixedMerges replace chain; symbols re-joined in document order.
+    "text_bpe_symbols" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform($bpeWordsSql,
+         |    w -> $bpeWordSymsSql), ' ') AS bpe_symbols
+         |FROM documents""".stripMargin,
+
+    // Count-only face of the same encode (BpeCount kernel).
+    "text_bpe_tokens" ->
+      s"SELECT doc_id, $bpeTokensSql AS bpe_tokens\nFROM documents",
+
+    // Train→encode twin: learned pairs + per-word replace chain in one
+    // statement (see bpeTrainedTokensOracle).
+    "text_bpe_tokens_trained" -> bpeTrainedTokensOracle,
+
+    // Trained-classifier twin: the full rounded-GD optimization unrolled
+    // (see qmTrainChainSql) — every learned weight must match bit-for-bit.
+    "text_quality_train" -> {
+      val sel = graft.ops.QualityModel.FeatureNames.zipWithIndex.map {
+        case (n, j) =>
+          if (j == 0) s"SELECT '$n' AS feature, w$j AS weight FROM ws${graft.ops.QualityModel.Steps}"
+          else s"SELECT '$n', w$j FROM ws${graft.ops.QualityModel.Steps}"
+      }.mkString("\nUNION ALL\n")
+      s"$qmTrainChainSql\n$sel"
+    },
+
+    // Train→score end to end: the optimization chain + one scoring pass
+    // under the learned weights, in a single statement.
+    "text_quality_train_scores" -> {
+      val d = graft.ops.QualityModel.Dim
+      val dot = (0 until d).map(j => s"w$j*x$j").mkString(" + ")
+      s"""$qmTrainChainSql
+         |SELECT doc_id, score, score >= 0.5 AS predicted FROM (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-($dot))), 6) AS score
+         |  FROM qf, ws${graft.ops.QualityModel.Steps}
+         |)""".stripMargin
+    },
+
+    // Eval-card twin: the SAME train chain + scoring pass, fanned ×9
+    // against the threshold list into confusion counts and null-safe
+    // precision/recall/F1 (nullif denominators, direct-form F1).
+    "text_quality_eval" -> {
+      val d = graft.ops.QualityModel.Dim
+      val dot = (0 until d).map(j => s"w$j*x$j").mkString(" + ")
+      s"""$qmTrainChainSql, qscored AS (
+         |  SELECT doc_id, y,
+         |         round(1.0 / (1.0 + exp(-($dot))), 6) AS score
+         |  FROM qf, ws${graft.ops.QualityModel.Steps}
+         |), qth AS (
+         |  SELECT CAST(x AS DOUBLE) / CAST(10.0 AS DOUBLE) AS threshold
+         |  FROM (SELECT unnest(range(1, 10)) AS x)
+         |), qconf AS (
+         |  SELECT threshold,
+         |    CAST(sum(CASE WHEN score >= threshold AND y = 1.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= threshold AND y = 0.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < threshold AND y = 1.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score < threshold AND y = 0.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM qscored, qth GROUP BY threshold
+         |)
+         |SELECT threshold, tp, fp, fn, tn,
+         |       round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+         |       round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+         |       round(2 * tp / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6)
+         |         AS f1
+         |FROM qconf""".stripMargin
+    },
+
+    // Percentile twin (TextAnalysis.qualityPercentiles): DuckDB's
+    // quantile_cont uses the same sorted-linear-interpolation definition
+    // as Spark's exact percentile; both sides round to 6 dp.
+    "text_quality_percentiles" -> {
+      val pcols = Seq("n_tokens", "stopword_ratio", "punct_ratio").flatMap {
+        m => QualityPs.map { p =>
+          s"round(quantile_cont($m, $p), 6) AS p${(p * 100).toInt}_$m"
+        }
+      }.mkString(",\n       ")
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best
+         |), $gateSql
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |       $pcols
+         |FROM langed JOIN q USING (doc_id)
+         |GROUP BY predicted_lang""".stripMargin
+    },
+
+    // GK percentile audit twin (TextAnalysis.qualityPercentilesAudit):
+    // exact n_tokens percentiles + the rank-space sketch contract pinned
+    // TRUE per percentile.
+    "text_quality_percentiles_audit" -> {
+      val pcols = QualityPs.map { p =>
+        s"""round(quantile_cont(n_tokens, $p), 6)
+           |         AS p${(p * 100).toInt}_n_tokens,
+           |       TRUE AS p${(p * 100).toInt}_ok""".stripMargin
+      }.mkString(",\n       ")
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |), langed AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS predicted_lang
+         |  FROM best
+         |), $gateSql
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |       $pcols
+         |FROM langed JOIN q USING (doc_id)
+         |GROUP BY predicted_lang""".stripMargin
+    },
+
+    // TTR twin (TextAnalysis.typeTokenRatio).
+    "text_ttr" ->
+      s"""WITH $rawToksSql
+         |SELECT doc_id,
+         |       CAST(len(t) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct(t)) AS INT) AS n_types,
+         |       round(len(list_distinct(t))
+         |             / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS ttr,
+         |       round(len(list_distinct(t))
+         |             / sqrt(CAST(greatest(len(t), 1) AS DOUBLE)), 6)
+         |         AS root_ttr
+         |FROM toks""".stripMargin,
+
+    // Normalization twin (TextAnalysis.normalize).
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
+        |         AS norm_text,
+        |       length(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+        |         AS n_chars_norm
+        |FROM documents""".stripMargin,
+
+    // Redaction twin (TextAnalysis.redact): same patterns (valid and
+    // equivalent in both Java regex and RE2 — no lookaround), same
+    // replacement order, counts on the original text via
+    // regexp_extract_all ('g' makes replace global like Spark's).
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(
+         |         coalesce(text, ''),
+         |         '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |         '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |         '${TextAnalysis.DigitRunPattern}', '<NUMBER>', 'g')
+         |         AS redacted_text,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''),
+         |         '${TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''),
+         |         '${TextAnalysis.Ipv4Pattern}')) AS INT) AS n_ips,
+         |       CAST(len(regexp_extract_all(coalesce(text, ''),
+         |         '${TextAnalysis.DigitRunPattern}')) AS INT) AS n_digit_runs
+         |FROM documents""".stripMargin,
+
+    // TF-IDF twin (TextAnalysis.tfIdf): same ln-based weighting, 6-dp
+    // rounding on both engines.
+    "text_tfidf" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), tfs AS (
+         |  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+         |  FROM ex GROUP BY doc_id, term
+         |), dfs AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |)
+         |SELECT doc_id, term, tf,
+         |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |FROM tfs JOIN dfs USING (term), tot""".stripMargin,
+
+    // Keywords twin (TextAnalysis.keywords): the tfidf CTE + the same
+    // (tfidf desc, term) rank at the ROUNDED score.
+    "text_keywords" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), tfs AS (
+         |  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+         |  FROM ex GROUP BY doc_id, term
+         |), dfs AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, term,
+         |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tfs JOIN dfs USING (term), tot
+         |)
+         |SELECT doc_id, rnk, term, tfidf FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin,
+
+    // Repetition twin (TextAnalysis.repetition): non-distinct bigrams,
+    // two-level aggregation, same null→0 policy for short docs.
+    "text_repetition" ->
+      s"""WITH $rawToksSql, bg AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 2
+         |           THEN list_transform(range(1, len(t)),
+         |                i -> concat(t[CAST(i AS INT)], ' ',
+         |                            t[CAST(i AS INT) + 1]))
+         |           ELSE [] END AS g
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(g) AS g FROM bg
+         |), pg AS (
+         |  SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g
+         |), pd AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |         max(c) AS top_n
+         |  FROM pg GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(top_n, 0) AS top_bigram_n,
+         |       CASE WHEN n_bigrams IS NOT NULL
+         |            THEN round(CAST(top_n AS DOUBLE) / n_bigrams, 6)
+         |            ELSE 0.0 END AS top_bigram_share
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+
+    // Gopher rule-report twin (TextRules.gopherReport): same metrics, same
+    // Table-A1 thresholds (interpolated from the shared constants).
+    "text_gopher_rules" -> {
+      val stop = TextRules.GopherStopWords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $rawToksSql, gbase AS (
+         |  SELECT d.doc_id, coalesce(d.text, '') AS s, k.t AS t,
+         |         string_split(coalesce(d.text, ''), chr(10)) AS ls
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), gm AS (
+         |  SELECT doc_id,
+         |         CAST(len(t) AS INT) AS n_words,
+         |         round(CAST(coalesce(list_sum(list_transform(t,
+         |                 w -> length(w))), 0) AS DOUBLE)
+         |               / greatest(len(t), 1), 6) AS mean_word_len,
+         |         round((length(s) - length(replace(s, '#', ''))
+         |                + len(regexp_extract_all(s, '\\.\\.\\.'))
+         |                + len(regexp_extract_all(s, '…')))
+         |               / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS symbol_ratio,
+         |         round(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+         |               / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS alpha_ratio,
+         |         round(len(list_filter(ls, l -> starts_with(trim(l), '- ')
+         |                 OR starts_with(trim(l), '* ')
+         |                 OR starts_with(trim(l), '•')))
+         |               / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+         |           AS bullet_line_ratio,
+         |         round(len(list_filter(ls, l -> ends_with(trim(l), '...')
+         |                 OR ends_with(trim(l), '…')))
+         |               / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+         |           AS ellipsis_line_ratio,
+         |         CAST(len(list_filter($stop, w -> list_contains(t, w))) AS INT)
+         |           AS stop_hits
+         |  FROM gbase
+         |)
+         |SELECT *,
+         |       ok_words AND ok_mean_len AND ok_symbols AND ok_bullets
+         |         AND ok_ellipsis AND ok_alpha AND ok_stops AS passed
+         |FROM (
+         |  SELECT *,
+         |         n_words >= ${TextRules.GopherMinWords}
+         |           AND n_words <= ${TextRules.GopherMaxWords} AS ok_words,
+         |         mean_word_len >= ${TextRules.GopherMinMeanWordLen}
+         |           AND mean_word_len <= ${TextRules.GopherMaxMeanWordLen}
+         |           AS ok_mean_len,
+         |         symbol_ratio <= ${TextRules.GopherMaxSymbolRatio} AS ok_symbols,
+         |         bullet_line_ratio <= ${TextRules.GopherMaxBulletRatio}
+         |           AS ok_bullets,
+         |         ellipsis_line_ratio <= ${TextRules.GopherMaxEllipsisRatio}
+         |           AS ok_ellipsis,
+         |         alpha_ratio >= ${TextRules.GopherMinAlphaRatio} AS ok_alpha,
+         |         stop_hits >= ${TextRules.GopherMinStopHits} AS ok_stops
+         |  FROM gm
+         |)""".stripMargin
+    },
+
+    // C4 cleanup twin (TextRules.c4Filters over the wrapped-line view):
+    // same 10-token wrap as dedup_lines, same strict/relaxed line rules.
+    "text_c4_filters" -> {
+      val W = TextRules.C4MinLineWords
+      val lw = s"len(list_filter(string_split_regex(trim(l), '\\s+'), " +
+        s"w -> len(w) > 0))"
+      s"""WITH $rawToksSql, wrapped AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) > 0 THEN
+         |           array_to_string(list_transform(range(0, (len(t) + 9) // 10),
+         |             i -> array_to_string(
+         |               t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')),
+         |             chr(10))
+         |         ELSE '' END AS s
+         |  FROM toks
+         |), cbase AS (
+         |  SELECT doc_id, s, string_split(s, chr(10)) AS ls FROM wrapped
+         |), cm AS (
+         |  SELECT doc_id,
+         |         CAST(len(ls) AS INT) AS n_lines,
+         |         CAST(len(list_filter(ls, l ->
+         |             regexp_matches(trim(l), '[.!?"]$$') AND $lw >= $W))
+         |           AS INT) AS n_kept_strict,
+         |         CAST(len(list_filter(ls, l -> $lw >= $W)) AS INT)
+         |           AS n_kept_relaxed,
+         |         array_to_string(list_filter(ls, l -> $lw >= $W), chr(10))
+         |           AS clean_text,
+         |         contains(lower(s), 'lorem ipsum') AS has_lorem,
+         |         contains(s, '{') AS has_brace,
+         |         CAST(len(regexp_extract_all(s, '[.!?]')) AS INT)
+         |           AS n_sentences
+         |  FROM cbase
+         |)
+         |SELECT *, n_sentences >= ${TextRules.C4MinSentences} AS ok_sentences,
+         |       NOT has_lorem AND NOT has_brace AS doc_pass
+         |FROM cm""".stripMargin
+    },
+
+    // PMI collocation twin (TextRules.pmiBigrams): same pair/unigram
+    // counts, same ln PMI, same (pmi desc, w1, w2) top-k.
+    "text_pmi_bigrams" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT unnest(t) AS term FROM toks
+         |), uni AS (
+         |  SELECT term, count(*) AS c1 FROM ex GROUP BY term
+         |), tot AS (SELECT sum(c1) AS n_total FROM uni),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |         i -> concat(t[CAST(i AS INT)], ' ',
+         |                     t[CAST(i AS INT) + 1]))) AS g
+         |  FROM toks WHERE len(t) >= 2
+         |), pg AS (
+         |  SELECT g, count(*) AS c_pair FROM bg GROUP BY g
+         |  HAVING count(*) >= ${TextRules.PmiMinCount}
+         |), sp AS (
+         |  SELECT string_split(g, ' ')[1] AS w1,
+         |         string_split(g, ' ')[2] AS w2, c_pair
+         |  FROM pg
+         |)
+         |SELECT w1, w2, c_pair, u1.c1 AS c_w1, u2.c1 AS c_w2,
+         |       round(ln(CAST(c_pair AS DOUBLE) * n_total
+         |                / (CAST(u1.c1 AS DOUBLE) * u2.c1)), 6) AS pmi
+         |FROM sp JOIN uni u1 ON sp.w1 = u1.term
+         |        JOIN uni u2 ON sp.w2 = u2.term, tot
+         |ORDER BY pmi DESC, w1, w2
+         |LIMIT ${TextRules.PmiTopK}""".stripMargin,
+
+    // Char-entropy twin (TextRules.charEntropy): identical fixed alphabet,
+    // identical count formulas, identical left-to-right summation order.
+    "text_char_entropy" -> {
+      val cnts = TextRules.EntropyAlphabet
+        .map(c => s"length(s) - length(replace(s, '$c', ''))")
+        .mkString(", ")
+      s"""WITH ebase AS (
+         |  SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+         |), ec AS (
+         |  SELECT doc_id, length(s) AS n, list_value($cnts) AS kc FROM ebase
+         |), ee AS (
+         |  SELECT doc_id, n,
+         |         list_sum(list_transform(list_append(kc, n - list_sum(kc)),
+         |           x -> CASE WHEN x > 0 THEN
+         |                  -(x / CAST(greatest(n, 1) AS DOUBLE))
+         |                    * log2(x / CAST(greatest(n, 1) AS DOUBLE))
+         |                ELSE 0.0 END)) AS h
+         |  FROM ec
+         |)
+         |SELECT doc_id, CAST(n AS INT) AS n_chars,
+         |       round(CASE WHEN n > 0 THEN h ELSE 0.0 END, 6) AS char_entropy
+         |FROM ee""".stripMargin
+    },
+
+    // Unigram-LM twin (TextAnalysis.unigramLogProb): same add-one-smoothed
+    // distribution, 6-dp rounding absorbs double-summation order.
+    "text_unigram_logprob" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |), freq AS (
+         |  SELECT term, count(*) AS tc FROM ex GROUP BY term
+         |), consts AS (
+         |  SELECT sum(tc) AS total, count(*) AS vocab FROM freq
+         |), scored AS (
+         |  SELECT doc_id,
+         |         round(avg(log10(CAST(tc + 1 AS DOUBLE) / (total + vocab))),
+         |               6) AS avg_logprob,
+         |         CAST(count(*) AS INT) AS n_tokens
+         |  FROM ex JOIN freq USING (term), consts
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, avg_logprob,
+         |       coalesce(n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // DSIR importance-weight twin (Curation.dsirWeights): same hashed
+    // buckets, same gate-defined target, same smoothed mean log-ratio.
+    "text_dsir_weights" ->
+      s"""WITH $dsirCtesSql
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, dsir_logratio
+         |FROM documents d LEFT JOIN dscored s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // Bigram-LM fluency twin (TextAnalysis.bigramLogProb): the pair stream
+    // is the token list zipped with its own tail (two aligned unnests),
+    // counts joined back by pair and by context word, add-one smoothing
+    // over the unigram vocabulary — identical arithmetic, 6-dp rounded.
+    "text_bigram_logprob" ->
+      s"""WITH $rawToksSql, bg AS (
+         |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+         |         unnest(t[2:len(t)]) AS w2
+         |  FROM toks WHERE len(t) >= 2
+         |), uni AS (
+         |  SELECT unnest(t) AS term FROM toks
+         |), uc AS (SELECT term, count(*) AS c1 FROM uni GROUP BY term),
+         |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |consts AS (SELECT count(*) AS vocab FROM uc),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(avg(log10(CAST(c2 + 1 AS DOUBLE) / (c1 + vocab))),
+         |               6) AS avg_logprob,
+         |         CAST(count(*) AS INT) AS n_bigrams
+         |  FROM bg JOIN bc USING (w1, w2) JOIN uc ON bg.w1 = uc.term, consts
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, avg_logprob,
+         |       coalesce(n_bigrams, 0) AS n_bigrams
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin,
+
+    "text_term_stats" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |)
+         |SELECT term, count(DISTINCT doc_id) AS doc_freq,
+         |       count(*) AS total_count
+         |FROM ex GROUP BY term""".stripMargin,
+
+    // HLL term-stats audit twin (TextAnalysis.termStatsAudit): exact term
+    // stats + the within-3·rsd doc-frequency contract pinned to TRUE.
+    "text_term_stats_audit" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT doc_id, unnest(t) AS term FROM toks
+         |)
+         |SELECT term, count(DISTINCT doc_id) AS doc_freq,
+         |       count(*) AS total_count, TRUE AS within_tol
+         |FROM ex GROUP BY term""".stripMargin,
+
+    // Count-Min audit twin (TextAnalysis.termCountsCmsAudit): exact counts
+    // over the langs × watch-list grid + the two CMS contracts pinned to
+    // TRUE (estimate ≥ exact always; ≤ exact + 2·⌈(e/width)·N_lang⌉, the
+    // ε·N band doubled because it is probabilistic per counter —
+    // deterministic for a fixed corpus, the sketch state is a pure sum).
+    // The langs grid derives from the TOKENIZED side (ex), not documents:
+    // explode drops empty token arrays, so a language whose docs all
+    // tokenize to nothing never reaches the Spark audit either.
+    "text_term_cms_audit" -> {
+      val watchList = graft.ops.TextAnalysis.CmsWatchTerms
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT d.lang, unnest(k.t) AS term
+         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id
+         |), watch AS (SELECT unnest([$watchList]) AS term),
+         |langs AS (SELECT DISTINCT lang FROM ex),
+         |exact AS (
+         |  SELECT lang, term, count(*) AS term_count FROM ex
+         |  WHERE term IN ($watchList) GROUP BY 1, 2
+         |)
+         |SELECT l.lang, w.term,
+         |       coalesce(x.term_count, 0) AS term_count,
+         |       TRUE AS not_below, TRUE AS within_tol
+         |FROM langs l CROSS JOIN watch w
+         |LEFT JOIN exact x ON x.lang = l.lang AND x.term = w.term""".stripMargin
+    },
+
+    // Exact heavy-terms twin (TextAnalysis.heavyTermsExact): same count
+    // aggregate + rank window, term tie-break, so both engines agree
+    // bit-for-bit. The MG sketch variant stays rows-only.
+    "text_heavy_terms_exact" ->
+      s"""WITH $rawToksSql, ex AS (
+         |  SELECT d.lang, unnest(k.t) AS term
+         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id
+         |), counts AS (
+         |  SELECT lang, term, count(*) AS term_count FROM ex GROUP BY 1, 2
+         |)
+         |SELECT lang,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY lang ORDER BY term_count DESC, term) AS INT)
+         |         AS rank,
+         |       term, term_count
+         |FROM counts
+         |QUALIFY rank <= 10""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $rawToksSql, scored AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), best AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM scored
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |            WHEN fr_score = top AND top > 0 THEN 'fr'
+         |            WHEN de_score = top AND top > 0 THEN 'de'
+         |            ELSE 'unknown' END AS predicted_lang,
+         |       round(en_score, 6) AS en_score,
+         |       round(fr_score, 6) AS fr_score,
+         |       round(de_score, 6) AS de_score
+         |FROM best""".stripMargin,
+
+    // Fertility twin (TextAnalysis.fertilityByLang): same inlined lang
+    // argmax, word/subword/char sums per language, ratios off the sums.
+    "text_fertility" ->
+      s"""WITH $rawToksSql, fsc AS (
+         |  SELECT d.doc_id,
+         |$langScoresSql,
+         |         len(k.t) AS ws_tokens,
+         |         coalesce(len(regexp_extract_all(d.text,
+         |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 0) AS bpeish_tokens,
+         |         coalesce(length(d.text), 0) AS n_chars
+         |  FROM documents d JOIN toks k ON d.doc_id = k.doc_id
+         |), fbest AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM fsc
+         |), flang AS (
+         |  SELECT CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS lang,
+         |         ws_tokens, bpeish_tokens, n_chars
+         |  FROM fbest
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(ws_tokens) AS BIGINT) AS total_words,
+         |       CAST(sum(bpeish_tokens) AS BIGINT) AS total_subwords,
+         |       round(CAST(sum(bpeish_tokens) AS DOUBLE)
+         |         / greatest(sum(ws_tokens), 1), 6) AS fertility,
+         |       round(CAST(sum(n_chars) AS DOUBLE)
+         |         / greatest(sum(bpeish_tokens), 1), 6) AS chars_per_subword
+         |FROM flang GROUP BY lang""".stripMargin,
+
+    // Zipf-fit twin (TextAnalysis.zipfFit): same top-1000 cut, same rank
+    // window, same closed-form least squares off the five sums.
+    "text_zipf_fit" ->
+      s"""WITH $rawToksSql, zex AS (
+         |  SELECT unnest(t) AS term FROM toks
+         |), ztc AS (SELECT term, count(*) AS c FROM zex GROUP BY term),
+         |ztop AS (SELECT term, c FROM ztc ORDER BY c DESC, term LIMIT 1000),
+         |zrk AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+         |  FROM ztop
+         |), zpt AS (SELECT log10(r) AS x, log10(c) AS y FROM zrk),
+         |zs AS (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+         |  FROM zpt
+         |)
+         |SELECT CAST(n AS INT) AS n_terms,
+         |       CASE WHEN n*sxx - sx*sx > 0
+         |            THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
+         |         AS slope,
+         |       CASE WHEN n*sxx - sx*sx > 0
+         |            THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+         |                       / n, 6) END AS intercept,
+         |       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |            THEN round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+         |                       / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END
+         |         AS r2
+         |FROM zs""".stripMargin,
+
+    "text_langid_ngram" -> {
+      def prof(lang: String): String =
+        TextAnalysis.TrigramProfiles.toMap.apply(lang)
+          .map(t => s"'${t}'").mkString("[", ", ", "]")
+      val scores = TextAnalysis.TrigramProfiles.map { case (lang, _) =>
+        s"""len(list_filter(tg, t -> list_contains(${prof(lang)}, t)))
+           |  / CAST(greatest(len(tg), 1) AS DOUBLE) AS ${lang}_tg"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH grams AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(lt) >= 3
+         |           THEN list_transform(range(1, length(lt) - 1),
+         |                i -> substr(lt, CAST(i AS INT), 3))
+         |           ELSE [] END AS tg
+         |  FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+         |), scored AS (
+         |  SELECT doc_id,
+         |$scores
+         |  FROM grams
+         |), best AS (
+         |  SELECT *, greatest(en_tg, fr_tg, de_tg) AS top FROM scored
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN en_tg = top AND top > 0 THEN 'en'
+         |            WHEN fr_tg = top AND top > 0 THEN 'fr'
+         |            WHEN de_tg = top AND top > 0 THEN 'de'
+         |            ELSE 'unknown' END AS predicted_lang,
+         |       round(en_tg, 6) AS en_score,
+         |       round(fr_tg, 6) AS fr_score,
+         |       round(de_tg, 6) AS de_score
+         |FROM best""".stripMargin
+    },
+
+    // Agreement-matrix twin: both classifiers' argmax CTEs joined and
+    // cross-tabulated.
+    "text_lang_agreement" -> {
+      def prof(lang: String): String =
+        TextAnalysis.TrigramProfiles.toMap.apply(lang)
+          .map(t => s"'${t}'").mkString("[", ", ", "]")
+      val tscores = TextAnalysis.TrigramProfiles.map { case (lang, _) =>
+        s"""len(list_filter(tg, t -> list_contains(${prof(lang)}, t)))
+           |  / CAST(greatest(len(tg), 1) AS DOUBLE) AS ${lang}_tg"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $rawToksSql, wsc AS (
+         |  SELECT doc_id,
+         |$langScoresSql
+         |  FROM toks
+         |), wbest AS (
+         |  SELECT *, greatest(en_score, fr_score, de_score) AS top FROM wsc
+         |), wl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_score = top AND top > 0 THEN 'en'
+         |              WHEN fr_score = top AND top > 0 THEN 'fr'
+         |              WHEN de_score = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS word_lang
+         |  FROM wbest
+         |), tgrams AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(lt) >= 3
+         |           THEN list_transform(range(1, length(lt) - 1),
+         |                i -> substr(lt, CAST(i AS INT), 3))
+         |           ELSE [] END AS tg
+         |  FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+         |), tsc AS (
+         |  SELECT doc_id,
+         |$tscores
+         |  FROM tgrams
+         |), tbest AS (
+         |  SELECT *, greatest(en_tg, fr_tg, de_tg) AS top FROM tsc
+         |), tl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN en_tg = top AND top > 0 THEN 'en'
+         |              WHEN fr_tg = top AND top > 0 THEN 'fr'
+         |              WHEN de_tg = top AND top > 0 THEN 'de'
+         |              ELSE 'unknown' END AS trigram_lang
+         |  FROM tbest
+         |), acells AS (
+         |  SELECT word_lang, trigram_lang, count(*) AS n_docs
+         |  FROM wl JOIN tl USING (doc_id)
+         |  GROUP BY 1, 2
+         |), atot AS (SELECT sum(n_docs) AS t FROM acells)
+         |SELECT word_lang, trigram_lang, n_docs,
+         |       round(n_docs / CAST(greatest(t, 1) AS DOUBLE), 6) AS share,
+         |       (word_lang = trigram_lang) AS agree
+         |FROM acells, atot""".stripMargin
+    },
+
+    "text_quality" -> {
+      val stop = TextAnalysis.LangMarkers.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $rawToksSql
+         |SELECT d.doc_id,
+         |       CAST(length(d.text) AS INT) AS n_chars,
+         |       CAST(len(k.t) AS INT) AS n_tokens,
+         |       round(CAST(coalesce(list_sum(list_transform(k.t, w -> len(w))), 0)
+         |           AS DOUBLE)
+         |         / greatest(len(k.t), 1), 6) AS mean_token_len,
+         |       round(CAST(len(list_filter(k.t,
+         |           w -> list_contains($stop, w))) AS DOUBLE)
+         |         / greatest(len(k.t), 1), 6) AS stopword_ratio,
+         |       round(CAST(length(d.text)
+         |           - length(regexp_replace(d.text, '[.,!?;:]', '', 'g'))
+         |         AS DOUBLE) / greatest(length(d.text), 1), 6) AS punct_ratio
+         |FROM documents d JOIN toks k ON d.doc_id = k.doc_id""".stripMargin
+    },
+
+    "text_quality_gate" ->
+      s"""WITH $rawToksSql, $gateSql
+         |SELECT doc_id, reject_reason IS NULL AS passed, reject_reason
+         |FROM gated""".stripMargin,
+
+    // fastText-style hashed-gram scorer twin: unigrams + word bigrams,
+    // each hashed to a bucket (the md5 family), bucket weight from the
+    // SAME modular formula as TextAnalysis.QualityScoreWeights; exact
+    // integer sum, then one logistic + round. Docs with no grams (empty/
+    // null text) score sigmoid(0) = 0.5 via the left join's coalesce —
+    // mirroring the Spark side's per-row kernel over an empty array.
+    "text_quality_score" -> {
+      val d = TextAnalysis.QualityScoreDim
+      s"""WITH $rawToksSql, g AS (
+         |  SELECT doc_id,
+         |         list_concat(t, CASE WHEN len(t) >= 2
+         |           THEN list_transform(range(1, len(t)),
+         |                i -> concat(t[CAST(i AS INT)], ' ',
+         |                            t[CAST(i AS INT) + 1]))
+         |           ELSE [] END) AS g
+         |  FROM toks
+         |), ex AS (SELECT doc_id, unnest(g) AS w FROM g),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |         sum(((${hashSql("'0:'")} % $d) * 1315423911) % 17 - 8)
+         |           AS raw
+         |  FROM ex GROUP BY 1
+         |)
+         |SELECT g.doc_id,
+         |       CAST(coalesce(s.n_grams, 0) AS INT) AS n_grams,
+         |       CAST(coalesce(s.raw, 0) AS BIGINT) AS raw_score,
+         |       round(1.0 / (1.0 + exp(-(coalesce(s.raw, 0) /
+         |         (greatest(coalesce(s.n_grams, 0), 1) * 8.0)))), 6)
+         |         AS quality_score
+         |FROM g LEFT JOIN scored s USING (doc_id)""".stripMargin
+    },
+
+    "text_token_counts" ->
+      s"""WITH $rawToksSql
+         |SELECT d.doc_id,
+         |       CAST(len(k.t) AS INT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(d.text,
+         |         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpeish_tokens,
+         |       round(CAST(length(d.text) AS DOUBLE)
+         |         / greatest(len(k.t), 1), 6) AS chars_per_token
+         |FROM documents d JOIN toks k ON d.doc_id = k.doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $rawToksSql, hs AS (
+         |  SELECT doc_id,
+         |         list_transform(t, w ->
+         |           ${hashSql("'0:'")} % ${TextAnalysis.FingerprintMod}) AS h
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+         |         (a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintMod})
+         |         AS fingerprint
+         |FROM hs""".stripMargin,
+  )
+}
