@@ -560,6 +560,90 @@ object Curation {
         col("doc_id"), col(weightCol))
   }
 
+  /** Per-source corpus CAP — the RefinedWeb/FineWeb per-domain rule: no
+    * source (domain, crawl host, feed) may contribute more than
+    * `maxPerSource` documents, so a single mega-domain cannot dominate
+    * the training mix. Survivors within a source are chosen by a seeded
+    * md5 rank of the document id (deterministic, engine-reproducible,
+    * nesting in the cap: the cap-10 survivors are a prefix of the
+    * cap-20 survivors), doc_id tie-break — NOT by position, so the draw
+    * is unbiased w.r.t. ingest order.
+    *
+    * Plan shape: identical to [[sampleGrouped]] — the `cap_rank ≤ cap`
+    * filter over the partitioned row_number compiles to WindowGroupLimit
+    * (plan-asserted), per-task cap-sized heaps per source before the
+    * shuffle; the exchange carries ≤ cap·partitions rows per source and
+    * the text column never enters it.
+    */
+  def capBySource(
+      docs: DataFrame,
+      maxPerSource: Int = 20,
+      seed: String = "graft-cap1"): DataFrame = {
+    require(maxPerSource > 0,
+      s"per-source cap must be positive, got $maxPerSource")
+    val draw = md5(concat(lit(seed), lit(":"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(draw, col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cap_rank", row_number().over(w))
+      .where(col("cap_rank") <= maxPerSource)
+      .select(col("source"), col("cap_rank").cast("int").alias("cap_rank"),
+        col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** One-row source-concentration report — the diagnostic that motivates
+    * [[capBySource]]: how skewed is the corpus across sources? Emits
+    * document and source totals, the largest source (ties broken by
+    * name, so the row is deterministic), top-1 and top-5 shares, the
+    * Herfindahl–Hirschman index Σ(shareᵢ²) over document counts, and its
+    * reciprocal (the "effective number of sources" — 1/HHI equals the
+    * source count exactly when the mix is uniform).
+    *
+    * Numerics: HHI is staged as Σ(nᵢ²)/N² in DECIMAL — counts are exact
+    * integers, squared and summed without float error (BIGINT would
+    * overflow at ~3B docs/source), with ONE double division at the end —
+    * so the 6-dp rounding is bit-stable across engines regardless of
+    * aggregation order.
+    *
+    * Plan shape: one groupBy(source) count (map-side combined), then
+    * all downstream work runs on the per-source counts frame — tiny
+    * relative to the corpus even at millions of domains. The top-5 draw
+    * is orderBy+limit (TakeOrderedAndProject: per-partition 5-heaps, one
+    * 5-row driver merge — never a global sort), folded back via 1-row
+    * broadcasts.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val counts = Materialize(docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).alias("n")))
+    val top5 = counts.orderBy(col("n").desc, col("source")).limit(5)
+      .agg(
+        sum(col("n")).alias("top5_docs"),
+        // min over (-n, source): largest count first, then SMALLEST name
+        // on ties — max(struct(n, source)) would tie-break to the largest
+        // name, which is the wrong determinism contract.
+        min(struct((-col("n")).alias("neg_n"), col("source")))
+          .alias("top"))
+    val totals = counts.agg(
+      sum(col("n")).alias("n_docs"),
+      count(lit(1)).cast("int").alias("n_sources"),
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+        .alias("sq"))
+    val nd = col("n_docs").cast("double")
+    val hhi = round(col("sq").cast("double") / (nd * nd), 6)
+    totals.crossJoin(broadcast(top5))
+      .select(
+        col("n_docs"),
+        col("n_sources"),
+        col("top.source").alias("top_source"),
+        (-col("top.neg_n")).alias("top_source_docs"),
+        round((-col("top.neg_n")).cast("double") / nd, 6).alias("top_share"),
+        round(col("top5_docs").cast("double") / nd, 6).alias("top5_share"),
+        hhi.alias("hhi"),
+        round(lit(1.0) / hhi, 6).alias("eff_sources"))
+  }
+
   /** FUZZY decontamination: corpus documents that are NEAR-duplicates of a
     * benchmark document — the screen exact n-gram [[contamination]] cannot
     * see (a paraphrased or lightly-edited eval question shares few exact

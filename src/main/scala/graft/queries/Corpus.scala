@@ -294,6 +294,16 @@ object QueriesCorpus {
     "corpus_sample_grouped" -> ((s, d) =>
       Curation.sampleGrouped(StandIn.documents(s, d))),
 
+    // Per-source cap (RefinedWeb/FineWeb domain rule): ≤ 20 docs per
+    // source, hash-rank survivors — the fixture's 25-per-source strata
+    // make the cap bind (5 dropped from every source).
+    "corpus_cap_source" -> ((s, d) =>
+      Curation.capBySource(StandIn.documents(s, d))),
+
+    // One-row source-concentration report (top shares, HHI).
+    "corpus_source_mix" -> ((s, d) =>
+      Curation.sourceMix(StandIn.documents(s, d))),
+
     "corpus_sample_weighted" -> ((s, d) =>
       Curation.sampleWeighted(StandIn.documents(s, d))),
 
@@ -747,6 +757,50 @@ object QueriesCorpus {
         |  FROM documents
         |)
         |WHERE sample_rank <= 20""".stripMargin,
+
+    // Per-source cap twin (Curation.capBySource): same seeded md5 rank
+    // within source, doc_id tie-break, rank ≤ cap.
+    "corpus_cap_source" ->
+      """SELECT source, CAST(cap_rank AS INT) AS cap_rank, doc_id,
+        |       lang, n_chars
+        |FROM (
+        |  SELECT source, doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(concat('graft-cap1:',
+        |             CAST(doc_id AS VARCHAR))), doc_id) AS cap_rank
+        |  FROM documents
+        |)
+        |WHERE cap_rank <= 20""".stripMargin,
+
+    // Source-mix twin (Curation.sourceMix): HHI staged as Σn²/N² in
+    // exact integer arithmetic (HUGEINT ≙ Spark DECIMAL), one double
+    // division at the end; top-1 tie-break = largest count, smallest
+    // source name.
+    "corpus_source_mix" ->
+      """WITH sc AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS INT) AS n_sources,
+        |         sum(CAST(n AS HUGEINT) * n) AS sq
+        |  FROM sc
+        |), t1 AS (
+        |  SELECT source AS top_source, n AS top_source_docs
+        |  FROM sc ORDER BY n DESC, source LIMIT 1
+        |), t5 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS top5_docs
+        |  FROM (SELECT n FROM sc ORDER BY n DESC, source LIMIT 5)
+        |)
+        |SELECT n_docs, n_sources, top_source, top_source_docs,
+        |       round(top_source_docs / CAST(n_docs AS DOUBLE), 6)
+        |         AS top_share,
+        |       round(top5_docs / CAST(n_docs AS DOUBLE), 6) AS top5_share,
+        |       round(CAST(sq AS DOUBLE)
+        |             / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS hhi,
+        |       round(1.0 / round(CAST(sq AS DOUBLE)
+        |             / (CAST(n_docs AS DOUBLE) * n_docs), 6), 6)
+        |         AS eff_sources
+        |FROM tot, t1, t5""".stripMargin,
 
     // Weighted A-ES sample twin (Curation.sampleWeighted): the same
     // hash-uniform u and ln(u)/w ranking key, doc_id tie-break.

@@ -247,6 +247,32 @@ class PlanEvidenceSpec extends SparkSpec {
       s"sample_rank<=k must run as a running per-stratum top-k:\n$plan")
   }
 
+  test("corpus_cap_source: the per-source cap runs as a group limit") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("corpus_cap_source")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Same contract as sampleGrouped: cap_rank<=cap must compile to
+    // WindowGroupLimit so a mega-domain's overflow dies in the map task,
+    // and the text column must never be selected at all.
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap_rank<=cap must run as a running per-source top-k:\n$plan")
+    assert(!plan.contains("text#"),
+      s"document text must not enter the cap plan:\n$plan")
+  }
+
+  test("corpus_source_mix: one corpus scan, top-5 is TakeOrdered") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val df = SparkEntry.queries("corpus_source_mix")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The corpus is touched once (the materialized per-source counts
+    // serve every downstream consumer) and the top-5 draw is a
+    // distributed top-k, not a global sort.
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) <= 1,
+      s"source mix must scan the corpus at most once:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-5 sources must plan a distributed top-k:\n$plan")
+  }
+
   test("corpus_sample_weighted: global top-k is TakeOrdered, no sort, no window") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("corpus_sample_weighted")(spark, dir)
