@@ -201,6 +201,57 @@ object TextRules {
   val EntropyAlphabet: Seq[String] =
     (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
 
+  // ── Encoding-artifact screen thresholds — single source of truth for
+  //    the Column chain and the oracle twin.
+  val EncMaxControlRatio = 0.01
+
+  /** Mojibake signatures: the digrams UTF-8 bytes produce when decoded as
+    * Latin-1/CP-1252 — 'Ã'+vowel-class (é→"Ã©", à→"Ã ", ü→"Ã¼"), the
+    * 'â€' prefix every smart quote/dash decays to, and 'Â'+space (the
+    * classic NBSP artifact). Substring counts, not a regex: exact and
+    * identical across engines.
+    */
+  val MojibakeSignatures: Seq[String] =
+    Seq("Ã©", "Ã¨", "Ã ", "Ã¢", "Ã§", "Ã±", "Ã¶", "Ã¼", "â€", "Â ")
+
+  /** Stage-zero encoding-artifact screen — the web-cleanup pass C4/Gopher
+    * implicitly assume already ran: replacement-character (U+FFFD) count
+    * (a decoder already gave up on those bytes), C0/DEL control
+    * characters (tab/newline/CR excluded — those are legitimate
+    * formatting), double-encoding mojibake signature hits, and the
+    * printable-ASCII share as the coarse "what is this text" dial.
+    * `encoding_suspect` fires on ANY replacement char, ANY mojibake hit,
+    * or a control-char ratio above [[EncMaxControlRatio]].
+    *
+    * One codegen'd per-document projection — counts come from
+    * `length − length(replace(…))` for exact substrings and two fixed
+    * character-class regexp_counts; zero shuffles, the text never leaves
+    * its scan task.
+    */
+  def encodingScreen(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    def subCount(sig: String): Column =
+      ((length(text) - length(replace(text, lit(sig), lit("")))) /
+        lit(sig.length)).cast("long")
+    val nRepl = subCount("�")
+    val nControl =
+      regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+    val nAscii = regexp_count(text, lit("[\\x20-\\x7E]"))
+    val nMoji = MojibakeSignatures.map(subCount).reduce(_ + _)
+    val lenD = greatest(length(text), lit(1)).cast("double")
+    val controlRatio = round(nControl.cast("double") / lenD, 6)
+    docs.select(
+      col("doc_id"),
+      length(text).alias("n_chars"),
+      nRepl.alias("n_replacement"),
+      nControl.cast("long").alias("n_control"),
+      nMoji.alias("n_mojibake"),
+      controlRatio.alias("control_ratio"),
+      round(nAscii.cast("double") / lenD, 6).alias("ascii_ratio"),
+      (nRepl > 0 || nMoji > 0 || controlRatio > EncMaxControlRatio)
+        .alias("encoding_suspect"))
+  }
+
   /** Per-document Shannon entropy (bits) over the character-class
     * distribution — low entropy flags repetitive/degenerate text, the
     * cheap cousin of the Gopher repetition rules. Counts come from

@@ -238,6 +238,11 @@ object QueriesText {
     "text_char_entropy"   -> ((s, d) =>
       TextRules.charEntropy(StandIn.documents(s, d))),
 
+    // Stage-zero encoding-artifact screen: U+FFFD / control chars /
+    // mojibake digrams / ASCII share (TextRules.encodingScreen).
+    "text_encoding_screen" -> ((s, d) =>
+      TextRules.encodingScreen(StandIn.documents(s, d))),
+
     "text_token_counts"   -> ((s, d) => textTokenCounts(s, d)),
 
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
@@ -640,6 +645,44 @@ object QueriesText {
 
     // Char-entropy twin (TextRules.charEntropy): identical fixed alphabet,
     // identical count formulas, identical left-to-right summation order.
+    // Encoding-screen twin (TextRules.encodingScreen): identical substring
+    // counts (length − length(replace)), the same RE2/Java-compatible
+    // character classes, thresholds interpolated from the shared constants.
+    "text_encoding_screen" -> {
+      val moji = TextRules.MojibakeSignatures
+        .map(sig =>
+          s"(length(t) - length(replace(t, '$sig', ''))) // ${sig.length}")
+        .mkString(" + ")
+      s"""WITH eb AS (
+         |  SELECT doc_id, coalesce(text, '') AS t FROM documents
+         |), em AS (
+         |  SELECT doc_id,
+         |         length(t) AS n,
+         |         length(t) - length(replace(t, '�', ''))
+         |           AS n_replacement,
+         |         length(t) - length(regexp_replace(t,
+         |           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+         |           AS n_control,
+         |         length(t) - length(regexp_replace(t,
+         |           '[\\x20-\\x7E]', '', 'g')) AS n_ascii,
+         |         $moji AS n_mojibake
+         |  FROM eb
+         |)
+         |SELECT doc_id,
+         |       CAST(n AS INT) AS n_chars,
+         |       CAST(n_replacement AS BIGINT) AS n_replacement,
+         |       CAST(n_control AS BIGINT) AS n_control,
+         |       CAST(n_mojibake AS BIGINT) AS n_mojibake,
+         |       round(n_control / CAST(greatest(n, 1) AS DOUBLE), 6)
+         |         AS control_ratio,
+         |       round(n_ascii / CAST(greatest(n, 1) AS DOUBLE), 6)
+         |         AS ascii_ratio,
+         |       (n_replacement > 0 OR n_mojibake > 0
+         |        OR round(n_control / CAST(greatest(n, 1) AS DOUBLE), 6)
+         |           > ${TextRules.EncMaxControlRatio}) AS encoding_suspect
+         |FROM em""".stripMargin
+    },
+
     "text_char_entropy" -> {
       val cnts = TextRules.EntropyAlphabet
         .map(c => s"length(s) - length(replace(s, '$c', ''))")

@@ -122,4 +122,41 @@ class TextRulesSpec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
     assert(r1.length <= 2)
   }
+
+  test("encoding screen: replacement chars, control chars, mojibake counted") {
+    val d = docs(
+      1L -> "caf\u00c3\u00a9 and caf\u00c3\u00a9",  // "cafÃ©" twice
+      2L -> "bad\ufffdbyte\ufffd",                     // two U+FFFD
+      3L -> "ctl\u0001\u0002\u0007end",               // three C0 controls
+      4L -> "perfectly clean ascii text")
+    val r = TextRules.encodingScreen(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_mojibake") === 2L)
+    assert(r(0).getAs[Boolean]("encoding_suspect"))
+    assert(r(1).getAs[Long]("n_replacement") === 2L)
+    assert(r(1).getAs[Boolean]("encoding_suspect"))
+    assert(r(2).getAs[Long]("n_control") === 3L)
+    assert(r(2).getAs[Boolean]("encoding_suspect"))
+    assert(r(3).getAs[Long]("n_replacement") === 0L)
+    assert(r(3).getAs[Long]("n_control") === 0L)
+    assert(r(3).getAs[Long]("n_mojibake") === 0L)
+    assert(r(3).getAs[Double]("ascii_ratio") === 1.0)
+    assert(!r(3).getAs[Boolean]("encoding_suspect"))
+  }
+
+  test("encoding screen: tab/newline/CR are formatting, not control noise") {
+    val r = TextRules.encodingScreen(
+      docs(1L -> "line one\nline two\ttabbed\r")).head()
+    assert(r.getAs[Long]("n_control") === 0L)
+    assert(!r.getAs[Boolean]("encoding_suspect"))
+  }
+
+  test("encoding screen: smart-quote decay and NBSP artifacts flag") {
+    // U+2019's UTF-8 bytes (E2 80 99) read as CP-1252 -> "\u00e2\u20ac\u2122"
+    // shapes; every variant leads with the "\u00e2\u20ac" digram. NBSP's
+    // bytes (C2 A0) decay to "\u00c2 "-like pairs.
+    val r = TextRules.encodingScreen(
+      docs(1L -> "it\u00e2\u20ac\u0099s here\u00c2 now")).head()
+    assert(r.getAs[Long]("n_mojibake") === 2L)
+    assert(r.getAs[Boolean]("encoding_suspect"))
+  }
 }
