@@ -262,6 +262,19 @@ object QueriesCorpus {
     "corpus_bpe_train_dist" -> ((s, d) =>
       Bpe.trainTableDistributed(s, StandIn.documents(s, d))),
 
+    // Unigram-LM (SentencePiece) tokenizer training: hard-EM
+    // segment/count/prune over the bounded top-V word table; integer
+    // micro-nat scores so the Viterbi is exact cross-engine (Ulm.train
+    // scaladoc has the design + 100 TB story).
+    "corpus_ulm_train"    -> ((s, d) =>
+      graft.ops.Ulm.trainTable(s, StandIn.documents(s, d))),
+
+    // Same rules, word table NEVER collected: each EM round segments the
+    // distributed word table with the codegen'd kernel; only vocab-bounded
+    // aggregates reach the driver. SAME oracle as corpus_ulm_train.
+    "corpus_ulm_train_dist" -> ((s, d) =>
+      graft.ops.Ulm.trainTableDistributed(s, StandIn.documents(s, d))),
+
     "corpus_mix_bpe"      -> ((s, d) =>
       Bpe.mixEpochsBpe(StandIn.documents(s, d), MixTargets.toMap)),
 
@@ -501,6 +514,15 @@ object QueriesCorpus {
     // The DISTRIBUTED trainer (Materialize-loop over a vocab DataFrame)
     // checks against the SAME oracle — the two architectures cannot drift.
     "corpus_bpe_train_dist" -> bpeTrainOracle,
+
+    // Unigram-LM training twin: every EM round replayed — Viterbi as
+    // recursive-CTE path enumeration + ORDER BY (cost, np, seg), usage
+    // counts, char-floor/top-K prune. Every kept (piece, freq, score)
+    // must hash-match.
+    "corpus_ulm_train" -> s"$ulmTrainChainSql\n$ulmTrainFinalSql",
+
+    // Distributed-word-table trainer: SAME oracle — cannot drift.
+    "corpus_ulm_train_dist" -> s"$ulmTrainChainSql\n$ulmTrainFinalSql",
 
     // Quality-weighted A-ES draw: the trained-score chain feeding the
     // corpus_sample_weighted key, same hash member and seed scheme.

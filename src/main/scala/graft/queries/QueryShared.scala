@@ -435,4 +435,143 @@ object QueryShared {
 
   // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
 
+  // ─── unigram-LM (SentencePiece) twins of ops/Ulm.scala ─────────────────
+  // Viterbi replayed as recursive-CTE path ENUMERATION: every segmentation
+  // of a word is a path pos→pos+len(piece); the best is
+  // `ORDER BY cost, np, seg LIMIT 1` per word — exactly the kernel's
+  // (cost, piece_count, seg_string) tiebreak. Costs are BIGINT micro-nats
+  // on both engines, so path comparison is exact integer arithmetic.
+
+  /** Walk + best CTEs for one Viterbi pass: enumerate all segmentations of
+    * `$wordsCte` (columns `word` + optionally `cnt`) under piece table
+    * `$scoreCte` (columns `piece`, `cost`), keep the best per word. */
+  private[queries] def ulmWalkSql(
+      r: String, wordsCte: String, scoreCte: String,
+      withCnt: Boolean): String = {
+    val cntAnchor = if (withCnt) "w.cnt, " else ""
+    val cntStep = if (withCnt) "s.cnt, " else ""
+    val cntOut = if (withCnt) "cnt, " else ""
+    s""", uwalk$r AS (
+       |  SELECT w.word, ${cntAnchor}CAST(0 AS BIGINT) AS pos,
+       |         CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg
+       |  FROM $wordsCte w
+       |  UNION ALL
+       |  SELECT s.word, ${cntStep}s.pos + len(v.piece), s.cost + v.cost,
+       |         s.np + 1,
+       |         CASE WHEN s.seg = '' THEN v.piece
+       |              ELSE s.seg || ' ' || v.piece END
+       |  FROM uwalk$r s JOIN $scoreCte v
+       |    ON v.piece = substr(s.word, CAST(s.pos + 1 AS INT),
+       |                        CAST(len(v.piece) AS INT))
+       |  WHERE s.pos < len(s.word)
+       |), ubest$r AS MATERIALIZED (
+       |  SELECT word, ${cntOut}np, seg FROM (
+       |    SELECT word, ${cntOut}np, seg,
+       |           row_number() OVER (PARTITION BY word
+       |             ORDER BY cost, np, seg) AS rn
+       |    FROM uwalk$r WHERE pos = len(word)) q
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** Piece costs of a vocab CTE (`piece`, `cnt`): add-one smoothed
+    * `-round(ln((cnt+1)/total)·10⁶)` — [[graft.ops.Ulm.scoreMicro]]
+    * negated, term for term. */
+  private[queries] def ulmScoreSql(name: String, vocabCte: String): String =
+    s""", $name AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(-round(ln((cnt + 1.0) /
+       |           (SELECT sum(cnt + 1.0) FROM $vocabCte)) * 1000000)
+       |           AS BIGINT) AS cost
+       |  FROM $vocabCte
+       |)""".stripMargin
+
+  /** Training replayed round by round (Ulm.train): seed substring counts →
+    * [EmRounds × (score → Viterbi walk → usage → prune)]. Ends at CTE
+    * `uv{EmRounds}` (`piece`, `cnt`). MATERIALIZED everywhere a CTE is
+    * read twice, like the BPE chain. */
+  private[queries] val ulmTrainChainSql: String = {
+    import graft.ops.Ulm
+    val head =
+      s"""WITH RECURSIVE uwords AS (
+         |  SELECT lower(t.w) AS word, count(*) AS cnt
+         |  FROM documents d,
+         |       unnest(regexp_extract_all(lower(coalesce(d.text, '')),
+         |              '[a-z]+')) AS t(w)
+         |  GROUP BY 1
+         |), uvw AS MATERIALIZED (
+         |  SELECT word, cnt FROM uwords
+         |  ORDER BY cnt DESC, word LIMIT ${Ulm.VocabCap}
+         |), usub AS MATERIALIZED (
+         |  SELECT substr(w.word, CAST(s.i AS INT), CAST(ks.k AS INT))
+         |           AS piece,
+         |         sum(w.cnt) AS cnt
+         |  FROM uvw w,
+         |       unnest(generate_series(1, ${Ulm.MaxPieceLen})) AS ks(k),
+         |       unnest(generate_series(1, len(w.word))) AS s(i)
+         |  WHERE CAST(s.i AS INT) + CAST(ks.k AS INT) - 1 <= len(w.word)
+         |  GROUP BY 1
+         |), uch AS MATERIALIZED (
+         |  SELECT piece FROM usub WHERE len(piece) = 1
+         |), uv0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM usub WHERE len(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT ${Ulm.SeedCap}) q
+         |)""".stripMargin
+    val rounds = (1 to Ulm.EmRounds).map { r =>
+      val p = r - 1
+      ulmScoreSql(s"usc$p", s"uv$p") +
+        ulmWalkSql(r.toString, "uvw", s"usc$p", withCnt = true) +
+        s""", uuse$r AS MATERIALIZED (
+           |  SELECT t.piece, sum(b.cnt) AS cnt
+           |  FROM ubest$r b, unnest(string_split(b.seg, ' ')) AS t(piece)
+           |  GROUP BY 1
+           |), uv$r AS MATERIALIZED (
+           |  SELECT c.piece, coalesce(u.cnt, 0) AS cnt
+           |  FROM uch c LEFT JOIN uuse$r u ON u.piece = c.piece
+           |  UNION ALL
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt FROM uuse$r WHERE len(piece) >= 2
+           |    ORDER BY cnt DESC, piece LIMIT ${Ulm.KeepCap}) q
+           |)""".stripMargin
+    }.mkString
+    head + rounds
+  }
+
+  /** Final trained-vocab projection — `corpus_ulm_train`'s output row
+    * shape, hash-checked piece for piece. */
+  private[queries] val ulmTrainFinalSql: String = {
+    import graft.ops.Ulm
+    val R = Ulm.EmRounds
+    s"""SELECT piece, CAST(cnt AS BIGINT) AS freq,
+       |       CAST(round(ln((cnt + 1.0) /
+       |         (SELECT sum(cnt + 1.0) FROM uv$R)) * 1000000)
+       |         AS BIGINT) AS score_micro
+       |FROM uv$R""".stripMargin
+  }
+
+  /** [[graft.ops.Ulm.FixedVocab]] as a VALUES piece table. */
+  private[queries] val ulmFixedVocabSql: String = {
+    val values = graft.ops.Ulm.FixedVocab
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""uvoc AS MATERIALIZED (
+       |  SELECT * FROM (VALUES
+       |    $values) AS v(piece, cost)
+       |)""".stripMargin
+  }
+
+  /** Corpus word stream + distinct-word CTEs shared by the encode twins:
+    * `utoks(doc_id, ws)` and `ucw(word)`. */
+  private[queries] val ulmCorpusWordsSql =
+    """utoks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+      |  FROM documents
+      |), ucw AS MATERIALIZED (
+      |  SELECT DISTINCT t.w AS word FROM utoks, unnest(ws) AS t(w)
+      |)""".stripMargin
+
 }

@@ -112,6 +112,20 @@ object QueriesText {
     "text_bpe_tokens_trained" -> ((s, d) =>
       Bpe.tokenCountsTrained(s, StandIn.documents(s, d))),
 
+    // Unigram-LM Viterbi encode under the fixed piece table — byte-exact
+    // piece-stream evidence (codegen'd UlmSegment kernel, zero shuffles).
+    "text_ulm_pieces"     -> ((s, d) =>
+      graft.ops.Ulm.encodePieces(StandIn.documents(s, d))),
+
+    // Count-only face of the same encode (UlmCount kernel).
+    "text_ulm_tokens"     -> ((s, d) =>
+      graft.ops.Ulm.tokenCounts(StandIn.documents(s, d))),
+
+    // Train→encode end to end: counts under the vocabulary learned from
+    // the SAME corpus (Ulm.tokenCountsTrained).
+    "text_ulm_tokens_trained" -> ((s, d) =>
+      graft.ops.Ulm.tokenCountsTrained(s, StandIn.documents(s, d))),
+
     "text_quality_train"  -> ((s, d) =>
       graft.ops.QualityModel.weightsTable(s, StandIn.documents(s, d))),
 
@@ -295,6 +309,47 @@ object QueriesText {
     // Train→encode twin: learned pairs + per-word replace chain in one
     // statement (see bpeTrainedTokensOracle).
     "text_bpe_tokens_trained" -> bpeTrainedTokensOracle,
+
+    // Fixed-table unigram-LM encode twins: Viterbi replayed as
+    // recursive-CTE path enumeration per DISTINCT corpus word (ulmWalkSql
+    // — same (cost, np, seg) tiebreak as the kernel), best segmentations
+    // re-joined to the document word stream in order.
+    "text_ulm_pieces" ->
+      s"""WITH RECURSIVE $ulmFixedVocabSql, $ulmCorpusWordsSql
+         |${ulmWalkSql("F", "ucw", "uvoc", withCnt = false)}
+         |SELECT d.doc_id, coalesce(x.s, '') AS ulm_pieces
+         |FROM documents d LEFT JOIN (
+         |  SELECT o.doc_id, string_agg(b.seg, ' ' ORDER BY o.i) AS s
+         |  FROM (SELECT doc_id, ws[CAST(g.i AS INT)] AS word, g.i AS i
+         |        FROM utoks,
+         |             unnest(generate_series(1, len(ws))) AS g(i)) o
+         |  JOIN ubestF b USING (word)
+         |  GROUP BY 1) x USING (doc_id)""".stripMargin,
+
+    "text_ulm_tokens" ->
+      s"""WITH RECURSIVE $ulmFixedVocabSql, $ulmCorpusWordsSql
+         |${ulmWalkSql("F", "ucw", "uvoc", withCnt = false)}
+         |SELECT d.doc_id, CAST(coalesce(x.n, 0) AS INT) AS ulm_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT o.doc_id, sum(b.np) AS n
+         |  FROM (SELECT doc_id, t.w AS word FROM utoks,
+         |          unnest(ws) AS t(w)) o
+         |  JOIN ubestF b USING (word)
+         |  GROUP BY 1) x USING (doc_id)""".stripMargin,
+
+    // Train→encode twin: the full EM chain + final-vocab costs + one more
+    // Viterbi enumeration over the corpus words, in one statement.
+    "text_ulm_tokens_trained" ->
+      s"""$ulmTrainChainSql${ulmScoreSql("uscf",
+              s"uv${graft.ops.Ulm.EmRounds}")}, $ulmCorpusWordsSql
+         |${ulmWalkSql("T", "ucw", "uscf", withCnt = false)}
+         |SELECT d.doc_id, CAST(coalesce(x.n, 0) AS INT) AS ulm_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT o.doc_id, sum(b.np) AS n
+         |  FROM (SELECT doc_id, t.w AS word FROM utoks,
+         |          unnest(ws) AS t(w)) o
+         |  JOIN ubestT b USING (word)
+         |  GROUP BY 1) x USING (doc_id)""".stripMargin,
 
     // Trained-classifier twin: the full rounded-GD optimization unrolled
     // (see qmTrainChainSql) — every learned weight must match bit-for-bit.

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{UlmSegment, UlmViterbi}
+import org.apache.spark.sql.functions._
+
+/** Spec for unigram-LM training and the native Viterbi segment/count
+  * kernels. */
+class UlmSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def table(vocab: (String, Long)*) =
+    new UlmViterbi.Table(vocab.toArray)
+
+  test("segment picks the min-cost path") {
+    // 'ab' piece (cost 5) beats a|b (3+3=6); 'abc' absent → ab|c.
+    val t = table("a" -> 3L, "b" -> 3L, "c" -> 3L, "ab" -> 5L)
+    assert(UlmViterbi.segment("abc", t).toSeq === Seq("ab", "c"))
+    assert(UlmViterbi.segment("ab", t).toSeq === Seq("ab"))
+  }
+
+  test("equal cost ties break by piece count, then seg string") {
+    // 'aa' cost 6 == a|a cost 6 → fewer pieces wins.
+    val t = table("a" -> 3L, "aa" -> 6L)
+    assert(UlmViterbi.segment("aa", t).toSeq === Seq("aa"))
+    // 'ab'+'c' = 6 == 'a'+'bc' = 6, both 2 pieces → 'a bc' < 'ab c'
+    // lexicographically (space < 'b').
+    val t2 = table("a" -> 3L, "b" -> 3L, "c" -> 3L, "ab" -> 3L, "bc" -> 3L)
+    assert(UlmViterbi.segment("abc", t2).toSeq === Seq("a", "bc"))
+  }
+
+  test("out-of-vocabulary characters fall back to UNK single pieces") {
+    val t = table("a" -> 3L)
+    assert(UlmViterbi.segment("axa", t).toSeq === Seq("a", "x", "a"))
+    // ...and the UNK path is never preferred over an in-vocab path.
+    val t2 = table("a" -> 3L, "xa" -> 4L)
+    assert(UlmViterbi.segment("axa", t2).toSeq === Seq("a", "xa"))
+  }
+
+  test("UlmSegment/UlmCount columns agree and handle null/empty") {
+    val df = docs((1L, "the fast hash join"), (2L, ""), (3L, null))
+      .select(col("doc_id"),
+        UlmSegment.ulmSegment(Bpe.words(col("text")), Ulm.FixedVocab)
+          .alias("ps"),
+        UlmSegment.ulmCount(Bpe.words(col("text")), Ulm.FixedVocab)
+          .alias("n"))
+      .orderBy("doc_id").collect()
+    val ps = df(0).getSeq[String](1)
+    assert(df(0).getInt(2) === ps.length)
+    assert(ps.mkString("") === "thefasthashjoin")
+    // Whole-word pieces beat character spellings under the fixed costs.
+    assert(ps.contains("the") && ps.contains("hash") && ps.contains("join"))
+    assert(df(1).getSeq[String](1).isEmpty && df(1).getInt(2) === 0)
+    assert(df(2).getSeq[String](1).isEmpty && df(2).getInt(2) === 0)
+  }
+
+  test("FixedVocab covers the full encode alphabet") {
+    val singles = Ulm.FixedVocab.collect {
+      case (p, _) if p.length == 1 => p.head
+    }.toSet
+    assert(('a' to 'z').forall(singles.contains))
+  }
+
+  test("train keeps all alphabet chars and only used multi-char pieces") {
+    val pieces = Ulm.trainFromWordCounts(
+      Seq("abab" -> 10L, "ab" -> 5L, "cd" -> 3L))
+    val byPiece = pieces.map(p => p.piece -> p).toMap
+    // Alphabet floor: every char of the corpus survives, even unused ones.
+    assert(Set("a", "b", "c", "d").subsetOf(byPiece.keySet))
+    // Multi-char survivors all carry usage; 'abab'/'ab' dominate.
+    val multis = pieces.filter(_.piece.length >= 2)
+    assert(multis.nonEmpty && multis.forall(_.freq > 0))
+    assert(byPiece.contains("abab") && byPiece("abab").freq === 10L)
+    // Scores are negative log-probs in micro-nats, monotone in freq.
+    val sorted = pieces.sortBy(-_.freq)
+    assert(sorted.head.scoreMicro > sorted.last.scoreMicro)
+    assert(pieces.forall(_.scoreMicro < 0))
+  }
+
+  test("driver and distributed trainers produce identical vocabularies") {
+    val d = docs(
+      (1L, "the query scans the table and the hash join is fast"),
+      (2L, "a sort merge join beats a hash join on sorted data"),
+      (3L, "the scan filters rows before the join"))
+    val a = Ulm.train(d).sortBy(_.piece)
+    val b = Ulm.trainDistributed(d).sortBy(_.piece)
+    assert(a === b)
+  }
+
+  test("tokenCountsTrained counts under the corpus-trained vocabulary") {
+    val d = docs((1L, "aaa aaa"), (2L, "aaa"), (3L, ""))
+    // 'aaa' dominates → becomes a piece → 1 token per word.
+    val out = Ulm.tokenCountsTrained(spark, d)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getInt(1)).toSeq === Seq(2, 1, 0))
+  }
+}
