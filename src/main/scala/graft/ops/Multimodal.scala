@@ -945,6 +945,82 @@ object Multimodal {
         col("pass_level") && col("pass_silence") && col("pass_clip"))
   }
 
+  /** Frequency bins probed by [[wavSpectrum]] — k-th DFT bin of the
+    * clip's own N-point transform (harmonics 1/2/4/8 of the clip length),
+    * shared with the oracle twin. */
+  val SpectrumBins: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Audio frequency-domain probe over the REAL decode: Goertzel-style
+    * single-bin DFT energy of channel 0 at the fixed [[SpectrumBins]] —
+    * the dominant-bin signal a music/speech/noise gate needs next to
+    * [[wavGate]]'s time-domain rules. Per clip and bin k:
+    * `p_k = (Σxᵢ·cos(2πki/N)/N)² + (Σxᵢ·sin(2πki/N)/N)²` with
+    * `xᵢ = sample/32768` — each sum accumulated in ascending-i order, so
+    * the oracle's left-fold `list_reduce` reproduces the doubles
+    * bit-for-bit (normalized |x|≤1 keeps libm cos/sin ulps ~1e-14, far
+    * under the 6-dp round). The dominant bin and its share compare at
+    * ROUNDED powers (first-match-wins on ties → smallest k), so the
+    * argmax is bit-stable cross-engine. Samples die in the decode stage
+    * ([[wavFeatures]] altitude); only 8 doubles per clip leave.
+    * Undecodable payloads → `decoded=false` zero rows (bin 0, share 0).
+    */
+  def wavSpectrum(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bins = SpectrumBins.toArray
+    val dft = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          WavCodec.decode(payload) match {
+            case Some((_, nCh, _, samples)) if nCh >= 1 =>
+              val nFr = samples.length / nCh
+              val cs = new Array[Double](bins.length)
+              val ss = new Array[Double](bins.length)
+              var i = 0
+              while (i < nFr) {
+                val x = samples(i * nCh) / 32768.0
+                var b = 0
+                while (b < bins.length) {
+                  val th = 2.0 * math.Pi * bins(b) * i / nFr
+                  cs(b) += x * Math.cos(th)
+                  ss(b) += x * Math.sin(th)
+                  b += 1
+                }
+                i += 1
+              }
+              (id, true, nFr.toLong,
+                cs(0), ss(0), cs(1), ss(1), cs(2), ss(2), cs(3), ss(3))
+            case _ =>
+              (id, false, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_frames",
+        "c1", "s1", "c2", "s2", "c4", "s4", "c8", "s8")
+    val nf = greatest(col("n_frames"), lit(1L))
+    def power(c: String, s: String) =
+      round((col(c) / nf) * (col(c) / nf) + (col(s) / nf) * (col(s) / nf), 6)
+    val pw = dft.select(
+      col("media_id"), col("decoded"), col("n_frames"),
+      power("c1", "s1").alias("p1"), power("c2", "s2").alias("p2"),
+      power("c4", "s4").alias("p4"), power("c8", "s8").alias("p8"))
+    val total =
+      col("p1") + col("p2") + col("p4") + col("p8")
+    val dom = greatest(col("p1"), col("p2"), col("p4"), col("p8"))
+    pw.select(
+      col("media_id"), col("decoded"), col("n_frames"),
+      col("p1"), col("p2"), col("p4"), col("p8"),
+      when(!col("decoded"), 0)
+        .when(col("p1") >= col("p2") && col("p1") >= col("p4") &&
+          col("p1") >= col("p8"), 1)
+        .when(col("p2") >= col("p4") && col("p2") >= col("p8"), 2)
+        .when(col("p4") >= col("p8"), 4)
+        .otherwise(8).alias("dominant_bin"),
+      round(when(col("decoded") && total > 0.0, dom / total)
+        .otherwise(0.0), 6).alias("dominant_share"))
+  }
+
   /** Synthetic WAV media frame: one REAL RIFF/WAVE payload per document
     * id, encoded per partition (bytes never shuffled), sample content the
     * [[WavCodec.sampleOf]] formula — every downstream decoded-sample

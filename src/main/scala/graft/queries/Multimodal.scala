@@ -228,6 +228,12 @@ object QueriesMultimodal {
     "mm_wav_gate"         -> ((s, d) =>
       Multimodal.wavGate(Multimodal.wavMedia(s, d))),
 
+    // Frequency-domain probe over the real decode: single-bin DFT powers
+    // at the fixed SpectrumBins + rounded-argmax dominant bin — the
+    // music/speech/noise signal completing wavGate's time-domain rules.
+    "mm_wav_spectrum"     -> ((s, d) =>
+      Multimodal.wavSpectrum(Multimodal.wavMedia(s, d))),
+
     // Perceptual hashes over the REAL decode (60-bit aHash + dHash from
     // nearest-neighbor luma sampling) — the image-level dedup signature;
     // PNG losslessness makes both hashes formula-derivable by the oracle.
@@ -474,6 +480,47 @@ object QueriesMultimodal {
          |       pass_level, pass_silence, pass_clip,
          |       (pass_level AND pass_silence AND pass_clip) AS pass
          |FROM wb""".stripMargin,
+
+    // Spectrum twin (Multimodal.wavSpectrum): the same single-bin DFT
+    // sums re-derived from the sample formula, folded LEFT in ascending-i
+    // order (list_reduce ≡ the kernel's i-loop, so the doubles match
+    // bit-for-bit); powers rounded 6-dp before the argmax, first-match
+    // CASE = smallest bin on ties — the kernel's exact tiebreak.
+    "mm_wav_spectrum" -> {
+      val dftCols = Multimodal.SpectrumBins.map { k =>
+        def fold(fn: String) =
+          s"""list_reduce(list_prepend(0.0, list_transform(range(0, nf),
+             |    i -> (((doc_id * 31 + i * 7) % 65536 - 32768) / 32768.0)
+             |         * $fn(2.0 * pi() * $k * i / nf))),
+             |    (a, b) -> a + b)""".stripMargin
+        s"${fold("cos")} AS c$k,\n${fold("sin")} AS s$k"
+      }.mkString(",\n")
+      val pwCols = Multimodal.SpectrumBins.map { k =>
+        s"round((c$k/nf)*(c$k/nf) + (s$k/nf)*(s$k/nf), 6) AS p$k"
+      }.mkString(",\n         ")
+      s"""WITH wd AS (
+         |  SELECT doc_id, 64 + doc_id % 33 AS nf FROM documents
+         |), dft AS (
+         |  SELECT doc_id, nf,
+         |$dftCols
+         |  FROM wd
+         |), pw AS (
+         |  SELECT doc_id, nf,
+         |         $pwCols
+         |  FROM dft
+         |)
+         |SELECT doc_id AS media_id, TRUE AS decoded,
+         |       CAST(nf AS BIGINT) AS n_frames,
+         |       p1, p2, p4, p8,
+         |       CASE WHEN p1 >= p2 AND p1 >= p4 AND p1 >= p8 THEN 1
+         |            WHEN p2 >= p4 AND p2 >= p8 THEN 2
+         |            WHEN p4 >= p8 THEN 4 ELSE 8 END AS dominant_bin,
+         |       round(CASE WHEN p1 + p2 + p4 + p8 > 0.0
+         |                  THEN greatest(p1, p2, p4, p8)
+         |                       / (p1 + p2 + p4 + p8)
+         |                  ELSE 0.0 END, 6) AS dominant_share
+         |FROM pw""".stripMargin
+    },
 
     // Image-gate twin (Multimodal.imageGate): same thresholds from the
     // shared constants, aspect as the same integer cross-multiplication,

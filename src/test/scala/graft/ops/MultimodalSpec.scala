@@ -316,6 +316,42 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("ch0_energy") === 0L)
   }
 
+  test("wavSpectrum: pure sine at bin 2 dominates bin 2; corrupt flagged") {
+    import spark.implicits._
+    def pcmWav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    val n = 64
+    def sine(k: Int) = (0 until n).map(i =>
+      math.round(20000.0 * math.sin(2.0 * math.Pi * k * i / n)).toShort)
+    val df = Seq(
+      (2L, pcmWav(sine(2))), (8L, pcmWav(sine(8))),
+      (99L, "static".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.wavSpectrum(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // A pure sine at bin k puts (amplitude/2)² ≈ 0.0931 of full-scale
+    // power in p_k and ~0 elsewhere → bin k dominates with share ≈ 1.
+    assert(out(2L).getAs[Int]("dominant_bin") === 2)
+    assert(out(2L).getAs[Double]("p2") > 0.09)
+    assert(out(2L).getAs[Double]("p4") < 1e-4)
+    assert(out(2L).getAs[Double]("dominant_share") > 0.99)
+    assert(out(8L).getAs[Int]("dominant_bin") === 8)
+    // Corrupt payload: flagged zero row, bin 0 — never a throw.
+    assert(!out(99L).getAs[Boolean]("decoded"))
+    assert(out(99L).getAs[Int]("dominant_bin") === 0)
+    assert(out(99L).getAs[Double]("dominant_share") === 0.0)
+  }
+
   test("wavGate: silent and clipped fixtures fail the right screens; " +
       "formula audio passes; corrupt fails everything") {
     import spark.implicits._
