@@ -124,6 +124,65 @@ object Curation {
       .select(col("doc_id"), col("predicted_lang"),
         col("ws_tokens"), col("bpeish_tokens"))
 
+  /** END-TO-END curation pipeline in ONE query — the "it all composes"
+    * funnel: encoding screen → quality gate → near-dup keepers →
+    * per-source cap → split, with per-stage survivor counts as the single
+    * output row. Every stage reuses the standalone operator (or its
+    * extracted Column form), the [[dedupReport]]/[[contaminationReport]]
+    * discipline, so the funnel cannot drift from the detailed reports.
+    *
+    * Exactly TWO corpus scans (plan-asserted): scan 1 fuses the encoding
+    * verdict ([[TextRules.encodingSuspect]] inlined), the gate + language
+    * + token signals ([[TextAnalysis.curationSignals]] with source/lang
+    * metadata passed through on the same scan), and the split hash; scan 2
+    * is the MinHash/LSH keeper machinery — the one genuinely heavyweight
+    * stage. Cluster structure is computed corpus-WIDE and intersected with
+    * the gate survivors (the [[curate]] convention: dedup decisions do not
+    * depend on gate tuning). All later stages run on materialized
+    * id+metadata frames; text never enters an Exchange.
+    */
+  def curatePipeline(
+      docs: DataFrame,
+      maxPerSource: Int = 20,
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    // Fixture n_chars is renamed around the scan: curationSignals computes
+    // its own n_chars signal internally, and capBySource wants the table
+    // column back under its original name.
+    val sig = Materialize(TextAnalysis.curationSignals(
+      docs
+        .withColumn("enc_ok", !TextRules.encodingSuspect(col("text")))
+        .withColumnRenamed("n_chars", "src_n_chars"),
+      passThrough = Seq("enc_ok", "source", "lang", "src_n_chars")))
+    val base = sig.agg(
+      count(lit(1)).alias("n_docs"),
+      sum(when(col("enc_ok"), 1L).otherwise(0L)).alias("n_encoding_clean"),
+      sum(when(col("enc_ok") && col("passed"), 1L).otherwise(0L))
+        .alias("n_gate_passed"))
+    val survivors = Materialize(
+      sig.where(col("enc_ok") && col("passed"))
+        .join(keepers(docs, k, bands, threshold), "doc_id")
+        .withColumnRenamed("src_n_chars", "n_chars"))
+    val nKeep = survivors.agg(count(lit(1)).alias("n_keepers"))
+    val capped = capBySource(survivors, maxPerSource)
+      .select(col("doc_id"), splitColumn(fractions).alias("split"))
+    val capAgg = capped.agg(
+      count(lit(1)).alias("n_capped"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).alias("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).alias("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).alias("n_test"))
+    base.crossJoin(broadcast(nKeep)).crossJoin(broadcast(capAgg))
+      .select(
+        col("n_docs"), col("n_encoding_clean"), col("n_gate_passed"),
+        col("n_keepers"), col("n_capped"),
+        col("n_train"), col("n_val"), col("n_test"),
+        round(col("n_capped").cast("double") /
+          greatest(col("n_docs"), lit(1L)), 6).alias("retained_share"))
+  }
+
   /** Sequence packing — "concatenate and chop", the layout GPT-style
     * pretraining feeds the model: documents are laid end-to-end in a
     * deterministic order and cut into `budget`-token sequences; each doc

@@ -543,6 +543,12 @@ object TextAnalysis {
     * tokenize the corpus once per signal, nor shuffle three doc_id
     * joins). Signal-for-signal identical to the standalone ops — the
     * same expressions over the same staged token column.
+    *
+    * `passThrough` names input columns carried verbatim to the output
+    * (appended after the signal columns) — the fused-scan hook composites
+    * like [[graft.ops.Curation.curatePipeline]] use to keep source/flag
+    * metadata on the SAME scan instead of joining it back by doc_id.
+    * Names must not collide with the signal outputs.
     */
   def curationSignals(
       docs: DataFrame,
@@ -550,14 +556,16 @@ object TextAnalysis {
       minTokens: Int = GateMinTokens,
       maxStopwordRatio: Double = GateMaxStopwordRatio,
       maxPunctRatio: Double = GateMaxPunctRatio,
-      maxCharsPerToken: Double = GateMaxCharsPerToken): DataFrame = {
+      maxCharsPerToken: Double = GateMaxCharsPerToken,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val stopwords = LangMarkers.flatMap(_._2)
     val punct = "[.,!?;:]"
     val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    val carry = passThrough.map(col)
     val nToksDen = greatest(size(col("toks")), lit(1))
     val scored = docs
-      .select(col("doc_id"), col("text"),
-        Dedup.tokens(col("text")).alias("toks"))
+      .select(Seq(col("doc_id"), col("text"),
+        Dedup.tokens(col("text")).alias("toks")) ++ carry: _*)
       .select(Seq(
         col("doc_id"),
         length(col("text")).alias("n_chars"),
@@ -573,7 +581,7 @@ object TextAnalysis {
         LangMarkers.map { case (lang, words) =>
           (graft.functions.CountInSet.countInSet(col("toks"), words)
             .cast("double") / nToksDen).alias(s"${lang}_score")
-        }: _*)
+        } ++ carry: _*)
     val cpt = col("n_chars").cast("double") / greatest(col("n_tokens"), lit(1))
     val reason =
       when(col("n_chars") < minChars, "too_short")
@@ -589,13 +597,13 @@ object TextAnalysis {
         when(col(s"${lang}_score") === best && best > 0, lit(lang))
           .otherwise(rest)
     }
-    scored.select(
+    scored.select(Seq(
       col("doc_id"),
       reason.isNull.alias("passed"),
       reason.alias("reject_reason"),
       predicted.alias("predicted_lang"),
       col("n_tokens").alias("ws_tokens"),
-      col("bpeish_tokens"))
+      col("bpeish_tokens")) ++ carry: _*)
   }
 
   /** Classifier-AGREEMENT matrix between the two language identifiers:

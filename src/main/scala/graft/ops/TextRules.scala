@@ -228,18 +228,37 @@ object TextRules {
     * character-class regexp_counts; zero shuffles, the text never leaves
     * its scan task.
     */
+  private def encSubCount(text: Column, sig: String): Column =
+    ((length(text) - length(replace(text, lit(sig), lit("")))) /
+      lit(sig.length)).cast("long")
+
+  private def encControlCount(text: Column): Column =
+    regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+
+  private def encControlRatio(text: Column): Column =
+    round(encControlCount(text).cast("double") /
+      greatest(length(text), lit(1)).cast("double"), 6)
+
+  /** The [[encodingScreen]] verdict as a pure Column over a raw text
+    * column — the gate-inlining form ([[graft.ops.Curation.splitColumn]]'s
+    * pattern), so composites can fuse the screen into their own scan
+    * instead of joining the screen frame back by doc_id. Same expressions,
+    * same ROUNDED control-ratio threshold comparison. */
+  def encodingSuspect(textCol: Column): Column = {
+    val text = coalesce(textCol, lit(""))
+    val nRepl = encSubCount(text, "�")
+    val nMoji = MojibakeSignatures.map(encSubCount(text, _)).reduce(_ + _)
+    nRepl > 0 || nMoji > 0 || encControlRatio(text) > EncMaxControlRatio
+  }
+
   def encodingScreen(docs: DataFrame): DataFrame = {
     val text = coalesce(col("text"), lit(""))
-    def subCount(sig: String): Column =
-      ((length(text) - length(replace(text, lit(sig), lit("")))) /
-        lit(sig.length)).cast("long")
-    val nRepl = subCount("�")
-    val nControl =
-      regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+    val nRepl = encSubCount(text, "�")
+    val nControl = encControlCount(text)
     val nAscii = regexp_count(text, lit("[\\x20-\\x7E]"))
-    val nMoji = MojibakeSignatures.map(subCount).reduce(_ + _)
+    val nMoji = MojibakeSignatures.map(encSubCount(text, _)).reduce(_ + _)
     val lenD = greatest(length(text), lit(1)).cast("double")
-    val controlRatio = round(nControl.cast("double") / lenD, 6)
+    val controlRatio = encControlRatio(text)
     docs.select(
       col("doc_id"),
       length(text).alias("n_chars"),
@@ -248,8 +267,7 @@ object TextRules {
       nMoji.alias("n_mojibake"),
       controlRatio.alias("control_ratio"),
       round(nAscii.cast("double") / lenD, 6).alias("ascii_ratio"),
-      (nRepl > 0 || nMoji > 0 || controlRatio > EncMaxControlRatio)
-        .alias("encoding_suspect"))
+      encodingSuspect(col("text")).alias("encoding_suspect"))
   }
 
   /** Per-document Shannon entropy (bits) over the character-class

@@ -224,6 +224,12 @@ object QueriesCorpus {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate"       -> ((s, d) => corpusCurate(s, d)),
 
+    // END-TO-END pipeline funnel: encoding screen → gate → keepers →
+    // per-source cap → split, per-stage survivor counts in ONE row; two
+    // corpus scans total (Curation.curatePipeline scaladoc).
+    "corpus_pipeline"     -> ((s, d) =>
+      Curation.curatePipeline(StandIn.documents(s, d))),
+
     "corpus_sample"       -> ((s, d) => corpusSample(s, d)),
 
     "decontaminate"       -> ((s, d) => decontaminate(s, d)),
@@ -460,6 +466,53 @@ object QueriesCorpus {
          |JOIN gated g ON g.doc_id = d.doc_id AND g.reject_reason IS NULL
          |JOIN best b ON b.doc_id = d.doc_id
          |JOIN toks k ON k.doc_id = d.doc_id""".stripMargin,
+
+    // Pipeline-funnel twin (Curation.curatePipeline): the curate chain's
+    // CTEs + the shared encoding-flag CTEs + cap row_number + split CASE,
+    // folded to one row of per-stage survivor counts via scalar
+    // subqueries over MATERIALIZED stage CTEs.
+    "corpus_pipeline" -> {
+      val bounds = Curation.splitBounds(SplitFractions)
+      val cases = SplitFractions.init.zip(bounds.init)
+        .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |$componentsSql, $rawToksSql, $gateSql, $encFlagCtesSql,
+         |ps3 AS MATERIALIZED (
+         |  SELECT g.doc_id FROM gated g JOIN pflag e USING (doc_id)
+         |  WHERE e.enc_ok AND g.reject_reason IS NULL
+         |), ps4 AS MATERIALIZED (
+         |  SELECT s.doc_id FROM ps3 s
+         |  JOIN labels l ON l.doc_id = s.doc_id AND l.cluster_id = s.doc_id
+         |), ps5 AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT d.doc_id,
+         |           row_number() OVER (PARTITION BY d.source
+         |             ORDER BY md5(concat('graft-cap1:',
+         |               CAST(d.doc_id AS VARCHAR))), d.doc_id) AS rn
+         |    FROM documents d JOIN ps4 USING (doc_id)) q
+         |  WHERE rn <= 20
+         |), ps6 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE $cases ELSE '${SplitFractions.last._1}' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${hashSql(s"'${Curation.SplitHashIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+         |        FROM ps5) q
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM pflag WHERE enc_ok) AS n_encoding_clean,
+         |  (SELECT count(*) FROM ps3) AS n_gate_passed,
+         |  (SELECT count(*) FROM ps4) AS n_keepers,
+         |  (SELECT count(*) FROM ps5) AS n_capped,
+         |  (SELECT count(*) FROM ps6 WHERE split = 'train') AS n_train,
+         |  (SELECT count(*) FROM ps6 WHERE split = 'val') AS n_val,
+         |  (SELECT count(*) FROM ps6 WHERE split = 'test') AS n_test,
+         |  round((SELECT count(*) FROM ps5) /
+         |    CAST(greatest((SELECT count(*) FROM documents), 1) AS DOUBLE),
+         |    6) AS retained_share""".stripMargin
+    },
 
     // Sequence-packing twin (Curation.packSequences): same md5-derived
     // bucket, same running-sum chop at the token budget.

@@ -435,6 +435,34 @@ object QueryShared {
 
   // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
 
+  /** Encoding-screen verdict as a 3-CTE chain ending at
+    * `pflag(doc_id, enc_ok)` — twin of [[graft.ops.TextRules.encodingSuspect]]
+    * (the Column form composites inline); same substring counts, same
+    * ROUNDED control-ratio threshold from the shared constants. */
+  private[queries] val encFlagCtesSql = {
+    val moji = TextRules.MojibakeSignatures
+      .map(sig =>
+        s"(length(t) - length(replace(t, '$sig', ''))) // ${sig.length}")
+      .mkString(" + ")
+    s"""peb AS (
+       |  SELECT doc_id, coalesce(text, '') AS t FROM documents
+       |), pem AS (
+       |  SELECT doc_id, length(t) AS n,
+       |         length(t) - length(replace(t, '�', '')) AS n_repl,
+       |         length(t) - length(regexp_replace(t,
+       |           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+       |           AS n_ctl,
+       |         $moji AS n_moji
+       |  FROM peb
+       |), pflag AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         NOT (n_repl > 0 OR n_moji > 0
+       |              OR round(n_ctl / CAST(greatest(n, 1) AS DOUBLE), 6)
+       |                 > ${TextRules.EncMaxControlRatio}) AS enc_ok
+       |  FROM pem
+       |)""".stripMargin
+  }
+
   // ─── unigram-LM (SentencePiece) twins of ops/Ulm.scala ─────────────────
   // Viterbi replayed as recursive-CTE path ENUMERATION: every segmentation
   // of a word is a path pos→pos+len(piece); the best is

@@ -499,6 +499,19 @@ class PlanEvidenceSpec extends SparkSpec {
       s"benford replays the events scan, saw $scans:\n$plan")
   }
 
+  test("corpus_pipeline: two eager corpus passes, zero replayed scans") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // The funnel's corpus reads are the two Materialize'd passes (fused
+    // signal scan; keeper machinery) that ran eagerly when the frame was
+    // built — the final DAG must consume ONLY checkpointed frames. Any
+    // FileScan here means a stage re-reads the corpus per consumer.
+    val plan = SparkEntry.queries("corpus_pipeline")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 0,
+      s"pipeline funnel replays a corpus scan, saw $scans:\n$plan")
+  }
+
   test("text_quality_report: one fused corpus scan feeds the verdict histogram") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = SparkEntry.queries("text_quality_report")(spark, dir)
