@@ -927,6 +927,64 @@ object Dedup {
   def streamingExact(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming face of [[lineDedup]] — with one honest, DELIBERATE
+    * semantic shift. CCNet's batch rule drops ALL copies of a duplicated
+    * line; over an append stream that is unimplementable: by the time the
+    * second copy arrives, the first has already been emitted, and undoing
+    * it would need retractions no append sink supports. Worse, a drop-all
+    * rule's state can never be evicted — whether a line is duplicated
+    * "across the corpus" is only known at end-of-corpus, so its state IS
+    * the corpus. The streaming rule is therefore FIRST-WINS: the first
+    * occurrence of an (eligible) line inside the watermark horizon
+    * survives, later copies are dropped. The boilerplate the batch rule
+    * exists to strip — headers, nav bars, cookie banners — repeats many
+    * times, so the two rules converge on those lines and differ only on
+    * the first sighting (SURVEY §5.3 carries this as the documented
+    * batch/stream divergence; this is a different operator contract, not
+    * an approximation of the batch one).
+    *
+    * Shape: lines explode map-side with their position; dedup state is
+    * keyed by the 8-byte xxhash64 (the batch operator's Exchange
+    * discipline), bounded by horizon × line rate and evicted by the
+    * watermark. Ineligible short lines bypass state entirely (kept
+    * verbatim — the batch eligibility rule). Callers `withWatermark`
+    * upstream, run append mode, and rebuild documents per micro-batch
+    * with [[rebuildFromKeptLines]] in `foreachBatch` (batch-local
+    * groupBy; no cross-batch state — a document's lines all ride one
+    * input row, so they land in one batch).
+    */
+  def streamingLineDedup(
+      stream: DataFrame,
+      minChars: Int = LineDedupMinChars): DataFrame = {
+    val parts = split(coalesce(col("text"), lit("")), "\n")
+    val lines = stream.select(
+      col("doc_id"), col("event_time"),
+      posexplode(parts).as(Seq("line_no", "line")),
+      size(parts).alias("n_lines"))
+    val eligible = lines
+      .where(length(col("line")) >= minChars)
+      .withColumn("h", xxhash64(col("line")))
+      .dropDuplicatesWithinWatermark(Seq("h"))
+      .drop("h")
+    eligible.unionByName(lines.where(length(col("line")) < minChars))
+  }
+
+  /** Per-micro-batch document rebuild for [[streamingLineDedup]]'s kept
+    * lines: one row per document with surviving lines re-joined in
+    * position order — `(doc_id, n_lines, n_dropped, text_dedup)`, the
+    * batch operator's output shape. */
+  def rebuildFromKeptLines(kept: DataFrame): DataFrame =
+    kept
+      .groupBy(col("doc_id"), col("n_lines"))
+      .agg(sort_array(collect_list(struct(col("line_no"), col("line"))))
+        .alias("ls"))
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        (col("n_lines") - size(col("ls"))).alias("n_dropped"),
+        array_join(transform(col("ls"), x => x("line")), "\n")
+          .alias("text_dedup"))
+
   /** Consecutive word bigrams ("w1 w2"), order-preserving — native
     * codegen'd loop (graft.functions.Bigrams), bit-identical to the
     * interpreted `transform(sequence(...), concat_ws)` chain it replaced
