@@ -396,6 +396,91 @@ object Curation {
   val ShardHashIndex = 11
   val OrderHashIndex = 13
 
+  /** [[splitLeakage]] n-gram order and per-doc flag threshold — shared
+    * with the oracle twins. 8-grams sit in the published range (GPT-3
+    * decontaminated at 13-grams, FLAN at 8); the flag fires when half a
+    * val document's grams also appear in train. */
+  val LeakGramN = 8
+  val LeakFlagShare = 0.5
+
+  /** TRAIN→VAL n-gram LEAKAGE screen — the memorization-overlap audit an
+    * eval card runs on its OWN split before trusting val loss (the
+    * GPT-2/3-style "how much of the held-out set is literally in
+    * training" check; [[contamination]] screens against an external
+    * benchmark, this screens the split against itself). Per val
+    * document: distinct word-[[LeakGramN]]-grams, how many also occur in
+    * ANY train document, the leaked share, and a flag at
+    * [[LeakFlagShare]].
+    *
+    * Distributed shape: one corpus scan builds per-doc DISTINCT gram-hash
+    * arrays in the row (tokens → sliding slice → xxhash64 — the
+    * [[Dedup.lineDedup]] discipline: every Exchange carries 8-byte
+    * hashes, never gram text); the split verdict is the inlined
+    * [[splitColumn]] (no join). The train side reduces to distinct hashes
+    * (map-side combined), the val side explodes ≤ grams-per-doc rows, and
+    * the overlap is a hash equi-join. Share compares at the ROUNDED value
+    * so the flag is bit-stable cross-engine. Val docs with < n tokens
+    * keep their row (0 grams, share 0).
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      n: Int = LeakGramN,
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      flagShare: Double = LeakFlagShare): DataFrame = {
+    require(n >= 2, s"n-gram order must be ≥ 2, got $n")
+    val t = Dedup.tokens(col("text"))
+    val grams = when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(array_join(slice(t, i, lit(n)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+    val tagged = Materialize(docs.select(
+      col("doc_id"),
+      splitColumn(fractions).alias("split"),
+      grams.alias("gs")))
+    val trainG = tagged.where(col("split") === "train")
+      .select(explode(col("gs")).alias("h")).distinct()
+    val valDocs = tagged.where(col("split") === "val")
+      .select(col("doc_id"), size(col("gs")).alias("n_grams"), col("gs"))
+    val hits = valDocs
+      .select(col("doc_id"), explode(col("gs")).alias("h"))
+      .join(trainG.withColumn("hit", lit(true)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).alias("n_leaked"))
+    val share = round(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+      greatest(col("n_grams"), lit(1)), 6)
+    valDocs.drop("gs")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).alias("n_leaked"),
+        share.alias("leak_share"),
+        (share >= flagShare).alias("flagged"))
+  }
+
+  /** One-row rollup of [[splitLeakage]]: val doc/gram totals, the
+    * micro-averaged leaked share (total leaked ÷ total grams — exact
+    * integer division, no summation-order hazard a macro-average of
+    * doubles would carry), the worst single document, and the flagged
+    * count. */
+  def splitLeakageReport(
+      docs: DataFrame,
+      n: Int = LeakGramN,
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      flagShare: Double = LeakFlagShare): DataFrame =
+    splitLeakage(docs, n, fractions, flagShare).agg(
+      count(lit(1)).alias("n_val_docs"),
+      sum(col("n_grams").cast("long")).alias("n_val_grams"),
+      sum(col("n_leaked")).alias("n_leaked_grams"),
+      max(col("leak_share")).alias("max_doc_share"),
+      sum(when(col("flagged"), 1L).otherwise(0L)).alias("n_flagged"))
+      .select(
+        col("n_val_docs"), col("n_val_grams"), col("n_leaked_grams"),
+        round(col("n_leaked_grams").cast("double") /
+          greatest(col("n_val_grams"), lit(1L)), 6).alias("leak_share"),
+        col("max_doc_share"), col("n_flagged"))
+
   /** Token-budget mixing with repetition: given a per-language token
     * target, how many epochs of each document does the mix contain?
     * Whole epochs are `target div lang_tokens`; the fractional remainder
@@ -701,6 +786,50 @@ object Curation {
         round(col("top5_docs").cast("double") / nd, 6).alias("top5_share"),
         hhi.alias("hhi"),
         round(lit(1.0) / hhi, 6).alias("eff_sources"))
+  }
+
+  /** Snapshot DIFF — the change audit between two ingests of the same
+    * corpus (the "what moved since last crawl" report a pipeline runs
+    * before re-training): per document id, `added` (new only), `removed`
+    * (old only), `changed` (both, different content), or `unchanged`.
+    * Content compares by sha-256 so the FULL OUTER join's Exchanges carry
+    * (doc_id, 32-byte digest), never text — the [[Dedup.incrementalExact]]
+    * discipline; at two 100 TB snapshots the join is the only wide stage
+    * and both sides shuffle fixed-width rows.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, as: String) = df.select(
+      col("doc_id"),
+      sha2(coalesce(col("text"), lit("")), 256).alias(as))
+    hashed(oldSnap, "oh")
+      .join(hashed(newSnap, "nh"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") === col("nh"), "unchanged")
+          .otherwise("changed").alias("status"))
+  }
+
+  /** One-row rollup of [[snapshotDiff]]: per-status counts, both snapshot
+    * sizes (derived from the statuses — no extra scan), and the churn
+    * share relative to the new snapshot. Conditional aggregation over the
+    * diff — exact integers, one rounded division. */
+  def snapshotDiffReport(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def n(s: String) =
+      sum(when(col("status") === s, 1L).otherwise(0L)).alias(s"n_$s")
+    snapshotDiff(oldSnap, newSnap)
+      .agg(n("added"), n("removed"), n("changed"), n("unchanged"))
+      .select(
+        (col("n_removed") + col("n_changed") + col("n_unchanged"))
+          .alias("n_old"),
+        (col("n_added") + col("n_changed") + col("n_unchanged"))
+          .alias("n_new"),
+        col("n_added"), col("n_removed"), col("n_changed"),
+        col("n_unchanged"),
+        round((col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") /
+          greatest(col("n_added") + col("n_changed") + col("n_unchanged"),
+            lit(1L)), 6).alias("churn_share"))
   }
 
   /** FUZZY decontamination: corpus documents that are NEAR-duplicates of a

@@ -273,4 +273,41 @@ object Ulm {
     * cross-engine). */
   def tokenCountsTrained(spark: SparkSession, docs: DataFrame): DataFrame =
     tokenCounts(docs, train(docs).map(p => (p.piece, -p.scoreMicro)))
+
+  /** Tokenizer COMPARISON card: BPE and unigram-LM each trained on the
+    * SAME corpus, each encoding it, in one row — document/word/token
+    * totals, per-family fertility (tokens per word, the cost metric a
+    * tokenizer review reads), the ULM:BPE token ratio, and the learned
+    * vocabulary sizes. The production "which tokenizer for this corpus"
+    * decision table.
+    *
+    * Totals are exact integer sums with ONE rounded division each, so the
+    * card is bit-stable regardless of aggregation order; the joins
+    * exchange (doc_id, int) rows only. Its twin replays BOTH training
+    * loops and BOTH encodes in a single SQL statement — the two
+    * tokenizer families pinned against each other cross-engine.
+    */
+  def compareWithBpe(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val pieces = train(docs)
+    val ulm = tokenCounts(docs, pieces.map(p => (p.piece, -p.scoreMicro)))
+    val bpe = Bpe.tokenCountsTrained(spark, docs)
+    val words = docs.select(col("doc_id"),
+      size(Bpe.words(col("text"))).alias("n_words"))
+    words.join(bpe, "doc_id").join(ulm, "doc_id")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("n_words").cast("long")).alias("n_words"),
+        sum(col("bpe_tokens").cast("long")).alias("bpe_tokens"),
+        sum(col("ulm_tokens").cast("long")).alias("ulm_tokens"))
+      .select(
+        col("n_docs"), col("n_words"), col("bpe_tokens"), col("ulm_tokens"),
+        round(col("bpe_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)), 6).alias("bpe_fertility"),
+        round(col("ulm_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)), 6).alias("ulm_fertility"),
+        round(col("ulm_tokens").cast("double") /
+          greatest(col("bpe_tokens"), lit(1L)), 6).alias("ulm_vs_bpe"),
+        lit(Bpe.NumMerges).cast("int").alias("bpe_merges"),
+        lit(pieces.size).cast("int").alias("ulm_vocab"))
+  }
 }

@@ -47,6 +47,91 @@ object QueriesCorpus {
   private val SplitFractions =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
+  /** Synthetic "next ingest" snapshot for the diff twins: documents with
+    * doc_id % 7 = 0 dropped (removed), % 7 = 1 edited (changed), % 7 = 3
+    * re-added under shifted ids (added) — every status class populated
+    * from the one fixture. Mirrored by [[snapshotNewSql]]. */
+  private def snapshotNew(s: SparkSession, dir: String): DataFrame = {
+    val docs = StandIn.documents(s, dir)
+    docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 1, concat(coalesce(col("text"), lit("")),
+          lit(" v2"))).otherwise(col("text")).alias("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).alias("doc_id"), col("text")))
+  }
+
+  /** Diff CTEs shared by the detail and report twins — ends at
+    * `dj(doc_id, status)`; content compared on the raw text where the
+    * engine compares sha-256 digests (equality-identical short of a
+    * collision). */
+  private val snapshotDiffCtesSql =
+    """WITH oldt AS (
+      |  SELECT doc_id, coalesce(text, '') AS t FROM documents
+      |), newt AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 1 THEN coalesce(text, '') || ' v2'
+      |              ELSE coalesce(text, '') END AS t
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, coalesce(text, '')
+      |  FROM documents WHERE doc_id % 7 = 3
+      |), dj AS MATERIALIZED (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN o.t = n.t THEN 'unchanged'
+      |              ELSE 'changed' END AS status
+      |  FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+      |)""".stripMargin
+
+  /** Leakage-screen CTEs shared by the detail and report twins: inlined
+    * split CASE → per-doc distinct 8-gram lists → train gram vocabulary →
+    * per-val-doc overlap counts, ending at `ldet(doc_id, n_grams,
+    * n_leaked, d_share)`. */
+  private val leakageCtesSql = {
+    val n = Curation.LeakGramN
+    val bounds = Curation.splitBounds(SplitFractions)
+    val cases = SplitFractions.init.zip(bounds.init)
+      .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
+      .mkString(" ")
+    s"""WITH lt AS (
+       |  SELECT doc_id,
+       |         CASE $cases ELSE '${SplitFractions.last._1}' END AS split,
+       |         list_filter(string_split_regex(lower(coalesce(text, '')),
+       |           '\\s+'), w -> len(w) > 0) AS t
+       |  FROM (SELECT doc_id, text,
+       |          ${hashSql(s"'${Curation.SplitHashIndex}:'",
+                    "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+       |        FROM documents) q
+       |), lgr AS MATERIALIZED (
+       |  SELECT doc_id, split,
+       |         CASE WHEN len(t) >= $n THEN list_distinct(
+       |           list_transform(range(1, len(t) - ${n - 2}),
+       |             i -> array_to_string(
+       |               t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ')))
+       |         ELSE [] END AS gs
+       |  FROM lt
+       |), ltg AS MATERIALIZED (
+       |  SELECT DISTINCT u.g FROM lgr, unnest(gs) AS u(g)
+       |  WHERE split = 'train'
+       |), lvg AS MATERIALIZED (
+       |  SELECT doc_id, len(gs) AS n_grams, gs FROM lgr WHERE split = 'val'
+       |), lvx AS (
+       |  SELECT doc_id, u.g FROM lvg, unnest(gs) AS u(g)
+       |), lvc AS (
+       |  SELECT x.doc_id, count(t.g) AS n_leaked
+       |  FROM lvx x LEFT JOIN ltg t USING (g) GROUP BY x.doc_id
+       |), ldet AS MATERIALIZED (
+       |  SELECT v.doc_id,
+       |         CAST(v.n_grams AS INT) AS n_grams,
+       |         CAST(coalesce(c.n_leaked, 0) AS BIGINT) AS n_leaked,
+       |         round(coalesce(c.n_leaked, 0)
+       |           / CAST(greatest(v.n_grams, 1) AS DOUBLE), 6) AS d_share
+       |  FROM lvg v LEFT JOIN lvc c USING (doc_id)
+       |)""".stripMargin
+  }
+
   private def corpusSplit(s: SparkSession, dir: String): DataFrame =
     Curation.assignSplits(StandIn.documents(s, dir), SplitFractions)
 
@@ -306,7 +391,31 @@ object QueriesCorpus {
 
     "corpus_split"        -> ((s, d) => corpusSplit(s, d)),
 
+    // Train→val n-gram leakage screen: per-val-doc distinct 8-gram
+    // overlap with ANY train doc — the split's own memorization audit
+    // (Curation.splitLeakage; hash-only Exchanges, inlined split).
+    "corpus_split_leakage" -> ((s, d) =>
+      Curation.splitLeakage(StandIn.documents(s, d),
+        fractions = SplitFractions)),
+
+    // One-row rollup: totals, micro-averaged leak share (integer
+    // division — no double-sum order hazard), worst doc, flagged count.
+    "corpus_leakage_report" -> ((s, d) =>
+      Curation.splitLeakageReport(StandIn.documents(s, d),
+        fractions = SplitFractions)),
+
     "corpus_shuffle"      -> ((s, d) => corpusShuffle(s, d)),
+
+    // Snapshot diff: per-doc added/removed/changed/unchanged between two
+    // ingests (old = fixture; new = drop %7=0, edit %7=1, add shifted
+    // %7=3 — the same synthetic-snapshot trick as dedup_incremental).
+    "corpus_snapshot_diff" -> ((s, d) =>
+      Curation.snapshotDiff(StandIn.documents(s, d), snapshotNew(s, d))),
+
+    // ...and its one-row rollup (sizes derived from statuses, churn).
+    "corpus_diff_report"  -> ((s, d) =>
+      Curation.snapshotDiffReport(StandIn.documents(s, d),
+        snapshotNew(s, d))),
 
     "corpus_mix"          -> ((s, d) => corpusMix(s, d)),
 
@@ -689,6 +798,61 @@ object QueriesCorpus {
     // only prunes shuffle traffic; the exact join removes false
     // positives), so it checks against the very same oracle.
     "decontaminate_bloom" -> decontaminateOracle,
+
+    // Snapshot-diff twins (Curation.snapshotDiff / snapshotDiffReport):
+    // same synthetic next-ingest derivation, FULL OUTER on doc_id,
+    // text equality where the engine compares digests.
+    "corpus_snapshot_diff" ->
+      s"""$snapshotDiffCtesSql
+         |SELECT doc_id, status FROM dj""".stripMargin,
+
+    "corpus_diff_report" ->
+      s"""$snapshotDiffCtesSql, cs AS (
+         |  SELECT
+         |    sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+         |    sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+         |      AS n_removed,
+         |    sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+         |      AS n_changed,
+         |    sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+         |      AS n_unchanged
+         |  FROM dj
+         |)
+         |SELECT
+         |  CAST(n_removed + n_changed + n_unchanged AS BIGINT) AS n_old,
+         |  CAST(n_added + n_changed + n_unchanged AS BIGINT) AS n_new,
+         |  CAST(n_added AS BIGINT) AS n_added,
+         |  CAST(n_removed AS BIGINT) AS n_removed,
+         |  CAST(n_changed AS BIGINT) AS n_changed,
+         |  CAST(n_unchanged AS BIGINT) AS n_unchanged,
+         |  round((n_added + n_removed + n_changed)
+         |    / CAST(greatest(n_added + n_changed + n_unchanged, 1)
+         |      AS DOUBLE), 6) AS churn_share
+         |FROM cs""".stripMargin,
+
+    // Leakage twins (Curation.splitLeakage / splitLeakageReport): same
+    // inlined split CASE, same distinct word-8-gram windows (list slice ≡
+    // Spark's slice, both 1-based), gram overlap joined on the gram
+    // STRING where the engine joins on its xxhash64 (count-identical
+    // short of a 64-bit collision); shares rounded before the flag.
+    "corpus_split_leakage" ->
+      s"""$leakageCtesSql
+         |SELECT doc_id, n_grams, n_leaked, d_share AS leak_share,
+         |       (d_share >= ${Curation.LeakFlagShare}) AS flagged
+         |FROM ldet""".stripMargin,
+
+    "corpus_leakage_report" ->
+      s"""$leakageCtesSql
+         |SELECT CAST(count(*) AS BIGINT) AS n_val_docs,
+         |       CAST(sum(n_grams) AS BIGINT) AS n_val_grams,
+         |       CAST(sum(n_leaked) AS BIGINT) AS n_leaked_grams,
+         |       round(sum(n_leaked)
+         |         / CAST(greatest(sum(n_grams), 1) AS DOUBLE), 6)
+         |         AS leak_share,
+         |       max(d_share) AS max_doc_share,
+         |       CAST(sum(CASE WHEN d_share >= ${Curation.LeakFlagShare}
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM ldet""".stripMargin,
 
     // Split-assignment twin (Curation.assignSplits): same hash-family
     // member, same INTEGER bucket boundaries (interpolated from

@@ -50,19 +50,63 @@ object QueriesText {
     * ONE `bests` row (a1..b${Bpe.NumMerges}); every document cross-joins
     * that row and the replace chain references its columns from inside the
     * per-word lambda — training AND encoding replayed in one statement. */
-  private val bpeTrainedTokensOracle = {
-    val bests = (1 to Bpe.NumMerges).map { r =>
-      s"(SELECT a FROM best$r) AS a$r, (SELECT b FROM best$r) AS b$r"
-    }.mkString(", bests AS MATERIALIZED (SELECT ", ",\n  ", ")")
-    val rep = (1 to Bpe.NumMerges).foldLeft(bpeSpacedSql("w")) { (acc, r) =>
+  // Learned-pair landing row + the trained replace chain — shared by the
+  // trained-encode twin and the tokenizer-comparison twin.
+  private val bpeBestsSql = (1 to Bpe.NumMerges).map { r =>
+    s"(SELECT a FROM best$r) AS a$r, (SELECT b FROM best$r) AS b$r"
+  }.mkString(", bests AS MATERIALIZED (SELECT ", ",\n  ", ")")
+
+  private val bpeTrainedRepSql =
+    (1 to Bpe.NumMerges).foldLeft(bpeSpacedSql("w")) { (acc, r) =>
       s"replace($acc, ' ' || a$r || ' ' || b$r || ' ', ' ' || a$r || b$r || ' ')"
     }
-    s"""$bpeTrainChainSql$bests
+
+  private val bpeTrainedTokensOracle =
+    s"""$bpeTrainChainSql$bpeBestsSql
        |SELECT doc_id,
        |  CAST(list_reduce(list_prepend(0, list_transform($bpeWordsSql,
-       |    w -> len(string_split(trim($rep), ' ')))),
+       |    w -> len(string_split(trim($bpeTrainedRepSql), ' ')))),
        |    (x, y) -> x + y) AS INT) AS bpe_tokens
        |FROM documents CROSS JOIN bests""".stripMargin
+
+  /** Comparison-card twin: BOTH training loops (ULM chain first — it owns
+    * the `WITH RECURSIVE` head — then the BPE chain spliced in; the two
+    * chains' CTE namespaces are disjoint) and BOTH trained encodes in one
+    * statement, folded to exact integer totals. */
+  private val tokenizerCompareOracle = {
+    val R = graft.ops.Ulm.EmRounds
+    s"""$ulmTrainChainSql, ${bpeTrainChainSql.stripPrefix("WITH ")}$bpeBestsSql${
+        ulmScoreSql("uscc", s"uv$R")}, $ulmCorpusWordsSql
+       |${ulmWalkSql("C", "ucw", "uscc", withCnt = false)}
+       |, tok AS (
+       |  SELECT d.doc_id,
+       |         len($bpeWordsSql) AS nw,
+       |         CAST(list_reduce(list_prepend(0, list_transform($bpeWordsSql,
+       |           w -> len(string_split(trim($bpeTrainedRepSql), ' ')))),
+       |           (x, y) -> x + y) AS INT) AS bpet
+       |  FROM documents d CROSS JOIN bests
+       |), utok AS (
+       |  SELECT d.doc_id, CAST(coalesce(x.n, 0) AS INT) AS ulmt
+       |  FROM documents d LEFT JOIN (
+       |    SELECT o.doc_id, sum(b.np) AS n
+       |    FROM (SELECT doc_id, t.w AS word FROM utoks,
+       |            unnest(ws) AS t(w)) o
+       |    JOIN ubestC b USING (word)
+       |    GROUP BY 1) x USING (doc_id)
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nw) AS BIGINT) AS n_words,
+       |       CAST(sum(bpet) AS BIGINT) AS bpe_tokens,
+       |       CAST(sum(ulmt) AS BIGINT) AS ulm_tokens,
+       |       round(sum(bpet) / CAST(greatest(sum(nw), 1) AS DOUBLE), 6)
+       |         AS bpe_fertility,
+       |       round(sum(ulmt) / CAST(greatest(sum(nw), 1) AS DOUBLE), 6)
+       |         AS ulm_fertility,
+       |       round(sum(ulmt) / CAST(greatest(sum(bpet), 1) AS DOUBLE), 6)
+       |         AS ulm_vs_bpe,
+       |       CAST(${Bpe.NumMerges} AS INT) AS bpe_merges,
+       |       CAST((SELECT count(*) FROM uv$R) AS INT) AS ulm_vocab
+       |FROM tok JOIN utok USING (doc_id)""".stripMargin
   }
 
   // Chunking parameters shared with the oracle twin.
@@ -125,6 +169,11 @@ object QueriesText {
     // the SAME corpus (Ulm.tokenCountsTrained).
     "text_ulm_tokens_trained" -> ((s, d) =>
       graft.ops.Ulm.tokenCountsTrained(s, StandIn.documents(s, d))),
+
+    // Tokenizer decision card: BPE vs ULM trained on the same corpus —
+    // fertility, token totals, vocab sizes, one row (Ulm.compareWithBpe).
+    "text_tokenizer_compare" -> ((s, d) =>
+      graft.ops.Ulm.compareWithBpe(s, StandIn.documents(s, d))),
 
     "text_quality_train"  -> ((s, d) =>
       graft.ops.QualityModel.weightsTable(s, StandIn.documents(s, d))),
@@ -350,6 +399,10 @@ object QueriesText {
          |          unnest(ws) AS t(w)) o
          |  JOIN ubestT b USING (word)
          |  GROUP BY 1) x USING (doc_id)""".stripMargin,
+
+    // Both tokenizer families trained + encoded in ONE statement (see
+    // tokenizerCompareOracle).
+    "text_tokenizer_compare" -> tokenizerCompareOracle,
 
     // Trained-classifier twin: the full rounded-GD optimization unrolled
     // (see qmTrainChainSql) — every learned weight must match bit-for-bit.

@@ -419,6 +419,64 @@ class CurationSpec extends SparkSpec {
     assert(again.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq)
   }
 
+  test("splitLeakage: identical corpus leaks fully, unique corpus not at all") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    // 40 identical docs: every val doc's 8-grams all occur in SOME train
+    // doc (val is ~5% of 40, so train is non-empty w.h.p. of the fixed
+    // hash split — asserted explicitly below).
+    val same = (1L to 40L).map(i => i -> shared).toDF("doc_id", "text")
+    val splits = Curation.assignSplits(same).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assume(splits.values.count(_ == "train") > 0 &&
+      splits.values.count(_ == "val") > 0)
+    val leaked = Curation.splitLeakage(same).collect()
+    assert(leaked.map(_.getAs[Long]("doc_id")).toSet ===
+      splits.filter(_._2 == "val").keySet)
+    leaked.foreach { r =>
+      assert(r.getAs[Int]("n_grams") === 3) // 10 tokens -> 3 distinct 8-grams
+      assert(r.getAs[Long]("n_leaked") === 3L)
+      assert(r.getAs[Double]("leak_share") === 1.0)
+      assert(r.getAs[Boolean]("flagged"))
+    }
+    // All-unique texts: zero overlap, nothing flagged; short docs keep
+    // their row with 0 grams.
+    val uniq = (1L to 40L).map(i =>
+      i -> s"u$i ${"w" + i} x$i y$i z$i a$i b$i c$i d$i e$i").toDF("doc_id", "text")
+      .unionAll(Seq(999999L -> "too short").toDF("doc_id", "text"))
+    val lu = Curation.splitLeakage(uniq).collect()
+    lu.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") === 0L)
+      assert(r.getAs[Double]("leak_share") === 0.0)
+      assert(!r.getAs[Boolean]("flagged"))
+    }
+    val rep = Curation.splitLeakageReport(same).head()
+    assert(rep.getAs[Double]("leak_share") === 1.0)
+    assert(rep.getAs[Long]("n_flagged") === rep.getAs[Long]("n_val_docs"))
+  }
+
+  test("snapshotDiff: every status class lands where hand-built") {
+    import spark.implicits._
+    val old = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
+    val nw = Seq(1L -> "a", 2L -> "B2", 4L -> "d").toDF("doc_id", "text")
+    val st = Curation.snapshotDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val rep = Curation.snapshotDiffReport(old, nw).head()
+    assert(rep.getAs[Long]("n_old") === 3L)
+    assert(rep.getAs[Long]("n_new") === 3L)
+    assert(rep.getAs[Long]("n_added") === 1L)
+    assert(rep.getAs[Long]("n_removed") === 1L)
+    assert(rep.getAs[Long]("n_changed") === 1L)
+    assert(rep.getAs[Long]("n_unchanged") === 1L)
+    assert(rep.getAs[Double]("churn_share") === 1.0) // 3 moves / 3 new
+    // NULL text ≡ empty text on both sides (the engine-wide contract).
+    val n1 = Seq((1L, null: String)).toDF("doc_id", "text")
+    val n2 = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Curation.snapshotDiff(n1, n2).head().getString(1) === "unchanged")
+  }
+
   test("dedupReport: composite figures match hand-built duplication") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

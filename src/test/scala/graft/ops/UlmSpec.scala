@@ -91,6 +91,22 @@ class UlmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compareWithBpe: exact totals and consistent ratios on a tiny corpus") {
+    val d = docs((1L, "the query joins the table"), (2L, "a hash join"),
+      (3L, ""))
+    val r = Ulm.compareWithBpe(spark, d).head()
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_words") === 8L)
+    val bpe = r.getAs[Long]("bpe_tokens")
+    val ulm = r.getAs[Long]("ulm_tokens")
+    assert(bpe > 0L && ulm > 0L)
+    assert(r.getAs[Double]("ulm_vs_bpe") ===
+      BigDecimal(ulm.toDouble / bpe)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Int]("bpe_merges") === Bpe.NumMerges)
+    assert(r.getAs[Int]("ulm_vocab") > 0)
+  }
+
   test("tokenCountsTrained counts under the corpus-trained vocabulary") {
     val d = docs((1L, "aaa aaa"), (2L, "aaa"), (3L, ""))
     // 'aaa' dominates → becomes a piece → 1 token per word.
