@@ -41,6 +41,25 @@ class PlanEvidenceSpec extends SparkSpec {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val scan = scanLine("text_token_counts")
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // The ULM Viterbi encodes are the same shape: one pruned scan, the
+    // kernel in the projection, no operator shuffle.
+    for (q <- Seq("text_ulm_tokens", "text_ulm_pieces")) {
+      val s2 = scanLine(q)
+      assert(s2.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q scan reads more than (doc_id, text): $s2")
+    }
+  }
+
+  test("corpus_split_leakage: every operator exchange carries hashes, not text") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // The leakage screen reduces grams to xxhash64 IN the scan projection;
+    // any Exchange hash-partitioned on a string column would mean gram or
+    // document text entered a shuffle.
+    val plan = SparkEntry.queries("corpus_split_leakage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val badExchange = plan.linesIterator.filter(_.contains("hashpartitioning"))
+      .exists(l => l.contains("text#") || l.contains("gs#") || l.contains(", string"))
+    assert(!badExchange, s"leakage shuffles text/gram strings:\n$plan")
   }
 
   test("corpus_split / corpus_shuffle: scans read ONLY doc_id — text never leaves the file") {
