@@ -87,6 +87,22 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
+  /** ORC landing-zone source — the fourth batch wire format next to
+    * parquet / JSONL / CSV. ORC is TYPED (the schema rides the file), so
+    * there is no PERMISSIVE corrupt-record lane like the CSV/JSON paths:
+    * a structurally corrupt file fails the reader loudly, and the
+    * explicit read schema pins column names/types so pruning and
+    * predicate pushdown behave exactly like the parquet path (ORC
+    * row-group PPD is on by default — `PushedFilters` shows in the scan,
+    * unit-pinned in SourcesSpec).
+    */
+  def eventsFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"))
+      .orc(path)
+
   /** Streaming replay of an archived readings directory (the parquet files
     * [[Sinks.parquetArchive]] writes): history flows through the exact same
     * downstream operators as live Kafka traffic. `maxFilesPerTrigger`

@@ -379,6 +379,42 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Cluster-SIZE table of the IVF coarse quantizer — the index-balance
+    * diagnostic (a skewed inverted list is a hot partition at query time:
+    * the ANN analogue of `profile_key_skew`). One scan + one cells-bounded
+    * groupBy; the counts frame is materialized once for its two consumers
+    * (total + share join), the componentsFromPairs convention. */
+  def clusterSizes(embeddings: DataFrame, cells: Int = 8): DataFrame = {
+    val seeds = planes(cells, seed = 7L)
+    val sized = Materialize(prepared(embeddings)
+      .withColumn("cell", ivfCell(col("vec"), seeds))
+      .groupBy(col("cell")).agg(count(lit(1)).alias("n_vecs")))
+    val total = sized.agg(sum(col("n_vecs")).alias("n_total"))
+    sized.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") /
+          greatest(col("n_total"), lit(1L)), 6).alias("cell_share"))
+  }
+
+  /** One-row balance rollup of [[clusterSizes]]: used-cell count, vector
+    * total, the heaviest cell (count + share), and the imbalance factor
+    * max/mean = max·used ÷ total — 1.0 is a perfectly balanced index; the
+    * number that says "retrain the quantizer" before a hot cell becomes
+    * the query-time straggler. Exact integer aggregates, two rounded
+    * divisions. */
+  def clusterBalance(embeddings: DataFrame, cells: Int = 8): DataFrame =
+    clusterSizes(embeddings, cells)
+      .agg(
+        count(lit(1)).cast("int").alias("n_cells_used"),
+        sum(col("n_vecs")).alias("n_vecs"),
+        max(col("n_vecs")).alias("max_cell_vecs"))
+      .select(
+        col("n_cells_used"), col("n_vecs"), col("max_cell_vecs"),
+        round(col("max_cell_vecs").cast("double") /
+          greatest(col("n_vecs"), lit(1L)), 6).alias("max_cell_share"),
+        round((col("max_cell_vecs") * col("n_cells_used")).cast("double") /
+          greatest(col("n_vecs"), lit(1L)), 6).alias("imbalance"))
+
   /** Cells of a centroid set ordered by squared-L2 distance to `vec`
     * (1-based ids, distance rounded to 6 dp, cell id tie-break via struct
     * sort). `‖v−c‖² = ‖v‖² − 2v·c + ‖c‖²` — the norms are staged/constant,

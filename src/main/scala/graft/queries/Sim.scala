@@ -125,6 +125,15 @@ object QueriesSim {
 
     "sim_ivf_topk"        -> ((s, d) => simIvfTopK(s, d)),
 
+    // Index-balance diagnostics over the same seed-7 coarse quantizer:
+    // per-cell sizes + the one-row imbalance rollup (Similarity
+    // .clusterSizes/clusterBalance — the ANN face of profile_key_skew).
+    "sim_cluster_sizes"   -> ((s, d) =>
+      Similarity.clusterSizes(StandIn.embeddings(s, d))),
+
+    "sim_cluster_balance" -> ((s, d) =>
+      Similarity.clusterBalance(StandIn.embeddings(s, d))),
+
     // K-means training is an imperative iterative fit with no practical
     // SQL twin; the driver records a rows-only check and SimilaritySpec
     // bounds recall vs the exact brute force.
@@ -344,6 +353,34 @@ object QueriesSim {
          |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
          |  FROM pairs)
          |WHERE rank <= $TopK""".stripMargin,
+
+    // Balance twins (Similarity.clusterSizes/clusterBalance): the same
+    // seed-7 argmax cell assignment (ivfCellsSql), counts + rounded
+    // shares; imbalance = max·used ÷ total on exact integers.
+    "sim_cluster_sizes" ->
+      s"""WITH $prepSql, $ivfCellsSql, csz AS MATERIALIZED (
+         |  SELECT cell, count(*) AS n_vecs FROM ivf GROUP BY cell
+         |)
+         |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       round(n_vecs / CAST(greatest(
+         |         (SELECT sum(n_vecs) FROM csz), 1) AS DOUBLE), 6)
+         |         AS cell_share
+         |FROM csz""".stripMargin,
+
+    "sim_cluster_balance" ->
+      s"""WITH $prepSql, $ivfCellsSql, csz AS MATERIALIZED (
+         |  SELECT cell, count(*) AS n_vecs FROM ivf GROUP BY cell
+         |)
+         |SELECT CAST(count(*) AS INT) AS n_cells_used,
+         |       CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+         |       CAST(max(n_vecs) AS BIGINT) AS max_cell_vecs,
+         |       round(max(n_vecs)
+         |         / CAST(greatest(sum(n_vecs), 1) AS DOUBLE), 6)
+         |         AS max_cell_share,
+         |       round(max(n_vecs) * count(*)
+         |         / CAST(greatest(sum(n_vecs), 1) AS DOUBLE), 6)
+         |         AS imbalance
+         |FROM csz""".stripMargin,
 
     // Int8 quantization loss audit (Similarity.quantizeStats): same
     // symmetric scale, round-half-away-from-zero on both engines, and the

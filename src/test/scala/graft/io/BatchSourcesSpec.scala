@@ -28,6 +28,35 @@ class BatchSourcesSpec extends SparkSpec {
     assert(out.exists(_.getAs[String]("sensor_id") == null))
   }
 
+  test("eventsFromOrc: typed round-trip with predicate pushdown into the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("events")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L,
+        "view", 10.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 7L,
+        "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 8L,
+        "purchase", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.orc(dir.toString)
+    val back = Sources.eventsFromOrc(spark, dir.toString)
+    val out = back.orderBy("event_id").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out(2).getAs[String]("event_type") === "purchase")
+    assert(out(0).getAs[Double]("value") === 10.5)
+    // The ORC scan must push predicates + prune columns like parquet —
+    // the reason the source pins an explicit schema.
+    val plan = back.where("event_type = 'click'").select("event_id")
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse(fail(s"no ORC scan in plan:\n$plan"))
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,click)]"), s"predicate not pushed: $scan")
+    assert(!scan.contains("props"), s"unused column not pruned: $scan")
+  }
+
   test("eventsFromCsv: explicit schema, malformed rows quarantined not dropped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     val f = dir.resolve("events.csv")

@@ -91,6 +91,52 @@ class UlmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("segment equals brute-force enumeration under the oracle tiebreak " +
+      "(seeded property sweep)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Brute force: EVERY segmentation (the recursive-CTE oracle's walk),
+    // best by (cost, np, seg) — the DP must match on all of them.
+    def enumerate(w: String, costs: Map[String, Long]): Seq[(Long, Int, String)] = {
+      def go(pos: Int): Seq[(Long, Int, List[String])] =
+        if (pos == w.length) Seq((0L, 0, Nil))
+        else (1 to math.min(4, w.length - pos)).flatMap { k =>
+          val piece = w.substring(pos, pos + k)
+          costs.get(piece) match {
+            case Some(c) => go(pos + k).map { case (tc, np, ps) =>
+              (tc + c, np + 1, piece :: ps)
+            }
+            case None => Seq.empty
+          }
+        }
+      go(0).map { case (c, np, ps) => (c, np, ps.mkString(" ")) }
+    }
+    val genCase = for {
+      wLen <- Gen.chooseNum(1, 10)
+      w <- Gen.listOfN(wLen, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      nPieces <- Gen.chooseNum(0, 12)
+      pieces <- Gen.listOfN(nPieces, for {
+        pLen <- Gen.chooseNum(2, 4)
+        p <- Gen.listOfN(pLen, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+        c <- Gen.chooseNum(1L, 10000000L)
+      } yield (p, c))
+      charCosts <- Gen.listOfN(3, Gen.chooseNum(1L, 10000000L))
+    } yield (w, Seq("a", "b", "c").zip(charCosts) ++ pieces)
+    (1 to 200).foreach { i =>
+      val (w, vocab) = genCase.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      // Duplicate pieces: keep the FIRST cost (Table.put overwrites with
+      // the last — so dedupe the generated vocab up front, like a real
+      // trained table which never repeats a piece).
+      val dedup = vocab.groupBy(_._1).map { case (p, cs) => (p, cs.head._2) }.toSeq
+      val got = UlmViterbi.segment(w, new UlmViterbi.Table(dedup.toArray))
+      val want = enumerate(w, dedup.toMap)
+        .minBy { case (c, np, seg) => (c, np, seg) }
+      assert(got.mkString(" ") === want._3,
+        s"seed $i word '$w' vocab $dedup: got ${got.toSeq}, want $want")
+      assert(got.mkString("") === w) // pieces re-concatenate to the word
+    }
+  }
+
   test("compareWithBpe: exact totals and consistent ratios on a tiny corpus") {
     val d = docs((1L, "the query joins the table"), (2L, "a hash join"),
       (3L, ""))
