@@ -396,6 +396,57 @@ object Curation {
   val ShardHashIndex = 11
   val OrderHashIndex = 13
 
+  /** [[curriculum]] constants — shared with the oracle twin. Cuts sit on
+    * the fixture score quartiles (≈ 0.490/0.501/0.512) so every tier is
+    * populated; distinct hash-family members keep curriculum placement
+    * independent of split/sample/shuffle membership. */
+  val CurriculumCuts: Seq[Double] = Seq(0.49, 0.50, 0.51)
+  val CurriculumShards = 16
+  val CurriculumShardIndex = 19
+  val CurriculumOrderIndex = 23
+
+  /** Quality-annealed CURRICULUM ordering — the "best data last" training
+    * schedule (the FineWeb-Edu-style anneal: finish training on the
+    * highest-quality tier): every document gets a quality TIER (1 +
+    * number of [[CurriculumCuts]] its ROUNDED hashed-gram
+    * [[TextAnalysis.qualityScore]] clears — fixed cutoffs, not ntile,
+    * because a global quantile window would funnel the corpus through
+    * one partition), a deterministic shard, and a position from a hash
+    * rank within (tier, shard). A consumer streams tiers in ascending
+    * order, shards in parallel, positions in order — reproducible across
+    * runs/engines/partitionings, and the per-(tier, shard) windows keep
+    * the sort embarrassingly parallel (the [[shuffleShards]] argument).
+    * Only (doc_id, score, two ints) enter the exchange; the score itself
+    * is computed at scan speed (codegen'd kernels, no shuffle).
+    */
+  def curriculum(
+      docs: DataFrame,
+      cuts: Seq[Double] = CurriculumCuts,
+      shards: Int = CurriculumShards): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      s"curriculum cuts must be non-empty ascending, got $cuts")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val tier = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("quality_score") >= c, 1).otherwise(0)
+    }
+    val shard = pmod(
+      Dedup.hashAt(CurriculumShardIndex, col("doc_id").cast("string")),
+      lit(shards.toLong)).cast("int")
+    val ord =
+      Dedup.hashAt(CurriculumOrderIndex, col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("tier"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    scored
+      .withColumn("tier", tier.cast("int"))
+      .withColumn("shard", shard)
+      .withColumn("ord", ord)
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("quality_score"), col("tier"),
+        col("shard"), col("pos"))
+  }
+
   /** [[splitLeakage]] n-gram order and per-doc flag threshold — shared
     * with the oracle twins. 8-grams sit in the published range (GPT-3
     * decontaminated at 13-grams, FLAN at 8); the flag fires when half a

@@ -406,6 +406,12 @@ object QueriesCorpus {
 
     "corpus_shuffle"      -> ((s, d) => corpusShuffle(s, d)),
 
+    // Quality-annealed curriculum: tier by fixed score cutoffs, hash rank
+    // within (tier, shard) — the "best data last" schedule
+    // (Curation.curriculum).
+    "corpus_curriculum"   -> ((s, d) =>
+      Curation.curriculum(StandIn.documents(s, d))),
+
     // Snapshot diff: per-doc added/removed/changed/unchanged between two
     // ingests (old = fixture; new = drop %7=0, edit %7=1, add shifted
     // %7=3 — the same synthetic-snapshot trick as dedup_incremental).
@@ -871,6 +877,29 @@ object QueriesCorpus {
                       "CAST(doc_id AS VARCHAR)")} % 10000 AS b
          |  FROM documents
          |)""".stripMargin
+    },
+
+    // Curriculum twin (Curation.curriculum): the shared quality-score
+    // chain, the same fixed cutoffs on the ROUNDED score, the same
+    // hash-family members for shard and order.
+    "corpus_curriculum" -> {
+      val tierSql = Curation.CurriculumCuts
+        .map(c => s"(CASE WHEN quality_score >= $c THEN 1 ELSE 0 END)")
+        .mkString("1 + ", " + ", "")
+      s"""WITH $qualityScoreCtesSql, ct AS (
+         |  SELECT doc_id, quality_score,
+         |         CAST($tierSql AS INT) AS tier,
+         |         CAST(${hashSql(s"'${Curation.CurriculumShardIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")}
+         |           % ${Curation.CurriculumShards} AS INT) AS shard,
+         |         ${hashSql(s"'${Curation.CurriculumOrderIndex}:'",
+                      "CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM qsout
+         |)
+         |SELECT doc_id, quality_score, tier, shard,
+         |       CAST(row_number() OVER (PARTITION BY tier, shard
+         |         ORDER BY ord, doc_id) AS INT) AS pos
+         |FROM ct""".stripMargin
     },
 
     // Shuffle-shard twin (Curation.shuffleShards): same two hash-family

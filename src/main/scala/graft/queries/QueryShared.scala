@@ -435,6 +435,41 @@ object QueryShared {
 
   // ─── oracle SQL (DuckDB) ───────────────────────────────────────────────
 
+  /** Hashed-gram quality-score chain (twin of TextAnalysis.qualityScore):
+    * unigrams + word bigrams → 60-bit hash → modular bucket weight →
+    * exact integer sum → one logistic + round. Ends at CTE
+    * `qsout(doc_id, n_grams, raw_score, quality_score)`. Shared by
+    * text_quality_score and the curriculum twin. Docs with no grams
+    * (empty/null text) score sigmoid(0) = 0.5 via the left join's
+    * coalesce — mirroring the Spark side's per-row kernel over an empty
+    * array. */
+  private[queries] val qualityScoreCtesSql = {
+    val d = TextAnalysis.QualityScoreDim
+    s"""$rawToksSql, qg AS (
+       |  SELECT doc_id,
+       |         list_concat(t, CASE WHEN len(t) >= 2
+       |           THEN list_transform(range(1, len(t)),
+       |                i -> concat(t[CAST(i AS INT)], ' ',
+       |                            t[CAST(i AS INT) + 1]))
+       |           ELSE [] END) AS g
+       |  FROM toks
+       |), qex AS (SELECT doc_id, unnest(g) AS w FROM qg),
+       |qscored AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |         sum(((${hashSql("'0:'")} % $d) * 1315423911) % 17 - 8)
+       |           AS raw
+       |  FROM qex GROUP BY 1
+       |), qsout AS MATERIALIZED (
+       |  SELECT g.doc_id,
+       |         CAST(coalesce(s.n_grams, 0) AS INT) AS n_grams,
+       |         CAST(coalesce(s.raw, 0) AS BIGINT) AS raw_score,
+       |         round(1.0 / (1.0 + exp(-(coalesce(s.raw, 0) /
+       |           (greatest(coalesce(s.n_grams, 0), 1) * 8.0)))), 6)
+       |           AS quality_score
+       |  FROM qg g LEFT JOIN qscored s USING (doc_id)
+       |)""".stripMargin
+  }
+
   /** Encoding-screen verdict as a 3-CTE chain ending at
     * `pflag(doc_id, enc_ok)` — twin of [[graft.ops.TextRules.encodingSuspect]]
     * (the Column form composites inline); same substring counts, same

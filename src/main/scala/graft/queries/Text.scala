@@ -1126,31 +1126,10 @@ object QueriesText {
     // integer sum, then one logistic + round. Docs with no grams (empty/
     // null text) score sigmoid(0) = 0.5 via the left join's coalesce —
     // mirroring the Spark side's per-row kernel over an empty array.
-    "text_quality_score" -> {
-      val d = TextAnalysis.QualityScoreDim
-      s"""WITH $rawToksSql, g AS (
-         |  SELECT doc_id,
-         |         list_concat(t, CASE WHEN len(t) >= 2
-         |           THEN list_transform(range(1, len(t)),
-         |                i -> concat(t[CAST(i AS INT)], ' ',
-         |                            t[CAST(i AS INT) + 1]))
-         |           ELSE [] END) AS g
-         |  FROM toks
-         |), ex AS (SELECT doc_id, unnest(g) AS w FROM g),
-         |scored AS (
-         |  SELECT doc_id, count(*) AS n_grams,
-         |         sum(((${hashSql("'0:'")} % $d) * 1315423911) % 17 - 8)
-         |           AS raw
-         |  FROM ex GROUP BY 1
-         |)
-         |SELECT g.doc_id,
-         |       CAST(coalesce(s.n_grams, 0) AS INT) AS n_grams,
-         |       CAST(coalesce(s.raw, 0) AS BIGINT) AS raw_score,
-         |       round(1.0 / (1.0 + exp(-(coalesce(s.raw, 0) /
-         |         (greatest(coalesce(s.n_grams, 0), 1) * 8.0)))), 6)
-         |         AS quality_score
-         |FROM g LEFT JOIN scored s USING (doc_id)""".stripMargin
-    },
+    "text_quality_score" ->
+      s"""WITH $qualityScoreCtesSql
+         |SELECT doc_id, n_grams, raw_score, quality_score
+         |FROM qsout""".stripMargin,
 
     "text_token_counts" ->
       s"""WITH $rawToksSql

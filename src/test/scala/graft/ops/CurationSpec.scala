@@ -455,6 +455,36 @@ class CurationSpec extends SparkSpec {
     assert(rep.getAs[Long]("n_flagged") === rep.getAs[Long]("n_val_docs"))
   }
 
+  test("curriculum: tiers follow the score cuts; positions are contiguous " +
+      "per (tier, shard); partition-invariant") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map(i =>
+      i -> s"doc $i filter join scan batch hash row value key part sort")
+      .toDF("doc_id", "text")
+    val out = Curation.curriculum(corpus, shards = 4).collect()
+    assert(out.length === 60)
+    out.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      val expected = 1 + Curation.CurriculumCuts.count(s >= _)
+      assert(r.getAs[Int]("tier") === expected)
+    }
+    // Positions are a contiguous 1..n ranking inside every (tier, shard).
+    out.groupBy(r => (r.getAs[Int]("tier"), r.getAs[Int]("shard")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq ===
+          (1 to rs.length).toSeq)
+      }
+    // Deterministic under repartitioning (hash rank, not physical order).
+    val again = Curation.curriculum(corpus.repartition(7), shards = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("tier"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+      .toMap
+    out.foreach { r =>
+      assert(again(r.getAs[Long]("doc_id")) ===
+        ((r.getAs[Int]("tier"), r.getAs[Int]("shard"), r.getAs[Int]("pos"))))
+    }
+  }
+
   test("snapshotDiff: every status class lands where hand-built") {
     import spark.implicits._
     val old = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
