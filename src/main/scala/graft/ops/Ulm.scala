@@ -274,6 +274,33 @@ object Ulm {
   def tokenCountsTrained(spark: SparkSession, docs: DataFrame): DataFrame =
     tokenCounts(docs, train(docs).map(p => (p.piece, -p.scoreMicro)))
 
+  /** Sequence packing on unigram-LM budgets — [[Bpe.packByBpe]]'s exact
+    * shape (hash-bucket, running sum, budget chop) with the Viterbi piece
+    * count as the packed unit, completing the pack-under-every-budget
+    * family (whitespace / BPE / ULM). Same 100 TB posture: the text never
+    * shuffles, only (doc_id, bucket, count) scalars enter the window
+    * sort. */
+  def packByUlm(
+      docs: DataFrame,
+      vocab: Seq[(String, Long)] = FixedVocab,
+      budget: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val toks = tokenCounts(docs, vocab)
+      .withColumn("bucket",
+        pmod(Dedup.hashAt(0, col("doc_id").cast("string")),
+          lit(buckets.toLong)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum", sum(col("ulm_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"),
+        floor((col("cum") - col("ulm_tokens")) / lit(budget.toDouble))
+          .cast("int").alias("pack_id"),
+        col("ulm_tokens"))
+  }
+
   /** Tokenizer COMPARISON card: BPE and unigram-LM each trained on the
     * SAME corpus, each encoding it, in one row — document/word/token
     * totals, per-family fertility (tokens per word, the cost metric a

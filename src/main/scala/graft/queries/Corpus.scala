@@ -389,6 +389,12 @@ object QueriesCorpus {
       Bpe.chunkByBpe(StandIn.documents(s, d), Bpe.FixedMerges,
         ChunkBpeBudget)),
 
+    // Packing under the THIRD budget unit: unigram-LM Viterbi piece
+    // counts (Ulm.packByUlm — completes whitespace/BPE/ULM pack parity).
+    "corpus_pack_ulm"     -> ((s, d) =>
+      graft.ops.Ulm.packByUlm(StandIn.documents(s, d),
+        graft.ops.Ulm.FixedVocab, PackBudget, PackBuckets)),
+
     "corpus_split"        -> ((s, d) => corpusSplit(s, d)),
 
     // Train→val n-gram leakage screen: per-val-doc distinct 8-gram
@@ -795,6 +801,30 @@ object QueriesCorpus {
          |         / ${PackBudget.toDouble}) AS INT) AS pack_id,
          |       bpe_tokens
          |FROM tc""".stripMargin,
+
+    // ULM-budget packing twin: the fixed-vocab Viterbi chain for per-doc
+    // piece counts + the same bucket/running-sum/chop window as the BPE
+    // and whitespace packers.
+    "corpus_pack_ulm" ->
+      s"""WITH RECURSIVE $ulmFixedVocabSql, $ulmCorpusWordsSql
+         |${ulmWalkSql("P", "ucw", "uvoc", withCnt = false)}
+         |, utc AS (
+         |  SELECT d.doc_id, CAST(coalesce(x.n, 0) AS INT) AS ulm_tokens,
+         |         CAST(${hashSql("'0:'", "CAST(d.doc_id AS VARCHAR)")}
+         |              % $PackBuckets AS INT) AS bucket
+         |  FROM documents d LEFT JOIN (
+         |    SELECT o.doc_id, sum(b.np) AS n
+         |    FROM (SELECT doc_id, t.w AS word FROM utoks,
+         |            unnest(ws) AS t(w)) o
+         |    JOIN ubestP b USING (word)
+         |    GROUP BY 1) x USING (doc_id)
+         |)
+         |SELECT doc_id, bucket,
+         |       CAST(floor((sum(ulm_tokens) OVER
+         |         (PARTITION BY bucket ORDER BY doc_id) - ulm_tokens)
+         |         / ${PackBudget.toDouble}) AS INT) AS pack_id,
+         |       ulm_tokens
+         |FROM utc""".stripMargin,
 
     // Decontamination twin (Curation.contamination): same rare-gram
     // df-cap, same benchmark predicate, same ≥3-shared-grams flag.

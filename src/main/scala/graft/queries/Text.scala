@@ -170,6 +170,13 @@ object QueriesText {
     "text_ulm_tokens_trained" -> ((s, d) =>
       graft.ops.Ulm.tokenCountsTrained(s, StandIn.documents(s, d))),
 
+    // ...and the byte-exact piece-stream face of the trained encode.
+    "text_ulm_pieces_trained" -> ((s, d) => {
+      val docs = StandIn.documents(s, d)
+      graft.ops.Ulm.encodePieces(docs,
+        graft.ops.Ulm.train(docs).map(p => (p.piece, -p.scoreMicro)))
+    }),
+
     // Tokenizer decision card: BPE vs ULM trained on the same corpus —
     // fertility, token totals, vocab sizes, one row (Ulm.compareWithBpe).
     "text_tokenizer_compare" -> ((s, d) =>
@@ -384,6 +391,21 @@ object QueriesText {
          |  FROM (SELECT doc_id, t.w AS word FROM utoks,
          |          unnest(ws) AS t(w)) o
          |  JOIN ubestF b USING (word)
+         |  GROUP BY 1) x USING (doc_id)""".stripMargin,
+
+    // Trained piece-stream twin: the same chain, best segmentations
+    // re-joined to the document word stream in order (string_agg).
+    "text_ulm_pieces_trained" ->
+      s"""$ulmTrainChainSql${ulmScoreSql("uscg",
+              s"uv${graft.ops.Ulm.EmRounds}")}, $ulmCorpusWordsSql
+         |${ulmWalkSql("G", "ucw", "uscg", withCnt = false)}
+         |SELECT d.doc_id, coalesce(x.s, '') AS ulm_pieces
+         |FROM documents d LEFT JOIN (
+         |  SELECT o.doc_id, string_agg(b.seg, ' ' ORDER BY o.i) AS s
+         |  FROM (SELECT doc_id, ws[CAST(g.i AS INT)] AS word, g.i AS i
+         |        FROM utoks,
+         |             unnest(generate_series(1, len(ws))) AS g(i)) o
+         |  JOIN ubestG b USING (word)
          |  GROUP BY 1) x USING (doc_id)""".stripMargin,
 
     // Train→encode twin: the full EM chain + final-vocab costs + one more
