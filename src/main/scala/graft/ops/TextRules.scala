@@ -270,6 +270,74 @@ object TextRules {
       encodingSuspect(col("text")).alias("encoding_suspect"))
   }
 
+  /** Compression-ratio bound checked by [[compressionAudit]] for
+    * documents of at least [[CompressionMinBytes]] bytes: natural-language
+    * text deflates strictly below its raw size once past header
+    * amortization; a long document at ratio > 1.2 would mean the codec
+    * mis-ran. */
+  val CompressionMinBytes = 100
+  val CompressionMaxRatio = 1.2
+
+  /** Compression-ratio quality signal: per document, the DEFLATE size and
+    * `deflate_bytes / n_bytes` (zlib level 6, [[graft.functions.DeflateSize]]
+    * — compressed bytes die in the row, only the int size leaves).
+    * Boilerplate/repetition compresses far below ~1 byte/char; noise or
+    * already-compressed payloads barely compress — the cheap corpus-health
+    * dial next to [[charEntropy]] and the Gopher repetition rules.
+    * Engine-specific (no SQL deflate) → rows-only; [[compressionAudit]]
+    * carries the hash-checked contract.
+    */
+  def compressionSignal(docs: DataFrame, level: Int = 6): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    docs.select(
+      col("doc_id"),
+      octet_length(text).alias("n_bytes"),
+      graft.functions.DeflateSize.deflateSize(col("text"), level)
+        .alias("deflate_bytes"))
+      .withColumn("compression_ratio",
+        round(col("deflate_bytes").cast("double") /
+          greatest(col("n_bytes"), lit(1)), 6))
+  }
+
+  /** Hash-checked audit contract for [[compressionSignal]] (the
+    * recall-audit pattern: the oracle PREDICTS every value, so any broken
+    * invariant hash-mismatches): every document deflates to a positive
+    * size; every ≥[[CompressionMinBytes]]-byte document lands at ratio ≤
+    * [[CompressionMaxRatio]]; and on fixed probe strings the repetitive
+    * one compresses strictly smaller than the high-entropy one of the
+    * same length — the direction the quality signal relies on.
+    */
+  def compressionAudit(docs: DataFrame, level: Int = 6): DataFrame = {
+    val sig = compressionSignal(docs, level)
+    val repetitive = "ab" * 500
+    // Same 1000 chars, de-correlated: a seeded LCG keyed per position —
+    // high-entropy but deterministic, shared by scaladoc contract only
+    // (the oracle never computes deflate; it predicts the BOOLEANS).
+    val noisy = {
+      val sb = new StringBuilder; var x = 1234567L
+      while (sb.length < 1000) {
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        sb.append((33 + java.lang.Long.remainderUnsigned(x >>> 16, 94)).toChar)
+      }
+      sb.toString
+    }
+    sig.agg(
+      count(lit(1)).alias("n_docs"),
+      sum(when(col("deflate_bytes") > 0, 1L).otherwise(0L))
+        .alias("n_positive"),
+      sum(when(col("n_bytes") >= CompressionMinBytes, 1L).otherwise(0L))
+        .alias("n_long_docs"),
+      sum(when(col("n_bytes") >= CompressionMinBytes &&
+        col("compression_ratio") <= CompressionMaxRatio, 1L).otherwise(0L))
+        .alias("n_long_bounded"))
+      .select(
+        col("n_docs"), col("n_positive"), col("n_long_docs"),
+        col("n_long_bounded"),
+        (graft.functions.DeflateSize.deflateSize(lit(repetitive), level) <
+          graft.functions.DeflateSize.deflateSize(lit(noisy), level))
+          .alias("repetition_compresses_better"))
+  }
+
   /** Per-document Shannon entropy (bits) over the character-class
     * distribution — low entropy flags repetitive/degenerate text, the
     * cheap cousin of the Gopher repetition rules. Counts come from

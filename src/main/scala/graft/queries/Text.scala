@@ -201,6 +201,15 @@ object QueriesText {
 
     "text_redact"         -> ((s, d) => textRedact(s, d)),
 
+    // Compression-ratio signal (zlib level 6): engine-specific (no SQL
+    // deflate) → rows-only; the audit twin carries the hash-checked
+    // contract (TextRules.compressionSignal/compressionAudit).
+    "text_compression"    -> ((s, d) =>
+      TextRules.compressionSignal(StandIn.documents(s, d))),
+
+    "text_compression_audit" -> ((s, d) =>
+      TextRules.compressionAudit(StandIn.documents(s, d))),
+
     // Count-Min point estimates — deterministic (pure counter sums) but
     // not SQL-expressible → rows-only; the audit twin is the
     // oracle-checked bounded-error contract.
@@ -425,6 +434,24 @@ object QueriesText {
     // Both tokenizer families trained + encoded in ONE statement (see
     // tokenizerCompareOracle).
     "text_tokenizer_compare" -> tokenizerCompareOracle,
+
+    // Compression-audit twin: the oracle PREDICTS every value (counts
+    // from the corpus, TRUE for the invariants) — a deflate that
+    // produced zero bytes, a long doc past the ratio bound, or an
+    // inverted repetition ordering hash-mismatches (the recall-audit
+    // pattern; DuckDB has no deflate to replay the sizes themselves).
+    "text_compression_audit" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_positive,
+         |       CAST(sum(CASE WHEN strlen(coalesce(text, ''))
+         |                       >= ${TextRules.CompressionMinBytes}
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs,
+         |       CAST(sum(CASE WHEN strlen(coalesce(text, ''))
+         |                       >= ${TextRules.CompressionMinBytes}
+         |                     THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_long_bounded,
+         |       TRUE AS repetition_compresses_better
+         |FROM documents""".stripMargin,
 
     // Trained-classifier twin: the full rounded-GD optimization unrolled
     // (see qmTrainChainSql) — every learned weight must match bit-for-bit.

@@ -159,4 +159,30 @@ class TextRulesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_mojibake") === 2L)
     assert(r.getAs[Boolean]("encoding_suspect"))
   }
+
+  test("compressionSignal: repetition compresses, noise does not; " +
+      "null/empty texts stay visible; audit invariants hold") {
+    import spark.implicits._
+    val rep = "spark spark spark " * 40 // 720 chars of pure repetition
+    val noisy = (1 to 120).map(i => (i * 2654435761L % 100000).toString)
+      .mkString(" ") // ~700 chars of digit noise
+    val df = Seq((1L, rep), (2L, noisy), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextRules.compressionSignal(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rr = out(1L).getAs[Double]("compression_ratio")
+    val nr = out(2L).getAs[Double]("compression_ratio")
+    assert(rr < 0.1, s"repetition should compress hard, ratio $rr")
+    assert(nr > rr * 3, s"noise must compress far worse: $nr vs $rr")
+    // Empty/null text: visible rows, positive deflate size (zlib header),
+    // ratio guarded by the n_bytes floor.
+    assert(out(3L).getAs[Int]("deflate_bytes") > 0)
+    assert(out(4L).getAs[Int]("n_bytes") === 0)
+    val audit = TextRules.compressionAudit(df).head()
+    assert(audit.getAs[Long]("n_docs") === 4L)
+    assert(audit.getAs[Long]("n_positive") === 4L)
+    assert(audit.getAs[Long]("n_long_docs") ===
+      audit.getAs[Long]("n_long_bounded"))
+    assert(audit.getAs[Boolean]("repetition_compresses_better"))
+  }
 }
