@@ -1,0 +1,158 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Change-data-capture compaction over the event changelog — the two
+  * standard shapes a lakehouse ingest pipeline applies before anything
+  * downstream reads the table (Delta/Iceberg `MERGE INTO` latest-wins
+  * compaction, and the SCD Type-2 history dimension build).
+  *
+  * The reference pipeline persists every reading append-only
+  * (data_persistance.py:48-73); these operators are the read-side
+  * compactions of exactly such a log. The event stream is treated as a
+  * changelog keyed by `user_id`: each event upserts the user's register
+  * (its `event_type` + `value`), ordered by event time with `event_id`
+  * as the deterministic tie-break; `error` events act as tombstones
+  * (the CDC delete marker).
+  *
+  * Scale shape: both operators are ONE hash-partition of the changelog by
+  * key and ONE sort per partition — the minimum any keyed compaction can
+  * do. [[applyLatest]]'s `rn = 1` filter pushes into the window exec as
+  * WindowGroupLimit (per-partition top-1 heap, O(keys) state instead of
+  * O(rows)); [[scd2History]]'s second window reuses the first's
+  * partitioning and sort (same key, same order — no second Exchange),
+  * which is what keeps a 100 TB history rebuild at one shuffle.
+  */
+object Cdc {
+
+  private val tsSec = col("ts").cast("long").alias("ts_sec")
+
+  /** Latest-wins CDC apply: the current snapshot after replaying the
+    * changelog — per key, the most recent non-tombstone register, and
+    * nothing for keys whose latest entry is a tombstone. This is
+    * `MERGE INTO` / Kafka log-compaction semantics: later writes shadow
+    * earlier ones, a trailing delete removes the key entirely (a delete
+    * followed by a later upsert resurrects it).
+    *
+    * The tombstone test runs AFTER the top-1 cut, not before — filtering
+    * tombstones first would resurrect every deleted key's stale
+    * penultimate version, the classic CDC-apply bug.
+    */
+  def applyLatest(events: DataFrame, tombstoneType: String = "error"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    events
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), tsSec,
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("event_type") =!= tombstoneType)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts_sec").alias("as_of_s"))
+  }
+
+  /** SCD Type-2 history: the user's `event_type` register compressed into
+    * validity intervals. Consecutive repeats collapse (a version opens
+    * only when the state CHANGES); each version carries `valid_from_s`
+    * (inclusive), `valid_to_s` (exclusive start of the successor; null on
+    * the open current version), a 1-based `version` ordinal, and
+    * `is_current`. Half-open intervals mean an as-of probe
+    * `valid_from_s <= t < valid_to_s` matches exactly one version per key
+    * — the contract a dimension join needs.
+    *
+    * Both windows share the key and sort order, so Catalyst plans one
+    * Exchange + one Sort; the change-row filter between them only shrinks
+    * partitions, never re-distributes them.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val changes = events
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), tsSec, col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wAll))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    val wChg = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val validTo = lead(col("ts_sec"), 1).over(wChg)
+    changes.select(
+      col("user_id"), col("event_type"),
+      row_number().over(wChg).alias("version"),
+      col("ts_sec").alias("valid_from_s"),
+      validTo.alias("valid_to_s"),
+      validTo.isNull.alias("is_current"))
+  }
+
+  case class CdcEvent(
+      user_id: Long, event_time: Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-key register: the current (ts, event_id)-max entry. ONE fixed-
+    * size record per key — bounded state however long the stream runs. */
+  case class CdcRegister(
+      tsSec: Long, eventId: Long, eventType: String, value: Double)
+
+  /** One emitted snapshot delta: the key's new current row, or
+    * `deleted = true` when a tombstone took the register. */
+  case class CdcUpdate(
+      user_id: Long, event_type: String, value: Double, as_of_s: Long,
+      deleted: Boolean)
+
+  /** Streaming face of [[applyLatest]] — the register maintained
+    * incrementally in `flatMapGroupsWithState`, emitting one
+    * [[CdcUpdate]] per key per batch that CHANGES it (nothing when a
+    * batch only brings stale rows). On a complete single-batch replay
+    * the emission per key is exactly [[applyLatest]]'s row — with
+    * `deleted = true` standing in for the batch face's absent row — the
+    * cross-paradigm equivalence CdcSpec pins. Cross-batch late data is
+    * forward-only: an event older than the register cannot rewind it,
+    * the same trade every log-compaction consumer makes (and the reason
+    * the batch face exists for reconciliation).
+    *
+    * State is ONE register per key (two longs, a string, a double) —
+    * bounded regardless of stream length; keyed shuffle only, no window,
+    * no sort beyond the per-batch per-key group.
+    */
+  def streamingApply(
+      events: DataFrame,
+      tombstoneType: String = "error"): Dataset[CdcUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(
+        userId: Long,
+        batch: Iterator[CdcEvent],
+        state: GroupState[CdcRegister]): Iterator[CdcUpdate] = {
+      // (ts, event_id) lexicographic max of the batch — one pass, no sort.
+      var st = state.getOption.orNull
+      var changed = false
+      batch.foreach { e =>
+        val t = e.event_time.getTime / 1000
+        if (st == null || t > st.tsSec ||
+            (t == st.tsSec && e.event_id > st.eventId)) {
+          st = CdcRegister(t, e.event_id, e.event_type, e.value)
+          changed = true
+        }
+      }
+      if (!changed) Iterator.empty
+      else {
+        state.update(st)
+        Iterator.single(CdcUpdate(userId, st.eventType, st.value,
+          st.tsSec, deleted = st.eventType == tombstoneType))
+      }
+    }
+    events
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("ts").alias("event_time"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[CdcEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+}

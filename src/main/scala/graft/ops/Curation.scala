@@ -787,6 +787,44 @@ object Curation {
         col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Dense, stable, GLOBAL row numbering ordered by `doc_id` — the
+    * "assign contiguous example ids" step every sharded training run
+    * wants, and the classic scale trap: `row_number() OVER (ORDER BY …)`
+    * with no partition key collapses the whole corpus into ONE window
+    * partition (one task sorts 100 TB). The scale-safe shape is
+    * two-level: range-bucket the key map-side (`doc_id // width` — order-
+    * preserving across buckets), count per bucket (map-side combinable,
+    * bucket-sized output), prefix-sum the counts into per-bucket offsets
+    * (a driver-scale window over buckets only), broadcast the offsets
+    * back, and rank WITHIN each bucket — every stage is parallel over
+    * buckets, no task ever sees more than one bucket's rows.
+    *
+    * Fixed-width buckets (not quantile-based) keep the offsets join
+    * free of a sampling pass; a skewed id space only skews bucket
+    * SIZES, and `bucketWidth` bounds that at `width` rows per task.
+    * Output ids are 1-based, dense, and equal to the naive global
+    * `row_number` — the oracle pins exactly that equivalence.
+    */
+  def assignStableIds(docs: DataFrame, bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bucket width must be positive: $bucketWidth")
+    val bucketed = docs.select(col("doc_id"),
+      floor(col("doc_id") / bucketWidth).alias("bkt"))
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(count(lit(1)).alias("n"))
+      .withColumn("offset", coalesce(
+        // Bucket-count frame only: rows = id-range/width, driver-scale.
+        sum(col("n")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt").alias("obkt"), col("offset"))
+    val wInBucket = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    bucketed
+      .join(broadcast(offsets), col("bkt") === col("obkt"))
+      .select(col("doc_id"),
+        (col("offset") + row_number().over(wInBucket))
+          .alias("stable_id"))
+  }
+
   /** One-row source-concentration report — the diagnostic that motivates
     * [[capBySource]]: how skewed is the corpus across sources? Emits
     * document and source totals, the largest source (ties broken by

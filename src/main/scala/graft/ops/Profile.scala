@@ -230,6 +230,46 @@ object Profile {
         round(z, 6).alias("zscore"))
   }
 
+  /** Robust (median/MAD) outlier screen — [[zscoreOutliers]]'s
+    * breakdown-resistant sibling. The z-score screen's own mean and
+    * stddev are dragged by the very outliers it hunts (one 1e9 reading
+    * inflates σ until nothing else flags); median and MAD have a 50%
+    * breakdown point, so the screen stays calibrated on exactly the
+    * contaminated data it exists for. `robust_z = 0.6745·(x−med)/MAD`
+    * (the consistency constant makes it σ-comparable under normality),
+    * flagged at |z| > `threshold` (3.5 is Iglewicz–Hoban's recommended
+    * cut).
+    *
+    * The threshold compares the ROUNDED score on both engines, so a
+    * last-ulp interpolation difference in the two medians can never flip
+    * a boundary row's membership between Spark and the oracle.
+    *
+    * Shape: two grouped exact-percentile passes over the facts (groups
+    * bounded by the type vocabulary) whose tiny results broadcast back
+    * onto the scan — the facts themselves never shuffle. Exact
+    * `percentile` buffers per-group values, the price of a hash-stable
+    * oracle face; at corpus scale swap in `approx_percentile` exactly as
+    * [[quantileBins]]'s `exact = false` arm does.
+    */
+  def robustOutliers(events: DataFrame, threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val v = events.where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = v.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.5)).alias("med_v"))
+      .select(col("event_type").alias("t1"), col("med_v"))
+    val mad = v.join(broadcast(med), col("event_type") === col("t1"))
+      .groupBy(col("event_type")).agg(
+        percentile(abs(col("value") - col("med_v")), lit(0.5)).alias("mad_v"))
+      .select(col("event_type").alias("t2"), col("mad_v"))
+    val z = round(lit(0.6745) * (col("value") - col("med_v")) / col("mad_v"), 6)
+    v.join(broadcast(med), col("event_type") === col("t1"))
+      .join(broadcast(mad), col("event_type") === col("t2"))
+      .where(col("mad_v") > 0 && abs(z) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        z.alias("robust_z"))
+  }
+
   /** Single-pass distribution moments of `l_quantity` per return flag:
     * n, mean, sample variance, stddev. The sums (Σx, Σx²) accumulate as
     * DECIMAL — exact and order-independent across any partitioning, where

@@ -59,6 +59,62 @@ object Resample {
         col("avg_v").alias("value_ffill"))
   }
 
+  /** Linear-interpolation resample — [[hourlyFfill]]'s other standard
+    * fill policy: gap buckets take the straight line between the two
+    * enclosing observations (`v0 + (v1−v0)·Δt/gap`) instead of carrying
+    * v0 flat. Forward-fill is right for step-like state (a sensor's last
+    * known mode); interpolation is right for continuously-varying
+    * measures (temperature, price) where a flat fill biases every
+    * downstream average low or high for the whole gap.
+    *
+    * Same join-free two-exchange shape as [[hourlyFfill]]: `posexplode`
+    * gives each generated row its hour offset into the gap, so the
+    * interpolation fraction is a pure map-side expression; the trailing
+    * bucket (no successor) emits only itself — no extrapolation.
+    *
+    * DETERMINISM: the line is evaluated in exact integer micro-units,
+    * not rounded doubles. `round(x/gap, 6)` ties at the half-ulp
+    * boundary whenever the 6 dp endpoint values divide evenly by the gap
+    * (…8125 at the 7th decimal is common with 2–4 hour gaps), and Spark
+    * and DuckDB break those ties differently. Instead the endpoints lift
+    * to exact ×1e6 longs (exact: they ARE 6 dp values), the lerp
+    * numerator `v0·(gap−idx) + v1·idx` stays integral (≤ ~5e10, far
+    * inside the 2^53 double-exact range), and `floor(num / gap)` is
+    * bit-identical on any IEEE engine because a rational n/g is either
+    * an exact integer or ≥ 1/g away from one — no tie exists to break.
+    * The final ÷1e6 is one correctly-rounded IEEE divide of an exact
+    * integer: same bits on both engines.
+    */
+  def hourlyInterpolate(events: DataFrame): DataFrame = {
+    val v = col("value").cast("decimal(14,4)")
+    val observed = events
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), date_trunc("hour", col("ts")).alias("h"), v)
+      .groupBy(col("user_id"), col("h"))
+      .agg(round(sum(v).cast("double") / count(lit(1)), 6).alias("avg_v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    val gap = ((col("next_h").cast("long") - col("h").cast("long")) / 3600L)
+      .cast("long")
+    val v0e = round(col("avg_v") * 1e6).cast("long")
+    val v1e = round(col("next_v") * 1e6).cast("long")
+    val lerpE6 = floor(
+      (v0e * (gap - col("idx")) + v1e * col("idx")).cast("double") /
+        gap.cast("double"))
+    observed
+      .withColumn("next_h", lead(col("h"), 1).over(w))
+      .withColumn("next_v", lead(col("avg_v"), 1).over(w))
+      .select(col("user_id"), col("h"), col("avg_v"),
+        col("next_h"), col("next_v"),
+        posexplode(sequence(
+          col("h"),
+          coalesce(col("next_h") - expr("interval 1 hour"), col("h")),
+          expr("interval 1 hour"))).as(Seq("idx", "gh")))
+      .select(col("user_id"), col("gh").cast("string").alias("hour"),
+        (col("gh") === col("h")).alias("observed"),
+        (when(col("idx") === 0, v0e).otherwise(lerpE6)
+          .cast("double") / 1e6).alias("value_interp"))
+  }
+
   /** Winsorization: clip `value` to its event_type's [p_lo, p_hi] exact
     * interpolated percentiles — the outlier treatment a feature pipeline
     * applies before normalization (clipping preserves row count where a

@@ -29,6 +29,22 @@ object SetOps {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Customers with at least one order at `priority` — LEFT SEMI join,
+    * the relational EXISTS and [[customersWithoutBigOrders]]'s mirror.
+    * Semi joins are the shape to reach for over `IN (subquery)` at scale:
+    * the build side reduces to distinct keys before the exchange, the
+    * probe side emits each customer AT MOST once (no fan-out however many
+    * orders match), and no orders payload survives past the join.
+    */
+  def customersWithUrgentOrders(
+      customer: DataFrame,
+      orders: DataFrame,
+      priority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders.where(col("o_orderpriority") === priority),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
   /** Users with a high-value click but no high-value purchase — EXCEPT
     * (set-distinct semantics), the audience-carving staple. Plans as
     * aggregate + anti join; both sides reduce to distinct keys map-side

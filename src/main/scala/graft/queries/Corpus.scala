@@ -444,6 +444,11 @@ object QueriesCorpus {
     "corpus_source_mix" -> ((s, d) =>
       Curation.sourceMix(StandIn.documents(s, d))),
 
+    // Dense global ids WITHOUT a single-partition window (bucketed
+    // two-level ranking); oracle pins equality with the naive form.
+    "corpus_assign_ids" -> ((s, d) =>
+      Curation.assignStableIds(StandIn.documents(s, d))),
+
     "corpus_sample_weighted" -> ((s, d) =>
       Curation.sampleWeighted(StandIn.documents(s, d))),
 
@@ -1058,6 +1063,13 @@ object QueriesCorpus {
 
     // Per-source cap twin (Curation.capBySource): same seeded md5 rank
     // within source, doc_id tie-break, rank ≤ cap.
+    // Stable-id twin (Curation.assignStableIds): the bucketed two-level
+    // ranking must equal the naive global row_number exactly.
+    "corpus_assign_ids" ->
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY doc_id) AS stable_id
+        |FROM documents""".stripMargin,
+
     "corpus_cap_source" ->
       """SELECT source, CAST(cap_rank AS INT) AS cap_rank, doc_id,
         |       lang, n_chars

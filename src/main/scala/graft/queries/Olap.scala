@@ -187,6 +187,16 @@ object QueriesOlap {
     "window_topn"         -> ((s, d) =>
       graft.ops.WindowOps.topNPerUser(StandIn.events(s, d))),
 
+    "cdc_apply"           -> ((s, d) =>
+      graft.ops.Cdc.applyLatest(StandIn.events(s, d))),
+
+    "scd2_history"        -> ((s, d) =>
+      graft.ops.Cdc.scd2History(StandIn.events(s, d))),
+
+    "join_semi_orders"    -> ((s, d) =>
+      graft.ops.SetOps.customersWithUrgentOrders(
+        StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
+
     "join_anti_orders"    -> ((s, d) =>
       graft.ops.SetOps.customersWithoutBigOrders(
         StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
@@ -325,6 +335,54 @@ object QueriesOlap {
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
         |                      event_id)""".stripMargin,
+
+    // CDC latest-wins twin (Cdc.applyLatest): top-1 per key by (ts desc,
+    // event_id desc), tombstone test AFTER the cut — filtering 'error'
+    // first would resurrect deleted keys' stale penultimate versions.
+    "cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS as_of_s,
+        |         row_number() OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 DESC,
+        |                    event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT user_id, event_type, value, as_of_s
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // SCD2 twin (Cdc.scd2History): change rows via lag, then version /
+    // valid_from / valid_to / is_current off one shared window.
+    "scd2_history" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
+        |                    event_id) AS prev_type
+        |  FROM events WHERE ts IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ts_sec FROM b
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       ts_sec AS valid_from_s,
+        |       lead(ts_sec) OVER w AS valid_to_s,
+        |       (lead(ts_sec) OVER w) IS NULL AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)"""
+        .stripMargin,
+
+    // Semi-join twin (SetOps.customersWithUrgentOrders): EXISTS via IN —
+    // DuckDB plans the same semi join Spark's left_semi does.
+    "join_semi_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')"""
+        .stripMargin,
 
     // Funnel twin (Funnel.conversion): the same three chained
     // whole-partition window minimums, collapsed per user.

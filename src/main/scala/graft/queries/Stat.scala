@@ -110,6 +110,9 @@ object QueriesStat {
     "stat_zscore"         -> ((s, d) =>
       Profile.zscoreOutliers(StandIn.events(s, d))),
 
+    "stat_mad_outliers"   -> ((s, d) =>
+      Profile.robustOutliers(StandIn.events(s, d))),
+
     "stat_corr_matrix"    -> ((s, d) =>
       Profile.correlationMatrix(StandIn.table(s, d, "lineitem"))),
 
@@ -143,6 +146,9 @@ object QueriesStat {
     // per digit (Olap.benfordScreen).
     "stat_benford"        -> ((s, d) =>
       graft.ops.Olap.benfordScreen(StandIn.events(s, d))),
+
+    "ts_resample_interp"  -> ((s, d) =>
+      graft.ops.Resample.hourlyInterpolate(StandIn.events(s, d))),
 
     "ts_resample_ffill"   -> ((s, d) =>
       graft.ops.Resample.hourlyFfill(StandIn.events(s, d))),
@@ -307,6 +313,31 @@ object QueriesStat {
         |FROM events JOIN stats ON event_type = t
         |WHERE value IS NOT NULL AND std_v > 0
         |  AND abs((value - mean_v) / std_v) > 3.0""".stripMargin,
+
+    // Robust-outlier twin (Profile.robustOutliers): quantile_cont uses
+    // the same (n−1)·q linear interpolation as Spark's exact percentile;
+    // both engines compare the ROUNDED score against the cut so a
+    // last-ulp median difference can't flip a boundary row.
+    "stat_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value
+        |  FROM events WHERE value IS NOT NULL
+        |), med AS (
+        |  SELECT event_type AS t1, quantile_cont(value, 0.5) AS med_v
+        |  FROM v GROUP BY event_type
+        |), mad AS (
+        |  SELECT v.event_type AS t2,
+        |         quantile_cont(abs(v.value - m.med_v), 0.5) AS mad_v
+        |  FROM v JOIN med m ON v.event_type = m.t1
+        |  GROUP BY v.event_type
+        |)
+        |SELECT v.event_id, v.event_type, v.value,
+        |       round(0.6745 * (v.value - m.med_v) / d.mad_v, 6) AS robust_z
+        |FROM v JOIN med m ON v.event_type = m.t1
+        |       JOIN mad d ON v.event_type = d.t2
+        |WHERE d.mad_v > 0
+        |  AND abs(round(0.6745 * (v.value - m.med_v) / d.mad_v, 6)) > 3.5"""
+        .stripMargin,
 
     // Correlation-matrix twin (Profile.correlationMatrix): the same exact
     // decimal sums for every column and pair, the same one double
@@ -556,6 +587,46 @@ object QueriesStat {
          |         (acc, x) -> $EwmaAlpha * x + ${1 - EwmaAlpha} * acc), 6)
          |         AS ewma_value
          |FROM ordered""".stripMargin,
+
+    // Linear-fill twin (Resample.hourlyInterpolate): same obs/led CTEs as
+    // the ffill twin; the lerp runs in exact ×1e6 integer micro-units —
+    // floor(n/gap) of integral n has no rounding tie for ANY IEEE engine
+    // (see the operator scaladoc), and the final ÷1e6 is one correctly-
+    // rounded divide of an exact integer.
+    "ts_resample_interp" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+        |               / count(*), 6) AS avg_v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), led AS (
+        |  SELECT user_id, h, avg_v,
+        |         lead(h) OVER (PARTITION BY user_id ORDER BY h) AS next_h,
+        |         lead(avg_v) OVER (PARTITION BY user_id ORDER BY h)
+        |           AS next_v
+        |  FROM obs
+        |), gen AS (
+        |  SELECT user_id, h, next_h,
+        |         CAST(round(avg_v * 1e6) AS BIGINT) AS v0e,
+        |         CAST(round(next_v * 1e6) AS BIGINT) AS v1e,
+        |         unnest(generate_series(
+        |           h, coalesce(next_h - INTERVAL 1 HOUR, h),
+        |           INTERVAL 1 HOUR)) AS gh
+        |  FROM led
+        |), frac AS (
+        |  SELECT user_id, h, gh, v0e, v1e,
+        |         CAST((epoch(gh) - epoch(h)) AS BIGINT) // 3600 AS idx,
+        |         CAST((epoch(next_h) - epoch(h)) AS BIGINT) // 3600 AS gap
+        |  FROM gen
+        |)
+        |SELECT user_id, CAST(gh AS VARCHAR) AS hour, gh = h AS observed,
+        |       CAST(CASE WHEN gh = h THEN v0e
+        |             ELSE CAST(floor(
+        |               CAST(v0e * (gap - idx) + v1e * idx AS DOUBLE) /
+        |               CAST(gap AS DOUBLE)) AS BIGINT)
+        |             END AS DOUBLE) / 1e6 AS value_interp
+        |FROM frac""".stripMargin,
 
     "ts_resample_ffill" ->
       """WITH obs AS (

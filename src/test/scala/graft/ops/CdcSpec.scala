@@ -1,0 +1,109 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Unit spec for the CDC compactions: latest-wins apply and SCD2 history. */
+class CdcSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def events(rows: (Long, Long, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("applyLatest: latest wins, trailing tombstone deletes, upsert resurrects") {
+    val ev = events(
+      (1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "click", 2.0), // 1 → click
+      (3L, 10L, 2L, "view", 3.0), (4L, 20L, 2L, "error", 0.0), // 2 deleted
+      (5L, 10L, 3L, "error", 0.0), (6L, 20L, 3L, "signup", 4.0)) // resurrected
+    val out = Cdc.applyLatest(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSet === Set(
+      (1L, "click", 2.0, 20L), (3L, "signup", 4.0, 20L)))
+  }
+
+  test("applyLatest: equal-ts tie breaks on event_id desc; top-1 pushes to WindowGroupLimit") {
+    val ev = events(
+      (7L, 10L, 1L, "view", 1.0), (9L, 10L, 1L, "click", 2.0),
+      (8L, 10L, 1L, "signup", 3.0))
+    val q = Cdc.applyLatest(ev)
+    val out = q.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "click"))) // event_id 9 wins the tie
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn=1 must push into the window exec:\n$plan")
+  }
+
+  test("scd2History: repeats collapse, intervals chain half-open, last is current") {
+    val ev = events(
+      (1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "view", 1.0), // collapses
+      (3L, 30L, 1L, "click", 1.0), (4L, 40L, 1L, "view", 1.0), // reopens
+      (5L, 10L, 2L, "signup", 1.0))
+    val out = Cdc.scd2History(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    assert(out.toSet === Set(
+      (1L, "view", 1, 10L, 30L, false),
+      (1L, "click", 2, 30L, 40L, false),
+      (1L, "view", 3, 40L, -1L, true), // same state re-opens a NEW version
+      (2L, "signup", 1, 10L, -1L, true)))
+  }
+
+  test("streamingApply: register survives batches, stale rows emit nothing") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val ev = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Cdc.streamingApply(ev).toDF()
+      .writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-ckpt").toString)
+      .start()
+    def rows() = spark.table("cdc_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+    try {
+      // Batch 1: two upserts for key 1 in one batch → ONE emission (max).
+      input.addData((1L, ts(10L), 1L, "view", 1.0), (2L, ts(20L), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(rows().toSeq === Seq((1L, "click", 20L, false)))
+      // Batch 2: stale event (older than register) → no new emission.
+      input.addData((3L, ts(15L), 1L, "signup", 9.0))
+      q.processAllAvailable()
+      assert(rows().length === 1)
+      // Batch 3: tombstone advances the register → deleted emission.
+      input.addData((4L, ts(30L), 1L, "error", 0.0))
+      q.processAllAvailable()
+      assert(rows().toSeq.last === ((1L, "error", 30L, true)))
+    } finally q.stop()
+  }
+
+  test("streamingApply single-batch replay equals applyLatest (deleted ↔ absent)") {
+    val ev = events(
+      (1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "click", 2.0),
+      (3L, 10L, 2L, "view", 3.0), (4L, 20L, 2L, "error", 0.0),
+      (5L, 10L, 3L, "error", 0.0), (6L, 20L, 3L, "signup", 4.0))
+    val stream = Cdc.streamingApply(ev).collect()
+      .map(u => (u.user_id, u.event_type, u.value, u.as_of_s, u.deleted))
+    val batch = Cdc.applyLatest(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), false))
+    assert(stream.filterNot(_._5).toSet === batch.toSet)
+    assert(stream.filter(_._5).map(_._1).toSeq === Seq(2L)) // tombstoned key
+  }
+
+  test("scd2History: both windows share one Exchange (one shuffle total)") {
+    val ev = events((1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "click", 1.0))
+    val plan = Cdc.scd2History(ev).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"second window must reuse the first's partitioning:\n$plan")
+  }
+}

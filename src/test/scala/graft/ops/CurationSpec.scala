@@ -507,6 +507,23 @@ class CurationSpec extends SparkSpec {
     assert(Curation.snapshotDiff(n1, n2).head().getString(1) === "unchanged")
   }
 
+  test("assignStableIds: bucketed two-level ranking equals the naive global one") {
+    import spark.implicits._
+    // Negative ids exercise floor bucketing; 4100/9999 share a bucket
+    // with nothing; 123456 lands far away — offsets must still chain.
+    val ids = Seq(-9000L, -1L, 0L, 5L, 4100L, 9999L, 123456L)
+    val docs = ids.map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    val q = Curation.assignStableIds(docs, bucketWidth = 4096L)
+    val out = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = ids.sorted.zipWithIndex
+      .map { case (d, i) => d -> (i + 1).toLong }.toMap
+    assert(out === expected)
+    // The fact-side ranking partitions by bucket — never one global sort.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"ranking window must partition by bucket:\n$plan")
+  }
+
   test("dedupReport: composite figures match hand-built duplication") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

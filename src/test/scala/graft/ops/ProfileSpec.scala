@@ -206,6 +206,27 @@ class ProfileSpec extends SparkSpec {
       s"per-type stats must broadcast back, not shuffle the facts:\n$plan")
   }
 
+  test("robustOutliers: MAD screen flags the spike z-score misses, guards MAD=0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    // Group "click": med=12.5, MAD=1.5 → spike robust_z ≈ 444 (flagged);
+    // the same spike's classic z is only ~2.2σ because it inflates σ.
+    // Group "view": all-equal values → MAD=0 → guarded out entirely.
+    val ev = (Seq(10.0, 11.0, 12.0, 13.0, 14.0, 1000.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, t0, 1L, "click", v)
+    } ++ (1 to 5).map(i => ((100 + i).toLong, t0, 2L, "view", 7.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Profile.robustOutliers(ev)
+    val out = q.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.length === 1)
+    assert(out.head._1 === 6L)
+    assert(out.head._2 > 400 && out.head._2 < 500)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median/MAD tables must broadcast back, not shuffle the facts:\n$plan")
+  }
+
   test("movingStats: frame average and lag delta, deterministic tie order") {
     import java.sql.Timestamp
     import spark.implicits._

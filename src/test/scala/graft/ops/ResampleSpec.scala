@@ -30,6 +30,26 @@ class ResampleSpec extends SparkSpec {
     assert(out((2L, "2026-01-01 09:00:00")) === ((true, 5.0)))
   }
 
+  test("hourlyInterpolate: gaps take the straight line, no extrapolation") {
+    import spark.implicits._
+    // User 1: 10:00 avg 10.0, gap at 11/12, 13:00 avg 40.0 → the 3-hour
+    // gap interpolates to 20.0 and 30.0. Trailing bucket emits itself.
+    val ev = Seq(
+      (1L, t("2026-01-01 10:10:00"), 1L, "click", 10.0),
+      (2L, t("2026-01-01 13:05:00"), 1L, "click", 40.0),
+      (3L, t("2026-01-01 09:00:00"), 2L, "view", 5.0)) // single obs
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Resample.hourlyInterpolate(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(out.size === 5)
+    assert(out((1L, "2026-01-01 10:00:00")) === ((true, 10.0)))
+    assert(out((1L, "2026-01-01 11:00:00")) === ((false, 20.0)))
+    assert(out((1L, "2026-01-01 12:00:00")) === ((false, 30.0)))
+    assert(out((1L, "2026-01-01 13:00:00")) === ((true, 40.0)))
+    assert(out((2L, "2026-01-01 09:00:00")) === ((true, 5.0)))
+  }
+
   test("ewma: seeded with the first value, folds in event-time order") {
     import spark.implicits._
     // click series 10, 20, 40 at alpha 0.5:

@@ -18,6 +18,21 @@ class SetOpsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"must plan an anti join:\n$plan")
   }
 
+  test("customersWithUrgentOrders: semi join emits each match once, no fan-out") {
+    import spark.implicits._
+    val cust = Seq((1L, "a", 5.0), (2L, "b", 6.0), (3L, "c", 7.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val ord = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 1L, "1-URGENT"), // two matches, one row out
+      (12L, 2L, "5-LOW"), (13L, 9L, "1-URGENT")) // 9 has no customer row
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val q = SetOps.customersWithUrgentOrders(cust, ord)
+    val out = q.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"))) // ONE row despite two urgent orders
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"must plan a semi join:\n$plan")
+  }
+
   test("clickersNotBuyers: EXCEPT distinct semantics over the value carve") {
     import spark.implicits._
     val ev = Seq(
