@@ -529,6 +529,110 @@ object Profile {
           .alias("same_dist_05"))
   }
 
+  /** Welch's two-sample t-test on `value` between two event types — the
+    * MEAN-shift companion to [[ksTest]] (KS sees any distributional
+    * change; the t-test answers the narrower, more powerful "did the
+    * level move?" with unequal variances allowed). Welch, not Student:
+    * the pooled-variance form silently assumes equal spread, which
+    * sensor fleets and A/B cohorts routinely violate.
+    *
+    * Emits t, the Welch–Satterthwaite degrees of freedom, and the
+    * |t| ≤ 1.96 verdict (the z critical value — honest for the ≫30 df
+    * this screen targets; the df column lets a caller apply an exact
+    * t quantile when groups are small). The verdict compares the ROUNDED
+    * t so engine ulps cannot flip it.
+    *
+    * Shape: ONE conditional-aggregation pass over the filtered facts
+    * (six exact DECIMAL sums — order-independent under any partitioning,
+    * the [[valueMoments]] argument), then one driver-scale row of double
+    * arithmetic identical on both engines.
+    */
+  def tTest(
+      events: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    val v = col("value").cast("decimal(14,4)")
+    def side(t: String, tag: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L))
+        .alias(s"n$tag"),
+      sum(when(col("event_type") === t, v)).cast("double")
+        .alias(s"s$tag"),
+      sum(when(col("event_type") === t, v * v)).cast("double")
+        .alias(s"q$tag"))
+    val aggs = side(typeA, "a") ++ side(typeB, "b")
+    val sums = events
+      .where(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) = col(s"s$tag") / col(s"n$tag")
+    def varS(tag: String) = greatest(
+      (col(s"q$tag") - col(s"s$tag") * col(s"s$tag") / col(s"n$tag")) /
+        (col(s"n$tag") - 1), lit(0.0))
+    val se2 = varS("a") / col("na") + varS("b") / col("nb")
+    val t = (mean("a") - mean("b")) / sqrt(se2)
+    val df = se2 * se2 / (
+      (varS("a") / col("na")) * (varS("a") / col("na")) / (col("na") - 1) +
+        (varS("b") / col("nb")) * (varS("b") / col("nb")) / (col("nb") - 1))
+    sums.select(
+      col("na").alias("n_a"), col("nb").alias("n_b"),
+      round(mean("a"), 6).alias("mean_a"),
+      round(mean("b"), 6).alias("mean_b"),
+      round(t, 6).alias("t_stat"),
+      round(df, 6).alias("welch_df"),
+      (abs(round(t, 6)) <= 1.96).alias("same_mean_05"))
+  }
+
+  /** Lag-k autocorrelation (k = 1..`maxLag`) of each event type's HOURLY
+    * value series — the seasonality/persistence probe behind every
+    * forecast choice ([[graft.ops.Olap.seasonalNaiveEval]] assumes the
+    * lag the user picked actually correlates; this measures it). Pearson
+    * r between the series and its k-hour shift, one output row per
+    * (event_type, lag).
+    *
+    * Shape: the corpus collapses FIRST to hourly cells (map-side
+    * combinable, cells = types × hours), ONE window sort per type
+    * produces all k shifted columns, `stack` unpivots them map-side, and
+    * the final tiny groupBy runs on (type, lag) pairs. Sums of the
+    * 6 dp-rounded cell values go through DECIMAL — exact, so r is
+    * bit-stable under any partitioning; the facts shuffle once (into
+    * hourly cells), never again.
+    */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24, s"maxLag out of range: $maxLag")
+    val v = col("value").cast("decimal(14,4)")
+    val hourly = events
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).alias("h"))
+      .agg(round(sum(v).cast("double") / count(lit(1)), 6).alias("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = (1 to maxLag).foldLeft(hourly) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("x"), k).over(w))
+    }
+    val stacked = lagged.select(col("event_type"), col("x"),
+      expr((1 to maxLag)
+        .map(k => s"$k, x$k").mkString(s"stack($maxLag, ", ", ", ")"))
+        .as(Seq("lag_h", "y")))
+      .where(col("y").isNotNull)
+    val xd = col("x").cast("decimal(18,6)")
+    val yd = col("y").cast("decimal(18,6)")
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    stacked
+      .groupBy(col("event_type"), col("lag_h"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(xd).cast("double").alias("sx"),
+        sum(yd).cast("double").alias("sy"),
+        sum(xd * xd).cast("double").alias("sxx"),
+        sum(yd * yd).cast("double").alias("syy"),
+        sum(xd * yd).cast("double").alias("sxy"))
+      .select(col("event_type"), col("lag_h"), col("n").alias("n_pairs"),
+        round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6)
+          .alias("autocorr"))
+  }
+
   /** Per-DIMENSION profile of an embedding table: n/mean/std/min/max for
     * each coordinate — the drift/health check an embedding pipeline runs
     * per snapshot (a collapsed dimension, a scale shift, or a dead

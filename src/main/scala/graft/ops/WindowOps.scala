@@ -62,6 +62,27 @@ object WindowOps {
         round(cume_dist().over(w), 6).alias("cume"))
   }
 
+  /** Gap-aware ranking with TIES — `rank` and `dense_rank` per event
+    * type by descending value, the two window members [[lagLeadStats]]'s
+    * family doesn't cover (row_number breaks ties arbitrarily; these two
+    * give tied values the SAME rank, which is what leaderboards and
+    * percentile cuts actually want). No tie-break column on purpose:
+    * both functions depend only on the ORDER values, so each output row
+    * is deterministic under any partitioning even when values tie —
+    * exactly why the pair can be oracle-hashed while a bare row_number
+    * over the same spec could not.
+    */
+  def valueRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc)
+    events
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).alias("rnk"),
+        dense_rank().over(w).alias("dense_rnk"))
+  }
+
   /** Top-N events by value per user — the classic rank-and-filter. The
     * `rnk <= n` predicate pushes INTO the window exec (Spark's
     * WindowGroupLimit): each partition keeps a running top-N heap instead

@@ -187,6 +187,9 @@ object QueriesOlap {
     "window_topn"         -> ((s, d) =>
       graft.ops.WindowOps.topNPerUser(StandIn.events(s, d))),
 
+    "window_rank_ties"    -> ((s, d) =>
+      graft.ops.WindowOps.valueRanks(StandIn.events(s, d))),
+
     "cdc_apply"           -> ((s, d) =>
       graft.ops.Cdc.applyLatest(StandIn.events(s, d))),
 
@@ -335,6 +338,17 @@ object QueriesOlap {
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
         |                      event_id)""".stripMargin,
+
+    // Tied-rank twin (WindowOps.valueRanks): rank/dense_rank depend only
+    // on the ORDER values, so no tie-break column is needed for a
+    // deterministic hash.
+    "window_rank_ties" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(rank() OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS dense_rnk
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)"""
+        .stripMargin,
 
     // CDC latest-wins twin (Cdc.applyLatest): top-1 per key by (ts desc,
     // event_id desc), tombstone test AFTER the cut — filtering 'error'

@@ -126,6 +126,12 @@ object QueriesStat {
     "stat_ks_test"        -> ((s, d) =>
       Profile.ksTest(StandIn.events(s, d))),
 
+    "stat_ttest"          -> ((s, d) =>
+      Profile.tTest(StandIn.events(s, d))),
+
+    "stat_autocorr"       -> ((s, d) =>
+      Profile.autocorrelation(StandIn.events(s, d))),
+
     "stat_cramers_v"      -> ((s, d) =>
       Profile.chiSquareStat(StandIn.events(s, d),
         col("event_type"), weekday(col("ts")).cast("int"))),
@@ -411,6 +417,90 @@ object QueriesStat {
         |       (round(d, 6) <= round(1.358 * sqrt((ta + tb)
         |             / (CAST(ta AS DOUBLE) * tb)), 6)) AS same_dist_05
         |FROM kd""".stripMargin,
+
+    // Welch t-test twin (Profile.tTest): six exact decimal sums, then the
+    // identical double expressions in the same association order; the
+    // verdict compares the ROUNDED t.
+    "stat_ttest" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(14,4)) END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(14,4)) *
+        |           CAST(value AS DECIMAL(14,4)) END) AS DOUBLE) AS qa,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(14,4)) END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(14,4)) *
+        |           CAST(value AS DECIMAL(14,4)) END) AS DOUBLE) AS qb
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        |), d AS (
+        |  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+        |         greatest((qa - sa * sa / na) / (na - 1), 0) / na AS ea,
+        |         greatest((qb - sb * sb / nb) / (nb - 1), 0) / nb AS eb
+        |  FROM s
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |       round((ma - mb) / sqrt(ea + eb), 6) AS t_stat,
+        |       round((ea + eb) * (ea + eb) /
+        |             (ea * ea / (na - 1) + eb * eb / (nb - 1)), 6)
+        |         AS welch_df,
+        |       (abs(round((ma - mb) / sqrt(ea + eb), 6)) <= 1.96)
+        |         AS same_mean_05
+        |FROM d""".stripMargin,
+
+    // Autocorrelation twin (Profile.autocorrelation): the same hourly
+    // cells, the same three lag shifts (UNION ALL standing in for
+    // stack), exact decimal sums, one double Pearson expression.
+    "stat_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE)
+        |               / count(*), 6) AS x
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT event_type, x,
+        |         lag(x, 1) OVER w AS x1,
+        |         lag(x, 2) OVER w AS x2,
+        |         lag(x, 3) OVER w AS x3
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |), stacked AS (
+        |  SELECT event_type, 1 AS lag_h, x, x1 AS y FROM lagged
+        |  UNION ALL SELECT event_type, 2, x, x2 FROM lagged
+        |  UNION ALL SELECT event_type, 3, x, x3 FROM lagged
+        |), f AS (
+        |  SELECT * FROM stacked WHERE y IS NOT NULL
+        |), sums AS (
+        |  SELECT event_type, lag_h,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6)) *
+        |                  CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6)) *
+        |                  CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(x AS DECIMAL(18,6)) *
+        |                  CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+        |  FROM f GROUP BY 1, 2
+        |)
+        |SELECT event_type, lag_h, n AS n_pairs,
+        |       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+        |             THEN (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |                  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |                       (CAST(n AS DOUBLE) * syy - sy * sy))
+        |             END, 6) AS autocorr
+        |FROM sums""".stripMargin,
 
     // χ² cell twin (Profile.chiSquareCells): same exact integer marginals,
     // same one double expression per cell. Spark weekday (0 = Monday) ≡

@@ -227,6 +227,47 @@ class ProfileSpec extends SparkSpec {
       s"median/MAD tables must broadcast back, not shuffle the facts:\n$plan")
   }
 
+  test("tTest: Welch statistic and df match the hand computation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    // view: 10,12,14 → n=3, mean=12, var=4; purchase: 20,20,20 → var=0.
+    // se² = 4/3; t = −8/√(4/3) ≈ −6.928203; df = (4/3)²/((4/3)²/2) = 2.
+    val ev = (Seq(10.0, 12.0, 14.0).zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, t0, 1L, "view", v)
+    } ++ Seq(20.0, 20.0, 20.0).zipWithIndex.map { case (v, i) =>
+      ((10 + i).toLong, t0, 2L, "purchase", v)
+    } :+ ((99L, t0, 3L, "click", 1e9))) // other types never contaminate
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Profile.tTest(ev).head()
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("mean_a") === 12.0)
+    assert(r.getAs[Double]("mean_b") === 20.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - -6.928203) < 1e-6)
+    assert(r.getAs[Double]("welch_df") === 2.0)
+    assert(!r.getAs[Boolean]("same_mean_05"))
+  }
+
+  test("autocorrelation: linear series reads 1.0 at every lag, constant reads null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hr(i: Int) = Timestamp.valueOf(f"2026-01-01 ${9 + i}%02d:00:00")
+    // click: one event per hour, value = hour index (linear ⇒ r = 1 at
+    // every lag); view: constant series ⇒ zero variance ⇒ null r.
+    val ev = ((0 until 6).map(i =>
+      ((i + 1).toLong, hr(i), 1L, "click", i.toDouble)) ++
+      (0 until 5).map(i => ((20 + i).toLong, hr(i), 2L, "view", 7.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Profile.autocorrelation(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(out(("click", 1)) === ((5L, Some(1.0))))
+    assert(out(("click", 2)) === ((4L, Some(1.0))))
+    assert(out(("click", 3)) === ((3L, Some(1.0))))
+    assert(out(("view", 1)) === ((4L, None))) // vx = 0 → guarded null
+  }
+
   test("movingStats: frame average and lag delta, deterministic tie order") {
     import java.sql.Timestamp
     import spark.implicits._

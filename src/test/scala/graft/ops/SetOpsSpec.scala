@@ -33,6 +33,21 @@ class SetOpsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"must plan a semi join:\n$plan")
   }
 
+  test("valueRanks: ties share a rank, dense_rank closes the gap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 30.0), (2L, "click", 20.0), (3L, "click", 20.0),
+      (4L, "click", 10.0), (5L, "view", 9.0))
+      .toDF("event_id", "event_type", "value")
+    val out = WindowOps.valueRanks(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) === ((1, 1)))
+    assert(out(2L) === ((2, 2))) // tied pair: same rank both ways
+    assert(out(3L) === ((2, 2)))
+    assert(out(4L) === ((4, 3))) // rank gaps, dense_rank doesn't
+    assert(out(5L) === ((1, 1))) // partitions are independent
+  }
+
   test("clickersNotBuyers: EXCEPT distinct semantics over the value carve") {
     import spark.implicits._
     val ev = Seq(
