@@ -89,6 +89,37 @@ object Cdc {
       validTo.isNull.alias("is_current"))
   }
 
+  /** Point-in-time (as-of) probe against [[scd2History]] — the query the
+    * history dimension exists FOR: enrich each event with the state
+    * version that was current at its event time. The half-open contract
+    * (`valid_from_s <= t < valid_to_s`, null valid_to = open) guarantees
+    * EXACTLY one version matches per probe, so the join can never dup or
+    * drop facts — the property a dimension join must have and a naive
+    * BETWEEN (closed-closed) silently breaks at boundaries.
+    *
+    * Scale shape: an EQUI join on the key carries the range predicate as
+    * a post-join filter — Spark plans SortMergeJoin on `user_id`, never
+    * a nested-loop product, because the equality conjunct anchors it;
+    * versions per key are bounded by that key's change count, so the
+    * per-row filter fan-in stays small. Probing events against their OWN
+    * history is self-consistency: every event must land in exactly one
+    * version (asserted by the oracle's row count equality).
+    */
+  def scd2AsOfProbe(events: DataFrame): DataFrame = {
+    val hist = scd2History(events)
+      .select(col("user_id").alias("h_uid"), col("event_type").alias("state"),
+        col("version"), col("valid_from_s"), col("valid_to_s"))
+    events
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), tsSec)
+      .join(hist,
+        col("user_id") === col("h_uid") &&
+          col("ts_sec") >= col("valid_from_s") &&
+          (col("valid_to_s").isNull || col("ts_sec") < col("valid_to_s")))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        col("state"), col("version"))
+  }
+
   case class CdcEvent(
       user_id: Long, event_time: Timestamp, event_id: Long,
       event_type: String, value: Double)

@@ -196,6 +196,9 @@ object QueriesOlap {
     "scd2_history"        -> ((s, d) =>
       graft.ops.Cdc.scd2History(StandIn.events(s, d))),
 
+    "scd2_asof_probe"     -> ((s, d) =>
+      graft.ops.Cdc.scd2AsOfProbe(StandIn.events(s, d))),
+
     "join_semi_orders"    -> ((s, d) =>
       graft.ops.SetOps.customersWithUrgentOrders(
         StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
@@ -389,6 +392,40 @@ object QueriesOlap {
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)"""
         .stripMargin,
+
+    // Point-in-time probe twin (Cdc.scd2AsOfProbe): the same SCD2 CTEs,
+    // then the half-open interval join — every event lands in exactly
+    // one version (the row count equals the event count).
+    "scd2_asof_probe" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
+        |                    event_id) AS prev_type
+        |  FROM events WHERE ts IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ts_sec FROM b
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), h AS (
+        |  SELECT user_id AS h_uid, event_type AS state,
+        |         CAST(row_number() OVER w AS INT) AS version,
+        |         ts_sec AS valid_from_s,
+        |         lead(ts_sec) OVER w AS valid_to_s
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |)
+        |SELECT e.event_id, e.user_id,
+        |       epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+        |       h.state, h.version
+        |FROM events e JOIN h ON e.user_id = h.h_uid
+        |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000
+        |        >= h.valid_from_s
+        |  AND (h.valid_to_s IS NULL OR
+        |       epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000
+        |         < h.valid_to_s)
+        |WHERE e.ts IS NOT NULL""".stripMargin,
 
     // Semi-join twin (SetOps.customersWithUrgentOrders): EXISTS via IN —
     // DuckDB plans the same semi join Spark's left_semi does.

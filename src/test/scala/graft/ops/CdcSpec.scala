@@ -54,6 +54,27 @@ class CdcSpec extends SparkSpec {
       (2L, "signup", 1, 10L, -1L, true)))
   }
 
+  test("scd2AsOfProbe: exactly one version per event, half-open boundaries") {
+    val ev = events(
+      (1L, 10L, 1L, "view", 1.0), // opens v1 [10, 30)
+      (2L, 20L, 1L, "view", 1.0), // inside v1
+      (3L, 30L, 1L, "click", 1.0), // opens v2 [30, ∞) — boundary event
+      (4L, 40L, 1L, "click", 1.0)) // inside v2
+    val q = Cdc.scd2AsOfProbe(ev)
+    val out = q.collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getInt(4)))).toMap
+    assert(out.size === 4) // every event matched exactly once
+    assert(out(1L) === (("view", 1)))
+    assert(out(2L) === (("view", 1)))
+    assert(out(3L) === (("click", 2))) // boundary lands in the NEW version
+    assert(out(4L) === (("click", 2)))
+    // Equality conjunct anchors a real join — never a nested-loop product.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"probe must plan an equi join with range post-filter:\n$plan")
+  }
+
   test("streamingApply: register survives batches, stale rows emit nothing") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
