@@ -518,6 +518,37 @@ class PlanEvidenceSpec extends SparkSpec {
       s"benford replays the events scan, saw $scans:\n$plan")
   }
 
+  test("stat_ttest: both cohorts' six sums come off ONE events scan") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("stat_ttest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1,
+      s"conditional aggregation must not scan per cohort, saw $scans:\n$plan")
+  }
+
+  test("stat_autocorr: all three lags share one scan and one window sort") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("stat_autocorr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1,
+      s"lag shifts must not re-scan the facts, saw $scans:\n$plan")
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows === 1,
+      s"the three lag columns must share ONE Window operator:\n$plan")
+  }
+
+  test("ts_resample_interp: grid generation rides the ffill shape — one scan, no join") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("ts_resample_interp")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"join-free fill must scan once, saw $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"generate-based fill must not plan a grid join:\n$plan")
+  }
+
   test("corpus_pipeline: two eager corpus passes, zero replayed scans") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // The funnel's corpus reads are the two Materialize'd passes (fused
