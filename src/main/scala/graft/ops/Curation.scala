@@ -843,6 +843,11 @@ object Curation {
     * SIZES, and `bucketWidth` bounds that at `width` rows per task.
     * Output ids are 1-based, dense, and equal to the naive global
     * `row_number` — the oracle pins exactly that equivalence.
+    *
+    * SIZING: the offsets frame has (id-range ÷ width) rows and must stay
+    * driver/broadcast-scale — pick `bucketWidth` so that lands in the
+    * 10⁴–10⁵ range (e.g. ~2M for 10¹¹ dense ids). The default suits the
+    * fixture-scale id space; it is a knob, not a constant.
     */
   def assignStableIds(docs: DataFrame, bucketWidth: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucket width must be positive: $bucketWidth")
