@@ -1206,10 +1206,14 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("int").alias("n_tokens"),
-        round(avg(
+        // + 0.0 collapses IEEE negative zero: a document whose mean
+        // log-ratio rounds to -0.0 would otherwise stringify/hash as
+        // "-0.0" on one engine and "0.0" on the other (surfaced at the
+        // sf0.1 verify point; the oracle applies the same normalizer).
+        (round(avg(
           log10((col("ct") + 1).cast("double") / lit(nt + buckets)) -
             log10((col("cr") + 1).cast("double") / lit(nr + buckets))),
-          6).alias("dsir_logratio"))
+          6) + lit(0.0)).alias("dsir_logratio"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0)).alias("n_tokens"),

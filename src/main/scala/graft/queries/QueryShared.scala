@@ -184,7 +184,7 @@ object QueryShared {
        |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
        |         round(avg(
        |           log10(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt + $B))
-       |           - log10(CAST(cr + 1 AS DOUBLE) / (nr + $B))), 6)
+       |           - log10(CAST(cr + 1 AS DOUBLE) / (nr + $B))), 6) + 0.0
        |           AS dsir_logratio
        |  FROM tagged JOIN draw USING (b) LEFT JOIN dtgt USING (b), dtot
        |  GROUP BY doc_id

@@ -84,21 +84,25 @@ object QueriesSim {
   // the 0.8 quality floor in the regime PQ exists for.
 
   // PQ/IVFPQ regression floors, same posture as RecallFloor: measured
-  // 0.53 / 0.40 at the sf0.01 verify point (deterministic — driver-side
-  // training on the fixed hash draw), floored with ~25% margin. These are
-  // canaries against quantizer breakage (a broken encoder lands near
-  // k/N ≈ 0.01), not quality claims — the clustered-data unit tests hold
-  // the 0.8 quality floor in the regime PQ exists for.
+  // 0.528 / 0.404 at the sf0.01 verify point and 0.32 / 0.296 at sf0.1
+  // (deterministic — driver-side training on the fixed hash draw; recall
+  // falls with corpus size because the caps on codebook size and training
+  // sample stay fixed while N grows 10×). Floored BELOW both measured
+  // points so the audit is scale-robust across the driver's verify
+  // scales. These are canaries against quantizer breakage (a broken
+  // encoder lands near k/N ≈ 1e-3..1e-4), not quality claims — the
+  // clustered-data unit tests hold the 0.8 quality floor in the regime
+  // PQ exists for.
   private def simPqRecallAudit(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAudit(
       Similarity.pqRecallReport(StandIn.embeddings(s, dir), k = TopK),
-      floor = 0.4)
+      floor = 0.25)
 
   private def simIvfPqRecallAudit(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAudit(
       Similarity.ivfPqRecallReport(StandIn.embeddings(s, dir),
         cells = IvfCells, k = TopK, nprobe = 2),
-      floor = 0.3)
+      floor = 0.2)
 
   private def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(StandIn.embeddings(s, dir))
