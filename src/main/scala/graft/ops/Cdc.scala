@@ -163,7 +163,10 @@ object Cdc {
       var st = state.getOption.orNull
       var changed = false
       batch.foreach { e =>
-        val t = e.event_time.getTime / 1000
+        // floorDiv, not /: Java's / truncates toward zero, so pre-1970
+        // timestamps would round the OPPOSITE way from applyLatest's
+        // cast-to-long (floor) and break the single-batch equivalence.
+        val t = Math.floorDiv(e.event_time.getTime, 1000L)
         if (st == null || t > st.tsSec ||
             (t == st.tsSec && e.event_id > st.eventId)) {
           st = CdcRegister(t, e.event_id, e.event_type, e.value)

@@ -276,21 +276,26 @@ object Dedup {
     * shingle count that merged into it. Span width ≥ L by construction;
     * wider spans mean longer verbatim duplication.
     */
-  def substringSpans(
-      docs: DataFrame,
-      shingleLen: Int = SubstringShingleLen): DataFrame = {
-    val L = shingleLen
-    // Shingle strings via slice/join, hashed natively: one in-row array op
-    // per document, then posexplode carries (offset, hash) only — the
-    // document text never leaves the map stage.
+  /** The (doc_id, off, h) shingle-hit stream shared by the span family:
+    * shingle strings via slice/join hashed natively — one in-row array op
+    * per document, then posexplode carries (offset, hash) only; the
+    * document text never leaves the map stage. */
+  private def shingleHits(docs: DataFrame, L: Int): DataFrame = {
     val shingleStrs = when(size(col("t")) >= L,
         transform(sequence(lit(0), size(col("t")) - L),
           i => array_join(slice(col("t"), i + 1, lit(L)), " ")))
       .otherwise(array().cast("array<string>"))
-    val sh = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).alias("t"))
       .select(col("doc_id"),
         posexplode(hashArray60(shingleStrs)).as(Seq("off", "h")))
+  }
+
+  def substringSpans(
+      docs: DataFrame,
+      shingleLen: Int = SubstringShingleLen): DataFrame = {
+    val L = shingleLen
+    val sh = shingleHits(docs, L)
     // Cross-document duplicated hashes: (h, doc) first so the per-hash
     // count is a count of PRE-AGGREGATED rows, not raw occurrences.
     val dup = sh.select(col("h"), col("doc_id")).distinct()
@@ -307,6 +312,78 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).alias("span_tokens"),
         col("n_shingles"))
+  }
+
+  /** Boilerplate guard for [[maxSpans]]: shingle hashes held by more than
+    * this many distinct documents are excluded from pair generation —
+    * they are navigation/boilerplate text whose all-pairs expansion is
+    * quadratic in holders, and whose per-document extent the island
+    * report [[substringSpans]] already covers without pairing. */
+  val MaxDocsPerShingle = 64
+
+  /** LONGEST duplicated span per document PAIR — the suffix-array dedup
+    * target of Lee et al. 2022 (arXiv:2107.06499 §4: the longest verbatim
+    * substring shared between two documents), distributed. Where
+    * [[substringSpans]] merges duplicated offsets per document (against
+    * the whole corpus at once), this aligns hits per (a, b, DIAGONAL):
+    * two occurrences of the same shingle at offsets (a_off, b_off) lie on
+    * diagonal `a_off − b_off`, and a run of m CONSECUTIVE aligned
+    * shingles is a verbatim common span of exactly m + L − 1 tokens —
+    * span lengths are EXACT, not L-quantized (the gaps-and-islands merge
+    * recovers every token of overlap between adjacent shingle hits).
+    *
+    * Scale shape: the shingle stream is the [[substringSpans]] map-side
+    * hash stream (exchanges carry (doc, off, hash) — never text); pair
+    * generation is a hash equi-join bounded by [[MaxDocsPerShingle]]
+    * holders per shingle (the boilerplate-quadratic guard — at ≤ d
+    * holders a shingle contributes ≤ d² rows, and hot hashes past the
+    * cap are precisely the ones the per-doc report covers more cheaply);
+    * the diagonal windows partition by (pair, diag), bounded by document
+    * length. One row per pair:
+    * `(a_id, b_id, a_start, a_end, b_start, b_end, span_tokens)` with
+    * [start, end] 0-based inclusive token coordinates in each document,
+    * ties broken by (a_start, b_start).
+    */
+  def maxSpans(
+      docs: DataFrame,
+      shingleLen: Int = SubstringShingleLen,
+      maxDocsPerShingle: Int = MaxDocsPerShingle): DataFrame = {
+    val L = shingleLen
+    val sh = shingleHits(docs, L)
+    val shared = sh.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).alias("n_docs"))
+      .where(col("n_docs") > 1 && col("n_docs") <= maxDocsPerShingle)
+      .select(col("h"))
+    val hits = sh.join(shared, "h")
+    val a = hits.select(col("h"), col("doc_id").alias("a_id"),
+      col("off").alias("a_off"))
+    val b = hits.select(col("h"), col("doc_id").alias("b_id"),
+      col("off").alias("b_off"))
+    // Within a fixed (a, b, diag), a_off determines the row uniquely (one
+    // shingle per offset), so the island numbering needs no dedup first.
+    val diag = a.join(b, "h")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_off"),
+        (col("a_off") - col("b_off")).alias("diag"))
+    val wRun = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("a_off"))
+    val spans = diag
+      .withColumn("grp", col("a_off") - row_number().over(wRun))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("a_off")).alias("a_start"),
+        max(col("a_off")).alias("a_max"))
+      .select(col("a_id"), col("b_id"),
+        col("a_start"),
+        (col("a_max") + (L - 1)).alias("a_end"),
+        (col("a_start") - col("diag")).cast("int").alias("b_start"),
+        (col("a_max") - col("diag") + (L - 1)).cast("int").alias("b_end"),
+        (col("a_max") - col("a_start") + L).alias("span_tokens"))
+    val wBest = Window.partitionBy(col("a_id"), col("b_id"))
+      .orderBy(col("span_tokens").desc, col("a_start"), col("b_start"))
+    spans
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .drop("rn")
   }
 
   /** Minimum line length (chars) for line-level dedup eligibility: shorter

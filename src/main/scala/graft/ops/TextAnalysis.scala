@@ -558,6 +558,15 @@ object TextAnalysis {
       maxPunctRatio: Double = GateMaxPunctRatio,
       maxCharsPerToken: Double = GateMaxCharsPerToken,
       passThrough: Seq[String] = Nil): DataFrame = {
+    val signalOut = Set("doc_id", "passed", "reject_reason",
+      "predicted_lang", "ws_tokens", "bpeish_tokens",
+      // staged intermediates — a collision here breaks the inner select
+      "text", "toks", "n_chars", "n_tokens", "stopword_ratio",
+      "punct_ratio") ++ LangMarkers.map { case (l, _) => s"${l}_score" }
+    val clash = passThrough.filter(signalOut)
+    require(clash.isEmpty,
+      s"curationSignals passThrough collides with signal outputs: " +
+        s"${clash.mkString(", ")} — rename the input column(s) first")
     val stopwords = LangMarkers.flatMap(_._2)
     val punct = "[.,!?;:]"
     val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"

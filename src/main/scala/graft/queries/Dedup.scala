@@ -152,6 +152,12 @@ object QueriesDedup {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.substringSpans(StandIn.documents(s, d))),
 
+    // Longest duplicated span per doc PAIR (Lee-et-al suffix-array dedup
+    // target): diagonal-aligned shingle runs merged to EXACT span
+    // lengths, the longest kept per pair (Dedup.maxSpans scaladoc).
+    "dedup_max_spans" -> ((s, d) =>
+      Dedup.maxSpans(StandIn.documents(s, d))),
+
     // Span-dedup one-row report: spans / affected docs / duplicated-token
     // share of the corpus (folds substringSpans + one token-count pass).
     "dedup_span_report" -> ((s, d) => {
@@ -281,6 +287,56 @@ object QueriesDedup {
          |       CAST(max(off) - min(off) + $L AS INT) AS span_tokens,
          |       count(*) AS n_shingles
          |FROM isl GROUP BY doc_id, grp""".stripMargin
+    },
+
+    // Longest-span-per-pair twin: the same shingle stream, pairs bounded
+    // by the MaxDocsPerShingle boilerplate guard, islands per
+    // (pair, diagonal), longest span per pair by the same tie-break.
+    "dedup_max_spans" -> {
+      val L = Dedup.SubstringShingleLen
+      val cap = Dedup.MaxDocsPerShingle
+      val shingle =
+        s"array_to_string(t[(CAST(i AS INT) + 1):(CAST(i AS INT) + $L)], ' ')"
+      s"""WITH $rawToksSql, sh0 AS (
+         |  SELECT doc_id,
+         |         unnest(range(0, greatest(len(t) - ${L - 1}, 0))) AS off,
+         |         unnest(list_transform(
+         |           range(0, greatest(len(t) - ${L - 1}, 0)),
+         |           i -> ${hashSql("'0:'", shingle)})) AS h
+         |  FROM toks
+         |), sh AS (SELECT doc_id, CAST(off AS INT) AS off, h FROM sh0),
+         |shared AS (
+         |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sh)
+         |  GROUP BY h HAVING count(*) > 1 AND count(*) <= $cap
+         |), hits AS (SELECT sh.* FROM sh JOIN shared USING (h)),
+         |pdiag AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.off AS a_off,
+         |         a.off - b.off AS diag
+         |  FROM hits a JOIN hits b USING (h)
+         |  WHERE a.doc_id < b.doc_id
+         |), pisl AS (
+         |  SELECT a_id, b_id, diag, a_off,
+         |         a_off - row_number() OVER (
+         |           PARTITION BY a_id, b_id, diag ORDER BY a_off) AS grp
+         |  FROM pdiag
+         |), pruns AS (
+         |  SELECT a_id, b_id, diag,
+         |         min(a_off) AS a_start, max(a_off) AS a_max
+         |  FROM pisl GROUP BY a_id, b_id, diag, grp
+         |), pspans AS (
+         |  SELECT a_id, b_id, a_start,
+         |         CAST(a_max + ${L - 1} AS INT) AS a_end,
+         |         CAST(a_start - diag AS INT) AS b_start,
+         |         CAST(a_max - diag + ${L - 1} AS INT) AS b_end,
+         |         CAST(a_max - a_start + $L AS INT) AS span_tokens
+         |  FROM pruns
+         |)
+         |SELECT a_id, b_id, a_start, a_end, b_start, b_end, span_tokens
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a_id, b_id
+         |    ORDER BY span_tokens DESC, a_start, b_start) AS rn
+         |  FROM pspans)
+         |WHERE rn = 1""".stripMargin
     },
 
     // Span-report twin: the substring-span CTEs folded to one row plus

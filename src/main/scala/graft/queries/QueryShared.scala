@@ -603,6 +603,26 @@ object QueryShared {
     head + rounds
   }
 
+  /** Augment a trained score CTE with UNK-cost rows for corpus-alphabet
+    * chars the trained vocab lacks — the oracle mirror of
+    * [[graft.functions.UlmViterbi]]'s k==1 fallback. Without this, a
+    * corpus word containing a char absent from the top-VocabCap training
+    * words' alphabet has no complete walk path and silently drops from
+    * the oracle's piece stream while the kernel still counts it. Needs
+    * `ucw` (distinct corpus words) in scope. */
+  private[queries] def ulmUnkAugSql(name: String, scoreCte: String): String =
+    s""", $name AS MATERIALIZED (
+       |  SELECT piece, cost FROM $scoreCte
+       |  UNION ALL
+       |  SELECT u.piece,
+       |         CAST(${graft.functions.UlmViterbi.UnkCost} AS BIGINT) AS cost
+       |  FROM (SELECT DISTINCT substr(w.word, CAST(g.i AS INT), 1) AS piece
+       |        FROM ucw w,
+       |             unnest(generate_series(1, len(w.word))) AS g(i)) u
+       |  WHERE u.piece NOT IN
+       |    (SELECT piece FROM $scoreCte WHERE len(piece) = 1)
+       |)""".stripMargin
+
   /** Final trained-vocab projection — `corpus_ulm_train`'s output row
     * shape, hash-checked piece for piece. */
   private[queries] val ulmTrainFinalSql: String = {

@@ -201,6 +201,41 @@ object QueriesSim {
     // probe (Similarity.knnLabelEval).
     "sim_knn_label_eval"  -> ((s, d) =>
       Similarity.knnLabelEval(StandIn.embeddings(s, d))),
+
+    // The SAME eval with labels derived from embedding space (seed-7
+    // quantizer cells) so it has signal — the fixture's label column is
+    // embedding-uncorrelated and the eval above honestly reads ≈ chance
+    // (Similarity.knnCellLabelEval scaladoc).
+    "sim_knn_cell_eval"   -> ((s, d) =>
+      Similarity.knnCellLabelEval(StandIn.embeddings(s, d), IvfCells)),
+
+    // JL quality bar at k=64: prefilter recall (exact top-5 within the
+    // RP-64 top-40 shortlist) floored at 0.5 — a REAL separation of
+    // working from broken, where the k=16 ranking audit could only guard
+    // against collapse (Similarity.Rp64RecallFloor scaladoc on why
+    // ranking recall is geometry-capped on this fixture).
+    "sim_rp64_recall_audit" -> ((s, d) =>
+      Similarity.rp64RecallAudit(StandIn.embeddings(s, d))),
+
+    // The √(16/64) JL error shrink pinned cross-target: mean distortion
+    // at k=64 strictly below k=16's and under the absolute bound
+    // (Similarity.rpCosineShrinkAudit).
+    "sim_rp_shrink_audit" -> ((s, d) =>
+      Similarity.rpCosineShrinkAudit(StandIn.embeddings(s, d))),
+
+    // Per-query membership contracts for the two trained shortlists whose
+    // choices no SQL oracle can replay: shape invariants every correct
+    // index obeys, hash-checked row by row (Similarity.topKMemberAudit).
+    "sim_pq_member_audit" -> ((s, d) =>
+      Similarity.topKMemberAudit(
+        Similarity.pqTopK(StandIn.embeddings(s, d), k = TopK),
+        StandIn.embeddings(s, d), TopK)),
+
+    "sim_ivfk_member_audit" -> ((s, d) =>
+      Similarity.topKMemberAudit(
+        Similarity.kmeansIvfTopK(StandIn.embeddings(s, d), IvfCells,
+          iters = 3, k = TopK, nprobe = 2),
+        StandIn.embeddings(s, d), TopK)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,6 +311,64 @@ object QueriesSim {
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,
          |       TRUE AS floor_met""".stripMargin,
+
+    "sim_rp64_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
+
+    // Shrink contract: pair count from the oracle's own draw; both
+    // booleans pinned TRUE (planes and draw are deterministic).
+    "sim_rp_shrink_audit" ->
+      s"""WITH $prepSql, qc AS (SELECT count(*) AS c FROM queries)
+         |SELECT CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs,
+         |       TRUE AS shrink_ok, TRUE AS mean64_ok
+         |FROM qc""".stripMargin,
+
+    // Membership contracts: every value derives from the oracle's own
+    // draw CTE — per drawn query, exactly k rows with all four shape
+    // invariants holding.
+    "sim_pq_member_audit" ->
+      s"""WITH $prepSql
+         |SELECT q_id, CAST($TopK AS INT) AS n_rows, TRUE AS ranks_ok,
+         |       TRUE AS members_ok, TRUE AS self_ok, TRUE AS ordered_ok
+         |FROM queries""".stripMargin,
+
+    "sim_ivfk_member_audit" ->
+      s"""WITH $prepSql
+         |SELECT q_id, CAST($TopK AS INT) AS n_rows, TRUE AS ranks_ok,
+         |       TRUE AS members_ok, TRUE AS self_ok, TRUE AS ordered_ok
+         |FROM queries""".stripMargin,
+
+    // Cell-label eval twin: the knn twin above with labels replayed from
+    // the SAME seed-7 argmax cell assignment (ivfCellsSql).
+    "sim_knn_cell_eval" ->
+      s"""WITH $prepSql, $ivfCellsSql, pairs AS (
+         |  SELECT q.q_id, p.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_vec", "q.q_norm", "p.vec", "p.norm")} AS cos_sim
+         |  FROM prepn p, queries q WHERE p.vec_id <> q.q_id
+         |), topk AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM pairs)
+         |  WHERE rank <= $TopK
+         |), votes AS (
+         |  SELECT t.q_id, c.cell AS n_label, count(*) AS votes
+         |  FROM topk t JOIN ivf c ON c.vec_id = t.neighbor_id
+         |  GROUP BY t.q_id, c.cell
+         |), pred AS (
+         |  SELECT q_id, n_label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY votes DESC, n_label) AS rnk
+         |    FROM votes)
+         |  WHERE rnk = 1
+         |)
+         |SELECT p.q_id, c.cell AS true_label, p.pred_label,
+         |       CAST(p.votes AS INT) AS n_votes,
+         |       (p.pred_label = c.cell) AS correct
+         |FROM pred p JOIN ivf c ON c.vec_id = p.q_id""".stripMargin,
 
     // JL distortion contract: the oracle derives the pair count from its
     // own draw CTE and pins both error bounds TRUE.

@@ -76,8 +76,9 @@ object QueriesText {
   private val tokenizerCompareOracle = {
     val R = graft.ops.Ulm.EmRounds
     s"""$ulmTrainChainSql, ${bpeTrainChainSql.stripPrefix("WITH ")}$bpeBestsSql${
-        ulmScoreSql("uscc", s"uv$R")}, $ulmCorpusWordsSql
-       |${ulmWalkSql("C", "ucw", "uscc", withCnt = false)}
+        ulmScoreSql("uscc", s"uv$R")}, $ulmCorpusWordsSql${
+        ulmUnkAugSql("usccu", "uscc")}
+       |${ulmWalkSql("C", "ucw", "usccu", withCnt = false)}
        |, tok AS (
        |  SELECT d.doc_id,
        |         len($bpeWordsSql) AS nw,
@@ -406,8 +407,9 @@ object QueriesText {
     // re-joined to the document word stream in order (string_agg).
     "text_ulm_pieces_trained" ->
       s"""$ulmTrainChainSql${ulmScoreSql("uscg",
-              s"uv${graft.ops.Ulm.EmRounds}")}, $ulmCorpusWordsSql
-         |${ulmWalkSql("G", "ucw", "uscg", withCnt = false)}
+              s"uv${graft.ops.Ulm.EmRounds}")}, $ulmCorpusWordsSql${
+              ulmUnkAugSql("uscgu", "uscg")}
+         |${ulmWalkSql("G", "ucw", "uscgu", withCnt = false)}
          |SELECT d.doc_id, coalesce(x.s, '') AS ulm_pieces
          |FROM documents d LEFT JOIN (
          |  SELECT o.doc_id, string_agg(b.seg, ' ' ORDER BY o.i) AS s
@@ -421,8 +423,9 @@ object QueriesText {
     // Viterbi enumeration over the corpus words, in one statement.
     "text_ulm_tokens_trained" ->
       s"""$ulmTrainChainSql${ulmScoreSql("uscf",
-              s"uv${graft.ops.Ulm.EmRounds}")}, $ulmCorpusWordsSql
-         |${ulmWalkSql("T", "ucw", "uscf", withCnt = false)}
+              s"uv${graft.ops.Ulm.EmRounds}")}, $ulmCorpusWordsSql${
+              ulmUnkAugSql("uscfu", "uscf")}
+         |${ulmWalkSql("T", "ucw", "uscfu", withCnt = false)}
          |SELECT d.doc_id, CAST(coalesce(x.n, 0) AS INT) AS ulm_tokens
          |FROM documents d LEFT JOIN (
          |  SELECT o.doc_id, sum(b.np) AS n

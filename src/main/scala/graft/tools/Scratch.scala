@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc measurement main used while calibrating audit floors — not part
+  * of the query surface. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- args) {
+      val emb = graft.harness.StandIn.embeddings(spark, dir)
+      for (dims <- Seq(16, 64); sl <- Seq(5, 20, 40)) {
+        val r = graft.ops.Similarity
+          .rpShortlistRecallReport(emb, 5, sl, dims).collect().head
+        println(s"[scratch] $dir dims=$dims sl=$sl recall=$r")
+      }
+      val cos = graft.ops.Similarity.rpCosineShrinkAudit(emb).collect().head
+      println(s"[scratch] $dir shrink=$cos")
+    }
+    spark.stop()
+  }
+}
