@@ -116,12 +116,31 @@ object Bench {
     }.toMap
     val loadsJson = passLoads
       .map(l => s""""$l"""").mkString("[", ",", "]")
+    // Prior-run diffing: read the previous BENCH_DETAIL.json (if any)
+    // BEFORE overwriting it and emit per-query `warm_delta_vs_prev`
+    // (this run's min − previous run's min, negative = faster), so
+    // regression triage reads ONE file instead of joining two rounds.
+    val prevWarm: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+        """"warm_queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map { m =>
+            """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val delta: Map[String, Double] = warm.flatMap { case (n, v) =>
+      prevWarm.get(n).map(p => n -> (v - p))
+    }
     try
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (s"""{"warm_total":$total,"cold_total":$coldTotal,""" +
           s""""warm_queries":${jmap(warm)},"cold_queries":${jmap(cold)},""" +
           s""""warm_spread":${jmap(spread)},""" +
+          s""""warm_delta_vs_prev":${jmap(delta)},""" +
+          s""""warm_prev_present":${prevWarm.nonEmpty},""" +
           warmSamples.zipWithIndex.map { case (s, i) =>
             s""""warm_pass_${i + 1}":${jmap(s)}"""
           }.mkString(",") +

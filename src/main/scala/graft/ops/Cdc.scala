@@ -189,4 +189,70 @@ object Cdc {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }
+
+  /** [[streamingApply]] with IDLE-STATE EVICTION — the face for unbounded
+    * key spaces, where "one register per key" still grows without bound
+    * as keys go cold: a register whose key has been silent for
+    * `idleRetentionSec` of EVENT time (measured by the stream's
+    * watermark, so wall-clock stalls don't evict) is dropped silently.
+    * The documented trade: after eviction, the next event for the key —
+    * even one older than the evicted register — is accepted as a fresh
+    * register, exactly the contract every TTL'd log-compaction consumer
+    * makes. Cross-batch shadowing within the retention window is
+    * unchanged (stale rows cannot rewind a live register).
+    *
+    * State per key stays ONE register + one timeout timestamp; eviction
+    * work is proportional to expired keys per trigger, not state size.
+    */
+  def streamingApplyExpiring(
+      events: DataFrame,
+      tombstoneType: String = "error",
+      idleRetentionSec: Long = 3600L,
+      watermarkDelay: String = "10 seconds"): Dataset[CdcUpdate] = {
+    require(idleRetentionSec > 0,
+      s"idle retention must be positive, got $idleRetentionSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(
+        userId: Long,
+        batch: Iterator[CdcEvent],
+        state: GroupState[CdcRegister]): Iterator[CdcUpdate] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.orNull
+        var changed = false
+        batch.foreach { e =>
+          val t = Math.floorDiv(e.event_time.getTime, 1000L)
+          if (st == null || t > st.tsSec ||
+              (t == st.tsSec && e.event_id > st.eventId)) {
+            st = CdcRegister(t, e.event_id, e.event_type, e.value)
+            changed = true
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          // Expiry must sit past the current watermark or Spark rejects
+          // it; a register already older than retention evicts next
+          // trigger instead of throwing.
+          state.setTimeoutTimestamp(Math.max(
+            (st.tsSec + idleRetentionSec) * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        }
+        if (!changed) Iterator.empty
+        else Iterator.single(CdcUpdate(userId, st.eventType, st.value,
+          st.tsSec, deleted = st.eventType == tombstoneType))
+      }
+    }
+    events
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("ts").alias("event_time"),
+        col("event_id"), col("event_type"), col("value"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[CdcEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
 }

@@ -57,6 +57,37 @@ class BatchSourcesSpec extends SparkSpec {
     assert(!scan.contains("props"), s"unused column not pruned: $scan")
   }
 
+  test("eventsFromAvro: typed round-trip, filters reach the scan, schema pruned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro").resolve("events")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L,
+        "view", 10.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 7L,
+        "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 8L,
+        "purchase", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.format("org.apache.spark.sql.avro.AvroFileFormat")
+      .save(dir.toString)
+    val back = Sources.eventsFromAvro(spark, dir.toString)
+    val out = back.orderBy("event_id").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out(2).getAs[String]("event_type") === "purchase")
+    assert(out(0).getAs[Double]("value") === 10.5)
+    // Avro has no row groups, but the filter still reaches the scan node
+    // (deserializer-level pushdown) and the required schema prunes to the
+    // projected columns.
+    val plan = back.where("event_type = 'click'").select("event_id")
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("FileScan avro"))
+      .getOrElse(fail(s"no Avro scan in plan:\n$plan"))
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,click)]"), s"predicate not pushed: $scan")
+    assert(!scan.contains("props"), s"unused column not pruned: $scan")
+  }
+
   test("eventsFromCsv: explicit schema, malformed rows quarantined not dropped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     val f = dir.resolve("events.csv")

@@ -106,6 +106,77 @@ class CdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingApply: tombstone-then-resurrect across trigger boundaries") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val ev = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Cdc.streamingApply(ev).toDF()
+      .writeStream.format("memory").queryName("cdc_lifecycle_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-lc-ckpt").toString)
+      .start()
+    def rows() = spark.table("cdc_lifecycle_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+    try {
+      input.addData((1L, ts(10L), 1L, "view", 1.0)) // b1: live register
+      q.processAllAvailable()
+      input.addData((2L, ts(20L), 1L, "error", 0.0)) // b2: tombstone
+      q.processAllAvailable()
+      // b3: stale upsert BEHIND the tombstone, arriving a batch later —
+      // the tombstone shadows it across the trigger boundary (forward-
+      // only), so nothing re-emits.
+      input.addData((3L, ts(15L), 1L, "signup", 9.0))
+      q.processAllAvailable()
+      assert(rows().toSeq === Seq(
+        (1L, "view", 10L, false), (1L, "error", 20L, true)))
+      // b4: genuinely newer upsert resurrects the key.
+      input.addData((4L, ts(30L), 1L, "signup", 4.0))
+      q.processAllAvailable()
+      assert(rows().toSeq.last === ((1L, "signup", 30L, false)))
+    } finally q.stop()
+  }
+
+  test("streamingApplyExpiring: idle register evicted at watermark, resurrects fresh") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val ev = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Cdc.streamingApplyExpiring(ev, idleRetentionSec = 60L).toDF()
+      .writeStream.format("memory").queryName("cdc_exp_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-exp-ckpt").toString)
+      .start()
+    def rows() = spark.table("cdc_exp_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+    def stateRows() = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      input.addData((1L, ts(100L), 1L, "view", 1.0)) // b1: key 1 register
+      q.processAllAvailable()
+      assert(rows().toSeq === Seq((1L, "view", 100L, false)))
+      // b2: key 2 far in the future — watermark advances to 9990, far
+      // past key 1's expiry (100 + 60); the watermark-advance no-data
+      // microbatch fires the timeout before processAllAvailable returns.
+      input.addData((2L, ts(10000L), 2L, "view", 2.0))
+      q.processAllAvailable()
+      assert(stateRows() === 1L,
+        "idle register must be evicted once the watermark passes expiry")
+      assert(rows().count(_._1 == 1L) === 1,
+        "eviction must be silent - no extra key-1 emission")
+      // b3: key 1 returns after eviction → accepted as a FRESH register
+      // (the documented TTL trade).
+      input.addData((3L, ts(10002L), 1L, "signup", 4.0))
+      q.processAllAvailable()
+      assert(rows().toSeq.last === ((1L, "signup", 10002L, false)))
+    } finally q.stop()
+  }
+
   test("streamingApply single-batch replay equals applyLatest (deleted ↔ absent)") {
     val ev = events(
       (1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "click", 2.0),
