@@ -55,7 +55,13 @@ object AlertLifecycle {
     // This buffers ONE sensor's events for ONE micro-batch — bounded by
     // per-sensor ingest rate × trigger interval (the reference fleet emits
     // a reading every 3 s per sensor), not by corpus size.
-    val sorted = events.toSeq.sortBy(_.event_time.getTime)
+    // (ms, nanos), not getTime alone: java.sql.Timestamp.getTime is
+    // MILLISECOND-granular, so µs-apart readings in the same millisecond
+    // would tie and keep arbitrary iterator encounter order — found by the
+    // sf1.0 sweep, where +c µs copy jitter puts 10 same-ms events on every
+    // sensor and the transition stream went partition-order-dependent.
+    val sorted = events.toSeq
+      .sortBy(e => (e.event_time.getTime, e.event_time.getNanos))
     val out = scala.collection.mutable.Buffer[Transition]()
     var cur = state.getOption
     sorted.foreach { e =>

@@ -215,6 +215,17 @@ class PlanEvidenceSpec extends SparkSpec {
       s"document text crosses a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("dedup_max_spans: diagonal pair join stays equi, text never crosses an exchange") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("dedup_max_spans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"max spans plan a $bad:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"document text crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("BPE encode/count: shuffle-free projection, kernel inside whole-stage codegen") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // Over a raw scan (no StandIn fan-out): encoding is a pure per-row
