@@ -55,15 +55,16 @@ object Bench {
     // column, erasing the very work a pure-projection query exists to do
     // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
     // fully evaluates every output row while writing nothing.
-    def time(name: String): Option[Double] =
+    def timeIn(dir: String)(name: String): Option[Double] =
       try {
         val t0 = System.nanoTime()
-        fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
       }
+    def time(name: String): Option[Double] = timeIn(sfDir)(name)
 
     // Cold pass (registration order): pays janino codegen compilation and
     // JIT (~1-2 s for expression-heavy plans) — a fixed cost that amortizes
@@ -116,6 +117,37 @@ object Bench {
     }.toMap
     val loadsJson = passLoads
       .map(l => s""""$l"""").mkString("[", ",", "]")
+
+    // sf1.0 headline (r13 verdict item 1): a 12-query cross-family heavy
+    // subset timed at 10× bench scale right after the sf0.1 suite, in the
+    // same session. The fixture is the deterministic ScaleUp amplification
+    // of the driver's sf0.1 (BASELINE.md §sf1.0) — regenerated in-process
+    // when absent, so the headline works on a clean checkout. min-of-2
+    // warm after a cold pass; disable with GRAFT_SF1_HEADLINE=0.
+    val Sf1Dir = "target/testdata/sf1.0"
+    val sf1Names = Seq(
+      "agg_sensor_stats", "join_revenue_nation", "window_moving_stats",
+      "sessionize", "cdc_apply", "dedup_minhash_lsh", "dedup_clusters",
+      "decontaminate_bloom", "sim_ivf_topk", "corpus_curate",
+      "olap_cube_events", "text_quality_report").filter(fns.contains)
+    val sf1: Map[String, Double] =
+      if (sys.env.getOrElse("GRAFT_SF1_HEADLINE", "1") == "0") Map.empty
+      else try {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$Sf1Dir/lineitem.parquet")))
+          graft.tools.ScaleUp.run(spark, "/root/testdata/sf0.1", Sf1Dir)
+        sf1Names.foreach(timeIn(Sf1Dir)) // cold: codegen + page-cache warm
+        val ws = (1 to 2).map(_ =>
+          sf1Names.flatMap(n => timeIn(Sf1Dir)(n).map(n -> _)).toMap)
+        sf1Names.flatMap { n =>
+          val ss = ws.flatMap(_.get(n))
+          if (ss.isEmpty) None else Some(n -> ss.min)
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1.0 headline skipped: ${e.getMessage}")
+        Map.empty
+      }
+    val sf1Total = sf1.values.sum
     // Prior-run diffing: read the previous BENCH_DETAIL.json (if any)
     // BEFORE overwriting it and emit per-query `warm_delta_vs_prev`
     // (this run's min − previous run's min, negative = faster), so
@@ -141,6 +173,7 @@ object Bench {
           s""""warm_spread":${jmap(spread)},""" +
           s""""warm_delta_vs_prev":${jmap(delta)},""" +
           s""""warm_prev_present":${prevWarm.nonEmpty},""" +
+          s""""sf1_queries":${jmap(sf1)},"sf1_total":$sf1Total,""" +
           warmSamples.zipWithIndex.map { case (s, i) =>
             s""""warm_pass_${i + 1}":${jmap(s)}"""
           }.mkString(",") +
@@ -174,7 +207,7 @@ object Bench {
     // loadavg sampled after [pre, cold, warm1..3] makes the artifact
     // self-calibrating — a judge reads which pass the host was busy in
     // directly, instead of trusting the two-point `contended` threshold.
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_$WarmPasses","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_$WarmPasses","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_n":${sf1.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -8,7 +8,10 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: regex over query names — subset runs while
     // iterating (the driver passes two args, so its run stays full).
-    val nameFilter = if (args.length > 2) args(2) else ".*"
+    // `--json-only` rewrites the FULL oracle_sql.json without running any
+    // query (recovery after a pre-merge subset run clobbered it).
+    val jsonOnly = args.length > 2 && args(2) == "--json-only"
+    val nameFilter = if (jsonOnly) "" else if (args.length > 2) args(2) else ".*"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,9 +40,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.matches(nameFilter))
+    // Subset runs (third-arg regex) MERGE into an existing oracle_sql.json
+    // instead of clobbering it: re-dumping one query into a full out dir
+    // must not shrink the oracle map the checker iterates. Keys already in
+    // the old file re-serialize from the CURRENT oracle map (same source
+    // the old file was written from); only their presence is read back.
+    val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
+    val oldKeys: Set[String] =
+      if (nameFilter == ".*" || !Files.exists(jsonPath)) Set.empty
+      else {
+        val txt = Files.readString(jsonPath)
+        SparkEntry.oracleSql.keys.filter(k => txt.contains(q(k) + ": ")).toSet
+      }
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => jsonOnly || k.matches(nameFilter) || oldKeys(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(jsonPath, json)
     spark.stop()
   }
 }

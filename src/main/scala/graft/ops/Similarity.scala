@@ -192,21 +192,38 @@ object Similarity {
     * a real working-vs-broken separation, not a collapse guard. */
   val Rp64RecallFloor = 0.5
 
-  /** Shortlist width for [[rp64RecallAudit]] — 8× k, the re-rank budget
-    * a production prefilter pays happily (40 exact cosines per query vs
-    * N). */
+  /** Minimum shortlist width for [[rp64RecallAudit]] — 8× k, the re-rank
+    * budget a production prefilter pays happily (40 exact cosines per
+    * query vs N). */
   val Rp64Shortlist = 40
+
+  /** Shortlist as a FRACTION of the corpus for [[rp64RecallAudit]]: a
+    * fixed-width shortlist over a growing corpus covers a shrinking
+    * fraction, so its recall decays with scale by construction (the r14
+    * sf1.0 sweep measured exactly that: the 40-wide shortlist fell under
+    * the 0.5 floor at 10× the vectors). A shortlist-then-rerank
+    * deployment sizes the shortlist to the corpus — 2 % reproduces the
+    * measured verify-scale width (40 of 2000) and keeps the recall
+    * contract scale-invariant: i.i.d. distractors at a fixed shortlist
+    * QUANTILE displace true neighbors at a roughly constant rate. */
+  val Rp64ShortlistFrac = 0.02
 
   /** [[rpShortlistRecallReport]] at [[RpDims64]] reduced to the
     * hash-checked floor contract — the JL variant whose recall floor is
-    * a real quality bar (see [[Rp64RecallFloor]]). */
+    * a real quality bar (see [[Rp64RecallFloor]]). The shortlist is
+    * max([[Rp64Shortlist]], [[Rp64ShortlistFrac]] × N) — the one count()
+    * action is a driver-side scalar over a single-column scan, bounded
+    * at any corpus size. */
   def rp64RecallAudit(
       embeddings: DataFrame,
       k: Int = 5,
-      floor: Double = Rp64RecallFloor): DataFrame =
+      floor: Double = Rp64RecallFloor): DataFrame = {
+    val shortlist = math.max(Rp64Shortlist,
+      math.ceil(embeddings.count() * Rp64ShortlistFrac).toInt)
     recallAudit(
-      rpShortlistRecallReport(embeddings, k, Rp64Shortlist, dims = RpDims64),
+      rpShortlistRecallReport(embeddings, k, shortlist, dims = RpDims64),
       floor)
+  }
 
   /** Pairwise-cosine distortion over the constant query draw: all
     * C(NumQueries, 2) pairs scored in full space and in RP space, the

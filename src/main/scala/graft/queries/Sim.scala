@@ -210,7 +210,8 @@ object QueriesSim {
       Similarity.knnCellLabelEval(StandIn.embeddings(s, d), IvfCells)),
 
     // JL quality bar at k=64: prefilter recall (exact top-5 within the
-    // RP-64 top-40 shortlist) floored at 0.5 — a REAL separation of
+    // RP-64 top-2%-of-corpus shortlist, min 40) floored at 0.5 — a REAL
+    // separation of
     // working from broken, where the k=16 ranking audit could only guard
     // against collapse (Similarity.Rp64RecallFloor scaladoc on why
     // ranking recall is geometry-capped on this fixture).

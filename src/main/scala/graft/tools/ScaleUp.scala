@@ -59,6 +59,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst)
+    spark.stop()
+  }
+
+  /** Session-borrowing body so [[graft.Bench]] can regenerate the sf1.0
+    * fixture in-process without the `main` wrapper stopping its session.
+    */
+  def run(spark: SparkSession, src: String, dst: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Files.createDirectories(Paths.get(dst))
 
@@ -173,7 +181,5 @@ object ScaleUp {
         emb.alias("embedding"),
         col("label"))
     }, "embeddings")
-
-    spark.stop()
   }
 }
