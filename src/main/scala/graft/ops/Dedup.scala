@@ -748,6 +748,76 @@ object Dedup {
       .where(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Sampling rate for [[containment]] candidate generation: 1/8 of the
+    * shingle-hash universe. Containment-high pairs with very different
+    * sizes have LOW Jaccard, so the MinHash-LSH candidate stage (tuned
+    * for symmetric similarity) systematically misses them — a 5%-of-A
+    * verbatim quote of A inside B is invisible to [[minhashCandidates]]
+    * but is exactly what licensing/contamination review needs surfaced.
+    */
+  val ContainmentSampleMod = 8
+
+  /** Minimum asymmetric overlap for a [[containment]] row. */
+  val ContainmentThreshold = 0.5
+
+  /** Asymmetric shingle-CONTAINMENT dedup — doc-in-doc detection:
+    * `|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)` over the word-bigram shingle
+    * sets, the quote/excerpt measure of Broder's resemblance-vs-
+    * containment distinction. Candidates come from a deterministic
+    * 1/[[ContainmentSampleMod]] SAMPLE of the shingle universe (by the
+    * same 30-bit base hash both engines compute): two docs sharing ANY
+    * sampled shingle become a pair, so an excerpt of ≥ a few dozen
+    * shingles is caught with near-certainty while the join fan-out stays
+    * 1/64 of a full shingle join. Shingles held by more than
+    * `maxDocsPerShingle` docs are boilerplate and are excluded from pair
+    * generation (the [[MaxDocsPerShingle]] quadratic guard).
+    *
+    * Scale shape: one equi-join on sampled shingle hash (never text),
+    * per-hash fan-out bounded by the cap, exact verification only on the
+    * candidate set with both gram sets attached from ONE materialized
+    * shingling pass. Output: `(a_id, b_id, n_shared, containment,
+    * contained_id)` where `contained_id` is the smaller-set doc (the
+    * quote), tie broken toward `a_id`.
+    */
+  def containment(
+      docs: DataFrame,
+      sampleMod: Int = ContainmentSampleMod,
+      maxDocsPerShingle: Int = MaxDocsPerShingle,
+      threshold: Double = ContainmentThreshold): DataFrame = {
+    // Materialized: grams feeds candidate generation AND both attach
+    // sides — unmaterialized, the shingling pass replays three times.
+    val grams = Materialize(shingleSets(docs))
+    val hits = grams
+      .select(col("doc_id"), explode(col("grams")).alias("g"))
+      .select(col("doc_id"), baseHash30(col("g")).alias("h"))
+      .where(pmod(col("h"), lit(sampleMod)) === 0)
+      .distinct()
+    val eligible = hits.groupBy(col("h"))
+      .agg(count(lit(1)).alias("n_docs"))
+      .where(col("n_docs") > 1 && col("n_docs") <= maxDocsPerShingle)
+      .select(col("h"))
+    val sampled = hits.join(eligible, "h")
+    val cands = sampled.select(col("h"), col("doc_id").alias("a_id"))
+      .join(sampled.select(col("h"), col("doc_id").alias("b_id")), "h")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val cont = round(inter.cast("double") /
+      least(size(col("grams_a")), size(col("grams_b"))), 6)
+    cands
+      .join(grams.select(col("doc_id").alias("a_id"),
+        col("grams").alias("grams_a")), "a_id")
+      .join(grams.select(col("doc_id").alias("b_id"),
+        col("grams").alias("grams_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        inter.cast("long").alias("n_shared"),
+        cont.alias("containment"),
+        when(size(col("grams_b")) < size(col("grams_a")), col("b_id"))
+          .otherwise(col("a_id")).alias("contained_id"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Precision eval card of the LSH candidate stage: every estimated
     * candidate pair exact-verified in ONE pass, reduced to `(n_candidates,
     * n_confirmed, precision)` — the figure that justifies (or retunes)

@@ -633,6 +633,72 @@ object Profile {
           .alias("autocorr"))
   }
 
+  /** Fixed-width value bins for [[psi]]: the event `value` domain is
+    * (0, 1000], so 20 bins of 50 cover it exactly; values at the upper
+    * edge fold into the last bin. Fixed-width, not quantile: quantile
+    * edges are data-dependent (a second corpus pass + cross-engine
+    * tie-break hazards), while the PSI verdict only needs STABLE bins —
+    * the standard scorecard-monitoring practice. */
+  val PsiBins = 20
+  val PsiBinWidth = 50.0
+
+  /** Population Stability Index of the `value` distribution between the
+    * first and second half of the event timeline — THE industry drift
+    * screen for a feature/score column (PSI < 0.1 stable, 0.1–0.25
+    * moderate, > 0.25 drifted). `Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ)` over
+    * [[PsiBins]] fixed bins, Laplace-smoothed (+0.5 per bin) so empty
+    * bins stay finite.
+    *
+    * Determinism contract: the timeline cut is exact integer µs
+    * (`lo + (hi − lo) / 2`, both engines' BIGINT division), bins are
+    * exact integer arithmetic, and each bin's PSI term is rounded to
+    * integer NANO-units before the final sum — an order-independent
+    * integer sum (the micro-nat trick of the tokenizer scores), immune
+    * to both engines' float-sum ordering AND last-ulp `ln` divergence.
+    *
+    * Scale shape: one min/max aggregate (map-side partial) broadcast
+    * back, then ONE conditional-aggregation scan to [[PsiBins]] cells —
+    * facts never shuffle by key; the generated bin spine and the PSI
+    * fold are constant-size driver-scale frames.
+    */
+  def psi(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val live = events.where(col("value").isNotNull && col("ts").isNotNull)
+    val bounds = live.agg(min(us).alias("lo"), max(us).alias("hi"))
+    val binned = live.crossJoin(broadcast(bounds))
+      .select(
+        greatest(least(floor(col("value") / PsiBinWidth), lit(PsiBins - 1)),
+          lit(0)).cast("int").alias("bin"),
+        // Exact integer midpoint: /2 in double is exact (binary), floor
+        // recovers the BIGINT `//` the oracle computes.
+        (us <= col("lo") +
+          floor((col("hi") - col("lo")) / 2).cast("long")).alias("is_base"))
+    val cells = binned.groupBy(col("bin")).agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).alias("na"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).alias("nb"))
+    // Full bin spine: absent bins still carry smoothed mass, so their
+    // terms must participate (p ≠ q whenever the side totals differ).
+    val spine = events.sparkSession.range(PsiBins)
+      .select(col("id").cast("int").alias("bin"))
+    val full = spine.join(cells, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("na"), lit(0L)).alias("na"),
+        coalesce(col("nb"), lit(0L)).alias("nb"))
+    val tot = full.agg(sum(col("na")).alias("ta"), sum(col("nb")).alias("tb"))
+    val p = (col("na") + 0.5) / (col("ta") + 0.5 * PsiBins)
+    val q = (col("nb") + 0.5) / (col("tb") + 0.5 * PsiBins)
+    val termNano = round((p - q) * log(p / q) * 1e9).cast("long")
+    val psiCol = round(sum(termNano).cast("double") / 1e9, 6)
+    full.crossJoin(broadcast(tot))
+      .agg(
+        first(col("ta")).alias("n_base"), first(col("tb")).alias("n_cur"),
+        count(lit(1)).cast("int").alias("n_bins"),
+        psiCol.alias("psi"))
+      .select(col("n_base"), col("n_cur"), col("n_bins"), col("psi"),
+        (col("psi") < 0.1).alias("stable"),
+        (col("psi") >= 0.25).alias("drifted"))
+  }
+
   /** Per-DIMENSION profile of an embedding table: n/mean/std/min/max for
     * each coordinate — the drift/health check an embedding pipeline runs
     * per snapshot (a collapsed dimension, a scale shift, or a dead

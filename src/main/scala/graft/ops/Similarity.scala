@@ -371,6 +371,59 @@ object Similarity {
         (col("pred_label") === col("true_label")).alias("correct"))
   }
 
+  /** Cross-snapshot embedding-CENTROID drift per coarse-quantizer cell —
+    * the "did the encoder move?" screen an embedding pipeline runs when
+    * a new snapshot lands: within each seed-7 cell ([[ivfCell]], the
+    * sim_cluster_sizes assignment), the corpus splits into snapshot A
+    * (even `vec_id`) and snapshot B (odd), and the report carries the
+    * cosine between the two half-centroids. Same-distribution halves of
+    * a working pipeline agree (cells are half-spaces, so their means sit
+    * far off the origin → cosine near 1); a re-trained or broken encoder
+    * head shows up as one cell's cosine collapsing.
+    *
+    * Determinism contract: component sums go through DECIMAL(18,9) (the
+    * embeddingProfile argument — order-independent under any
+    * partitioning); centroid components are ROUNDED to 9 dp and the
+    * second-level dot/norm sums run in exact decimal again, so both
+    * engines reach bit-identical cosines before the final 6-dp round.
+    *
+    * Scale shape: posexplode → ONE map-side-combined groupBy on
+    * (cell, dim) — partial states are cells × dims × partitions; the
+    * second-level fold runs over the cells × dims cell table, never the
+    * corpus.
+    */
+  def cellCentroidDrift(embeddings: DataFrame, cells: Int = 8): DataFrame = {
+    val assigned = prepared(embeddings).select(
+      col("vec_id"), col("vec"),
+      ivfCell(col("vec"), planes(cells, seed = 7L)).alias("cell"),
+      (pmod(col("vec_id"), lit(2)) === 0).alias("is_a"))
+    val xd = col("x").cast("decimal(18,9)")
+    val dims = assigned
+      .select(col("cell"), col("is_a"),
+        posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).alias("na"),
+        sum(when(col("is_a"), xd)).alias("sa"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).alias("nb"),
+        sum(when(!col("is_a"), xd)).alias("sb"))
+    val cents = dims.select(col("cell"), col("na"), col("nb"),
+      round(col("sa").cast("double") / col("na"), 9)
+        .cast("decimal(18,9)").alias("ca"),
+      round(col("sb").cast("double") / col("nb"), 9)
+        .cast("decimal(18,9)").alias("cb"))
+    cents.groupBy(col("cell"))
+      .agg(
+        max(col("na")).alias("n_a"), max(col("nb")).alias("n_b"),
+        sum(col("ca") * col("cb")).cast("double").alias("dot"),
+        sum(col("ca") * col("ca")).cast("double").alias("aa"),
+        sum(col("cb") * col("cb")).cast("double").alias("bb"))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        round(when(col("aa") > 0 && col("bb") > 0,
+          col("dot") / sqrt(col("aa") * col("bb"))), 6)
+          .alias("cos_centroid"))
+  }
+
   /** (id, vec, norm): embeddings cast to double with their L2 norm
     * materialized (staged — see Dedup.shingleSets on lambda staging).
     */

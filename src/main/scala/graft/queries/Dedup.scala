@@ -214,6 +214,13 @@ object QueriesDedup {
 
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
 
+    // Asymmetric doc-in-doc containment: |A∩B| / min(|A|,|B|) over
+    // sampled-shingle candidates — the quote/excerpt detector MinHash-LSH
+    // (tuned for symmetric Jaccard) structurally misses
+    // (Dedup.containment scaladoc has the scale shape).
+    "dedup_containment"   -> ((s, d) =>
+      Dedup.containment(StandIn.documents(s, d))),
+
     "dedup_clusters"      -> ((s, d) => dedupClusters(s, d)),
 
     "dedup_clusters_bigstar" -> ((s, d) =>
@@ -449,6 +456,41 @@ object QueriesDedup {
          |              THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
          |              ELSE 0 END)) AS BIGINT) AS simhash
          |FROM hashes""".stripMargin,
+
+    // Containment twin: the same 30-bit base hash samples the shingle
+    // universe (h % mod = 0), per-hash holders capped, exact asymmetric
+    // overlap on the candidate set only.
+    "dedup_containment" ->
+      s"""WITH $gramsSql, chits AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id,
+         |           (${hashSql("'0:'", "gram")} & 1073741823) AS h
+         |    FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+         |  ) WHERE h % ${Dedup.ContainmentSampleMod} = 0
+         |), celig AS (
+         |  SELECT h FROM chits GROUP BY h
+         |  HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxDocsPerShingle}
+         |), cpair AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM chits a
+         |  JOIN chits b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN celig e ON e.h = a.h
+         |), cver AS (
+         |  SELECT a_id, b_id,
+         |         len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |           AS inter,
+         |         len(ga.g) AS la, len(gb.g) AS lb
+         |  FROM cpair
+         |  JOIN grams ga ON ga.doc_id = a_id
+         |  JOIN grams gb ON gb.doc_id = b_id
+         |)
+         |SELECT a_id, b_id, CAST(inter AS BIGINT) AS n_shared,
+         |       round(inter / CAST(least(la, lb) AS DOUBLE), 6)
+         |         AS containment,
+         |       CASE WHEN lb < la THEN b_id ELSE a_id END AS contained_id
+         |FROM cver
+         |WHERE round(inter / CAST(least(la, lb) AS DOUBLE), 6)
+         |        >= ${Dedup.ContainmentThreshold}""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql, verified AS (

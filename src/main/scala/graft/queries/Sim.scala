@@ -218,6 +218,13 @@ object QueriesSim {
     "sim_rp64_recall_audit" -> ((s, d) =>
       Similarity.rp64RecallAudit(StandIn.embeddings(s, d))),
 
+    // Cross-snapshot centroid drift per seed-7 quantizer cell: even
+    // vec_ids are snapshot A, odd are B; decimal-exact two-level sums
+    // make the per-cell cosine bit-stable across engines
+    // (Similarity.cellCentroidDrift scaladoc).
+    "sim_centroid_drift" -> ((s, d) =>
+      Similarity.cellCentroidDrift(StandIn.embeddings(s, d), IvfCells)),
+
     // The √(16/64) JL error shrink pinned cross-target: mean distortion
     // at k=64 strictly below k=16's and under the absolute bound
     // (Similarity.rpCosineShrinkAudit).
@@ -318,6 +325,44 @@ object QueriesSim {
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,
          |       TRUE AS floor_met""".stripMargin,
+
+    // Centroid-drift twin: the same seed-7 argmax cells (ivfCellsSql),
+    // the same DECIMAL(18,9) two-level summation — half-centroids from
+    // exact decimal sums, components rounded to 9 dp, dot/norms in exact
+    // decimal again, one final 6-dp double round.
+    "sim_centroid_drift" ->
+      s"""WITH $prepSql, $ivfCellsSql, cde AS (
+         |  SELECT cell, vec_id % 2 = 0 AS is_a,
+         |         unnest(range(1, len(vec) + 1)) AS i, vec
+         |  FROM ivf
+         |), cdx AS (
+         |  SELECT cell, is_a, CAST(i - 1 AS INT) AS dim,
+         |         CAST(vec[CAST(i AS INT)] AS DECIMAL(18,9)) AS xd
+         |  FROM cde
+         |), cdd AS (
+         |  SELECT cell, dim,
+         |         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+         |         sum(CASE WHEN is_a THEN xd END) AS sa,
+         |         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb,
+         |         sum(CASE WHEN NOT is_a THEN xd END) AS sb
+         |  FROM cdx GROUP BY cell, dim
+         |), cdc AS (
+         |  SELECT cell, na, nb,
+         |         CAST(round(CAST(sa AS DOUBLE) / na, 9)
+         |           AS DECIMAL(18,9)) AS ca,
+         |         CAST(round(CAST(sb AS DOUBLE) / nb, 9)
+         |           AS DECIMAL(18,9)) AS cb
+         |  FROM cdd
+         |)
+         |SELECT cell, CAST(max(na) AS BIGINT) AS n_a,
+         |       CAST(max(nb) AS BIGINT) AS n_b,
+         |       round(CASE WHEN CAST(sum(ca * ca) AS DOUBLE) > 0
+         |                   AND CAST(sum(cb * cb) AS DOUBLE) > 0
+         |             THEN CAST(sum(ca * cb) AS DOUBLE)
+         |                  / sqrt(CAST(sum(ca * ca) AS DOUBLE)
+         |                         * CAST(sum(cb * cb) AS DOUBLE)) END, 6)
+         |         AS cos_centroid
+         |FROM cdc GROUP BY cell""".stripMargin,
 
     // Shrink contract: pair count from the oracle's own draw; both
     // booleans pinned TRUE (planes and draw are deterministic).

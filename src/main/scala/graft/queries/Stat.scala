@@ -129,6 +129,13 @@ object QueriesStat {
     "stat_ttest"          -> ((s, d) =>
       Profile.tTest(StandIn.events(s, d))),
 
+    // Population Stability Index of the value distribution between the
+    // first and second half of the event timeline — the scorecard drift
+    // screen (Profile.psi scaladoc: fixed bins, Laplace smoothing,
+    // integer nano-unit terms for cross-engine bit-stability).
+    "stat_psi"            -> ((s, d) =>
+      Profile.psi(StandIn.events(s, d))),
+
     "stat_autocorr"       -> ((s, d) =>
       Profile.autocorrelation(StandIn.events(s, d))),
 
@@ -381,6 +388,51 @@ object QueriesStat {
          |)
          |$branches""".stripMargin
     },
+
+    // PSI twin (Profile.psi): same integer-µs midpoint cut, same fixed
+    // bins + Laplace smoothing, terms rounded to integer nano-units
+    // before the sum so float ordering and ln ulps cannot flip a bit.
+    "stat_psi" ->
+      s"""WITH plive AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), pbounds AS (
+        |  SELECT min(us) AS lo, max(us) AS hi FROM plive
+        |), pbinned AS (
+        |  SELECT greatest(least(CAST(floor(v / ${Profile.PsiBinWidth})
+        |           AS INT), ${Profile.PsiBins - 1}), 0) AS bin,
+        |         us <= lo + (hi - lo) // 2 AS is_base
+        |  FROM plive, pbounds
+        |), pcells AS (
+        |  SELECT bin,
+        |         sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nb
+        |  FROM pbinned GROUP BY bin
+        |), pspine AS (
+        |  SELECT CAST(range AS INT) AS bin FROM range(0, ${Profile.PsiBins})
+        |), pfull AS (
+        |  SELECT s.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM pspine s LEFT JOIN pcells c ON c.bin = s.bin
+        |), ptot AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |         CAST(sum(nb) AS BIGINT) AS tb
+        |  FROM pfull
+        |), pterms AS (
+        |  SELECT CAST(round(((na + 0.5) / (ta + ${Profile.PsiBins / 2.0})
+        |           - (nb + 0.5) / (tb + ${Profile.PsiBins / 2.0}))
+        |         * ln(((na + 0.5) / (ta + ${Profile.PsiBins / 2.0}))
+        |              / ((nb + 0.5) / (tb + ${Profile.PsiBins / 2.0})))
+        |         * 1e9) AS BIGINT) AS t_nano,
+        |         ta, tb
+        |  FROM pfull, ptot
+        |)
+        |SELECT max(ta) AS n_base, max(tb) AS n_cur,
+        |       CAST(count(*) AS INT) AS n_bins,
+        |       round(sum(t_nano) / 1e9, 6) AS psi,
+        |       (round(sum(t_nano) / 1e9, 6) < 0.1) AS stable,
+        |       (round(sum(t_nano) / 1e9, 6) >= 0.25) AS drifted
+        |FROM pterms""".stripMargin,
 
     // KS twin (Profile.ksTest): same cell table, same running-CDF max,
     // same classical 5% critical value; D and crit compared at their

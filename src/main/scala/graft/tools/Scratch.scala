@@ -13,9 +13,15 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Optional env overrides: SCRATCH_DIMS / SCRATCH_SHORTLISTS are
+    // comma-separated lists (defaults reproduce the r14 calibration run).
+    val dimsList = sys.env.getOrElse("SCRATCH_DIMS", "16,64")
+      .split(",").map(_.trim.toInt).toSeq
+    val slList = sys.env.getOrElse("SCRATCH_SHORTLISTS", "5,20,40")
+      .split(",").map(_.trim.toInt).toSeq
     for (dir <- args) {
       val emb = graft.harness.StandIn.embeddings(spark, dir)
-      for (dims <- Seq(16, 64); sl <- Seq(5, 20, 40)) {
+      for (dims <- dimsList; sl <- slList) {
         val r = graft.ops.Similarity
           .rpShortlistRecallReport(emb, 5, sl, dims).collect().head
         println(s"[scratch] $dir dims=$dims sl=$sl recall=$r")

@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
     assert(twoRuns === Set((1L, 0, 2), (1L, 5, 7), (2L, 0, 2), (2L, 5, 7)))
   }
 
+  test("containment: full quote scores 1.0, weak overlap filtered, cap kills boilerplate") {
+    // Doc 1's grams are a strict subset of doc 2's (a verbatim quote);
+    // doc 3 shares only one gram with each (containment 1/3 and 1/4,
+    // both under the 0.5 floor). sampleMod=1 → every shingle generates
+    // candidates, so the assertion pins verification, not sampling luck.
+    val d = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro alpha beta gamma delta outro end"),
+      (3L, "alpha beta unrelated tokens here"))
+    val out = Dedup.containment(d, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 1.0, 1L)))
+    // Same corpus, per-shingle holder cap 1: every shared shingle is
+    // over-cap boilerplate → no candidate pairs at all.
+    assert(Dedup.containment(d, sampleMod = 1, maxDocsPerShingle = 1)
+      .count() === 0L)
+  }
+
   test("lineDedup drops every occurrence of corpus-duplicated lines") {
     val out = Dedup.lineDedup(docs(
       (1L, "the quick brown fox\nunique line number one\nshared boilerplate line"),

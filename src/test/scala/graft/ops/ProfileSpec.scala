@@ -227,6 +227,32 @@ class ProfileSpec extends SparkSpec {
       s"median/MAD tables must broadcast back, not shuffle the facts:\n$plan")
   }
 
+  test("psi: identical halves score 0; a full bin shift crosses the drift bar") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(rows: (Long, Double)*) = rows.zipWithIndex.map {
+      case ((sec, v), i) =>
+        ((i + 1).toLong, new Timestamp(sec * 1000L), 1L, "click", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // lo=0 s, hi=103 s → integer-µs midpoint 51.5 s: the first four rows
+    // are the base window, the last four the current one.
+    val same = ev((0L, 10.0), (1L, 10.0), (2L, 10.0), (3L, 10.0),
+      (100L, 10.0), (101L, 10.0), (102L, 10.0), (103L, 10.0))
+    val r0 = Profile.psi(same).collect().head
+    assert(r0.getLong(0) === 4L && r0.getLong(1) === 4L)
+    assert(r0.getInt(2) === Profile.PsiBins)
+    assert(r0.getDouble(3) === 0.0)
+    assert(r0.getBoolean(4) && !r0.getBoolean(5)) // stable, not drifted
+    // Current half moves wholesale from bin 0 to bin 10: hand PSI =
+    // 2 · (4/14) · ln 9 (two mirrored occupied bins; empty bins cancel
+    // because the side totals are equal) = 1.255557 at the nano round.
+    val moved = ev((0L, 10.0), (1L, 10.0), (2L, 10.0), (3L, 10.0),
+      (100L, 510.0), (101L, 510.0), (102L, 510.0), (103L, 510.0))
+    val r1 = Profile.psi(moved).collect().head
+    assert(r1.getDouble(3) === 1.255557)
+    assert(!r1.getBoolean(4) && r1.getBoolean(5)) // drifted
+  }
+
   test("tTest: Welch statistic and df match the hand computation") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -280,6 +280,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cellCentroidDrift: identical even/odd snapshots agree at cosine 1.0") {
+    import spark.implicits._
+    // Every base vector appears twice — once with an even id (snapshot A)
+    // and once odd (snapshot B) — so within every occupied cell the two
+    // half-centroids are the same point and the drift report must read
+    // exactly 1.0 (the decimal pipeline preserves the identity bit-for-bit).
+    val rows = (0 until 16).flatMap { i =>
+      val v = Seq.tabulate(Similarity.Dim)(j =>
+        (((i * 7 + j * 3) % 5) - 1).toFloat)
+      Seq((2L * i, v), (2L * i + 1, v))
+    }
+    val out = Similarity.cellCentroidDrift(
+      rows.toDF("vec_id", "embedding")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"even/odd counts must match in cell ${r.getInt(0)}")
+      assert(r.getDouble(3) === 1.0,
+        s"identical snapshots must read cosine 1.0 in cell ${r.getInt(0)}")
+    }
+    assert(out.map(_.getLong(1)).sum === 16L)
+  }
+
   test("knnLabelEval: separable clusters classify correctly; ties break low-label") {
     import spark.implicits._
     // Two tight clusters along different axes: labels follow the cluster.
