@@ -469,18 +469,27 @@ object QueriesOlap {
     // Q1-style pricing twin (Olap.pricingSummary): identical DECIMAL
     // intermediates make every sum exact and order-independent on both
     // engines — the averages derive from the exact sums.
+    // The big sums go DECIMAL → VARCHAR → DOUBLE: DuckDB's direct
+    // decimal→double cast converts the scaled int128 to double FIRST and
+    // divides after, so past 2^53 scaled units (≈ the sf1.0 sum_charge,
+    // caught by the r14 sweep) it is no longer correctly rounded, while
+    // Spark's BigDecimal.doubleValue is. The VARCHAR hop forces DuckDB
+    // through its correctly-rounded string→double path — both engines
+    // then emit THE nearest double to the same exact decimal, at any
+    // scale.
     "olap_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        |       AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+        |       AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |           CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
-        |       AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |       AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |           CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)) *
         |           CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2)))
-        |       AS DOUBLE) AS sum_charge,
+        |       AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |        / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
@@ -496,9 +505,9 @@ object QueriesOlap {
     // picks its own join order — agreement checks the RESULT, not the plan.
     "join_revenue_nation" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |           CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
-        |       AS DOUBLE) AS revenue,
+        |       AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -673,9 +682,9 @@ object QueriesOlap {
     "olap_revenue_share" ->
       """WITH r AS (
         |  SELECT n_name,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |             CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
-        |         AS DOUBLE) AS revenue,
+        |         AS VARCHAR) AS DOUBLE) AS revenue,
         |    count(*) AS n_items
         |  FROM lineitem
         |  JOIN orders   ON l_orderkey = o_orderkey
