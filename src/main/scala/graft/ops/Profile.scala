@@ -680,10 +680,13 @@ object Profile {
     // terms must participate (p ≠ q whenever the side totals differ).
     val spine = events.sparkSession.range(PsiBins)
       .select(col("id").cast("int").alias("bin"))
-    val full = spine.join(cells, Seq("bin"), "left")
+    // Materialized: the 20-row bin table feeds BOTH the totals and the
+    // term fold — without it each consumer replays the corpus-scale
+    // aggregation underneath (the ksTest/DSIR scan-replay lesson).
+    val full = Materialize(spine.join(cells, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("na"), lit(0L)).alias("na"),
-        coalesce(col("nb"), lit(0L)).alias("nb"))
+        coalesce(col("nb"), lit(0L)).alias("nb")))
     val tot = full.agg(sum(col("na")).alias("ta"), sum(col("nb")).alias("tb"))
     val p = (col("na") + 0.5) / (col("ta") + 0.5 * PsiBins)
     val q = (col("nb") + 0.5) / (col("tb") + 0.5 * PsiBins)

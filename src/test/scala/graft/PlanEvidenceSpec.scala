@@ -598,4 +598,49 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(scans <= 1,
       s"PMI must not replay the corpus per unigram consumer, saw $scans scans:\n$plan")
   }
+
+  test("dedup_containment: hash equi-join only; text never enters an Exchange") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("dedup_containment")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Candidates come from the sampled-shingle-hash equi-join — the
+    // whole point is that doc-in-doc detection never plans a product.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates planned as a product:\n$plan")
+    // Exchanges carry ids and 30-bit hashes; the gram arrays attach from
+    // the materialized shingle pass, raw text dies at its scan.
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text#"), s"text in a shuffle: $l")
+  }
+
+  test("stat_psi: facts aggregate in ONE conditional pass; no shuffle by value key") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("stat_psi")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The timeline bounds broadcast back to the facts — the corpus-scale
+    // side must never hash-exchange on a data-dependent key.
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"psi bounds must broadcast back to the fact scan:\n$plan")
+    // Two fact scans at most (bounds + binning); the bin/spine/total
+    // folds run over the constant 20-row frame.
+    val scans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans <= 2,
+      s"psi must not replay the fact table per consumer, saw $scans:\n$plan")
+  }
+
+  test("sim_centroid_drift: one corpus-scale aggregation, second fold over cells only") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = SparkEntry.queries("sim_centroid_drift")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // posexplode → partial-aggregated (cell, dim) groupBy: exactly one
+    // scan of the embedding table feeds the whole report.
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"centroid drift must read the corpus exactly once, saw $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"centroid drift plans a product:\n$plan")
+  }
 }
