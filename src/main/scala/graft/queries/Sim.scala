@@ -93,15 +93,31 @@ object QueriesSim {
   // encoder lands near k/N ≈ 1e-3..1e-4), not quality claims — the
   // clustered-data unit tests hold the 0.8 quality floor in the regime
   // PQ exists for.
+  //
+  // Re-rank budget scales with the corpus (0.2 % of N, min 4×k-ish — the
+  // rp64 shortlist-fraction argument): a FIXED refine over a growing
+  // corpus re-ranks a shrinking fraction, so its recall decays by
+  // construction — the r14 sf1.0 sweep measured exactly that (PQ 0.528 →
+  // 0.136 going 2k → 20k vectors at refine 4; 0.404 at the scaled 40).
+  // The constant refine stays the default on the *_topk faces — it is
+  // the knob a deployment turns — while the audit pins the scaled
+  // contract so the floor separates working from broken at ANY corpus
+  // size.
+  private def scaledRefine(s: SparkSession, dir: String): Int =
+    math.max(4,
+      math.ceil(StandIn.embeddings(s, dir).count() * 0.002).toInt)
+
   private def simPqRecallAudit(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAudit(
-      Similarity.pqRecallReport(StandIn.embeddings(s, dir), k = TopK),
+      Similarity.pqRecallReport(StandIn.embeddings(s, dir), k = TopK,
+        refine = scaledRefine(s, dir)),
       floor = 0.25)
 
   private def simIvfPqRecallAudit(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAudit(
       Similarity.ivfPqRecallReport(StandIn.embeddings(s, dir),
-        cells = IvfCells, k = TopK, nprobe = 2),
+        cells = IvfCells, k = TopK, nprobe = 2,
+        refine = scaledRefine(s, dir)),
       floor = 0.2)
 
   private def simQuantize(s: SparkSession, dir: String): DataFrame =

@@ -28,6 +28,17 @@ object Scratch {
       }
       val cos = graft.ops.Similarity.rpCosineShrinkAudit(emb).collect().head
       println(s"[scratch] $dir shrink=$cos")
+      if (sys.env.contains("SCRATCH_IVFPQ")) {
+        for (refine <- sys.env("SCRATCH_IVFPQ").split(",").map(_.trim.toInt)) {
+          val r = graft.ops.Similarity
+            .ivfPqRecallReport(emb, cells = 8, k = 5, nprobe = 2,
+              refine = refine).collect().head
+          println(s"[scratch] $dir ivfpq refine=$refine recall=$r")
+          val p = graft.ops.Similarity
+            .pqRecallReport(emb, k = 5, refine = refine).collect().head
+          println(s"[scratch] $dir pq    refine=$refine recall=$p")
+        }
+      }
     }
     spark.stop()
   }
