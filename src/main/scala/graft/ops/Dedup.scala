@@ -1145,4 +1145,136 @@ object Dedup {
     * stage via [[shingleSets]] when the result feeds further lambdas).
     */
   def bigrams(text: Column): Column = bigramsOf(tokens(text))
+
+  /** Minimum Jaccard for [[setSimJoin]] — higher than the LSH family's
+    * 0.3 verify bar on purpose: the exact join is the auditor's tool
+    * (no false negatives to hand-wave), and a tight threshold keeps the
+    * provably-complete candidate set small.
+    */
+  val SetSimThreshold = 0.5
+
+  /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08): every pair of documents
+    * with shingle-set Jaccard ≥ `threshold` — no LSH probability of a
+    * missed pair, which is the difference between "we probably caught the
+    * near-dups" and a licensing/contamination audit that must certify NONE
+    * remain above the bar.
+    *
+    * Completeness without all-pairs: order each doc's shingles by a global
+    * rare-first key (corpus document frequency asc, then 30-bit hash, then
+    * shingle — fully deterministic), and take each doc's PREFIX of length
+    * `|d| − ⌈τ·|d|⌉ + 1`. If `J(a,b) ≥ τ` then `|a∩b| ≥ τ·|b|`, while b's
+    * non-prefix tail holds only `⌈τ·|b|⌉ − 1 < τ·|b|` shingles — so some
+    * shared shingle lies in b's prefix. Joining FULL token lists against
+    * PREFIX tokens (both directions via pair normalization) therefore
+    * yields a superset of every qualifying pair; exact `array_intersect`
+    * verification then makes the output exactly `{(a,b) : J ≥ τ}`.
+    *
+    * Scale shape: one shingling pass (materialized — feeds the frequency
+    * count, the candidate join, and both verify sides), document-frequency
+    * ordering via a per-doc window (one shuffle on doc_id), candidate
+    * generation as a shingle-hash equi-join whose build side holds only
+    * prefix tokens — rare-first ordering pushes high-frequency boilerplate
+    * shingles OUT of prefixes, so per-shingle fan-out stays near 1.
+    * Length filter `τ·|a| ≤ |b| ≤ |a|/τ` prunes candidates before the
+    * verify attach (it cannot change the output — J ≥ τ implies it). Cost
+    * is inherently output-sensitive: a corpus where thousands of docs ARE
+    * mutual near-dups has a Θ(dups²) answer no algorithm shrinks; the
+    * positional/suffix upgrades (PPJoin+) tighten constants, not the shape.
+    */
+  def setSimJoin(
+      docs: DataFrame,
+      threshold: Double = SetSimThreshold): DataFrame = {
+    val grams = Materialize(
+      shingleSets(docs).where(size(col("grams")) > 0))
+    val ex = grams
+      .select(col("doc_id"), size(col("grams")).alias("sz"),
+        explode(col("grams")).alias("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).alias("dfreq"))
+    val rk = row_number().over(
+      Window.partitionBy(col("doc_id"))
+        .orderBy(col("dfreq"), baseHash30(col("g")), col("g")))
+    val ranked = Materialize(ex.join(dfreq, "g")
+      .select(col("doc_id"), col("sz"), col("g"), rk.alias("rk")))
+    val prefix = ranked
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cands = ranked
+      .select(col("g"), col("doc_id").alias("f_id"), col("sz").alias("f_sz"))
+      .join(prefix.select(col("g"), col("doc_id").alias("p_id"),
+        col("sz").alias("p_sz")), "g")
+      .where(col("f_id") =!= col("p_id"))
+      .where(col("p_sz") * lit(threshold) <= col("f_sz") &&
+        col("f_sz") * lit(threshold) <= col("p_sz"))
+      .select(least(col("f_id"), col("p_id")).alias("a_id"),
+        greatest(col("f_id"), col("p_id")).alias("b_id"))
+      .distinct()
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val jac = inter.cast("double") /
+      (size(col("grams_a")) + size(col("grams_b")) - inter)
+    cands
+      .join(grams.select(col("doc_id").alias("a_id"),
+        col("grams").alias("grams_a")), "a_id")
+      .join(grams.select(col("doc_id").alias("b_id"),
+        col("grams").alias("grams_b")), "b_id")
+      .select(col("a_id"), col("b_id"), round(jac, 6).alias("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** PageRank damping factor in micro-units (0.85 · 10⁶ split as
+    * 85/100 integer arithmetic below — exact on both engines).
+    */
+  val PagerankIters = 10
+
+  /** Fixed-round integer PageRank over an undirected pair graph — the
+    * centrality face of keeper selection: inside a near-dup cluster the
+    * doc most linked to everything else is the canonical copy (the one
+    * every crawl variant resembles), a materially better keeper signal
+    * than min-id when variants differ in quality.
+    *
+    * Determinism across engines is by construction: ranks live in integer
+    * MICRO-units, each round computes
+    * `r'(v) = 150000 + 85·(Σ_{u~v} ⌊r(u)/deg(u)⌋)/100` with floor
+    * division at both steps — no float accumulation order to diverge, so
+    * the DuckDB recursive-CTE twin reproduces every round bit-exactly.
+    * Rounds are FIXED (`iters`), not converged: a fixed iteration count is
+    * the contract both engines can replay exactly.
+    *
+    * Scale shape: the graph lives once ([[Materialize]]d pairs), each
+    * round is one equi-join + groupBy over EDGES (not the corpus), each
+    * round's result is materialized so lineage stays flat — the
+    * [[componentsFromPairs]] discipline. Nodes outside the pair graph are
+    * singletons that would hold the base rank forever; they are excluded
+    * (callers attach them at base rank if needed), so 100 TB of singleton
+    * ids never shuffle through the loop.
+    *
+    * @param pairs `(a_id, b_id)` undirected candidate/verified pairs
+    * @return `(doc_id, rank_micro)` for every graph node
+    */
+  def pagerankFromPairs(
+      pairs: DataFrame,
+      iters: Int = PagerankIters): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"pagerankFromPairs iters=$iters out of [1, 50] — fixed-round " +
+        "integer PageRank is a replayable contract, not a convergence loop")
+    val p = Materialize(pairs.select(col("a_id"), col("b_id")))
+    val edges = Materialize(
+      p.union(p.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
+        .select(col("a_id").alias("src"), col("b_id").alias("dst")))
+    val deg = Materialize(
+      edges.groupBy(col("src")).agg(count(lit(1)).alias("deg")))
+    var ranks = deg.select(col("src").alias("doc_id"),
+      lit(1000000L).alias("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks, edges("src") === ranks("doc_id"))
+        .select(col("dst"),
+          expr("rank_micro DIV deg").alias("c"))
+      ranks = Materialize(contrib
+        .groupBy(col("dst").alias("doc_id"))
+        .agg((lit(150000L) + expr("85 * sum(c) DIV 100"))
+          .alias("rank_micro")))
+    }
+    ranks
+  }
 }

@@ -120,10 +120,16 @@ object Resample {
     * applies before normalization (clipping preserves row count where a
     * filter would bias the sample). Exact `percentile` interpolation is
     * selection-based — deterministic under any partitioning, and it
-    * matches DuckDB's `quantile_cont` bit for bit (the same property
-    * TextAnalysis.qualityPercentiles relies on). The per-type bounds
-    * (vocabulary-sized) broadcast back onto the fact scan; the facts
-    * never shuffle.
+    * matches DuckDB's `quantile_cont` to within 1 ulp (the same property
+    * TextAnalysis.qualityPercentiles relies on). NOT bit for bit: the
+    * r14 sf1.0 sweep caught a value sitting exactly ON an interpolated
+    * bound whose last ulp differed between the two engines' lerp shapes,
+    * flipping `was_clipped` alone (clip + round-6 masked the ulp). The
+    * flag therefore compares in the same round-6 space the output values
+    * live in — boundary semantics are defined at the engine's published
+    * 6-decimal precision, not at float-ulp knife edges. The per-type
+    * bounds (vocabulary-sized) broadcast back onto the fact scan; the
+    * facts never shuffle.
     */
   def winsorize(
       events: DataFrame,
@@ -141,7 +147,8 @@ object Resample {
       .join(broadcast(bounds), col("event_type") === col("t"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(clipped, 6).alias("clipped_value"),
-        (col("value") < col("lo") || col("value") > col("hi"))
+        (round(col("value"), 6) < round(col("lo"), 6) ||
+          round(col("value"), 6) > round(col("hi"), 6))
           .alias("was_clipped"))
   }
 

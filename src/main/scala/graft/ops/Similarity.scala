@@ -162,21 +162,34 @@ object Similarity {
     * baseline (k/N = 1%) to catch implementation regressions (broken
     * planes/draw degrade to chance), not to flatter the projection;
     * [[rpCosineAudit]] below carries the actual JL guarantee. Measured:
-    * 0.10 at 500 vectors, 0.068 at 5000 (recall falls as distractors
-    * grow — chance is k/N); 0.03 stays a ≥30× over-chance guard at both.
+    * 0.10 at 2k vectors, 0.068 at the wider sf0.1 draw, 0.012 at the
+    * sf1.0 20k (recall falls as distractors grow — chance is k/N, and
+    * pure top-k-in-projected-space intersection decays with corpus size
+    * BY GEOMETRY, exactly like the fixed-width shortlists the r14 sweep
+    * caught). A fixed absolute floor therefore cannot survive scale; the
+    * audit floor is `min(0.03, [[RpChanceMultiple]] · k/N)` — the
+    * verify-scale bar unchanged, and at every larger N a constant
+    * ≥30×-over-chance collapse guard (measured 48× at sf1.0).
     */
   val RpRecallFloor = 0.03
+
+  /** Over-chance multiple the k=16 collapse guard enforces at any N. */
+  val RpChanceMultiple = 30.0
 
   /** Oracle-checkable face of [[rpRecallReport]] (the recall-audit
     * contract shape of [[ivfRecallAudit]]): deterministic planes + draw
     * make the boolean stable; a projection regression fails a
-    * hash-checked row.
+    * hash-checked row. The one count() is a bounded driver-side scalar
+    * (the [[rp64RecallAudit]] pattern).
     */
   def rpRecallAudit(
       embeddings: DataFrame,
       k: Int = 5,
-      floor: Double = RpRecallFloor): DataFrame =
-    recallAudit(rpRecallReport(embeddings, k), floor)
+      floor: Double = RpRecallFloor): DataFrame = {
+    val n = embeddings.count()
+    val scaled = math.min(floor, RpChanceMultiple * k / math.max(n, 1L))
+    recallAudit(rpRecallReport(embeddings, k), scaled)
+  }
 
   /** Quality-bar recall floor for the [[RpDims64]] SHORTLIST audit.
     * HONEST calibration: pure top-5 ranking recall in RP space is

@@ -997,4 +997,69 @@ object TextAnalysis {
         aggregate(col("hs"), lit(0L),
           (acc, h) => pmod(acc * 131 + h, lit(FingerprintMod)))
           .alias("fingerprint"))
+
+  /** Okapi defaults (Robertson et al., TREC-3). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The registry's fixed retrieval probe — head terms of the fixture
+    * vocabulary, so tf saturation (the k1 curve) actually exercises.
+    */
+  val Bm25QueryTerms = Seq("hash", "join", "window")
+
+  /** BM25 top-`k` retrieval: the classic sparse ranking function, the
+    * quality-retrieval workhorse of training-data curation (find the docs
+    * most about X, mine hard negatives, spot-check a topic's coverage).
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))`
+    * with `idf = ln(1 + (N − df + ½)/(df + ½))`.
+    *
+    * Scale shape: ONE corpus scan — the exploded term stream is filtered
+    * to the query terms BEFORE any shuffle (a handful of terms survive per
+    * doc), document frequency derives from the filtered tf table instead
+    * of a second scan, and corpus stats (N, total length) broadcast as one
+    * row. Per-(doc, term) scores are rounded to integer MICRO-units before
+    * the per-doc sum, so the sum is a long — no float accumulation order
+    * to diverge between engines (the engine-wide micro-unit discipline).
+    * The final top-k is `TakeOrdered` (score desc, doc_id asc) — a k-heap
+    * per partition, never a global sort.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String] = Bm25QueryTerms,
+      k: Int = 20,
+      k1: Double = Bm25K1,
+      b: Double = Bm25B): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+      Dedup.tokens(col("text")).alias("toks"))
+    val lens = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").alias("dl"))
+    val stats = lens.agg(count(lit(1)).alias("n_docs"),
+      sum(col("dl")).alias("total_len"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).alias("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).alias("df"))
+    // Expression shapes mirror the oracle twin token for token — double
+    // ops are individually deterministic; only ORDER of combination could
+    // diverge, so there is exactly one order.
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val tfp = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / avgdl))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * tfp * lit(1000000), 0).cast("long").alias("s"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_hits"),
+        sum(col("s")).alias("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

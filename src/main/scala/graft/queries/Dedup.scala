@@ -246,6 +246,22 @@ object QueriesDedup {
     "dedup_semantic_trained_audit" -> ((s, d) =>
       Similarity.semanticDedupAudit(StandIn.embeddings(s, d), IvfCells,
         SrpBits, NearDupClusterCosine)),
+
+    // EXACT set-similarity self-join (AllPairs prefix filter): every pair
+    // with shingle Jaccard >= SetSimThreshold, ZERO false negatives — the
+    // audit-grade complement of the probabilistic LSH family
+    // (Dedup.setSimJoin scaladoc carries the completeness proof and the
+    // rare-first-prefix scale shape).
+    "dedup_setsim_exact" -> ((s, d) =>
+      Dedup.setSimJoin(StandIn.documents(s, d))),
+
+    // Fixed-round integer PageRank over the VERIFIED near-dup graph: the
+    // centrality face of keeper selection (most-linked variant = canonical
+    // copy). Micro-unit floor arithmetic, so the recursive-CTE twin
+    // replays all rounds bit-exactly (Dedup.pagerankFromPairs scaladoc).
+    "dedup_pagerank" -> ((s, d) =>
+      Dedup.pagerankFromPairs(
+        dedupNgramJaccard(s, d).select(col("a_id"), col("b_id")))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -612,5 +628,78 @@ object QueriesDedup {
         |       TRUE AS pruned_witnessed,
         |       TRUE AS keepers_clean
         |FROM embeddings""".stripMargin,
+
+    // Exact AllPairs twin: the SAME rare-first prefix machinery (df asc,
+    // 30-bit hash, shingle), so even the candidate sets match — and both
+    // equal {(a,b) : J >= t} by the completeness lemma in the scaladoc.
+    "dedup_setsim_exact" ->
+      s"""WITH $gramsSql, snz AS (
+         |  SELECT doc_id, g FROM grams WHERE len(g) > 0
+         |), sx AS (
+         |  SELECT doc_id, len(g) AS sz, unnest(g) AS t FROM snz
+         |), sdf AS (
+         |  SELECT t, count(*) AS dfreq FROM sx GROUP BY t
+         |), srk AS (
+         |  SELECT sx.doc_id, sx.sz, sx.t,
+         |         row_number() OVER (PARTITION BY sx.doc_id
+         |           ORDER BY sdf.dfreq,
+         |                    (${hashSql("'0:'", "sx.t")} & 1073741823),
+         |                    sx.t) AS rk
+         |  FROM sx JOIN sdf ON sdf.t = sx.t
+         |), sprefix AS (
+         |  SELECT doc_id, sz, t FROM srk
+         |  WHERE rk <= sz - ceil(${Dedup.SetSimThreshold} * sz) + 1
+         |), scand AS (
+         |  SELECT DISTINCT least(f.doc_id, p.doc_id) AS a_id,
+         |                  greatest(f.doc_id, p.doc_id) AS b_id
+         |  FROM sx f JOIN sprefix p ON f.t = p.t AND f.doc_id <> p.doc_id
+         |  WHERE p.sz * ${Dedup.SetSimThreshold} <= f.sz
+         |    AND f.sz * ${Dedup.SetSimThreshold} <= p.sz
+         |), sver AS (
+         |  SELECT a_id, b_id,
+         |         round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |           / CAST(len(ga.g) + len(gb.g)
+         |               - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |             AS DOUBLE), 6) AS jaccard
+         |  FROM scand
+         |  JOIN snz ga ON ga.doc_id = a_id
+         |  JOIN snz gb ON gb.doc_id = b_id
+         |)
+         |SELECT a_id, b_id, jaccard FROM sver
+         |WHERE jaccard >= ${Dedup.SetSimThreshold}""".stripMargin,
+
+    // Integer-PageRank twin: recursive CTE with per-round GROUP BY, every
+    // round floor-divided in micro-units — bit-exact across engines.
+    "dedup_pagerank" ->
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |pverified AS (
+         |  SELECT e.a_id, e.b_id
+         |  FROM est e
+         |  JOIN grams ga ON ga.doc_id = e.a_id
+         |  JOIN grams gb ON gb.doc_id = e.b_id
+         |  WHERE e.est_sim >= $MinhashEstThreshold
+         |    AND round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |          / CAST(len(ga.g) + len(gb.g)
+         |              - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |            AS DOUBLE), 6) >= $JaccardThreshold
+         |), predges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pverified
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pverified
+         |), prdeg AS (
+         |  SELECT src, count(*) AS dg FROM predges GROUP BY src
+         |), pr(it, doc_id, r) AS (
+         |  SELECT 0, src, CAST(1000000 AS BIGINT) FROM prdeg
+         |  UNION ALL
+         |  SELECT it + 1, e.dst,
+         |         CAST(150000 + 85 * sum(pr.r // d.dg) // 100 AS BIGINT)
+         |  FROM pr
+         |  JOIN predges e ON e.src = pr.doc_id
+         |  JOIN prdeg d ON d.src = pr.doc_id
+         |  WHERE it < ${Dedup.PagerankIters}
+         |  GROUP BY it + 1, e.dst
+         |)
+         |SELECT doc_id, r AS rank_micro FROM pr
+         |WHERE it = ${Dedup.PagerankIters}""".stripMargin,
   )
 }

@@ -793,7 +793,9 @@ object QueriesStat {
         |FROM gen""".stripMargin,
 
     // Winsorize twin (Resample.winsorize): quantile_cont matches Spark's
-    // exact interpolated percentile (same selection-based definition).
+    // exact interpolated percentile to 1 ulp; the flag compares in
+    // round-6 space because the sf1.0 sweep caught a bound whose last
+    // ulp differed between the engines' lerp shapes (op scaladoc).
     "stat_winsorize" ->
       """WITH bounds AS (
         |  SELECT event_type AS t,
@@ -803,7 +805,8 @@ object QueriesStat {
         |)
         |SELECT event_id, event_type, value,
         |       round(least(greatest(value, lo), hi), 6) AS clipped_value,
-        |       (value < lo OR value > hi) AS was_clipped
+        |       (round(value, 6) < round(lo, 6)
+        |        OR round(value, 6) > round(hi, 6)) AS was_clipped
         |FROM events JOIN bounds ON event_type = t
         |WHERE value IS NOT NULL""".stripMargin,
 

@@ -138,6 +138,12 @@ object QueriesText {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
 
+    // BM25 top-k retrieval card: one filtered corpus scan, integer
+    // micro-unit per-term scores so the per-doc sum is order-free, TakeOrdered
+    // final k (TextAnalysis.bm25TopK scaladoc has the scale shape).
+    "text_bm25_topk"      -> ((s, d) =>
+      TextAnalysis.bm25TopK(StandIn.documents(s, d))),
+
     // Keyword extraction: top-3 TF-IDF terms per doc, WindowGroupLimit
     // per-doc k-heap (TextAnalysis.keywords).
     "text_keywords"       -> ((s, d) =>
@@ -1205,5 +1211,42 @@ object QueriesText {
          |         (a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintMod})
          |         AS fingerprint
          |FROM hs""".stripMargin,
+
+    // BM25 twin — expression shapes mirror TextAnalysis.bm25TopK token
+    // for token (one combination order, micro-unit integer sums).
+    "text_bm25_topk" -> {
+      val terms = TextAnalysis.Bm25QueryTerms
+        .map(t => s"'$t'").mkString(", ")
+      val k1 = TextAnalysis.Bm25K1
+      val b = TextAnalysis.Bm25B
+      s"""WITH $rawToksSql, blen AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+         |), bstat AS (
+         |  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM blen
+         |), btf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         |  WHERE term IN ($terms)
+         |  GROUP BY doc_id, term
+         |), bdf AS (
+         |  SELECT term, count(*) AS df FROM btf GROUP BY term
+         |), bscore AS (
+         |  SELECT btf.doc_id,
+         |         CAST(round(
+         |           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |           * ((tf * (CAST($k1 AS DOUBLE) + 1))
+         |              / (tf + CAST($k1 AS DOUBLE)
+         |                 * (1 - CAST($b AS DOUBLE) + CAST($b AS DOUBLE) * dl
+         |                    / (CAST(total_len AS DOUBLE) / n_docs))))
+         |           * 1000000) AS BIGINT) AS s
+         |  FROM btf
+         |  JOIN bdf USING (term)
+         |  JOIN blen USING (doc_id), bstat
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(sum(s) AS BIGINT) AS score_micro
+         |FROM bscore GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+    },
   )
 }

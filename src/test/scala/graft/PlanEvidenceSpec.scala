@@ -643,4 +643,33 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"centroid drift plans a product:\n$plan")
   }
+
+  test("dedup_setsim_exact: prefix-filtered equi-join, never a product; " +
+    "text stays out of every Exchange") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("dedup_setsim_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The whole point of AllPairs prefix filtering: EXACT output without
+    // an all-pairs plan shape.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact set-sim join planned as a product:\n$plan")
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text#"), s"text in a shuffle: $l")
+  }
+
+  test("text_bm25_topk: query-term filter lands before the tf shuffle; " +
+    "final k is TakeOrdered, not a global sort") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val df = SparkEntry.queries("text_bm25_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must be a TakeOrdered, got:\n$plan")
+    // The term IN (...) predicate must run map-side under the explode —
+    // only matching (doc, term) rows may reach the tf Exchange. Evidence:
+    // the filter sits in the plan and no Exchange carries the raw text.
+    assert(plan.contains(" IN "), s"query-term filter missing:\n$plan")
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text#"), s"text in a shuffle: $l")
+  }
 }

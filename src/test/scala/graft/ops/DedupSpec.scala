@@ -433,4 +433,73 @@ class DedupSpec extends SparkSpec {
     assert(out(102L).isNullAt(out(102L).fieldIndex("ref_id")))
     assert(!out(103L).getAs[Boolean]("is_dup"))
   }
+
+  test("setSimJoin equals brute-force exact Jaccard — completeness on a " +
+    "corpus where prefixes barely overlap") {
+    // 24 docs: 8 shared-core near-dup variants + 8 chained overlaps +
+    // 8 unrelated. Brute force is the spec; the prefix-filtered join must
+    // reproduce it EXACTLY (the completeness lemma, not LSH luck).
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, (1 to 20).map(j => s"c$j").mkString(" ") + s" v$i x$i")
+    } ++ (0 until 8).map { i =>
+      (100L + i, (i until i + 12).map(j => s"w$j").mkString(" "))
+    } ++ (0 until 8).map { i =>
+      (200L + i, (1 to 15).map(j => s"u${i}_$j").mkString(" "))
+    }
+    def gramsOf(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      ga = gramsOf(ta); gb = gramsOf(tb) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size
+      jac = BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= Dedup.SetSimThreshold
+    } yield (a, b, jac)).toSet
+    assert(expected.nonEmpty && expected.size < corpus.size * corpus.size / 4,
+      s"fixture should be selective, got ${expected.size} pairs")
+    val out = Dedup.setSimJoin(docs(corpus: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(out === expected)
+  }
+
+  test("setSimJoin: sub-threshold and empty docs excluded") {
+    val a = (1 to 10).map(j => s"a$j").mkString(" ")
+    val b = (1 to 5).map(j => s"a$j").mkString(" ") +
+      " " + (1 to 20).map(j => s"b$j").mkString(" ")
+    val out = Dedup.setSimJoin(docs(
+      (1L, a), (2L, b), (3L, ""), (4L, null.asInstanceOf[String])))
+      .collect()
+    assert(out.isEmpty) // shared prefix run of 5 → J ≈ 4/29 < 0.5
+  }
+
+  test("pagerankFromPairs matches a driver-side integer reference over " +
+    "10 rounds (star + triangle + chain)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), // star at 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L), (21L, 22L)) // chain
+    def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      var r = adj.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = adj.keys.map { v => v -> r(v) / deg(v) }.toMap
+        r = adj.keys.map { v =>
+          v -> (150000L + 85L * adj(v).map(contrib).sum / 100L)
+        }.toMap
+      }
+      r
+    }
+    val expected = reference(pairs, Dedup.PagerankIters)
+    val out = Dedup.pagerankFromPairs(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(out === expected)
+    // The hub out-ranks its leaves — the keeper-selection signal.
+    assert(out(1L) > out(2L))
+  }
 }

@@ -399,4 +399,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w.forall(x => x >= -8 && x <= 8))
     assert(w.toSet.size === 17) // all 17 residues hit across 64 buckets
   }
+
+  test("bm25TopK matches a driver-side Okapi reference in micro-units") {
+    val corpus = Seq(
+      (1L, "hash join hash join hash filler filler filler"), // tf-heavy
+      (2L, "hash join window"), // short, all three terms
+      (3L, "window window window window"), // single-term
+      (4L, "scan sort merge filler"), // no query term → absent
+      (5L, "hash " + (1 to 40).map(i => s"pad$i").mkString(" "))) // long
+    def reference: Map[Long, (Long, Long)] = {
+      val toks = corpus.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val n = corpus.size.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val terms = TextAnalysis.Bm25QueryTerms
+      val dfm = terms.map(t =>
+        t -> toks.values.count(_.contains(t)).toDouble).toMap
+      val (k1, b) = (TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+      toks.flatMap { case (id, tk) =>
+        val hits = terms.filter(tk.contains)
+        if (hits.isEmpty) None
+        else Some(id -> (hits.size.toLong, hits.map { t =>
+          val tf = tk.count(_ == t).toDouble
+          val idf = math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val tfp = tf * (k1 + 1) /
+            (tf + k1 * (1 - b + b * tk.size / avgdl))
+          math.round(idf * tfp * 1000000)
+        }.sum))
+      }
+    }
+    import spark.implicits._
+    val out = TextAnalysis.bm25TopK(corpus.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("score_micro"))).toMap
+    assert(out === reference)
+    assert(!out.contains(4L)) // no query term, no row
+    // Saturation sanity: tf-heavy short doc out-scores the long padded one.
+    assert(out(1L)._2 > out(5L)._2)
+  }
+
+  test("bm25TopK honors k with a deterministic tie order") {
+    val corpus = (1L to 30L).map(i => (i, "hash common"))
+    import spark.implicits._
+    val out = TextAnalysis.bm25TopK(corpus.toDF("doc_id", "text"), k = 7)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === (1L to 7L)) // equal scores → doc_id ascending
+  }
 }
