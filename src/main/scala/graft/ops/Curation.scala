@@ -1000,6 +1000,32 @@ object Curation {
         col("max_est_sim"))
   }
 
+  /** EXACT decontamination certificate: per corpus doc, whether ANY
+    * benchmark doc sits at shingle Jaccard ≥ `threshold` — computed by
+    * the provably-complete cross-corpus prefix-filter join
+    * ([[graft.ops.Dedup.setSimJoinCross]]), so a `contaminated = false`
+    * row is a GUARANTEE, not an LSH probability. This is the release
+    * auditor's face; [[contaminationNearDup]] stays the cheap screen run
+    * every snapshot. Flags aggregate from the (sparse) match pairs and
+    * left-join back onto the corpus id column — corpus text never
+    * shuffles.
+    */
+  def contaminationSetSim(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = Dedup.SetSimThreshold): DataFrame = {
+    val flags = Dedup.setSimJoinCross(corpus, benchmark, threshold)
+      .groupBy(col("left_id"))
+      .agg(count(lit(1)).alias("n_matches"),
+        max(col("jaccard")).alias("max_jaccard"))
+      .withColumnRenamed("left_id", "doc_id")
+    corpus.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("max_jaccard").isNotNull.alias("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).alias("n_matches"),
+        col("max_jaccard"))
+  }
+
   /** Uniform-mixture weight for [[tokenDrift]]'s Jelinek-Mercer smoothing:
     * p̂ = (1−λ)·ML + λ·uniform. Interpolation, NOT add-one: additive
     * smoothing's per-bucket pseudo-count mass scales with B/N, so a small

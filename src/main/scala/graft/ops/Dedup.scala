@@ -1153,6 +1153,34 @@ object Dedup {
     */
   val SetSimThreshold = 0.5
 
+  /** Shingle width for the EXACT set-similarity family — w-token
+    * shingles (Broder'97 resemblance uses w ≈ 4-10), NOT the engine's
+    * bigram convention. Deliberate: prefix filtering's cost is governed
+    * by the DISTINCT-shingle universe, and on a narrow vocabulary the
+    * bigram universe is tiny (the sf1.0 fixture: ~40 words → ~1.6k
+    * bigrams across 50k docs, so every doc holds ~9 % of the universe,
+    * prefixes overlap structurally, and the candidate equi-join measured
+    * into the billions of rows). At w=4 the universe is vocab⁴-scale,
+    * per-shingle document frequency drops to single digits, and the join
+    * degenerates to near-linear — the same reason MinHash shingling uses
+    * wide windows. LSH-family operators keep bigrams (their candidates
+    * come from banded signatures, never per-shingle joins).
+    */
+  val SetSimShingleW = 4
+
+  /** (doc_id, grams): distinct w-token shingle sets ([[SetSimShingleW]]).
+    * Tokenization staged before the window lambda (the [[shingleSets]]
+    * quadratic-HOF hazard).
+    */
+  def shingleSetsW(docs: DataFrame, w: Int = SetSimShingleW): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).alias("toks"))
+      .select(col("doc_id"),
+        array_distinct(when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w),
+            i => concat_ws(" ", (0 until w).map(o =>
+              element_at(col("toks"), i + o + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).alias("grams"))
+
   /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering,
     * Bayardo et al. WWW'07; Xiao et al. WWW'08): every pair of documents
     * with shingle-set Jaccard ≥ `threshold` — no LSH probability of a
@@ -1163,30 +1191,41 @@ object Dedup {
     * Completeness without all-pairs: order each doc's shingles by a global
     * rare-first key (corpus document frequency asc, then 30-bit hash, then
     * shingle — fully deterministic), and take each doc's PREFIX of length
-    * `|d| − ⌈τ·|d|⌉ + 1`. If `J(a,b) ≥ τ` then `|a∩b| ≥ τ·|b|`, while b's
-    * non-prefix tail holds only `⌈τ·|b|⌉ − 1 < τ·|b|` shingles — so some
-    * shared shingle lies in b's prefix. Joining FULL token lists against
-    * PREFIX tokens (both directions via pair normalization) therefore
-    * yields a superset of every qualifying pair; exact `array_intersect`
-    * verification then makes the output exactly `{(a,b) : J ≥ τ}`.
+    * `|d| − ⌈τ·|d|⌉ + 1`. SSJoin Lemma 1 (Chaudhuri et al., ICDE'06): if
+    * `|x∩y| ≥ α` then the first `|x|−α+1` of x and first `|y|−α+1` of y
+    * share a token; with `α = ⌈τ/(1+τ)·(|x|+|y|)⌉` (≡ J ≥ τ) and the
+    * length filter `τ·|x| ≤ |y|`, α ≥ ⌈τ·|x|⌉ — so the τ-prefixes above
+    * are at least lemma-length and a PREFIX×PREFIX equi-join already sees
+    * every qualifying pair. Exact `array_intersect` verification then
+    * makes the output exactly `{(a,b) : J ≥ τ}`.
+    *
+    * The candidate join also applies PPJoin's POSITIONAL filter (Xiao et
+    * al., WWW'08): a shared shingle at rare-first positions `(i, j)`
+    * bounds the total overlap by `1 + min(|x|−i, |y|−j)`; rows under α
+    * drop inside codegen before the distinct. Safe because the FIRST
+    * shared shingle of a qualifying pair sits at lemma positions, where
+    * the bound is ≥ α — some witness row always survives. This is what
+    * holds the join together on DENSE shingle universes (the sf1.0
+    * fixture: a 40-word vocabulary → ~1.6k distinct bigrams across 50k
+    * docs, where per-shingle fan-out is structurally in the hundreds and
+    * a full-stream×prefix join measured right into the billions of
+    * candidate rows).
     *
     * Scale shape: one shingling pass (materialized — feeds the frequency
     * count, the candidate join, and both verify sides), document-frequency
-    * ordering via a per-doc window (one shuffle on doc_id), candidate
-    * generation as a shingle-hash equi-join whose build side holds only
-    * prefix tokens — rare-first ordering pushes high-frequency boilerplate
-    * shingles OUT of prefixes, so per-shingle fan-out stays near 1.
-    * Length filter `τ·|a| ≤ |b| ≤ |a|/τ` prunes candidates before the
-    * verify attach (it cannot change the output — J ≥ τ implies it). Cost
-    * is inherently output-sensitive: a corpus where thousands of docs ARE
-    * mutual near-dups has a Θ(dups²) answer no algorithm shrinks; the
-    * positional/suffix upgrades (PPJoin+) tighten constants, not the shape.
+    * ordering via a per-doc window (one shuffle on doc_id), candidates as
+    * a shingle-hash equi-join carrying ONLY prefix tokens on both sides —
+    * rare-first ordering pushes boilerplate shingles out of prefixes, and
+    * the length + positional filters prune inside codegen before the
+    * distinct's exchange. Cost stays output-sensitive: a corpus where
+    * thousands of docs ARE mutual near-dups has a Θ(dups²) answer no
+    * algorithm shrinks.
     */
   def setSimJoin(
       docs: DataFrame,
       threshold: Double = SetSimThreshold): DataFrame = {
     val grams = Materialize(
-      shingleSets(docs).where(size(col("grams")) > 0))
+      shingleSetsW(docs).where(size(col("grams")) > 0))
     val ex = grams
       .select(col("doc_id"), size(col("grams")).alias("sz"),
         explode(col("grams")).alias("g"))
@@ -1194,19 +1233,23 @@ object Dedup {
     val rk = row_number().over(
       Window.partitionBy(col("doc_id"))
         .orderBy(col("dfreq"), baseHash30(col("g")), col("g")))
-    val ranked = Materialize(ex.join(dfreq, "g")
-      .select(col("doc_id"), col("sz"), col("g"), rk.alias("rk")))
-    val prefix = ranked
-      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    val cands = ranked
-      .select(col("g"), col("doc_id").alias("f_id"), col("sz").alias("f_sz"))
-      .join(prefix.select(col("g"), col("doc_id").alias("p_id"),
-        col("sz").alias("p_sz")), "g")
-      .where(col("f_id") =!= col("p_id"))
-      .where(col("p_sz") * lit(threshold) <= col("f_sz") &&
-        col("f_sz") * lit(threshold) <= col("p_sz"))
-      .select(least(col("f_id"), col("p_id")).alias("a_id"),
-        greatest(col("f_id"), col("p_id")).alias("b_id"))
+    val prefix = Materialize(ex.join(dfreq, "g")
+      .select(col("doc_id"), col("sz"), col("g"), rk.alias("rk"))
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a_sz") + col("b_sz")))
+    val posBound = lit(1) +
+      least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk"))
+    val cands = prefix
+      .select(col("g"), col("doc_id").alias("a_id"),
+        col("sz").alias("a_sz"), col("rk").alias("a_rk"))
+      .join(prefix.select(col("g"), col("doc_id").alias("b_id"),
+        col("sz").alias("b_sz"), col("rk").alias("b_rk")), "g")
+      .where(col("a_id") < col("b_id"))
+      .where(col("b_sz") * lit(threshold) <= col("a_sz") &&
+        col("a_sz") * lit(threshold) <= col("b_sz"))
+      .where(posBound >= alpha)
+      .select(col("a_id"), col("b_id"))
       .distinct()
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
     val jac = inter.cast("double") /
@@ -1250,6 +1293,70 @@ object Dedup {
     * @param pairs `(a_id, b_id)` undirected candidate/verified pairs
     * @return `(doc_id, rank_micro)` for every graph node
     */
+  /** Cross-corpus EXACT set-similarity join: every (left, right) pair
+    * with shingle Jaccard ≥ `threshold` — the R×S face of [[setSimJoin]]
+    * and the certifier behind exact decontamination (every benchmark doc
+    * a corpus doc still resembles above the bar IS found; Bloom and LSH
+    * screens promise only probability).
+    *
+    * Same machinery as [[setSimJoin]]: rare-first global order over the
+    * UNION vocabulary of both corpora (a shared view both engines derive
+    * identically), τ-prefixes on BOTH sides (complete by SSJoin Lemma 1 —
+    * see the self-join scaladoc), PPJoin positional filter inside
+    * codegen, exact verification on the candidates.
+    *
+    * Scale: one shingling pass per side (each materialized: feeds
+    * df-count, join, verify), candidates as a shingle equi-join carrying
+    * only prefix tokens of either side.
+    */
+  def setSimJoinCross(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double = SetSimThreshold): DataFrame = {
+    val lg = Materialize(shingleSetsW(left).where(size(col("grams")) > 0))
+    val rg = Materialize(shingleSetsW(right).where(size(col("grams")) > 0))
+    val lex = lg.select(col("doc_id").alias("left_id"),
+      size(col("grams")).alias("lsz"), explode(col("grams")).alias("g"))
+    val rex = rg.select(col("doc_id").alias("right_id"),
+      size(col("grams")).alias("rsz"), explode(col("grams")).alias("g"))
+    val dfreq = lex.select(col("g")).union(rex.select(col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).alias("dfreq"))
+    val lrk = row_number().over(
+      Window.partitionBy(col("left_id"))
+        .orderBy(col("dfreq"), baseHash30(col("g")), col("g")))
+    val rrk = row_number().over(
+      Window.partitionBy(col("right_id"))
+        .orderBy(col("dfreq"), baseHash30(col("g")), col("g")))
+    val lprefix = lex.join(dfreq, "g")
+      .select(col("left_id"), col("lsz"), col("g"), lrk.alias("lrk"))
+      .where(col("lrk") <= col("lsz") - ceil(lit(threshold) * col("lsz")) + 1)
+    val rprefix = rex.join(dfreq, "g")
+      .select(col("right_id"), col("rsz"), col("g"), rrk.alias("rrk"))
+      .where(col("rrk") <= col("rsz") - ceil(lit(threshold) * col("rsz")) + 1)
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("lsz") + col("rsz")))
+    val posBound = lit(1) +
+      least(col("lsz") - col("lrk"), col("rsz") - col("rrk"))
+    val cands = lprefix
+      .join(rprefix, "g")
+      .where(col("rsz") * lit(threshold) <= col("lsz") &&
+        col("lsz") * lit(threshold) <= col("rsz"))
+      .where(posBound >= alpha)
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val inter = size(array_intersect(col("grams_l"), col("grams_r")))
+    val jac = inter.cast("double") /
+      (size(col("grams_l")) + size(col("grams_r")) - inter)
+    cands
+      .join(lg.select(col("doc_id").alias("left_id"),
+        col("grams").alias("grams_l")), "left_id")
+      .join(rg.select(col("doc_id").alias("right_id"),
+        col("grams").alias("grams_r")), "right_id")
+      .select(col("left_id"), col("right_id"),
+        round(jac, 6).alias("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   def pagerankFromPairs(
       pairs: DataFrame,
       iters: Int = PagerankIters): DataFrame = {
@@ -1276,5 +1383,38 @@ object Dedup {
           .alias("rank_micro")))
     }
     ranks
+  }
+
+  /** The dedup DECISION table from centrality: connected components over
+    * the VERIFIED near-dup graph, keeper per cluster = highest
+    * [[pagerankFromPairs]] rank (doc_id tie-break) — the variant every
+    * crawl copy resembles most wins, instead of min-id's arbitrary pick.
+    * Both consumers share ONE materialized pair set; components and ranks
+    * each iterate over the (tiny) graph only; the final keeper window
+    * partitions by cluster_id carrying three id/long columns — never
+    * text. Singletons (and clusters whose members all miss a rank —
+    * impossible by construction, but the NULLS LAST order makes it
+    * harmless) keep themselves.
+    *
+    * @return `(doc_id, cluster_id, rank_micro nullable, keeper_id, keep)`
+    */
+  def pagerankKeepers(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      estThreshold: Double = 0.5,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val pairs = Materialize(
+      ngramJaccard(docs, k, bands, estThreshold, jaccardThreshold)
+        .select(col("a_id"), col("b_id")))
+    val labels = componentsFromPairs(pairs, docs)
+    val ranks = pagerankFromPairs(pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("rank_micro").desc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.join(ranks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("rank_micro"),
+        first(col("doc_id")).over(w).alias("keeper_id"))
+      .withColumn("keep", col("doc_id") === col("keeper_id"))
   }
 }

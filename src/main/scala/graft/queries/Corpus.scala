@@ -332,6 +332,16 @@ object QueriesCorpus {
         MinhashK, MinhashBands, MinhashEstThreshold)
     }),
 
+    // EXACT decontamination certificate: cross-corpus prefix-filter join —
+    // contaminated=false rows are a guarantee, not an LSH probability
+    // (Curation.contaminationSetSim / Dedup.setSimJoinCross).
+    "decontaminate_setsim" -> ((s, d) => {
+      val docs = StandIn.documents(s, d)
+      Curation.contaminationSetSim(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0))
+    }),
+
     // Contamination dashboard: exact / fuzzy / union flag counts in ONE
     // row (Curation.contaminationReport) - the eval-card figure.
     "corpus_contamination_report" -> ((s, d) =>
@@ -839,6 +849,67 @@ object QueriesCorpus {
     // only prunes shuffle traffic; the exact join removes false
     // positives), so it checks against the very same oracle.
     "decontaminate_bloom" -> decontaminateOracle,
+
+    // Exact-certificate twin: the SAME cross-corpus prefix machinery as
+    // Dedup.setSimJoinCross (union-vocabulary df order, right-prefix
+    // index probed by left-full streams), folded to per-corpus-doc flags.
+    "decontaminate_setsim" ->
+      s"""WITH $setsimGramsSql, xnz AS (
+         |  SELECT doc_id, g FROM sgrams WHERE len(g) > 0
+         |), xl AS (
+         |  SELECT doc_id AS left_id, len(g) AS lsz, unnest(g) AS t
+         |  FROM xnz WHERE doc_id % 10 <> 0
+         |), xr AS (
+         |  SELECT doc_id AS right_id, len(g) AS rsz, unnest(g) AS t
+         |  FROM xnz WHERE doc_id % 10 = 0
+         |), xdf AS (
+         |  SELECT t, count(*) AS dfreq
+         |  FROM (SELECT t FROM xl UNION ALL SELECT t FROM xr) GROUP BY t
+         |), xlp AS (
+         |  SELECT left_id, lsz, t, rk FROM (
+         |    SELECT xl.left_id, xl.lsz, xl.t,
+         |           row_number() OVER (PARTITION BY xl.left_id
+         |             ORDER BY xdf.dfreq,
+         |                      (${hashSql("'0:'", "xl.t")} & 1073741823),
+         |                      xl.t) AS rk
+         |    FROM xl JOIN xdf ON xdf.t = xl.t)
+         |  WHERE rk <= lsz - ceil(${Dedup.SetSimThreshold} * lsz) + 1
+         |), xrp AS (
+         |  SELECT right_id, rsz, t, rk FROM (
+         |    SELECT xr.right_id, xr.rsz, xr.t,
+         |           row_number() OVER (PARTITION BY xr.right_id
+         |             ORDER BY xdf.dfreq,
+         |                      (${hashSql("'0:'", "xr.t")} & 1073741823),
+         |                      xr.t) AS rk
+         |    FROM xr JOIN xdf ON xdf.t = xr.t)
+         |  WHERE rk <= rsz - ceil(${Dedup.SetSimThreshold} * rsz) + 1
+         |), xcand AS (
+         |  SELECT DISTINCT l.left_id, p.right_id
+         |  FROM xlp l JOIN xrp p ON l.t = p.t
+         |  WHERE p.rsz * ${Dedup.SetSimThreshold} <= l.lsz
+         |    AND l.lsz * ${Dedup.SetSimThreshold} <= p.rsz
+         |    AND 1 + least(l.lsz - l.rk, p.rsz - p.rk)
+         |        >= ceil(CAST(${Dedup.SetSimThreshold /
+                  (1 + Dedup.SetSimThreshold)} AS DOUBLE) * (l.lsz + p.rsz))
+         |), xver AS (
+         |  SELECT left_id, right_id,
+         |         round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |           / CAST(len(ga.g) + len(gb.g)
+         |               - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |             AS DOUBLE), 6) AS jaccard
+         |  FROM xcand
+         |  JOIN xnz ga ON ga.doc_id = left_id
+         |  JOIN xnz gb ON gb.doc_id = right_id
+         |), xflag AS (
+         |  SELECT left_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |         max(jaccard) AS max_jaccard
+         |  FROM xver WHERE jaccard >= ${Dedup.SetSimThreshold}
+         |  GROUP BY left_id
+         |)
+         |SELECT d.doc_id, (f.max_jaccard IS NOT NULL) AS contaminated,
+         |       coalesce(f.n_matches, 0) AS n_matches, f.max_jaccard
+         |FROM documents d LEFT JOIN xflag f USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
 
     // Snapshot-diff twins (Curation.snapshotDiff / snapshotDiffReport):
     // same synthetic next-ingest derivation, FULL OUTER on doc_id,

@@ -262,6 +262,14 @@ object QueriesDedup {
     "dedup_pagerank" -> ((s, d) =>
       Dedup.pagerankFromPairs(
         dedupNgramJaccard(s, d).select(col("a_id"), col("b_id")))),
+
+    // The dedup DECISION table: verified-graph components + centrality
+    // keeper per cluster (highest PageRank, doc_id tie-break) — min-id's
+    // arbitrary pick replaced by the most-representative variant
+    // (Dedup.pagerankKeepers).
+    "dedup_pagerank_keepers" -> ((s, d) =>
+      Dedup.pagerankKeepers(StandIn.documents(s, d),
+        MinhashK, MinhashBands, MinhashEstThreshold, JaccardThreshold)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -633,8 +641,8 @@ object QueriesDedup {
     // 30-bit hash, shingle), so even the candidate sets match — and both
     // equal {(a,b) : J >= t} by the completeness lemma in the scaladoc.
     "dedup_setsim_exact" ->
-      s"""WITH $gramsSql, snz AS (
-         |  SELECT doc_id, g FROM grams WHERE len(g) > 0
+      s"""WITH $setsimGramsSql, snz AS (
+         |  SELECT doc_id, g FROM sgrams WHERE len(g) > 0
          |), sx AS (
          |  SELECT doc_id, len(g) AS sz, unnest(g) AS t FROM snz
          |), sdf AS (
@@ -647,14 +655,16 @@ object QueriesDedup {
          |                    sx.t) AS rk
          |  FROM sx JOIN sdf ON sdf.t = sx.t
          |), sprefix AS (
-         |  SELECT doc_id, sz, t FROM srk
+         |  SELECT doc_id, sz, t, rk FROM srk
          |  WHERE rk <= sz - ceil(${Dedup.SetSimThreshold} * sz) + 1
          |), scand AS (
-         |  SELECT DISTINCT least(f.doc_id, p.doc_id) AS a_id,
-         |                  greatest(f.doc_id, p.doc_id) AS b_id
-         |  FROM sx f JOIN sprefix p ON f.t = p.t AND f.doc_id <> p.doc_id
-         |  WHERE p.sz * ${Dedup.SetSimThreshold} <= f.sz
-         |    AND f.sz * ${Dedup.SetSimThreshold} <= p.sz
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sprefix a JOIN sprefix b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  WHERE b.sz * ${Dedup.SetSimThreshold} <= a.sz
+         |    AND a.sz * ${Dedup.SetSimThreshold} <= b.sz
+         |    AND 1 + least(a.sz - a.rk, b.sz - b.rk)
+         |        >= ceil(CAST(${Dedup.SetSimThreshold /
+                  (1 + Dedup.SetSimThreshold)} AS DOUBLE) * (a.sz + b.sz))
          |), sver AS (
          |  SELECT a_id, b_id,
          |         round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
@@ -670,9 +680,12 @@ object QueriesDedup {
 
     // Integer-PageRank twin: recursive CTE with per-round GROUP BY, every
     // round floor-divided in micro-units — bit-exact across engines.
+    // pverified is MATERIALIZED so the LSH candidate + exact-verify chain
+    // runs ONCE, not once per recursion round (the sim_neardup_clusters
+    // lesson from the sf1.0 sweep; hint affects evaluation only).
     "dedup_pagerank" ->
       s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
-         |pverified AS (
+         |pverified AS MATERIALIZED (
          |  SELECT e.a_id, e.b_id
          |  FROM est e
          |  JOIN grams ga ON ga.doc_id = e.a_id
@@ -701,5 +714,59 @@ object QueriesDedup {
          |)
          |SELECT doc_id, r AS rank_micro FROM pr
          |WHERE it = ${Dedup.PagerankIters}""".stripMargin,
+
+    // Keeper-table twin: components (reach closure) and integer PageRank
+    // BOTH recursive over the one MATERIALIZED verified pair set, then
+    // the same NULLS LAST keeper window.
+    "dedup_pagerank_keepers" ->
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |pverified AS MATERIALIZED (
+         |  SELECT e.a_id, e.b_id
+         |  FROM est e
+         |  JOIN grams ga ON ga.doc_id = e.a_id
+         |  JOIN grams gb ON gb.doc_id = e.b_id
+         |  WHERE e.est_sim >= $MinhashEstThreshold
+         |    AND round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |          / CAST(len(ga.g) + len(gb.g)
+         |              - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |            AS DOUBLE), 6) >= $JaccardThreshold
+         |), kedges AS (
+         |  SELECT a_id, b_id FROM pverified
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pverified
+         |), kreach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a_id, r.label FROM kedges e JOIN kreach r
+         |    ON r.doc_id = e.b_id
+         |), klabels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM kreach
+         |  GROUP BY doc_id
+         |), prdeg AS (
+         |  SELECT a_id AS src, count(*) AS dg FROM kedges GROUP BY a_id
+         |), pr(it, doc_id, r) AS (
+         |  SELECT 0, src, CAST(1000000 AS BIGINT) FROM prdeg
+         |  UNION ALL
+         |  SELECT it + 1, e.b_id,
+         |         CAST(150000 + 85 * sum(pr.r // d.dg) // 100 AS BIGINT)
+         |  FROM pr
+         |  JOIN kedges e ON e.a_id = pr.doc_id
+         |  JOIN prdeg d ON d.src = pr.doc_id
+         |  WHERE it < ${Dedup.PagerankIters}
+         |  GROUP BY it + 1, e.b_id
+         |), pfinal AS (
+         |  SELECT doc_id, r AS rank_micro FROM pr
+         |  WHERE it = ${Dedup.PagerankIters}
+         |)
+         |SELECT doc_id, cluster_id, rank_micro, keeper_id,
+         |       doc_id = keeper_id AS keep
+         |FROM (
+         |  SELECT k.doc_id, k.cluster_id, p.rank_micro,
+         |         first_value(k.doc_id) OVER (PARTITION BY k.cluster_id
+         |           ORDER BY p.rank_micro DESC NULLS LAST, k.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING
+         |             AND UNBOUNDED FOLLOWING) AS keeper_id
+         |  FROM klabels k LEFT JOIN pfinal p USING (doc_id)
+         |)""".stripMargin,
   )
 }

@@ -52,6 +52,26 @@ object QueryShared {
       |        FROM documents)
       |)""".stripMargin
 
+  // Twin of Dedup.shingleSetsW (w = SetSimShingleW = 4): the exact
+  // set-similarity family's WIDE shingles (Broder resemblance windows) —
+  // range(1, len-2) yields starts 1..len-3, i.e. len-w+1 shingles, the
+  // same count as Spark's sequence(0, size-w).
+  private[queries] val setsimGramsSql =
+    """sgrams AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(tt) >= 4
+      |           THEN list_transform(range(1, len(tt) - 2),
+      |                i -> concat(tt[CAST(i AS INT)], ' ',
+      |                            tt[CAST(i AS INT) + 1], ' ',
+      |                            tt[CAST(i AS INT) + 2], ' ',
+      |                            tt[CAST(i AS INT) + 3]))
+      |           ELSE [] END) AS g
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+      |            w -> len(w) > 0) AS tt
+      |        FROM documents)
+      |)""".stripMargin
+
   // Base-hash + affine family twin of Dedup.minhashSignatures: one md5 per
   // shingle, k affine transforms. Constants come from Dedup.affineParams so
   // both engines agree bit-for-bit.

@@ -598,8 +598,13 @@ object QueriesSim {
     // cosine pair set above fed through the same recursive-CTE components
     // shape as dedup_clusters — an independent algorithm from the engine's
     // label-propagation loop.
+    // cpairs is MATERIALIZED: a recursive term re-evaluates every CTE it
+    // references per iteration in DuckDB, and re-running the cosine
+    // bucket-join once per closure round made the oracle infeasible at
+    // the sf1.0 sweep's 20k vectors (measured 25× on a synthetic twin;
+    // the hint changes evaluation only, never results).
     "sim_neardup_clusters" ->
-      s"""WITH RECURSIVE $prepSql, $bucketsSimSql, cpairs AS (
+      s"""WITH RECURSIVE $prepSql, $bucketsSimSql, cpairs AS MATERIALIZED (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM bsim a
          |  JOIN bsim b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -448,7 +448,7 @@ class DedupSpec extends SparkSpec {
     }
     def gramsOf(text: String): Set[String] = {
       val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      t.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
     }
     val expected = (for {
       (a, ta) <- corpus; (b, tb) <- corpus if a < b
@@ -473,7 +473,58 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.setSimJoin(docs(
       (1L, a), (2L, b), (3L, ""), (4L, null.asInstanceOf[String])))
       .collect()
-    assert(out.isEmpty) // shared prefix run of 5 → J ≈ 4/29 < 0.5
+    assert(out.isEmpty) // shared 5-word run → 2 of 29 shingles < 0.5
+  }
+
+  test("setSimJoinCross equals brute force across two corpora; no " +
+    "within-side pairs") {
+    val leftDocs = (0 until 10).map { i =>
+      (i.toLong, (1 to 18).map(j => s"c$j").mkString(" ") + s" lv$i")
+    }
+    val rightDocs = (0 until 6).map { i =>
+      (500L + i,
+        if (i < 3) (1 to 18).map(j => s"c$j").mkString(" ") + s" rv$i"
+        else (1 to 15).map(j => s"z${i}_$j").mkString(" "))
+    }
+    def gramsOf(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      t.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (a, ta) <- leftDocs; (b, tb) <- rightDocs
+      ga = gramsOf(ta); gb = gramsOf(tb) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size
+      jac = BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= Dedup.SetSimThreshold
+    } yield (a, b, jac)).toSet
+    assert(expected.nonEmpty)
+    val out = Dedup.setSimJoinCross(
+      docs(leftDocs: _*), docs(rightDocs: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(out === expected)
+  }
+
+  test("pagerankKeepers: clique ranks tie to the min id; singletons keep " +
+    "themselves (hub-beats-leaf centrality is pinned in the " +
+    "pagerankFromPairs star test)") {
+    val same = (1 to 24).map(i => s"c$i").mkString(" ")
+    val corpus = docs(
+      (1L, same), (2L, same), (3L, same), (4L, same),
+      (9L, (1 to 20).map(i => s"solo$i").mkString(" ")))
+    val out = Dedup.pagerankKeepers(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Long]("keeper_id"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(out.size === 5)
+    // Identical docs → complete verified clique → equal ranks → the
+    // doc_id tie-break elects 1; everyone agrees on cluster and keeper.
+    assert(Set(2L, 3L, 4L).forall(d => out(d)._1 === out(1L)._1))
+    assert(Set(1L, 2L, 3L, 4L).forall(d => out(d)._2 === 1L))
+    assert(out(1L)._3 && !out(2L)._3)
+    // The singleton is its own cluster and keeper, rank NULL.
+    assert(out(9L) === ((9L, 9L, true)))
   }
 
   test("pagerankFromPairs matches a driver-side integer reference over " +
