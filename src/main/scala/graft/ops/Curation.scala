@@ -391,13 +391,56 @@ object Curation {
     */
   def splitColumn(
       fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): Column =
+    splitColumnOn(col("doc_id"), fractions)
+
+  /** [[splitColumn]] generalized to an arbitrary id column — the same
+    * hash-family member and integer boundaries, so `splitColumnOn(doc_id)`
+    * ≡ `splitColumn()` and [[splitClusterSafe]] can cut on CLUSTER ids
+    * without a second boundary definition drifting.
+    */
+  def splitColumnOn(
+      id: Column,
+      fractions: Seq[(String, Double)] = Seq(
         "train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): Column = {
     val bucket = pmod(
-      Dedup.hashAt(SplitHashIndex, col("doc_id").cast("string")), lit(10000L))
+      Dedup.hashAt(SplitHashIndex, id.cast("string")), lit(10000L))
     fractions.init.zip(splitBounds(fractions).init)
       .foldRight(lit(fractions.last._1): Column) { case (((name, _), cut), rest) =>
         when(bucket < lit(cut), lit(name)).otherwise(rest)
       }
+  }
+
+  /** Near-dup-CLUSTER-safe split assignment: the split hash is cut on the
+    * document's verified near-dup component label, not its own id, so an
+    * entire cluster of near-duplicates lands in ONE split — the
+    * train/val leakage [[splitLeakage]] detects after the fact is zero BY
+    * CONSTRUCTION for every pair the LSH+verify chain can see. The
+    * standard fix for the "val doc is a near-copy of a train doc" eval
+    * inflation (per-document hashing splits a 2-doc cluster across
+    * train/val with probability ≈ 2·p·(1−p)).
+    *
+    * Shape: verified pairs from the LSH band join + exact-Jaccard verify
+    * ([[graft.ops.Dedup.ngramJaccard]]), components via the pointer-jumping
+    * CC loop (graph-only iteration, singletons attach once), then the
+    * split CASE is a pure projection on the label — the corpus text never
+    * shuffles beyond the shingling pass the dedup family already pays.
+    * Singleton docs label themselves, so their assignment is the plain
+    * [[assignSplits]] hash of their own id.
+    */
+  def splitClusterSafe(
+      docs: DataFrame,
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      k: Int = 16,
+      bands: Int = 4,
+      estThreshold: Double = 0.5,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val pairs = Dedup.ngramJaccard(docs, k, bands, estThreshold,
+      jaccardThreshold).select(col("a_id"), col("b_id"))
+    Dedup.componentsFromPairs(pairs, docs.select(col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        splitColumnOn(col("cluster_id"), fractions).alias("split"))
   }
 
   /** Cumulative integer bucket boundaries (of 10000) for [[assignSplits]] —

@@ -566,4 +566,47 @@ object Olap {
         (abs(col("n_users_est") - col("n_users")) <=
           greatest(lit(1.0), col("n_users") * tol)).alias("within_tol"))
   }
+
+  /** File-compaction planner — the lakehouse answer to the SMALL-FILES
+    * problem (a 100 TB table written by thousands of streaming
+    * micro-batches accumulates millions of KB-scale files; every one
+    * costs a scan-task schedule, a footer read, and a namenode entry).
+    * Input is a file MANIFEST `(part_key, file_id, bytes)` — metadata,
+    * ~millions of rows at 100 TB, never the data itself. Per table
+    * partition, files are laid out size-descending (file_id tie-break)
+    * and cut into bins at every `targetBytes` of cumulative size: a
+    * file's bin is `floor(preceding_bytes / targetBytes)` — the
+    * streaming next-fit grouping every compactor (Delta OPTIMIZE,
+    * Iceberg rewriteDataFiles) uses, deterministic and rescan-free.
+    * Size-descending order packs the big files first so the tail bins
+    * collect the small-file long tail into full rewrites.
+    *
+    * Shape: one window per part_key over scalar metadata — parallel
+    * across partitions, no data file is ever read. Integer `div` so both
+    * engines cut identically.
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0,
+      s"compaction target must be positive, got $targetBytes")
+    val w = Window.partitionBy(col("part_key"))
+      .orderBy(col("bytes").desc, col("file_id"))
+    files
+      .select(col("part_key"), col("file_id"), col("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin",
+        expr(s"(cum - bytes) div ${targetBytes}L").cast("int"))
+      .drop("cum")
+  }
+
+  /** Per-bin rollup of [[compactionPlan]] — the compactor's work list:
+    * file count, total bytes, and whether the bin reached the target
+    * (the last bin per partition is usually a remainder; `is_full = false`
+    * bins smaller than one file need no rewrite at all when n_files = 1).
+    */
+  def compactionBins(files: DataFrame, targetBytes: Long): DataFrame =
+    compactionPlan(files, targetBytes)
+      .groupBy(col("part_key"), col("bin"))
+      .agg(count(lit(1)).cast("int").alias("n_files"),
+        sum(col("bytes")).alias("bin_bytes"))
+      .withColumn("is_full", col("bin_bytes") >= targetBytes)
 }

@@ -1391,6 +1391,129 @@ object Similarity {
         greatest(size(col("vec")), lit(1)), 6).alias("mean_abs_err"))
   }
 
+  /** Per-dimension 8-bit SCALAR quantization (the FAISS SQ8 index): each
+    * dimension is affinely mapped onto the 256-level grid of its own
+    * corpus [min, max]. Unlike [[quantizeStats]]' per-VECTOR symmetric
+    * scale (a loss audit), this is the stored-index face: one trained
+    * (min, span) pair per dimension, 1 byte per element — 4× smaller than
+    * float32, scanned with integer multiplies.
+    *
+    * The CODES are integer and hash-exact across engines: values pin to
+    * micro-units first (`round(x·10⁶)` — the engine's standard float
+    * pin), and the code is `⌊(m − minₘ)·255 / spanₘ⌋` clamped to
+    * [0, 255]. The one double division is provably exact to reproduce:
+    * numerator ≤ ~5·10⁸ is an exactly-represented integer, IEEE division
+    * is correctly rounded on both engines, and a non-exact quotient sits
+    * ≥ 1/span ≫ ulp away from any integer, so the floor cannot straddle
+    * engines. Constant dims (span 0) clamp to span 1 and code 0.
+    *
+    * Search scores against the RECONSTRUCTION `x̂ = (minₘ + c·spanₘ/255)
+    * / 10⁶` (asymmetric distance computation — raw-code dots would rank
+    * in the per-dim affine-normalized space, which reweights dimensions
+    * and wrecks recall). The decode is a fixed IEEE expression tree over
+    * exactly-represented integers, identical on both engines; `recon` and
+    * its norm ride along so the scan pays one dot per pair.
+    *
+    * Shape: per-dim stats are ONE map-side-combined aggregate over
+    * [[Dim]] keys, collapsed to a single row of (mins, maxs) arrays and
+    * broadcast back — the corpus never shuffles; encoding and decoding
+    * are pure projections (at scale the STORED index is the 1-byte
+    * codes + the 2·Dim bounds literals; decode happens in-scan).
+    */
+  def sq8Codes(prep: DataFrame): DataFrame = {
+    val micro = transform(col("vec"),
+      x => round(x * lit(1000000d)).cast("long"))
+    val withM = prep.select(col("vec_id"), col("vec"), col("norm"),
+      micro.alias("m"))
+    val stats = withM
+      .select(posexplode(col("m")).as(Seq("pos", "mv")))
+      .groupBy(col("pos"))
+      .agg(min(col("mv")).alias("mn"), max(col("mv")).alias("mx"))
+    // Dim rows → one (mins, maxs) row: struct-sort by pos makes the
+    // collect_list order deterministic under any partitioning.
+    val bounds = stats
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("mn"), col("mx")))).alias("e"))
+      .select(transform(col("e"), s => s.getField("mn")).alias("mns"),
+        transform(col("e"), s => s.getField("mx")).alias("mxs"))
+    withM.crossJoin(broadcast(bounds))
+      .withColumn("codes", zip_with(
+        zip_with(col("m"), col("mns"), (a, b) => a - b),
+        zip_with(col("mxs"), col("mns"), (a, b) => greatest(a - b, lit(1L))),
+        (d, s) => least(lit(255L),
+          floor(d.cast("double") * lit(255d) / s.cast("double"))
+            .cast("long"))))
+      // Decode: x̂ = (mn + c·span/255)/10⁶. c·span ≤ ~5·10⁹ stays an
+      // exact long; every double step after is one correctly-rounded
+      // IEEE op in a fixed tree — bit-identical across engines.
+      .withColumn("recon", zip_with(
+        col("mns"),
+        zip_with(col("codes"),
+          zip_with(col("mxs"), col("mns"), (a, b) => a - b),
+          (c, s) => c * s),
+        (mn, t) => (mn.cast("double") + t.cast("double") / lit(255d))
+          / lit(1000000d)))
+      .withColumn("recon_norm", sqrt(dot(col("recon"), col("recon"))))
+      .select(col("vec_id"), col("vec"), col("norm"), col("codes"),
+        col("recon"), col("recon_norm"))
+  }
+
+  /** SQ8 top-k with exact re-ranking: the scan scores each (query,
+    * vector) pair by the exact query against the RECONSTRUCTED vector
+    * (asymmetric distance computation), rounded to the engine's standard
+    * 6 dp (neighbor_id tie-break — the same float pin every cosine in
+    * this file uses), shortlists the top `refine·k`, and re-ranks with
+    * the exact vectors. Codes, decode, score, and both tie-breaks are
+    * engine-stable, so unlike PQ/IVF this trained index has a FULL
+    * hash-checked oracle twin, not just a recall floor.
+    *
+    * At 100 TB the stored index is the codes column + 2·Dim bound
+    * literals (4× smaller scans); the pass shape is [[bruteForceTopK]]'s
+    * broadcast-query scan with in-scan decode, and composes with the IVF
+    * cell join the same way PQ does.
+    */
+  def sq8TopK(
+      embeddings: DataFrame, k: Int = 5, refine: Int = 4): DataFrame =
+    sq8TopKPrepared(Materialize(prepared(embeddings)), k, refine)
+
+  private def sq8TopKPrepared(
+      prep: DataFrame, k: Int, refine: Int): DataFrame = {
+    require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
+    val coded = Materialize(sq8Codes(prep))
+    val queries = queryDraw(coded)
+      .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+        col("norm").alias("q_norm"))
+    val qscore = round(
+      dot(col("q_vec"), col("recon")) /
+        (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id"))
+    val shortlist = coded.crossJoin(boundedBroadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+        qscore.alias("qscore"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= refine * k)
+      .select(col("q_id"), col("neighbor_id"))
+    exactReRank(shortlist, coded, k)
+  }
+
+  /** [[recallAtK]] of [[sq8TopK]] vs brute force over one shared prepared
+    * frame, reduced to the hash-checked `(expected, floor_met)` audit
+    * face — the quality claim next to sim_sq8_topk's exact twin.
+    */
+  def sq8RecallAudit(
+      embeddings: DataFrame,
+      k: Int = 5,
+      refine: Int = 4,
+      floor: Double = 0.8): DataFrame = {
+    val prep = Materialize(prepared(embeddings))
+    recallAudit(
+      recallAtK(sq8TopKPrepared(prep, k, refine),
+        bruteForceTopKPrepared(prep, k)),
+      floor)
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

@@ -270,7 +270,19 @@ object QueriesDedup {
     "dedup_pagerank_keepers" -> ((s, d) =>
       Dedup.pagerankKeepers(StandIn.documents(s, d),
         MinhashK, MinhashBands, MinhashEstThreshold, JaccardThreshold)),
+
+    // Cluster-safe split: the split hash cut on the VERIFIED near-dup
+    // component label instead of the doc id, so train/val leakage is zero
+    // by construction for every pair the LSH+verify chain sees
+    // (Curation.splitClusterSafe).
+    "corpus_split_cluster_safe" -> ((s, d) =>
+      Curation.splitClusterSafe(StandIn.documents(s, d),
+        ClusterSplitFractions, MinhashK, MinhashBands,
+        MinhashEstThreshold, JaccardThreshold)),
   )
+
+  private val ClusterSplitFractions =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -768,5 +780,49 @@ object QueriesDedup {
          |             AND UNBOUNDED FOLLOWING) AS keeper_id
          |  FROM klabels k LEFT JOIN pfinal p USING (doc_id)
          |)""".stripMargin,
+
+    // Cluster-safe split twin: the SAME verified-pair components closure
+    // as the keeper oracle, then corpus_split's CASE cut on the CLUSTER
+    // label (hash-family member SplitHashIndex, integer boundaries from
+    // Curation.splitBounds — one definition on both engines).
+    "corpus_split_cluster_safe" -> {
+      val cases = ClusterSplitFractions.init
+        .zip(Curation.splitBounds(ClusterSplitFractions).init)
+        .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE $gramsSql, $sigSql, $bucketsSql, $candidatePairsSql,
+         |cverified AS MATERIALIZED (
+         |  SELECT e.a_id, e.b_id
+         |  FROM est e
+         |  JOIN grams ga ON ga.doc_id = e.a_id
+         |  JOIN grams gb ON gb.doc_id = e.b_id
+         |  WHERE e.est_sim >= $MinhashEstThreshold
+         |    AND round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |          / CAST(len(ga.g) + len(gb.g)
+         |              - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+         |            AS DOUBLE), 6) >= $JaccardThreshold
+         |), cedges AS (
+         |  SELECT a_id, b_id FROM cverified
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM cverified
+         |), creach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a_id, r.label FROM cedges e JOIN creach r
+         |    ON r.doc_id = e.b_id
+         |), clabels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM creach
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |       CASE $cases
+         |            ELSE '${ClusterSplitFractions.last._1}' END AS split
+         |FROM (
+         |  SELECT doc_id, cluster_id,
+         |         ${hashSql(s"'${Curation.SplitHashIndex}:'",
+                      "CAST(cluster_id AS VARCHAR)")} % 10000 AS b
+         |  FROM clabels
+         |)""".stripMargin
+    },
   )
 }

@@ -251,7 +251,39 @@ object QueriesOlap {
 
     "join_attribution"    -> ((s, d) =>
       graft.ops.StreamJoin.purchaseAttribution(StandIn.events(s, d))),
+
+    // File-compaction planner over a synthetic manifest (lang-partition
+    // files of ~filesPerPart docs): per-partition size-desc next-fit
+    // binning at CompactionTarget bytes (Olap.compactionPlan — the
+    // small-files fix; the manifest is metadata, the data never moves).
+    "olap_compaction_plan" -> ((s, d) =>
+      graft.ops.Olap.compactionPlan(manifest(s, d), CompactionTarget)),
+
+    // The compactor's per-bin work list (Olap.compactionBins).
+    "olap_compaction_bins" -> ((s, d) =>
+      graft.ops.Olap.compactionBins(manifest(s, d), CompactionTarget)),
   )
+
+  // Synthetic file manifest: the documents table as lang-partitioned
+  // "files" of docs grouped by doc_id mod ManifestFilesPerPart, sized by
+  // their n_chars total — the (part_key, file_id, bytes) metadata shape a
+  // real table's transaction log would provide.
+  private val ManifestFilesPerPart = 40
+  private val CompactionTarget = 2048L
+
+  private val manifestSql =
+    s"""manifest AS (
+       |  SELECT lang AS part_key, doc_id % $ManifestFilesPerPart AS file_id,
+       |         CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2
+       |)""".stripMargin
+
+  private def manifest(s: SparkSession, d: String): DataFrame =
+    StandIn.documents(s, d)
+      .groupBy(col("lang").alias("part_key"),
+        pmod(col("doc_id"), lit(ManifestFilesPerPart.toLong))
+          .alias("file_id"))
+      .agg(sum(coalesce(col("n_chars"), lit(0L))).alias("bytes"))
 
   def oracleSql: Map[String, String] = Map(
     // Pivot twin (Olap.pivotEventCounts): conditional aggregation — the
@@ -617,6 +649,31 @@ object QueriesOlap {
         |SELECT event_id, za, zb,
         |       CAST((((za >> 0) & 1) << 1) | (((zb >> 0) & 1) << 0) | (((za >> 1) & 1) << 3) | (((zb >> 1) & 1) << 2) | (((za >> 2) & 1) << 5) | (((zb >> 2) & 1) << 4) | (((za >> 3) & 1) << 7) | (((zb >> 3) & 1) << 6) | (((za >> 4) & 1) << 9) | (((zb >> 4) & 1) << 8) | (((za >> 5) & 1) << 11) | (((zb >> 5) & 1) << 10) | (((za >> 6) & 1) << 13) | (((zb >> 6) & 1) << 12) | (((za >> 7) & 1) << 15) | (((zb >> 7) & 1) << 14) | (((za >> 8) & 1) << 17) | (((zb >> 8) & 1) << 16) | (((za >> 9) & 1) << 19) | (((zb >> 9) & 1) << 18) AS BIGINT) AS zkey
         |FROM zz""".stripMargin,
+
+    // Compaction-planner twins (Olap.compactionPlan / compactionBins):
+    // same synthetic manifest, same size-desc (file_id tie-break)
+    // cumulative window, same integer floor division at the target —
+    // `//` is DuckDB's BIGINT floor div, `div` Spark's.
+    "olap_compaction_plan" ->
+      s"""WITH $manifestSql
+         |SELECT part_key, file_id, bytes,
+         |       CAST((sum(bytes) OVER (PARTITION BY part_key
+         |              ORDER BY bytes DESC, file_id) - bytes)
+         |            // $CompactionTarget AS INT) AS bin
+         |FROM manifest""".stripMargin,
+
+    "olap_compaction_bins" ->
+      s"""WITH $manifestSql, plan AS (
+         |  SELECT part_key, bytes,
+         |         CAST((sum(bytes) OVER (PARTITION BY part_key
+         |                ORDER BY bytes DESC, file_id) - bytes)
+         |              // $CompactionTarget AS INT) AS bin
+         |  FROM manifest
+         |)
+         |SELECT part_key, bin, CAST(count(*) AS INT) AS n_files,
+         |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         |       sum(bytes) >= $CompactionTarget AS is_full
+         |FROM plan GROUP BY 1, 2""".stripMargin,
 
     // Week-over-week twin (Olap.weekOverWeek): same day arithmetic,
     // same lag-7 + calendar-week guard over the daily CTE.

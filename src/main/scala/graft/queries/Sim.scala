@@ -260,7 +260,29 @@ object QueriesSim {
         Similarity.kmeansIvfTopK(StandIn.embeddings(s, d), IvfCells,
           iters = 3, k = TopK, nprobe = 2),
         StandIn.embeddings(s, d), TopK)),
+
+    // SQ8 per-dimension scalar quantization top-k: integer codes, integer
+    // shortlist, exact re-rank — the one TRAINED index deterministic
+    // enough for a FULL hash-checked oracle twin, no recall floor needed
+    // (Similarity.sq8TopK scaladoc on why the floor division cannot
+    // straddle engines).
+    "sim_sq8_topk" -> ((s, d) =>
+      Similarity.sq8TopK(StandIn.embeddings(s, d), TopK, Sq8Refine)),
+
+    // The quality claim next to the exact twin: recall@k vs brute force
+    // ≥ Sq8RecallFloor, hash-checked (expected, floor_met).
+    "sim_sq8_recall_audit" -> ((s, d) =>
+      Similarity.sq8RecallAudit(StandIn.embeddings(s, d), TopK,
+        Sq8Refine, Sq8RecallFloor)),
   )
+
+  private val Sq8Refine = 4
+
+  // Measured 1.0 at sf0.01/sf0.1 (2000 vecs) and sf1.0 (20k vecs): SQ8's
+  // per-dim 1/255 grid distorts cosines by ~1e-3, far under neighbor
+  // margins, and the refine·k exact re-rank absorbs the rest. 0.9 is a
+  // regression floor, not the measurement.
+  private val Sq8RecallFloor = 0.9
 
   def oracleSql: Map[String, String] = Map(
     // Embedding-space twin (Similarity.cosineHistogram): 0.1-wide integer
@@ -622,5 +644,85 @@ object QueriesSim {
          |)
          |SELECT vec_id, min(label) AS cluster_id
          |FROM creach GROUP BY vec_id""".stripMargin,
+
+    // SQ8 FULL twin (Similarity.sq8Codes / sq8TopK): the same micro-unit
+    // pin, per-dim [min, max] grid, integer-floor codes, the same fixed
+    // IEEE decode tree, 6-dp rounded reconstructed-cosine shortlist at
+    // refine·k (vec_id tie-break), and exact re-rank — every stage either
+    // pure integer or the engine-stable float pin, so the trained index
+    // hash-matches row for row.
+    "sim_sq8_topk" ->
+      s"""WITH $prepSql, $sq8Sql, sq8cand AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q.q_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY round(
+         |               ${dotSql("q.q_vec", "c.recon")}
+         |               / (q.q_norm * greatest(c.rnorm, 1e-12)), 6) DESC,
+         |             c.vec_id) AS rk
+         |    FROM sq8r c, queries q WHERE c.vec_id <> q.q_id)
+         |  WHERE rk <= ${Sq8Refine * TopK}
+         |), sq8ver AS (
+         |  SELECT s.q_id, s.neighbor_id,
+         |         ${cosSql("pq.vec", "pq.norm", "pn.vec", "pn.norm")} AS cos_sim
+         |  FROM sq8cand s
+         |  JOIN prepn pq ON pq.vec_id = s.q_id
+         |  JOIN prepn pn ON pn.vec_id = s.neighbor_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM sq8ver)
+         |WHERE rank <= $TopK""".stripMargin,
+
+    // SQ8 recall audit (Similarity.sq8RecallAudit): expected from the
+    // oracle's own draw CTE, floor_met pinned TRUE (the index is fully
+    // deterministic; the topk twin above checks the rows themselves).
+    "sim_sq8_recall_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor_met""".stripMargin,
   )
+
+  // DuckDB twin of Similarity.sq8Codes: micro-unit pin, per-dim bounds
+  // collapsed to one (mns, mxs) row, integer-floor 256-level codes, the
+  // same fixed decode tree (mn + c·span/255)/10⁶ and its left-fold norm.
+  private val sq8Sql =
+    s"""sq8m AS (
+       |  SELECT vec_id,
+       |         list_transform(vec,
+       |           x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+       |  FROM prepn
+       |), sq8b AS (
+       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+       |  FROM (
+       |    SELECT CAST(i.range AS INT) AS pos,
+       |           min(m[CAST(i.range AS INT)]) AS mn,
+       |           max(m[CAST(i.range AS INT)]) AS mx
+       |    FROM sq8m, range(1, ${Similarity.Dim + 1}) i
+       |    GROUP BY 1)
+       |), sq8c AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |           i -> least(255, CAST(floor(
+       |             CAST((m[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255
+       |               AS DOUBLE)
+       |             / greatest(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)], 1))
+       |             AS BIGINT))) AS codes
+       |  FROM sq8m, sq8b
+       |), sq8d AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |           i -> (CAST(mns[CAST(i AS INT)] AS DOUBLE)
+       |                 + CAST(codes[CAST(i AS INT)]
+       |                        * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)])
+       |                     AS DOUBLE) / 255.0) / 1000000.0) AS recon
+       |  FROM sq8c, sq8b
+       |), sq8r AS (
+       |  SELECT vec_id, recon,
+       |         sqrt(list_reduce(list_transform(recon, x -> x * x),
+       |              (a, b) -> a + b)) AS rnorm
+       |  FROM sq8d
+       |)""".stripMargin
 }

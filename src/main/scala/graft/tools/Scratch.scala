@@ -28,6 +28,14 @@ object Scratch {
       }
       val cos = graft.ops.Similarity.rpCosineShrinkAudit(emb).collect().head
       println(s"[scratch] $dir shrink=$cos")
+      if (sys.env.contains("SCRATCH_SQ8")) {
+        for (refine <- sys.env("SCRATCH_SQ8").split(",").map(_.trim.toInt)) {
+          val r = graft.ops.Similarity.recallAtK(
+            graft.ops.Similarity.sq8TopK(emb, 5, refine),
+            graft.ops.Similarity.bruteForceTopK(emb, 5)).collect().head
+          println(s"[scratch] $dir sq8 refine=$refine recall=$r")
+        }
+      }
       if (sys.env.contains("SCRATCH_IVFPQ")) {
         for (refine <- sys.env("SCRATCH_IVFPQ").split(",").map(_.trim.toInt)) {
           val r = graft.ops.Similarity

@@ -128,6 +128,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("splitClusterSafe: near-dup clusters never straddle splits; " +
+    "singletons match assignSplits") {
+    // 60 near-dup pairs (i, i+1000 sharing text) + 80 singletons; each
+    // pair's vocabulary is disjoint from every other pair's, so clusters
+    // stay size-2 and there are enough that a per-doc split WOULD
+    // straddle some pair.
+    val pairDocs = (1L to 60L).flatMap { i =>
+      val t = (1 to 15).map(j => s"w${i}x$j").mkString(" ")
+      Seq((i, t), (i + 1000L, t))
+    }
+    val soloDocs = (2001L to 2080L).map(i =>
+      (i, (1 to 15).map(j => s"s${i}y$j").mkString(" ")))
+    val corpus = docs(pairDocs ++ soloDocs: _*)
+    val out = Curation.splitClusterSafe(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out.size === 200)
+    // Every near-dup pair: same cluster, same split — leakage impossible.
+    (1L to 60L).foreach { i =>
+      assert(out(i) === out(i + 1000L), s"pair $i straddles splits")
+      assert(out(i)._1 === i) // min-id cluster label
+    }
+    // The doc-id split WOULD have straddled at least one pair (the
+    // property this operator exists to remove).
+    val byDoc = Curation.assignSplits(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 60L).exists(i => byDoc(i) != byDoc(i + 1000L)))
+    // Singletons hash their own id: identical to assignSplits.
+    (2001L to 2080L).foreach { i =>
+      assert(out(i) === ((i, byDoc(i))))
+    }
+    // All three splits are populated across the 140 clusters.
+    assert(out.values.map(_._2).toSet === Set("train", "val", "test"))
+  }
+
   test("shuffleShards: a permutation — contiguous positions, deterministic") {
     val corpus = docs((1L to 300L).map(i => (i, good1)): _*)
     val out = Curation.shuffleShards(corpus, nShards = 4).collect()

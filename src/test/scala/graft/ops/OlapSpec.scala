@@ -370,4 +370,33 @@ class OlapSpec extends SparkSpec {
     // n_digits*5e-7 of rounding residue.
     assert(math.abs(out.map(_.getAs[Double]("observed")).sum - 1.0) < 1e-5)
   }
+
+  test("compactionPlan: size-desc next-fit bins, per-partition, " +
+    "deterministic ties; bins rollup agrees") {
+    import spark.implicits._
+    val manifest = Seq(
+      // part "a": sizes desc 900, 500, 500, 300, 100 → cum-before
+      // 0, 900, 1400, 1900, 2200 → bins at target 1000: 0, 0, 1, 1, 2.
+      ("a", 1L, 500L), ("a", 2L, 900L), ("a", 3L, 500L),
+      ("a", 4L, 300L), ("a", 5L, 100L),
+      // part "b": one oversized file is alone in bin 0; the next starts
+      // its own bin (cum-before 2500 → bin 2).
+      ("b", 1L, 2500L), ("b", 2L, 10L)
+    ).toDF("part_key", "file_id", "bytes")
+    val out = Olap.compactionPlan(manifest, 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(out === Map(
+      ("a", 2L) -> 0, ("a", 1L) -> 0, ("a", 3L) -> 1,
+      ("a", 4L) -> 1, ("a", 5L) -> 2,
+      ("b", 1L) -> 0, ("b", 2L) -> 2))
+    // Equal sizes cut by file_id: (a,1) before (a,3) — pinned above.
+    val bins = Olap.compactionBins(manifest, 1000L).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(bins(("a", 0)) === ((2, 1400L, true)))
+    assert(bins(("a", 1)) === ((2, 800L, false)))
+    assert(bins(("a", 2)) === ((1, 100L, false)))
+    assert(bins(("b", 0)) === ((1, 2500L, true)))
+    assert(bins(("b", 2)) === ((1, 10L, false)))
+  }
 }

@@ -341,6 +341,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.getAs[Boolean]("ok_distortion"))
   }
 
+  test("sq8Codes: codes span [0, 255] and hit the grid endpoints per dim") {
+    val data = emb(
+      (1L, Seq(0.0, -2.0, 7.5)),
+      (2L, Seq(1.0, 3.0, 7.5)),
+      (3L, Seq(0.5, 0.5, 7.5)))
+    val out = Similarity.sq8Codes(Similarity.prepared(data))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    // Dim 1 spans [0, 1]: min doc codes 0, max codes 255, mid 127.
+    assert(out(1L)(0) === 0L && out(2L)(0) === 255L)
+    assert(out(3L)(0) === 127L) // floor(0.5 * 255) on the integer grid
+    // Dim 2 spans [-2, 3]: endpoints again.
+    assert(out(1L)(1) === 0L && out(2L)(1) === 255L)
+    // Constant dim 3 (and the zero padding): span clamps to 1, code 0.
+    assert(out.values.forall(c => c(2) === 0L && c(3) === 0L))
+    assert(out.values.forall(_.forall(c => c >= 0L && c <= 255L)))
+  }
+
+  test("sq8TopK equals brute force when the shortlist covers the corpus; " +
+    "recall audit holds on clustered data") {
+    // 15 vectors < refine·k = 20: the integer shortlist covers every
+    // candidate, so the exact re-rank must reproduce brute force exactly.
+    val small = emb((0L until 15L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 2.7 + j))): _*)
+    val sq8 = Similarity.sq8TopK(small, k = 3, refine = 7)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    val brute = Similarity.bruteForceTopK(small, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(sq8 === brute)
+    // On the trained-quantizer shape, the 8-bit grid + exact re-rank
+    // holds well above the registered 0.9 floor.
+    val audit = Similarity.sq8RecallAudit(clusteredEmb(40), k = 5,
+      refine = 4, floor = 0.9).collect().head
+    assert(audit.getAs[Long]("expected") === 250L)
+    assert(audit.getAs[Boolean]("floor_met"))
+  }
+
   test("random projection: ratios concentrate near 1 across a spread of vectors") {
     val data = emb((0L until 40L).map(i =>
       i -> Seq.tabulate(8)(j => math.sin(i * 3.1 + j).abs + 0.1)): _*)
