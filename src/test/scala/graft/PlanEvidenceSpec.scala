@@ -658,6 +658,51 @@ class PlanEvidenceSpec extends SparkSpec {
       assert(!l.contains("text#"), s"text in a shuffle: $l")
   }
 
+  test("sim_sq8_topk: per-dim stats broadcast back; no product anywhere") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = SparkEntry.queries("sim_sq8_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The (mins, maxs) single row and the constant query draw are the
+    // ONLY things that may cross a broadcast; the corpus never
+    // hash-exchanges on a data key before the shortlist window.
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"sq8 bounds/queries must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"sq8 scan planned a Cartesian product:\n$plan")
+  }
+
+  test("olap_compaction_plan: one manifest aggregation, window per " +
+    "part_key — metadata only, no second documents scan") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("olap_compaction_plan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"compaction planner must read the table once, saw $scans:\n$plan")
+    // The bin cut is a per-part_key running sum — the window must
+    // partition by part_key (parallel across partitions), never be a
+    // single global sort.
+    assert(plan.contains("windowspecdefinition(part_key"),
+      s"compaction window not partitioned by part_key:\n$plan")
+    // The text column feeds nothing: only n_chars and the grouping keys
+    // may leave the scan.
+    val scan = plan.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("text"), s"manifest scan reads text: $scan")
+  }
+
+  test("corpus_split_cluster_safe: the split CASE is a projection on the " +
+    "component label; text dies at the shingling pass") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("corpus_split_cluster_safe")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cluster-safe split planned a product:\n$plan")
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text#"), s"text in a shuffle: $l")
+  }
+
   test("text_bm25_topk: query-term filter lands before the tf shuffle; " +
     "final k is TakeOrdered, not a global sort") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
