@@ -622,8 +622,19 @@ object QueriesMultimodal {
          |JOIN ah sb ON sb.doc_id = p.b_id
          |WHERE bit_count(xor(sa.ahash, sb.ahash)) <= 8""".stripMargin,
 
-    // Image-cluster twin: the mm_phash_pairs CTEs + the recursive-CTE
-    // components the text/embedding cluster oracles use.
+    // Image-cluster twin: the mm_phash_pairs CTEs + min-label
+    // PROPAGATION with per-round GROUP BY (the pagerank-twin recursion
+    // shape, self-loops folding "own label" into the neighbor min so the
+    // recursive table is referenced once). NOT the reach-closure form the
+    // sparse text/embedding cluster oracles use: reach accumulates
+    // Θ(Σ component²) rows, and the sf1.0 image graph is DENSE — 9.9M
+    // verified pairs across 10-copy duplicate groups blew the closure
+    // past feasibility while this form runs the same 20M-edge round in
+    // ~1 s. 20 rounds cover diameter 20 (measured fixpoint at sf1.0 with
+    // rounds to spare); an unconverged run CANNOT pass silently — labels
+    // still moving ≠ Spark's exact fixpoint, so the hash check goes red.
+    // pverified is MATERIALIZED so the decode→ahash→banded join runs
+    // once, not once per round.
     "mm_phash_clusters" ->
       s"""WITH RECURSIVE $phashCtesSql, pbands AS (
          |  SELECT doc_id, ahash, b.band AS band,
@@ -634,7 +645,7 @@ object QueriesMultimodal {
          |  FROM pbands a
          |  JOIN pbands b ON a.band = b.band AND a.bv = b.bv
          |              AND a.doc_id < b.doc_id
-         |), pverified AS (
+         |), pverified AS MATERIALIZED (
          |  SELECT p.a_id, p.b_id
          |  FROM ppairs p
          |  JOIN ah sa ON sa.doc_id = p.a_id
@@ -644,14 +655,18 @@ object QueriesMultimodal {
          |  SELECT a_id, b_id FROM pverified
          |  UNION ALL
          |  SELECT b_id, a_id FROM pverified
-         |), preach(media_id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a_id, r.label FROM pedges e JOIN preach r
-         |    ON r.media_id = e.b_id
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id AS a_id, doc_id AS b_id FROM documents
+         |), plp(it, media_id, label) AS (
+         |  SELECT 0, doc_id, doc_id FROM documents
+         |  UNION ALL
+         |  SELECT it + 1, e.b_id, min(plp.label)
+         |  FROM plp JOIN pedges e ON e.a_id = plp.media_id
+         |  WHERE it < 20
+         |  GROUP BY it + 1, e.b_id
          |)
-         |SELECT media_id, min(label) AS cluster_id
-         |FROM preach GROUP BY media_id""".stripMargin,
+         |SELECT media_id, label AS cluster_id
+         |FROM plp WHERE it = 20""".stripMargin,
 
     // Motion twin: consecutive-frame |delta| re-derived from the gray
     // formula over the (frame-pair, x, y) grid - lossless round-trip
