@@ -274,6 +274,14 @@ object QueriesSim {
     "sim_sq8_recall_audit" -> ((s, d) =>
       Similarity.sq8RecallAudit(StandIn.embeddings(s, d), TopK,
         Sq8Refine, Sq8RecallFloor)),
+
+    // IVF × SQ8 composed index: cell equi-join candidates scanned at
+    // SQ8 width, ADC shortlist, exact re-rank — nprobe=1 over the
+    // deterministic seed-7 quantizer keeps the COMPOSITION fully
+    // hash-checkable (Similarity.ivfSq8TopK).
+    "sim_ivfsq8_topk" -> ((s, d) =>
+      Similarity.ivfSq8TopK(StandIn.embeddings(s, d), IvfCells, TopK,
+        Sq8Refine)),
   )
 
   private val Sq8Refine = 4
@@ -683,6 +691,38 @@ object QueriesSim {
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,
          |       TRUE AS floor_met""".stripMargin,
+
+    // IVF×SQ8 twin (Similarity.ivfSq8TopK): the seed-7 argmax cell join
+    // of sim_ivf_topk, the SQ8 decode of sim_sq8_topk, the same 6-dp ADC
+    // shortlist at refine·k, exact re-rank.
+    "sim_ivfsq8_topk" ->
+      s"""WITH $prepSql, $ivfCellsSql, $sq8Sql, ivq AS (
+         |  SELECT b.cell, b.vec_id AS q_id, b.vec AS q_vec, b.norm AS q_norm
+         |  FROM ivf b WHERE b.vec_id IN (SELECT q_id FROM queries)
+         |), iscand AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q.q_id, p.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY round(
+         |               ${dotSql("q.q_vec", "r.recon")}
+         |               / (q.q_norm * greatest(r.rnorm, 1e-12)), 6) DESC,
+         |             p.vec_id) AS rk
+         |    FROM ivf p
+         |    JOIN ivq q ON p.cell = q.cell AND p.vec_id <> q.q_id
+         |    JOIN sq8r r ON r.vec_id = p.vec_id)
+         |  WHERE rk <= ${Sq8Refine * TopK}
+         |), isver AS (
+         |  SELECT s.q_id, s.neighbor_id,
+         |         ${cosSql("pq.vec", "pq.norm", "pn.vec", "pn.norm")} AS cos_sim
+         |  FROM iscand s
+         |  JOIN prepn pq ON pq.vec_id = s.q_id
+         |  JOIN prepn pn ON pn.vec_id = s.neighbor_id
+         |)
+         |SELECT q_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM isver)
+         |WHERE rank <= $TopK""".stripMargin,
   )
 
   // DuckDB twin of Similarity.sq8Codes: micro-unit pin, per-dim bounds

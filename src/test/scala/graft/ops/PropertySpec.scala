@@ -362,4 +362,77 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // Driver-side brute force for the exact set-similarity contracts below:
+  // w=4 shingle sets, 6-dp half-up rounded Jaccard, threshold from the op.
+  private def w4grams(text: String): Set[String] = {
+    val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    t.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+  }
+
+  private def jac6(a: Set[String], b: Set[String]): Double = {
+    val i = (a & b).size
+    BigDecimal(i.toDouble / (a.size + b.size - i))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("property: setSimJoin ≡ all-pairs brute force on random corpora " +
+    "(zero false negatives is the contract, not a fixture artifact)") {
+    import spark.implicits._
+    // Two regimes per draw: a NARROW vocabulary (dense shingle universe,
+    // heavy prefix overlap — the regime that stresses the positional
+    // filter) and chained near-identical variants (the regime that makes
+    // qualifying pairs). Sizes vary per seed.
+    val narrow = (1 to 8).map(i => s"n$i")
+    def randomDoc(r: scala.util.Random): String =
+      if (r.nextBoolean())
+        (1 to 10 + r.nextInt(20)).map(_ => narrow(r.nextInt(narrow.size)))
+          .mkString(" ")
+      else {
+        val stem = (1 to 12 + r.nextInt(10)).map(j => s"s${r.nextInt(4)}x$j")
+        (stem ++ (1 to r.nextInt(4)).map(j => s"t$j")).mkString(" ")
+      }
+    forAllSeeded(Gen.choose(1, 1000000), runs = 4) { seed =>
+      val r = new scala.util.Random(seed)
+      val corpus = (0 until 18 + r.nextInt(12))
+        .map(i => (i.toLong, randomDoc(r)))
+      val expected = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        ga = w4grams(ta); gb = w4grams(tb) if ga.nonEmpty && gb.nonEmpty
+        j = jac6(ga, gb) if j >= Dedup.SetSimThreshold
+      } yield (a, b, j)).toSet
+      val out = Dedup.setSimJoin(corpus.toDF("doc_id", "text"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getAs[Double]("jaccard")))
+        .toSet
+      assert(out === expected, s"seed $seed: exact join diverged from " +
+        s"brute force (${out.size} vs ${expected.size} pairs)")
+    }
+  }
+
+  test("property: setSimJoinCross ≡ brute force on random split corpora") {
+    import spark.implicits._
+    forAllSeeded(Gen.choose(1, 1000000), runs = 3) { seed =>
+      val r = new scala.util.Random(seed)
+      def doc(i: Int): String = {
+        val stem = (1 to 14).map(j => s"c${r.nextInt(3)}v$j")
+        (stem ++ (1 to r.nextInt(3)).map(j => s"u${r.nextInt(5)}$j"))
+          .mkString(" ")
+      }
+      val left = (0 until 12).map(i => (i.toLong, doc(i)))
+      val right = (0 until 8).map(i => (100L + i, doc(i)))
+      val expected = (for {
+        (a, ta) <- left; (b, tb) <- right
+        ga = w4grams(ta); gb = w4grams(tb) if ga.nonEmpty && gb.nonEmpty
+        j = jac6(ga, gb) if j >= Dedup.SetSimThreshold
+      } yield (a, b, j)).toSet
+      val out = Dedup.setSimJoinCross(
+        left.toDF("doc_id", "text"), right.toDF("doc_id", "text"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getAs[Double]("jaccard")))
+        .toSet
+      assert(out === expected, s"seed $seed: cross join diverged " +
+        s"(${out.size} vs ${expected.size} pairs)")
+    }
+  }
 }

@@ -379,6 +379,23 @@ class SimilaritySpec extends SparkSpec {
     assert(audit.getAs[Boolean]("floor_met"))
   }
 
+  test("ivfSq8TopK equals ivfTopK when the shortlist covers each cell " +
+    "(the exact-rerank guarantee composed with the cell join)") {
+    val data = emb((0L until 30L).map(i =>
+      i -> Seq.tabulate(8)(j => math.cos(i * 1.9 + j * 0.7))): _*)
+    // refine·k = 30 ≥ any cell's population, so the SQ8 shortlist covers
+    // the whole cell and the exact re-rank must reproduce the plain
+    // nprobe=1 IVF result row for row.
+    val composed = Similarity.ivfSq8TopK(data, cells = 4, k = 3, refine = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    val plain = Similarity.ivfTopK(data, cells = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(composed === plain)
+    assert(composed.nonEmpty)
+  }
+
   test("random projection: ratios concentrate near 1 across a spread of vectors") {
     val data = emb((0L until 40L).map(i =>
       i -> Seq.tabulate(8)(j => math.sin(i * 3.1 + j).abs + 0.1)): _*)
