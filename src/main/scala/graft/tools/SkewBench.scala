@@ -86,6 +86,28 @@ object SkewBench {
     }
     val worst = results.map { case (_, u, s) => s / u }.max
     println(f"[skew] worst ratio: $worst%5.2f (gate: <= 2.0)")
+
+    // OUTPUT-BOUND regime, reported separately from the ratio gate: the
+    // skew fixture's boilerplate floods 5 % of the corpus into ONE
+    // near-dup clique, so the exact set-similarity answer (and the
+    // verified graph the keeper table consumes) IS Θ(clique²) ≈ 3.1M
+    // pairs — a cost no algorithm shrinks. The measurement here is
+    // throughput on the adversarial case (does the join compute the
+    // blown-up answer or die), not a skew-guard ratio.
+    for ((name, f) <- Seq[(String, String => (DataFrame, String))](
+        ("dedup_setsim_exact", k => (Dedup.setSimJoin(docF(k)), "pairs")),
+        ("dedup_pagerank_keepers",
+          k => (Dedup.pagerankKeepers(docF(k)), "rows"))): Seq[(String,
+            String => (DataFrame, String))]) {
+      for (kind <- Seq("uniform", "skew")) {
+        val t0 = System.nanoTime()
+        val (df, unit) = f(kind)
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[skew-output] $name%-22s $kind%-7s $n%9d $unit " +
+          f"in $secs%7.2fs (${n / math.max(secs, 1e-9)}%,.0f $unit/s)")
+      }
+    }
     spark.stop()
   }
 }
