@@ -410,6 +410,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: maxSpans span_tokens ≡ driver-DP longest common token " +
+    "substring on random stem-spliced corpora") {
+    import spark.implicits._
+    def lcsTokens(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    forAllSeeded(Gen.choose(1, 1000000), runs = 3) { seed =>
+      val r = new scala.util.Random(seed)
+      // Shared stems spliced between unique filler: common runs of
+      // varying length land at DIFFERENT offsets per doc, so the span
+      // report must find the best alignment, not a fixed diagonal.
+      val stems = (0 until 5).map(s =>
+        (0 until 6 + r.nextInt(10)).map(j => s"st${s}w$j"))
+      def doc(): String =
+        (0 until 2 + r.nextInt(3)).flatMap { _ =>
+          if (r.nextBoolean()) stems(r.nextInt(stems.size))
+          else (0 until 3 + r.nextInt(5)).map(_ => s"u${r.nextInt(100000)}")
+        }.mkString(" ")
+      val corpus = (0 until 12).map(i => (i.toLong, doc()))
+      val toks = corpus.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      }.toMap
+      val expected = (for {
+        (a, _) <- corpus; (b, _) <- corpus if a < b
+        s = lcsTokens(toks(a), toks(b))
+        if s >= Dedup.SubstringShingleLen
+      } yield (a, b) -> s.toLong).toMap
+      val out = Dedup.maxSpans(corpus.toDF("doc_id", "text"))
+        .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) ->
+          x.get(x.fieldIndex("span_tokens")).toString.toLong).toMap
+      assert(out === expected, s"seed $seed: span report diverged from DP")
+    }
+  }
+
   test("property: setSimJoinCross ≡ brute force on random split corpora") {
     import spark.implicits._
     forAllSeeded(Gen.choose(1, 1000000), runs = 3) { seed =>
