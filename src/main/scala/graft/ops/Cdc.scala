@@ -56,6 +56,43 @@ object Cdc {
         col("ts_sec").alias("as_of_s"))
   }
 
+  /** Changelog compaction WITH tombstone garbage collection — the
+    * Kafka-log-compaction `delete.retention.ms` / Delta-CDC VACUUM
+    * semantics [[applyLatest]] deliberately skips: the compacted log
+    * keeps one row per key (latest wins), and a key whose latest entry
+    * is a TOMBSTONE stays in the log as an explicit delete marker until
+    * the GC watermark passes it — downstream incremental consumers that
+    * have not read past the watermark yet still need the delete; only
+    * tombstones older than the watermark vanish (with their key). The
+    * watermark is the integer midpoint of the event timeline (the
+    * [[graft.ops.Profile]] PSI cut convention) so the query is
+    * scale-invariant; production callers pass their retention cut the
+    * same way.
+    *
+    * Shape: one bounds aggregate broadcast back (the facts never shuffle
+    * for the cut), then the [[applyLatest]] top-1 window — one Exchange
+    * on the key. Integer `div` midpoint, engine-stable.
+    */
+  def compactChangelog(
+      events: DataFrame, tombstoneType: String = "error"): DataFrame = {
+    val rows = events
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), tsSec,
+        col("event_type"), col("value"))
+    val bounds = rows.agg(min(col("ts_sec")).alias("lo"),
+      max(col("ts_sec")).alias("hi"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .withColumn("is_tombstone", col("event_type") === lit(tombstoneType))
+      .where(!col("is_tombstone") ||
+        col("ts_sec") >= expr("(lo + hi + 1) div 2"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts_sec").alias("as_of_s"), col("is_tombstone"))
+  }
+
   /** SCD Type-2 history: the user's `event_type` register compressed into
     * validity intervals. Consecutive repeats collapse (a version opens
     * only when the state CHANGES); each version carries `valid_from_s`

@@ -411,6 +411,42 @@ object Curation {
       }
   }
 
+  /** Power-of-two LENGTH-BUCKET batching report — the padding-efficiency
+    * diagnostic of bucketed training batches: documents grouped by
+    * `⌊log₂(tokens)⌋ + 1` (computed as the BINARY-DIGIT COUNT of the
+    * token count, an all-integer path — `floor(log2(x))` through IEEE
+    * log is off-by-one-able exactly at the powers of two that define the
+    * buckets), and per bucket the tokens a pad-to-in-bucket-max batcher
+    * would waste. Buckets with efficiency well under ~0.75 say "split
+    * this bucket"; the report is what a data loader's bucketing config
+    * is tuned against.
+    *
+    * Shape: one corpus scan, token counts in the scan projection, one
+    * ≤64-key groupBy (map-side combined) — embarrassingly parallel, the
+    * ideal 100 TB diagnostic. Empty docs clamp to bucket 1 with
+    * n_toks = 0; the efficiency denominator is floored at 1.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).alias("n_toks"))
+    val bucket =
+      length(conv(greatest(col("n_toks"), lit(1)).cast("string"), 10, 2))
+    staged
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n_docs"),
+        min(col("n_toks")).alias("min_toks"),
+        max(col("n_toks")).alias("max_toks"),
+        sum(col("n_toks")).cast("long").alias("sum_toks"))
+      .select(col("bucket"), col("n_docs"), col("min_toks"),
+        col("max_toks"), col("sum_toks"),
+        (col("max_toks") * col("n_docs") - col("sum_toks"))
+          .alias("pad_waste_toks"),
+        round(col("sum_toks").cast("double") /
+          greatest(col("max_toks") * col("n_docs"), lit(1L)), 6)
+          .alias("pad_efficiency"))
+  }
+
   /** Near-dup-CLUSTER-safe split assignment: the split hash is cut on the
     * document's verified near-dup component label, not its own id, so an
     * entire cluster of near-duplicates lands in ONE split — the

@@ -479,6 +479,13 @@ object QueriesCorpus {
     "corpus_stats"        -> ((s, d) =>
       Curation.corpusStats(StandIn.documents(s, d))),
 
+    // Power-of-2 length-bucket padding report: per ⌊log2(tokens)⌋+1
+    // bucket the tokens a pad-to-bucket-max batcher wastes — the data
+    // loader's bucketing diagnostic (Curation.lengthBuckets; binary-
+    // digit-count buckets keep the boundary off IEEE log ulps).
+    "corpus_length_buckets" -> ((s, d) =>
+      Curation.lengthBuckets(StandIn.documents(s, d))),
+
     // Snapshot-report composite: dashboard + drift verdict + length
     // summaries in ONE row (Curation.corpusReport).
     "corpus_report"       -> ((s, d) =>
@@ -1235,6 +1242,26 @@ object QueriesCorpus {
          |       round(CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1), 6)
          |         AS avg_doc_tokens
          |FROM csd, cst, csv""".stripMargin,
+
+    // Length-bucket twin (Curation.lengthBuckets): the same binary-digit
+    // bucket off the raw token count, integer waste, 6-dp efficiency.
+    "corpus_length_buckets" ->
+      s"""WITH $rawToksSql, lb AS (
+         |  SELECT doc_id, CAST(len(t) AS INT) AS n_toks,
+         |         CAST(length(bin(CAST(greatest(len(t), 1) AS BIGINT)))
+         |           AS INT) AS bucket
+         |  FROM toks
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(n_toks) AS INT) AS min_toks,
+         |       CAST(max(n_toks) AS INT) AS max_toks,
+         |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+         |       CAST(max(n_toks) * count(*) - sum(n_toks) AS BIGINT)
+         |         AS pad_waste_toks,
+         |       round(CAST(sum(n_toks) AS DOUBLE)
+         |             / greatest(max(n_toks) * count(*), 1), 6)
+         |         AS pad_efficiency
+         |FROM lb GROUP BY bucket""".stripMargin,
 
     // Dedup-dashboard twin (Curation.dedupReport): exact distincts +
     // cluster keepers (the recursive-CTE components) + duplicated-line

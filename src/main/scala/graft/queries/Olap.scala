@@ -252,6 +252,13 @@ object QueriesOlap {
     "join_attribution"    -> ((s, d) =>
       graft.ops.StreamJoin.purchaseAttribution(StandIn.events(s, d))),
 
+    // Changelog compaction WITH tombstone GC: latest row per key, delete
+    // markers survive until the midpoint watermark passes them — the
+    // Kafka delete.retention / Delta-CDC VACUUM face next to cdc_apply's
+    // plain snapshot (Cdc.compactChangelog).
+    "cdc_compact_gc"      -> ((s, d) =>
+      graft.ops.Cdc.compactChangelog(StandIn.events(s, d))),
+
     // File-compaction planner over a synthetic manifest (lang-partition
     // files of ~filesPerPart docs): per-partition size-desc next-fit
     // binning at CompactionTarget bytes (Olap.compactionPlan — the
@@ -649,6 +656,29 @@ object QueriesOlap {
         |SELECT event_id, za, zb,
         |       CAST((((za >> 0) & 1) << 1) | (((zb >> 0) & 1) << 0) | (((za >> 1) & 1) << 3) | (((zb >> 1) & 1) << 2) | (((za >> 2) & 1) << 5) | (((zb >> 2) & 1) << 4) | (((za >> 3) & 1) << 7) | (((zb >> 3) & 1) << 6) | (((za >> 4) & 1) << 9) | (((zb >> 4) & 1) << 8) | (((za >> 5) & 1) << 11) | (((zb >> 5) & 1) << 10) | (((za >> 6) & 1) << 13) | (((zb >> 6) & 1) << 12) | (((za >> 7) & 1) << 15) | (((zb >> 7) & 1) << 14) | (((za >> 8) & 1) << 17) | (((zb >> 8) & 1) << 16) | (((za >> 9) & 1) << 19) | (((zb >> 9) & 1) << 18) AS BIGINT) AS zkey
         |FROM zz""".stripMargin,
+
+    // Compact+GC twin (Cdc.compactChangelog): cdc_apply's top-1 window
+    // KEEPING tombstones, then the integer-midpoint retention cut — a
+    // tombstone older than the watermark vanishes with its key, a newer
+    // one stays as an explicit delete marker.
+    "cdc_compact_gc" ->
+      """WITH cr AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+        |  FROM events WHERE ts IS NOT NULL
+        |), cb AS (SELECT min(ts_sec) AS lo, max(ts_sec) AS hi FROM cr),
+        |cl AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts_sec DESC, event_id DESC) AS rn
+        |  FROM cr
+        |)
+        |SELECT user_id, event_type, value, ts_sec AS as_of_s,
+        |       event_type = 'error' AS is_tombstone
+        |FROM cl, cb
+        |WHERE rn = 1
+        |  AND (event_type <> 'error' OR ts_sec >= (lo + hi + 1) // 2)"""
+        .stripMargin,
 
     // Compaction-planner twins (Olap.compactionPlan / compactionBins):
     // same synthetic manifest, same size-desc (file_id tie-break)

@@ -38,6 +38,25 @@ class CdcSpec extends SparkSpec {
       s"rn=1 must push into the window exec:\n$plan")
   }
 
+  test("compactChangelog: tombstones survive past the watermark as delete " +
+    "markers, older ones vanish with their key") {
+    // Timeline [10, 90] → midpoint watermark (10+90+1) div 2 = 50.
+    val ev = events(
+      (1L, 10L, 1L, "view", 1.0), (2L, 80L, 1L, "click", 2.0), // live key
+      (3L, 10L, 2L, "view", 3.0), (4L, 20L, 2L, "error", 0.0), // old tomb → GC'd
+      (5L, 10L, 3L, "view", 5.0), (6L, 90L, 3L, "error", 0.0), // fresh tomb → kept
+      (7L, 60L, 4L, "signup", 7.0))
+    val out = Cdc.compactChangelog(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out === Map(
+      1L -> (("click", 80L, false)),
+      3L -> (("error", 90L, true)), // explicit delete marker, not dropped
+      4L -> (("signup", 60L, false))))
+    // Key 2's latest is a pre-watermark tombstone: fully compacted away.
+    assert(!out.contains(2L))
+  }
+
   test("scd2History: repeats collapse, intervals chain half-open, last is current") {
     val ev = events(
       (1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "view", 1.0), // collapses

@@ -128,6 +128,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lengthBuckets: binary-digit buckets, exact waste, empty docs in " +
+    "bucket 1") {
+    val corpus = docs(
+      (1L, (1 to 3).map(i => s"a$i").mkString(" ")),   // 3 toks → bucket 2
+      (2L, (1 to 4).map(i => s"b$i").mkString(" ")),   // 4 → bucket 3 (100)
+      (3L, (1 to 7).map(i => s"c$i").mkString(" ")),   // 7 → bucket 3 (111)
+      (4L, ""),                                         // 0 → clamps to bucket 1
+      (5L, (1 to 8).map(i => s"d$i").mkString(" ")))   // 8 → bucket 4
+    val out = Curation.lengthBuckets(corpus).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out(2) === ((1L, 3, 3, 3L, 0L, 1.0)))
+    // Bucket 3 holds 4 and 7 tokens: waste = 7*2 - 11 = 3, eff = 11/14.
+    assert(out(3) === ((2L, 4, 7, 11L, 3L, 0.785714)))
+    assert(out(1) === ((1L, 0, 0, 0L, 0L, 0.0)))
+    assert(out(4) === ((1L, 8, 8, 8L, 0L, 1.0)))
+  }
+
   test("splitClusterSafe: near-dup clusters never straddle splits; " +
     "singletons match assignSplits") {
     // 60 near-dup pairs (i, i+1000 sharing text) + 80 singletons; each
