@@ -703,6 +703,35 @@ class PlanEvidenceSpec extends SparkSpec {
       assert(!l.contains("text#"), s"text in a shuffle: $l")
   }
 
+  test("cdc_compact_gc: bounds broadcast back, top-1 pushes to " +
+    "WindowGroupLimit, one keyed Exchange") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = SparkEntry.queries("cdc_compact_gc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The watermark is one broadcast bounds row — the facts must never
+    // hash-exchange for the cut.
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"GC watermark bounds must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn=1 must push into the window exec:\n$plan")
+    val keyed = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(keyed <= 1, s"compaction needs ONE keyed Exchange, saw $keyed")
+  }
+
+  test("corpus_length_buckets: one scan, token counts die in the " +
+    "projection — no Exchange carries text") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = SparkEntry.queries("corpus_length_buckets")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"length buckets must read the corpus once, saw $scans:\n$plan")
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text#"), s"text in a shuffle: $l")
+  }
+
   test("text_bm25_topk: query-term filter lands before the tf shuffle; " +
     "final k is TakeOrdered, not a global sort") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
