@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   * on the host (the driver box has recorded 2-2.6× inflation in past
   * rounds) then dents at most one sample of each query instead of its
   * only sample, and order shuffling keeps a spike from always taxing the
-  * same neighbors.
+  * same neighbors. Round 15 adds active defense: each warm pass first
+  * measures EXTERNAL load (/proc/stat minus /proc/self/stat over 1 s —
+  * loadavg can't split self from other); a pass starting above the bar
+  * (cores/4, GRAFT_BENCH_LOAD_BAR to override) still feeds the min but
+  * triggers a replacement pass, up to two extras.
   */
 object Bench {
   private val WarmPasses = 3
@@ -51,6 +55,28 @@ object Bench {
         .split("\\s+").head
       catch { case _: Throwable => "na" }
 
+    // EXTERNAL contention, measured directly: busy jiffies across all
+    // CPUs minus this JVM's own jiffies over a ~1 s window → cores busy
+    // with OTHER work right now. loadavg cannot make that separation —
+    // its 1-min EMA still carries our own just-finished pass, which is
+    // how the r14 artifact shipped an ~11 % load-inflated headline
+    // without tripping any bar (r14 verdict finding #1). −1 = unreadable.
+    def externalLoad(windowMs: Long = 1000L): Double =
+      try {
+        def snap(): (Long, Long) = {
+          val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+            .next().trim.split("\\s+").drop(1).map(_.toLong)
+          val busy = cpu.sum - cpu(3) - cpu(4) // minus idle + iowait
+          val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+          val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+          (busy, rest(11).toLong + rest(12).toLong) // utime + stime
+        }
+        val (b0, s0) = snap(); Thread.sleep(windowMs)
+        val (b1, s1) = snap()
+        // USER_HZ = 100 on Linux: jiffies × 10 / windowMs = cores
+        math.max(0.0, ((b1 - b0) - (s1 - s0)) * 10.0 / windowMs)
+      } catch { case _: Throwable => -1.0 }
+
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, erasing the very work a pure-projection query exists to do
     // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
@@ -77,12 +103,36 @@ object Bench {
     passLoads += loadNow()
 
     // Warm passes: seed-fixed shuffles so reruns time the same orders.
-    val warmSamples: Seq[Map[String, Double]] = (1 to WarmPasses).map { pass =>
-      val s = new scala.util.Random(1000003L * pass)
+    // Load self-defense (r14 verdict item 6): each pass samples EXTERNAL
+    // load first; a pass starting above the bar still feeds the per-query
+    // min (extra samples never hurt a min) but does not count toward the
+    // WarmPasses quota — up to MaxExtraPasses replacements run until
+    // enough quiet-host passes exist. The headline stamps the passes
+    // actually used and their pre-pass external loads, so a loud run
+    // says "discount me" by itself instead of leaving triage to the
+    // reader of BASELINE.md.
+    val loadBar = sys.env.get("GRAFT_BENCH_LOAD_BAR").map(_.toDouble)
+      .getOrElse(cpus.toDouble / 4.0)
+    val MaxExtraPasses = 2
+    val warmBuf = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val preExtLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    var quietPasses = 0
+    while (warmBuf.size < WarmPasses + MaxExtraPasses &&
+        quietPasses < WarmPasses) {
+      val pass = warmBuf.size + 1
+      val ext = externalLoad()
+      preExtLoads += ext
+      if (ext >= 0 && ext > loadBar)
+        System.err.println(
+          f"[bench] warm pass $pass: $ext%.1f external cores > bar " +
+            f"$loadBar%.1f — kept for the min, replacement pass queued")
+      else quietPasses += 1
+      warmBuf += new scala.util.Random(1000003L * pass)
         .shuffle(coldOk).flatMap(n => time(n).map(n -> _)).toMap
       passLoads += loadNow()
-      s
     }
+    val warmSamples: Seq[Map[String, Double]] = warmBuf.toSeq
+    val loudPasses = warmSamples.size - quietPasses
     val warm: Map[String, Double] = coldOk.flatMap { n =>
       val ss = warmSamples.flatMap(_.get(n))
       if (ss.isEmpty) None else Some(n -> ss.min)
@@ -133,9 +183,12 @@ object Bench {
     val sf1: Map[String, Double] =
       if (sys.env.getOrElse("GRAFT_SF1_HEADLINE", "1") == "0") Map.empty
       else try {
+        // Amplify from the dir this bench was invoked with — a hardcoded
+        // base would silently regenerate from the wrong (or missing)
+        // layout and mis-scale the headline.
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$Sf1Dir/lineitem.parquet")))
-          graft.tools.ScaleUp.run(spark, "/root/testdata/sf0.1", Sf1Dir)
+          graft.tools.ScaleUp.run(spark, sfDir, Sf1Dir)
         sf1Names.foreach(timeIn(Sf1Dir)) // cold: codegen + page-cache warm
         val ws = (1 to 2).map(_ =>
           sf1Names.flatMap(n => timeIn(Sf1Dir)(n).map(n -> _)).toMap)
@@ -177,7 +230,9 @@ object Bench {
           warmSamples.zipWithIndex.map { case (s, i) =>
             s""""warm_pass_${i + 1}":${jmap(s)}"""
           }.mkString(",") +
-          s""","pass_loads":$loadsJson,"pass_loads_kind":"loadavg1_after_[pre,cold,warm1..$WarmPasses]",""" +
+          s""","pass_loads":$loadsJson,"pass_loads_kind":"loadavg1_after_[pre,cold,warm1..${warmSamples.size}]",""" +
+          s""""pre_ext_loads":${preExtLoads.map(l => if (l < 0) "-1" else f2(l)).mkString("[", ",", "]")},""" +
+          s""""load_bar":${f2(loadBar)},"loud_passes":$loudPasses,""" +
           s""""errors":${errs.size},"sf":"$sfDir"}""").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write skipped: ${e.getMessage}")
@@ -207,7 +262,10 @@ object Bench {
     // loadavg sampled after [pre, cold, warm1..3] makes the artifact
     // self-calibrating — a judge reads which pass the host was busy in
     // directly, instead of trusting the two-point `contended` threshold.
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_$WarmPasses","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_n":${sf1.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    val extLoadsJson = preExtLoads
+      .map(l => if (l < 0) "\"na\"" else s""""${f2(l)}"""")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_n":${sf1.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -71,7 +71,11 @@ object Cdc {
     *
     * Shape: one bounds aggregate broadcast back (the facts never shuffle
     * for the cut), then the [[applyLatest]] top-1 window — one Exchange
-    * on the key. Integer `div` midpoint, engine-stable.
+    * on the key. The midpoint is `shiftright(lo+hi+1, 1)` — arithmetic
+    * shift IS floor division by 2 on two's-complement longs, matching
+    * DuckDB's flooring `//` even on pre-1970 (negative epoch-second)
+    * timelines where Spark's `div` would truncate toward zero instead
+    * (the same floorDiv discipline as [[streamingApply]]).
     */
   def compactChangelog(
       events: DataFrame, tombstoneType: String = "error"): DataFrame = {
@@ -88,7 +92,7 @@ object Cdc {
       .where(col("rn") === 1)
       .withColumn("is_tombstone", col("event_type") === lit(tombstoneType))
       .where(!col("is_tombstone") ||
-        col("ts_sec") >= expr("(lo + hi + 1) div 2"))
+        col("ts_sec") >= expr("shiftright(lo + hi + 1, 1)"))
       .select(col("user_id"), col("event_type"), col("value"),
         col("ts_sec").alias("as_of_s"), col("is_tombstone"))
   }

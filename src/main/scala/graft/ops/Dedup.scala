@@ -331,6 +331,11 @@ object Dedup {
     * shingles is a verbatim common span of exactly m + L − 1 tokens —
     * span lengths are EXACT, not L-quantized (the gaps-and-islands merge
     * recovers every token of overlap between adjacent shingle hits).
+    * Exactness caveat: a span containing a shingle held by MORE than
+    * [[MaxDocsPerShingle]] documents is split at the excluded hash
+    * (both engines agree, so nothing diverges — but such spans
+    * under-report `span_tokens`); over-cap boilerplate is precisely what
+    * the per-document [[substringSpans]] report covers without pairing.
     *
     * Scale shape: the shingle stream is the [[substringSpans]] map-side
     * hash stream (exchanges carry (doc, off, hash) — never text); pair
@@ -1262,36 +1267,12 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** PageRank damping factor in micro-units (0.85 · 10⁶ split as
-    * 85/100 integer arithmetic below — exact on both engines).
+  /** Number of fixed PageRank rounds both engines replay — an iteration
+    * COUNT, not a tolerance (see [[pagerankFromPairs]]: fixed rounds are
+    * the bit-exact cross-engine contract; convergence tests are not).
     */
   val PagerankIters = 10
 
-  /** Fixed-round integer PageRank over an undirected pair graph — the
-    * centrality face of keeper selection: inside a near-dup cluster the
-    * doc most linked to everything else is the canonical copy (the one
-    * every crawl variant resembles), a materially better keeper signal
-    * than min-id when variants differ in quality.
-    *
-    * Determinism across engines is by construction: ranks live in integer
-    * MICRO-units, each round computes
-    * `r'(v) = 150000 + 85·(Σ_{u~v} ⌊r(u)/deg(u)⌋)/100` with floor
-    * division at both steps — no float accumulation order to diverge, so
-    * the DuckDB recursive-CTE twin reproduces every round bit-exactly.
-    * Rounds are FIXED (`iters`), not converged: a fixed iteration count is
-    * the contract both engines can replay exactly.
-    *
-    * Scale shape: the graph lives once ([[Materialize]]d pairs), each
-    * round is one equi-join + groupBy over EDGES (not the corpus), each
-    * round's result is materialized so lineage stays flat — the
-    * [[componentsFromPairs]] discipline. Nodes outside the pair graph are
-    * singletons that would hold the base rank forever; they are excluded
-    * (callers attach them at base rank if needed), so 100 TB of singleton
-    * ids never shuffle through the loop.
-    *
-    * @param pairs `(a_id, b_id)` undirected candidate/verified pairs
-    * @return `(doc_id, rank_micro)` for every graph node
-    */
   /** Cross-corpus EXACT set-similarity join: every (left, right) pair
     * with shingle Jaccard ≥ `threshold` — the R×S face of [[setSimJoin]]
     * and the certifier behind exact decontamination (every benchmark doc
@@ -1356,6 +1337,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Fixed-round integer PageRank over an undirected pair graph — the
+    * centrality face of keeper selection: inside a near-dup cluster the
+    * doc most linked to everything else is the canonical copy (the one
+    * every crawl variant resembles), a materially better keeper signal
+    * than min-id when variants differ in quality.
+    *
+    * Determinism across engines is by construction: ranks live in integer
+    * MICRO-units, each round computes
+    * `r'(v) = 150000 + 85·(Σ_{u~v} ⌊r(u)/deg(u)⌋)/100` with floor
+    * division at both steps — no float accumulation order to diverge, so
+    * the DuckDB recursive-CTE twin reproduces every round bit-exactly.
+    * Rounds are FIXED (`iters`), not converged: a fixed iteration count is
+    * the contract both engines can replay exactly.
+    *
+    * Scale shape: the graph lives once ([[Materialize]]d pairs), each
+    * round is one equi-join + groupBy over EDGES (not the corpus), each
+    * round's result is materialized so lineage stays flat — the
+    * [[componentsFromPairs]] discipline. Nodes outside the pair graph are
+    * singletons that would hold the base rank forever; they are excluded
+    * (callers attach them at base rank if needed), so 100 TB of singleton
+    * ids never shuffle through the loop.
+    *
+    * @param pairs `(a_id, b_id)` undirected candidate/verified pairs
+    * @return `(doc_id, rank_micro)` for every graph node
+    */
   def pagerankFromPairs(
       pairs: DataFrame,
       iters: Int = PagerankIters): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.StandIn
-import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis, TextRules}
+import graft.ops.{AlertLifecycle, AlertRules, Aggregates, Bpe, Curation, Dedup, Html, Multimodal, Parse, Profile, Sessionize, Similarity, TextAnalysis, TextRules}
 import graft.queries.QueryShared._
 
 /** Text-analysis family: language id, quality scoring/gating/training, tf-idf, BPE encode faces, published rule-sets, term statistics and sketches.
@@ -137,6 +137,25 @@ object QueriesText {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf"          -> ((s, d) => textTfIdf(s, d)),
+
+    // HTML→text extraction family (ops/Html.scala): synthesized page per
+    // doc (the fixture has no raw-HTML column; the page is derived
+    // identically in the oracle), then zero-shuffle codegen projections.
+    // The extract oracle constructs the EXPECTED clean text from the word
+    // slices directly — an independent derivation, not a regex replay.
+    "text_html_extract"   -> ((s, d) =>
+      Html.extracted(StandIn.documents(s, d))),
+
+    // jusText-shaped per-block link-density report (Html.blockReport):
+    // integer micro-unit density, floor division both engines.
+    "text_html_blocks"    -> ((s, d) =>
+      Html.blockReport(StandIn.documents(s, d))),
+
+    // Boilerplate-removed main text (Html.mainText): blockReport's flag
+    // negated via exact integer cross-multiplication inside an array
+    // filter — content blocks re-joined per row, still zero Exchanges.
+    "text_html_main"      -> ((s, d) =>
+      Html.mainText(StandIn.documents(s, d))),
 
     // BM25 top-k retrieval card: one filtered corpus scan, integer
     // micro-unit per-term scores so the per-doc sum is order-free, TakeOrdered
@@ -334,7 +353,82 @@ object QueriesText {
     "text_fingerprint"    -> ((s, d) => textFingerprint(s, d)),
   )
 
+  // Word-slice CTEs shared by the three HTML twins: the page pieces the
+  // engine's Html.pageFromWords synthesizes, derived in DuckDB from the
+  // SAME 1-based inclusive slices (list_slice is [begin, end] inclusive
+  // where Spark's slice is (start, LENGTH) — offsets written per engine).
+  private val htmlSliceSql =
+    """d AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |), hp AS (
+      |  SELECT doc_id,
+      |         array_to_string(list_slice(w, 1, 3), ' ') AS title,
+      |         array_to_string(list_slice(w, 1, 2), ' ') AS nav,
+      |         array_to_string(list_slice(w, 4, len(w) // 2), ' ') AS p1,
+      |         array_to_string(list_slice(w, len(w) // 2 + 1, len(w)), ' ')
+      |           AS p2
+      |  FROM d
+      |)""".stripMargin
+
+  // The five blocks' inner/anchor texts, derived from the slices (not
+  // from the engine's regexes): h1, p1-paragraph, nav div, p2-paragraph,
+  // footer — in page order.
+  private val htmlBlocksSql =
+    s"""$htmlSliceSql, hb AS (
+       |  SELECT doc_id, unnest([1, 2, 3, 4, 5]) AS bi,
+       |         unnest([title, p1 || ' & more', nav || ' menu link', p2,
+       |                 'copyright © ' || nav]) AS inner_t,
+       |         unnest(['', '', nav || ' menu link', '',
+       |                 'copyright © ' || nav]) AS link_t
+       |  FROM hp
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // HTML extraction twin: the expected clean text constructed directly
+    // from the word slices — independent of the engine's strip regexes.
+    "text_html_extract" ->
+      s"""WITH $htmlSliceSql, he AS (
+         |  SELECT doc_id,
+         |         title || ' ' || title || ' ' || p1 || ' & more ' || nav
+         |           || ' menu link ' || p2 || ' copyright © ' || nav
+         |           AS text_clean
+         |  FROM hp
+         |)
+         |SELECT doc_id, text_clean,
+         |       CAST(length(text_clean) AS INT) AS n_chars
+         |FROM he""".stripMargin,
+
+    "text_html_blocks" ->
+      s"""WITH $htmlBlocksSql
+         |SELECT doc_id, CAST(bi AS INT) AS block_idx,
+         |       CAST(length(inner_t) AS BIGINT) AS text_len,
+         |       CAST(length(link_t) AS BIGINT) AS link_len,
+         |       CAST(CASE WHEN length(inner_t) > 0
+         |            THEN (1000000 * length(link_t)) // length(inner_t)
+         |            ELSE 1000000 END AS BIGINT) AS link_density_micro,
+         |       ((CASE WHEN length(inner_t) > 0
+         |          THEN (1000000 * length(link_t)) // length(inner_t)
+         |          ELSE 1000000 END) > ${Html.BoilerplateLinkDensityMicro}
+         |        OR length(inner_t) < ${Html.BoilerplateMinChars})
+         |         AS is_boilerplate
+         |FROM hb""".stripMargin,
+
+    // Main-text twin: keep rule replayed on the derived block texts
+    // (density > 0.5 written as the same integer cross-multiplication),
+    // kept inners joined in block order; docs with zero content blocks
+    // keep an empty main_text via the LEFT JOIN.
+    "text_html_main" ->
+      s"""WITH $htmlBlocksSql, hk AS (
+         |  SELECT doc_id, string_agg(inner_t, ' ' ORDER BY bi) AS mt
+         |  FROM hb
+         |  WHERE length(inner_t) >= ${Html.BoilerplateMinChars}
+         |    AND 1000000 * length(link_t) <
+         |        ${Html.BoilerplateLinkDensityMicro + 1} * length(inner_t)
+         |  GROUP BY doc_id
+         |)
+         |SELECT hp.doc_id, coalesce(hk.mt, '') AS main_text,
+         |       CAST(length(coalesce(hk.mt, '')) AS INT) AS n_chars
+         |FROM hp LEFT JOIN hk USING (doc_id)""".stripMargin,
     // Quality-report twin (TextAnalysis.qualityReport): gate + language
     // CTE fragments shared with text_quality_gate / corpus_curate.
     "text_quality_report" ->
