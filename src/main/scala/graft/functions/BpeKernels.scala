@@ -79,6 +79,81 @@ private[graft] object BpeMerge {
   * produces the merge table. Null tokens are skipped; a null array
   * encodes to an empty symbol stream.
   */
+/** The GPT-2 byte→unicode table (Radford et al. 2019; the public
+  * `bytes_to_unicode()` in openai/gpt-2 encoder.py): "printable" bytes
+  * (33–126, 161–172, 174–255) map to their own code point; the other 68
+  * bytes (controls, space, DEL, 127–160, soft hyphen) map to 256+n in
+  * byte order — so space (0x20) is the 33rd non-printable and lands on
+  * U+0120 'Ġ', newline on U+010A 'Ċ'. A bijection byte↔char, which is
+  * the whole point: byte-level BPE runs on strings whose CODE POINTS are
+  * the original BYTES, so the existing merge kernels (and the oracle's
+  * per-code-point `regexp_extract_all(w, '.')` split) work unchanged.
+  */
+private[graft] object ByteUnicodeMap {
+  val table: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Map every UTF-8 byte of the input to its table char. Multi-byte
+    * code points fan out to one char PER BYTE — the byte fallback. */
+  def map(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(table(bytes(i) & 0xff))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** String→string byte-to-unicode mapping as a native codegen expression —
+  * the stage-zero projection of byte-level BPE ([[ByteUnicodeMap]]). */
+case class ByteUnicode(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_unicode expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteUnicodeMap.map(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val helper = "graft.functions.ByteUnicodeMap$.MODULE$"
+      s"${ev.value} = $helper.map($s);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteUnicode = copy(child = newChild)
+}
+
+object ByteUnicode {
+  def byteUnicode(c: Column): Column =
+    Bridge.column(ByteUnicode(Bridge.expression(c)))
+}
+
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 

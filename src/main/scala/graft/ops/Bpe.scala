@@ -85,10 +85,20 @@ object Bpe {
   def train(
       docs: DataFrame,
       vocabCap: Int = VocabCap,
-      numMerges: Int = NumMerges): Seq[MergeRule] = {
+      numMerges: Int = NumMerges): Seq[MergeRule] =
+    trainFromCounts(wordCounts(docs), vocabCap, numMerges)
+
+  /** The driver merge loop over ANY `(word, cnt)` frequency table — the
+    * char-level and byte-level trainers differ only in what a "word" is
+    * (a `[a-z]+` word vs a byte-mapped pretoken), so they share this
+    * loop and the tie-break/merge semantics cannot drift between them. */
+  private def trainFromCounts(
+      counts: DataFrame,
+      vocabCap: Int,
+      numMerges: Int): Seq[MergeRule] = {
     require(vocabCap > 0, s"vocab cap must be positive, got $vocabCap")
     require(numMerges > 0, s"merge count must be positive, got $numMerges")
-    val top = wordCounts(docs)
+    val top = counts
       .orderBy(col("cnt").desc, col("word"))
       .limit(vocabCap)
       .collect()
@@ -138,11 +148,18 @@ object Bpe {
   def trainDistributed(
       docs: DataFrame,
       vocabCap: Int = VocabCap,
-      numMerges: Int = NumMerges): Seq[MergeRule] = {
+      numMerges: Int = NumMerges): Seq[MergeRule] =
+    trainDistributedFromCounts(wordCounts(docs), vocabCap, numMerges)
+
+  /** [[trainFromCounts]]' distributed sibling — see [[trainDistributed]]. */
+  private def trainDistributedFromCounts(
+      counts: DataFrame,
+      vocabCap: Int,
+      numMerges: Int): Seq[MergeRule] = {
     require(vocabCap > 0, s"vocab cap must be positive, got $vocabCap")
     require(numMerges > 0, s"merge count must be positive, got $numMerges")
     var vocab = Materialize(
-      wordCounts(docs)
+      counts
         .orderBy(col("cnt").desc, col("word"))
         .limit(vocabCap)
         .select(
@@ -279,6 +296,108 @@ object Bpe {
       .select(col("doc_id"), col("ch.chunk_id").alias("chunk_id"),
         col("ch.n_chunk_bpe").alias("n_chunk_bpe"),
         col("ch.chunk_text").alias("chunk_text"))
+
+  // ── Byte-level BPE (GPT-2 style) ────────────────────────────────────
+  // Radford et al. 2019: map every UTF-8 byte to a printable stand-in
+  // code point ([[graft.functions.ByteUnicodeMap]] — the public
+  // bytes_to_unicode table, space ⇒ 'Ġ'), pre-tokenize, then run the SAME
+  // merge machinery over the mapped strings — each code point IS one
+  // byte, so char-level kernels and oracles work unchanged and unseen
+  // bytes can never produce <unk> (the byte fallback).
+
+  /** Pre-tokenization over byte-MAPPED text. GPT-2's pattern, adapted in
+    * two documented ways so the DuckDB twin is exact: (1) no lookahead
+    * (`\s+(?!\S)` is Java-only — RE2 has no lookaround), which only
+    * affects runs of ≥ 2 spaces before a token (absent from the
+    * fixture's single-spaced corpus); (2) explicit `[a-z]`/`[0-9]`
+    * classes instead of `\p{L}`/`\p{N}` — mapping FIRST means stand-ins
+    * like Ġ are Unicode letters, so the Unicode classes would swallow
+    * them; the explicit classes match the fixture alphabet and anything
+    * else falls through to the "other" branch. */
+  val BytePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|Ġ?[a-z]+|Ġ?[0-9]+|Ġ?[^a-z0-9Ġ]+|Ġ+"
+
+  /** Byte-mapped text (NULL ⇒ empty — the engine-wide NULL-text
+    * contract). On printable-ASCII corpora this equals
+    * `replace(text, ' ', 'Ġ')`, which is exactly how the oracle twins
+    * derive it; the kernel handles all 256 bytes. */
+  def byteMapped(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ByteUnicode.byteUnicode(coalesce(c, lit("")))
+
+  /** Byte-level pretoken stream of a document — the training and
+    * encoding unit (merges never cross pretoken boundaries, mirroring
+    * the per-word contract of the char-level family). */
+  def bytePretokens(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(byteMapped(c), lit(BytePretokenPattern), lit(0))
+
+  /** Distributed pretoken-frequency table — [[wordCounts]]' byte face. */
+  def bytePretokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(bytePretokens(col("text"))).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("cnt"))
+
+  /** Train byte-level merges: [[train]]'s loop over byte pretokens
+    * (code points of a mapped pretoken ARE its bytes, so
+    * codePointSymbols needs no byte variant). */
+  def trainBytes(
+      docs: DataFrame,
+      vocabCap: Int = VocabCap,
+      numMerges: Int = NumMerges): Seq[MergeRule] =
+    trainFromCounts(bytePretokenCounts(docs), vocabCap, numMerges)
+
+  /** [[trainDistributed]]'s byte face — same one-row-per-round collect. */
+  def trainBytesDistributed(
+      docs: DataFrame,
+      vocabCap: Int = VocabCap,
+      numMerges: Int = NumMerges): Seq[MergeRule] =
+    trainDistributedFromCounts(bytePretokenCounts(docs), vocabCap, numMerges)
+
+  /** [[trainBytes]] as a DataFrame — the `corpus_bpe_bytes_train` face. */
+  def trainBytesTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    rulesTable(spark, trainBytes(docs))
+
+  /** [[trainBytesDistributed]] as a DataFrame — same shape. */
+  def trainBytesTableDistributed(
+      spark: SparkSession, docs: DataFrame): DataFrame =
+    rulesTable(spark, trainBytesDistributed(docs))
+
+  /** Fixed byte-merge table for the encode faces — decoupled from
+    * training like [[FixedMerges]], and built to exercise the byte-level
+    * specifics: Ġ-absorbing merges (`Ġ the` → `Ġthe` — the space joins
+    * the word, GPT-2's signature behavior) and multi-level chains
+    * (t→th→the→Ġthe). */
+  val FixedByteMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "Ġ" -> "the",
+    "r" -> "o", "ro" -> "w", "Ġ" -> "row",
+    "a" -> "g", "ag" -> "g", "Ġ" -> "agg",
+    "a" -> "n", "s" -> "c", "sc" -> "an", "Ġ" -> "scan",
+    "Ġ" -> "a")
+
+  /** Per-document byte-BPE symbol stream under a fixed table —
+    * `(doc_id, bpe_symbols)`, space-joined (Ġ marks original spaces). */
+  def encodeSymbolsBytes(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = FixedByteMerges): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(
+        graft.functions.BpeEncode.bpeEncode(bytePretokens(col("text")),
+          merges), " ")
+        .alias("bpe_symbols"))
+
+  /** Per-document byte-BPE token count under a fixed table —
+    * `(doc_id, bpeb_tokens)`, count-only kernel. */
+  def tokenCountsBytes(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = FixedByteMerges): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.BpeEncode.bpeCount(bytePretokens(col("text")), merges)
+        .alias("bpeb_tokens"))
+
+  /** [[trainBytes]] → encode, end to end — the byte column of the
+    * three-tokenizer decision card. */
+  def tokenCountsBytesTrained(
+      spark: SparkSession, docs: DataFrame): DataFrame =
+    tokenCountsBytes(docs, trainBytes(docs).map(r => (r.a, r.b)))
 
   /** Sequence packing on BPE budgets: [[Curation.packSequences]]' exact
     * shape (hash-bucket, running sum, budget chop) with the subword count

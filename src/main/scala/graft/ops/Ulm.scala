@@ -318,20 +318,28 @@ object Ulm {
     val pieces = train(docs)
     val ulm = tokenCounts(docs, pieces.map(p => (p.piece, -p.scoreMicro)))
     val bpe = Bpe.tokenCountsTrained(spark, docs)
+    // Third tokenizer (round 15): byte-level BPE trained on the same
+    // corpus — byte fertility reads higher than char-BPE's because every
+    // leading space is a real Ġ byte the other two never count.
+    val bpeb = Bpe.tokenCountsBytesTrained(spark, docs)
     val words = docs.select(col("doc_id"),
       size(Bpe.words(col("text"))).alias("n_words"))
-    words.join(bpe, "doc_id").join(ulm, "doc_id")
+    words.join(bpe, "doc_id").join(ulm, "doc_id").join(bpeb, "doc_id")
       .agg(
         count(lit(1)).alias("n_docs"),
         sum(col("n_words").cast("long")).alias("n_words"),
         sum(col("bpe_tokens").cast("long")).alias("bpe_tokens"),
-        sum(col("ulm_tokens").cast("long")).alias("ulm_tokens"))
+        sum(col("ulm_tokens").cast("long")).alias("ulm_tokens"),
+        sum(col("bpeb_tokens").cast("long")).alias("bpeb_tokens"))
       .select(
         col("n_docs"), col("n_words"), col("bpe_tokens"), col("ulm_tokens"),
+        col("bpeb_tokens"),
         round(col("bpe_tokens").cast("double") /
           greatest(col("n_words"), lit(1L)), 6).alias("bpe_fertility"),
         round(col("ulm_tokens").cast("double") /
           greatest(col("n_words"), lit(1L)), 6).alias("ulm_fertility"),
+        round(col("bpeb_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)), 6).alias("bpeb_fertility"),
         round(col("ulm_tokens").cast("double") /
           greatest(col("bpe_tokens"), lit(1L)), 6).alias("ulm_vs_bpe"),
         lit(Bpe.NumMerges).cast("int").alias("bpe_merges"),

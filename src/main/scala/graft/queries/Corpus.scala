@@ -182,6 +182,17 @@ object QueriesCorpus {
     s"$bpeTrainChainSql\n$sel"
   }
 
+  private val bpeBytesTrainOracle = {
+    val sel = (1 to Bpe.NumMerges).map { r =>
+      s"""SELECT $r AS rank, (SELECT a FROM bbest$r) AS pair_a,
+         |  (SELECT b FROM bbest$r) AS pair_b,
+         |  (SELECT a || b FROM bbest$r) AS merged,
+         |  (SELECT CAST(pc AS BIGINT) FROM bbest$r) AS pair_count"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$bpeBytesTrainChainSql\n$sel"
+  }
+
   /** Trained-table encode twin: the training chain's learned pairs land in
     * ONE `bests` row (a1..b${Bpe.NumMerges}); every document cross-joins
     * that row and the replace chain references its columns from inside the
@@ -362,6 +373,15 @@ object QueriesCorpus {
 
     "corpus_bpe_train_dist" -> ((s, d) =>
       Bpe.trainTableDistributed(s, StandIn.documents(s, d))),
+
+    // Byte-level (GPT-2) BPE training: same driver merge loop over
+    // byte-mapped pretokens (Bpe.trainBytes scaladoc; space ⇒ Ġ, merges
+    // may absorb it — the byte-level signature).
+    "corpus_bpe_bytes_train" -> ((s, d) =>
+      Bpe.trainBytesTable(s, StandIn.documents(s, d))),
+
+    "corpus_bpe_bytes_train_dist" -> ((s, d) =>
+      Bpe.trainBytesTableDistributed(s, StandIn.documents(s, d))),
 
     // Unigram-LM (SentencePiece) tokenizer training: hard-EM
     // segment/count/prune over the bounded top-V word table; integer
@@ -710,6 +730,12 @@ object QueriesCorpus {
     // The DISTRIBUTED trainer (Materialize-loop over a vocab DataFrame)
     // checks against the SAME oracle — the two architectures cannot drift.
     "corpus_bpe_train_dist" -> bpeTrainOracle,
+
+    // Byte-level training twin: the SAME unrolled merge-loop replay over
+    // byte-mapped pretokens (bpeBytesTrainChainSql); both trainer
+    // architectures check against this one oracle.
+    "corpus_bpe_bytes_train" -> bpeBytesTrainOracle,
+    "corpus_bpe_bytes_train_dist" -> bpeBytesTrainOracle,
 
     // Unigram-LM training twin: every EM round replayed — Viterbi as
     // recursive-CTE path enumeration + ORDER BY (cost, np, seg), usage

@@ -385,6 +385,73 @@ object QueryShared {
     s"$head$rounds"
   }
 
+  // ─── Byte-level BPE twins (ops/Bpe.scala byte family) ────────────────
+  // The GPT-2 byte map collapses to replace(' ', 'Ġ') on printable-ASCII
+  // corpora (every other fixture byte maps to itself; BpeKernelsSpec pins
+  // the full 256-entry table against the published spec). The pretoken
+  // pattern contains an apostrophe — escaped for the SQL literal.
+
+  /** Per-document byte-level pretoken list (Bpe.bytePretokens). */
+  private[queries] val bpeBytesWordsSql =
+    "regexp_extract_all(replace(coalesce(text, ''), ' ', 'Ġ'), '" +
+      Bpe.BytePretokenPattern.replace("'", "''") + "')"
+
+  /** Chain of `replace` calls applying [[Bpe.FixedByteMerges]] in table
+    * order to a spaced symbol string. */
+  private[queries] def bpeBytesReplaceChain(inner: String): String =
+    Bpe.FixedByteMerges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  /** Encoded-symbol string of one byte pretoken under the fixed table. */
+  private[queries] val bpeBytesWordSymsSql =
+    s"trim(${bpeBytesReplaceChain(bpeSpacedSql("w"))})"
+
+  /** Per-document byte-BPE token count under the fixed table
+    * (Bpe.tokenCountsBytes), 0 for empty documents. */
+  private[queries] val bpeBytesTokensSql =
+    s"""CAST(list_reduce(list_prepend(0, list_transform($bpeBytesWordsSql,
+       |    w -> len(string_split($bpeBytesWordSymsSql, ' ')))),
+       |    (a, b) -> a + b) AS INT)""".stripMargin
+
+  /** [[bpeTrainChainSql]] over byte pretokens — disjoint CTE namespace
+    * (bwords/bvocab/bpl/bpee/bbest) so both chains can splice into one
+    * statement (the three-tokenizer card). Same spaced-symbol merge
+    * replay: a mapped pretoken's code points ARE its bytes. */
+  private[queries] val bpeBytesTrainChainSql = {
+    val head =
+      s"""WITH bwords AS (
+         |  SELECT t.w AS word, count(*) AS cnt
+         |  FROM documents d,
+         |       unnest($bpeBytesWordsSql) AS t(w)
+         |  GROUP BY 1
+         |), bvocab0 AS MATERIALIZED (
+         |  SELECT word, cnt, ${bpeSpacedSql("word")} AS spaced
+         |  FROM bwords ORDER BY cnt DESC, word LIMIT ${Bpe.VocabCap}
+         |)""".stripMargin
+    val rounds = (1 to Bpe.NumMerges).map { r =>
+      val p = r - 1
+      s""", bpl$r AS (
+         |  SELECT string_split(trim(spaced), ' ') AS l, cnt FROM bvocab$p
+         |), bpee$r AS (
+         |  SELECT unnest(generate_series(1, len(l) - 1)) AS i, l, cnt
+         |  FROM bpl$r
+         |), bbest$r AS (
+         |  SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
+         |         sum(cnt) AS pc
+         |  FROM bpee$r GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1
+         |), bvocab$r AS MATERIALIZED (
+         |  SELECT word, cnt, replace(spaced,
+         |    ' ' || (SELECT a FROM bbest$r) || ' ' ||
+         |           (SELECT b FROM bbest$r) || ' ',
+         |    ' ' || (SELECT a FROM bbest$r) ||
+         |           (SELECT b FROM bbest$r) || ' ') AS spaced
+         |  FROM bvocab$p
+         |)""".stripMargin
+    }.mkString
+    s"$head$rounds"
+  }
+
   // DuckDB twins of ops/Similarity.scala. `list_reduce` folds left like
   // Spark's `aggregate`, so double summation order (and thus bits) match.
   private[queries] val prepSql =

@@ -61,6 +61,18 @@ object QueriesText {
       s"replace($acc, ' ' || a$r || ' ' || b$r || ' ', ' ' || a$r || b$r || ' ')"
     }
 
+  // Byte-level siblings of the landing row + trained replace chain, on
+  // the bbest* CTEs of bpeBytesTrainChainSql (three-tokenizer card).
+  private val bpeBytesBestsSql = (1 to Bpe.NumMerges).map { r =>
+    s"(SELECT a FROM bbest$r) AS ba$r, (SELECT b FROM bbest$r) AS bb$r"
+  }.mkString(", bbests AS MATERIALIZED (SELECT ", ",\n  ", ")")
+
+  private val bpeBytesTrainedRepSql =
+    (1 to Bpe.NumMerges).foldLeft(bpeSpacedSql("w")) { (acc, r) =>
+      s"replace($acc, ' ' || ba$r || ' ' || bb$r || ' ', " +
+        s"' ' || ba$r || bb$r || ' ')"
+    }
+
   private val bpeTrainedTokensOracle =
     s"""$bpeTrainChainSql$bpeBestsSql
        |SELECT doc_id,
@@ -75,7 +87,8 @@ object QueriesText {
     * statement, folded to exact integer totals. */
   private val tokenizerCompareOracle = {
     val R = graft.ops.Ulm.EmRounds
-    s"""$ulmTrainChainSql, ${bpeTrainChainSql.stripPrefix("WITH ")}$bpeBestsSql${
+    s"""$ulmTrainChainSql, ${bpeTrainChainSql.stripPrefix("WITH ")}$bpeBestsSql, ${
+        bpeBytesTrainChainSql.stripPrefix("WITH ")}$bpeBytesBestsSql${
         ulmScoreSql("uscc", s"uv$R")}, $ulmCorpusWordsSql${
         ulmUnkAugSql("usccu", "uscc")}
        |${ulmWalkSql("C", "ucw", "usccu", withCnt = false)}
@@ -86,6 +99,14 @@ object QueriesText {
        |           w -> len(string_split(trim($bpeTrainedRepSql), ' ')))),
        |           (x, y) -> x + y) AS INT) AS bpet
        |  FROM documents d CROSS JOIN bests
+       |), btok AS (
+       |  SELECT d.doc_id,
+       |         CAST(list_reduce(list_prepend(0,
+       |           list_transform($bpeBytesWordsSql,
+       |             w -> len(string_split(trim($bpeBytesTrainedRepSql),
+       |                      ' ')))),
+       |           (x, y) -> x + y) AS INT) AS bpebt
+       |  FROM documents d CROSS JOIN bbests
        |), utok AS (
        |  SELECT d.doc_id, CAST(coalesce(x.n, 0) AS INT) AS ulmt
        |  FROM documents d LEFT JOIN (
@@ -99,15 +120,19 @@ object QueriesText {
        |       CAST(sum(nw) AS BIGINT) AS n_words,
        |       CAST(sum(bpet) AS BIGINT) AS bpe_tokens,
        |       CAST(sum(ulmt) AS BIGINT) AS ulm_tokens,
+       |       CAST(sum(bpebt) AS BIGINT) AS bpeb_tokens,
        |       round(sum(bpet) / CAST(greatest(sum(nw), 1) AS DOUBLE), 6)
        |         AS bpe_fertility,
        |       round(sum(ulmt) / CAST(greatest(sum(nw), 1) AS DOUBLE), 6)
        |         AS ulm_fertility,
+       |       round(sum(bpebt) / CAST(greatest(sum(nw), 1) AS DOUBLE), 6)
+       |         AS bpeb_fertility,
        |       round(sum(ulmt) / CAST(greatest(sum(bpet), 1) AS DOUBLE), 6)
        |         AS ulm_vs_bpe,
        |       CAST(${Bpe.NumMerges} AS INT) AS bpe_merges,
        |       CAST((SELECT count(*) FROM uv$R) AS INT) AS ulm_vocab
-       |FROM tok JOIN utok USING (doc_id)""".stripMargin
+       |FROM tok JOIN utok USING (doc_id) JOIN btok USING (doc_id)"""
+      .stripMargin
   }
 
   // Chunking parameters shared with the oracle twin.
@@ -181,6 +206,15 @@ object QueriesText {
 
     "text_bpe_tokens_trained" -> ((s, d) =>
       Bpe.tokenCountsTrained(s, StandIn.documents(s, d))),
+
+    // Byte-level (GPT-2) encode faces under the fixed byte-merge table:
+    // byte-mapped pretokens (space ⇒ Ġ rides INTO tokens) through the
+    // same codegen kernels (Bpe.encodeSymbolsBytes/tokenCountsBytes).
+    "text_bpe_bytes_symbols" -> ((s, d) =>
+      Bpe.encodeSymbolsBytes(StandIn.documents(s, d))),
+
+    "text_bpe_bytes_tokens" -> ((s, d) =>
+      Bpe.tokenCountsBytes(StandIn.documents(s, d))),
 
     // Unigram-LM Viterbi encode under the fixed piece table — byte-exact
     // piece-stream evidence (codegen'd UlmSegment kernel, zero shuffles).
@@ -475,6 +509,17 @@ object QueriesText {
     // Train→encode twin: learned pairs + per-word replace chain in one
     // statement (see bpeTrainedTokensOracle).
     "text_bpe_tokens_trained" -> bpeTrainedTokensOracle,
+
+    // Byte-level fixed-table encode twins: same per-pretoken replay with
+    // the FixedByteMerges chain over byte-mapped pretokens.
+    "text_bpe_bytes_symbols" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform($bpeBytesWordsSql,
+         |    w -> $bpeBytesWordSymsSql), ' ') AS bpe_symbols
+         |FROM documents""".stripMargin,
+
+    "text_bpe_bytes_tokens" ->
+      s"SELECT doc_id, $bpeBytesTokensSql AS bpeb_tokens\nFROM documents",
 
     // Fixed-table unigram-LM encode twins: Viterbi replayed as
     // recursive-CTE path enumeration per DISTINCT corpus word (ulmWalkSql

@@ -156,4 +156,70 @@ class BpeSpec extends SparkSpec {
       assert(packs.head === 0)
     }
   }
+
+  // ── Byte-level (GPT-2) family ───────────────────────────────────────
+
+  test("ByteUnicodeMap pins the published bytes_to_unicode table") {
+    val t = graft.functions.ByteUnicodeMap.table
+    assert(t.length === 256)
+    assert(t.distinct.length === 256) // bijection
+    // Printable ranges map to themselves.
+    (33 to 126) ++ (161 to 172) ++ (174 to 255) foreach { b =>
+      assert(t(b) === b.toChar, s"byte $b should self-map")
+    }
+    // The 68 non-printables take 256+n in byte order: space (0x20) is the
+    // 33rd (n=32) → U+0120 'Ġ'; newline (0x0A) → U+010A 'Ċ'.
+    assert(t(' '.toInt) === 'Ġ')
+    assert(t('\n'.toInt) === 'Ċ')
+    assert(t(0) === 0x100.toChar)
+    assert(t(173) === (256 + 67).toChar) // soft hyphen is the last one
+  }
+
+  test("byteMapped falls back to one symbol per UTF-8 byte") {
+    import spark.implicits._
+    // '©' is U+00A9 = 0xC2 0xA9 in UTF-8: 0xC2 (194, printable range)
+    // self-maps, 0xA9 (169) self-maps — two chars out.
+    val out = Seq(("a ©b")).toDF("text")
+      .select(Bpe.byteMapped(col("text"))).collect().head.getString(0)
+    assert(out === "aĠ" + 0xC2.toChar + 0xA9.toChar + "b")
+  }
+
+  test("bytePretokens splits like GPT-2 on single-spaced text") {
+    import spark.implicits._
+    val out = Seq(("the row can't stop 42 times"))
+      .toDF("text").select(Bpe.bytePretokens(col("text")))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("the", "Ġrow", "Ġcan", "'t", "Ġstop", "Ġ42",
+      "Ġtimes"))
+  }
+
+  test("trainBytes learns Ġ-absorbing merges on a tiny corpus") {
+    val d = docs((1L, "the cat the cat the"), (2L, "the cat"))
+    val rules = Bpe.trainBytes(d, numMerges = 4)
+    // Pretokens: "the"×2(doc starts), "Ġcat"×3, "Ġthe"×3.
+    // Round 1 pairs: (Ġ,c)3 (c,a)3 (a,t)3 (Ġ,t)3 (t,h)5 (h,e)5 → (h,e)
+    // wait: (t,h) appears in the×2 + Ġthe×3 = 5; (h,e) same 5; tie → a
+    // asc: (h,e) vs (t,h): 'h' < 't' → (h,e) wins.
+    assert(rules.head.a === "h" && rules.head.b === "e")
+    assert(rules.map(r => (r.a, r.b)) ===
+      Bpe.trainBytesDistributed(d, numMerges = 4).map(r => (r.a, r.b)))
+  }
+
+  test("encodeSymbolsBytes applies fixed byte merges with chaining") {
+    val out = Bpe.encodeSymbolsBytes(docs((1L, "the row agg")))
+      .collect().head.getString(1)
+    // "the" (no leading Ġ) → t+h→th, th+e→the (Ġ-merge can't fire);
+    // "Ġrow": r+o→ro, ro+w→row, Ġ+row→Ġrow; "Ġagg" likewise.
+    assert(out === "the Ġrow Ġagg")
+  }
+
+  test("tokenCountsBytes equals the materialized symbol count") {
+    val d = docs((1L, "the row agg scan a"), (2L, ""), (3L, null))
+    val syms = Bpe.encodeSymbolsBytes(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .count(_.nonEmpty)).toMap
+    Bpe.tokenCountsBytes(d).collect().foreach { r =>
+      assert(r.getInt(1) === syms(r.getLong(0)))
+    }
+  }
 }
