@@ -1538,6 +1538,110 @@ object Similarity {
     exactReRank(shortlist, coded, k)
   }
 
+  /** Deterministic probe order for multi-probe IVF: the `nprobe` cell
+    * ids ranked by the query's dot against each seed centroid (desc),
+    * ties by cell id — production probe shape (visit the nearest lists
+    * first) kept fully hash-checkable. The sort key is the NEGATED
+    * integer micro-unit pin of the dot (`-round(dot·10⁶)` as a long):
+    * negating a rounded DOUBLE would manufacture −0.0, which Spark's
+    * struct sort orders below +0.0 while DuckDB compares them equal —
+    * integers have no signed zero, so the seam closes by construction.
+    * The first probe is the query's own [[ivfCell]] argmax cell except
+    * at micro-vs-6dp rounding knife edges, where both engines still
+    * agree (each applies the same pin). */
+  def ivfProbeCells(
+      vec: Column, seeds: Seq[Seq[Double]], nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= seeds.size,
+      s"nprobe=$nprobe out of [1, ${seeds.size}]")
+    val entries = array(seeds.zipWithIndex.map { case (s, i) =>
+      struct(
+        (-round(dot(vec, typedlit(s)) * lit(1000000d))).cast("long")
+          .alias("nd"),
+        lit(i + 1).alias("cid"))
+    }: _*)
+    slice(transform(array_sort(entries), e => e.getField("cid")),
+      1, nprobe)
+  }
+
+  /** Multi-probe [[ivfSq8TopK]]: each query searches its `nprobe`
+    * nearest inverted lists instead of only its own — the production
+    * probe shape (nprobe=1 misses any true neighbor that fell across a
+    * cell boundary; probing the runner-up cells recovers most of them
+    * for nprobe/cells of extra scan). Probe order is [[ivfProbeCells]],
+    * so the whole composed index stays hash-checkable: candidates come
+    * from a (query, probe-cell) equi-join against the cell-partitioned
+    * SQ8 codes, ADC-shortlisted and exactly re-ranked as before. A
+    * vector lives in exactly one cell, so probe unions never duplicate
+    * candidate pairs and need no distinct.
+    */
+  def ivfSq8TopKProbe(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      k: Int = 5,
+      refine: Int = 4,
+      nprobe: Int = 2): DataFrame = {
+    val coded = Materialize(sq8Codes(prepared(embeddings))
+      .withColumn("cell", ivfCell(col("vec"), planes(cells, seed = 7L))))
+    ivfSq8ProbeFromCoded(coded, cells, k, refine, nprobe)
+  }
+
+  private def ivfSq8ProbeFromCoded(
+      coded: DataFrame,
+      cells: Int,
+      k: Int,
+      refine: Int,
+      nprobe: Int): DataFrame = {
+    require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
+    val seeds = planes(cells, seed = 7L)
+    val queries = queryDraw(coded)
+      .select(col("vec_id").alias("q_id"), col("vec").alias("q_vec"),
+        col("norm").alias("q_norm"))
+      .withColumn("cell",
+        explode(ivfProbeCells(col("q_vec"), seeds, nprobe)))
+    val qscore = round(
+      dot(col("q_vec"), col("recon")) /
+        (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id"))
+    val shortlist = coded.join(boundedBroadcast(queries), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+        qscore.alias("qscore"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= refine * k)
+      .select(col("q_id"), col("neighbor_id"))
+    exactReRank(shortlist, coded, k)
+  }
+
+  /** The nprobe DECISION card, fully hash-checked: recall vs brute force
+    * at nprobe=1 and at `nprobe`, side by side with the 6-dp gain —
+    * every number replayed by the oracle (both searches AND the exact
+    * baseline are engine-stable), so unlike the trained-index audits
+    * this is not a pinned floor but the measured trade-off itself.
+    * One coded frame and one brute-force pass feed both arms.
+    */
+  def ivfSq8ProbeGainReport(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      k: Int = 5,
+      refine: Int = 4,
+      nprobe: Int = 2): DataFrame = {
+    val prep = Materialize(prepared(embeddings))
+    val coded = Materialize(sq8Codes(prep)
+      .withColumn("cell", ivfCell(col("vec"), planes(cells, seed = 7L))))
+    val bf = bruteForceTopKPrepared(prep, k)
+    val r1 = recallAtK(ivfSq8ProbeFromCoded(coded, cells, k, refine, 1), bf)
+      .select(col("expected"), col("recall").alias("recall_1"))
+    val rp = recallAtK(
+      ivfSq8ProbeFromCoded(coded, cells, k, refine, nprobe), bf)
+      .select(col("recall").alias("recall_probe"))
+    r1.crossJoin(rp).select(
+      col("expected"),
+      lit(nprobe).cast("int").alias("nprobe"),
+      col("recall_1"), col("recall_probe"),
+      round(col("recall_probe") - col("recall_1"), 6).alias("gain"))
+  }
+
   /** [[recallAtK]] of [[sq8TopK]] vs brute force over one shared prepared
     * frame, reduced to the hash-checked `(expected, floor_met)` audit
     * face — the quality claim next to sim_sq8_topk's exact twin.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Unit spec for cosine similarity search over a tiny controlled space. */
 class SimilaritySpec extends SparkSpec {
@@ -394,6 +395,52 @@ class SimilaritySpec extends SparkSpec {
         (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
     assert(composed === plain)
     assert(composed.nonEmpty)
+  }
+
+  test("ivfProbeCells: nprobe distinct cells, first probe = own cell") {
+    val data = emb((0L until 12L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 2.3 + j * 1.1))): _*)
+    val seeds = Similarity.planes(4, seed = 7L)
+    val rows = Similarity.prepared(data)
+      .select(col("vec_id"),
+        Similarity.ivfCell(col("vec"), seeds).alias("own"),
+        Similarity.ivfProbeCells(col("vec"), seeds, 3).alias("probes"))
+      .collect()
+    rows.foreach { r =>
+      val probes = r.getSeq[Int](2)
+      assert(probes.length === 3)
+      assert(probes.distinct.length === 3)
+      // Own cell uses the 6-dp pin, probes the micro pin — identical
+      // argmax away from knife edges this smooth fixture never hits.
+      assert(probes.head === r.getInt(1),
+        s"first probe should be the argmax cell: $r")
+    }
+  }
+
+  test("ivfSq8TopKProbe at nprobe=cells equals the full SQ8 scan " +
+    "(all lists probed = no list pruning at all)") {
+    val data = emb((0L until 30L).map(i =>
+      i -> Seq.tabulate(8)(j => math.cos(i * 1.9 + j * 0.7))): _*)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    val probed = key(Similarity.ivfSq8TopKProbe(
+      data, cells = 4, k = 3, refine = 4, nprobe = 4))
+    val full = key(Similarity.sq8TopK(data, k = 3, refine = 4))
+    assert(probed === full)
+    assert(probed.nonEmpty)
+  }
+
+  test("ivfSq8ProbeGainReport: recalls in [0,1], gain = probe − single") {
+    val data = emb((0L until 40L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 0.9 + j * 0.5))): _*)
+    val r = Similarity.ivfSq8ProbeGainReport(
+      data, cells = 4, k = 3, refine = 2, nprobe = 2).collect().head
+    val (r1, rp, gain) = (r.getAs[Double]("recall_1"),
+      r.getAs[Double]("recall_probe"), r.getAs[Double]("gain"))
+    assert(r1 >= 0 && r1 <= 1 && rp >= 0 && rp <= 1)
+    assert(math.abs(gain - BigDecimal(rp - r1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
   test("random projection: ratios concentrate near 1 across a spread of vectors") {
