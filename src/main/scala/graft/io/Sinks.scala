@@ -125,6 +125,13 @@ object Sinks {
         val hit = rs.next(); rs.close(); hit
       } finally check.close()
       if (already) {
+        // Skip the EXTERNAL write, not the computation: a stateful
+        // upstream (fMGWS/windowed agg) commits its state stores inside
+        // this batch's partition tasks, and Spark 4 validates that every
+        // partition committed — an unconsumed replay fails the batch
+        // exactly where exactly-once matters (recovery). The noop write
+        // materializes all partitions with no side effect.
+        df.write.format("noop").mode("overwrite").save()
         log(s"[batch $batchId] already committed to $table — replay skipped")
       } else {
         jdbcAppend(df, jdbc, table)
