@@ -201,6 +201,27 @@ object Bench {
         Map.empty
       }
     val sf1Total = sf1.values.sum
+
+    // Streaming-throughput section (r14 verdict item 7): rows/sec +
+    // state rows per stateful family under BOTH state-store providers,
+    // so a provider or state-handling regression becomes a visible
+    // number instead of an invisible e2e-still-green slowdown. Disable
+    // with GRAFT_STREAM_BENCH=0.
+    val streaming: Seq[graft.harness.StreamBench.Result] =
+      if (sys.env.getOrElse("GRAFT_STREAM_BENCH", "1") == "0") Seq.empty
+      else try graft.harness.StreamBench.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming section skipped: ${e.getMessage}")
+        Seq.empty
+      }
+    val streamingJson = streaming.map { r =>
+      s""""${r.op}_${r.provider}":{"rows_per_sec":${r.rowsPerSec.toLong},""" +
+        s""""rows":${r.rows},"secs":${"%.2f".formatLocal(
+          java.util.Locale.ROOT, r.secs)},"state_rows":${r.stateRows}}"""
+    }.mkString("{", ",", "}")
+    val streamingRps = streaming.map(r =>
+      s""""${r.op}_${r.provider}":${r.rowsPerSec.toLong}""")
+      .mkString("{", ",", "}")
     // Prior-run diffing: read the previous BENCH_DETAIL.json (if any)
     // BEFORE overwriting it and emit per-query `warm_delta_vs_prev`
     // (this run's min − previous run's min, negative = faster), so
@@ -227,6 +248,7 @@ object Bench {
           s""""warm_delta_vs_prev":${jmap(delta)},""" +
           s""""warm_prev_present":${prevWarm.nonEmpty},""" +
           s""""sf1_queries":${jmap(sf1)},"sf1_total":$sf1Total,""" +
+          s""""streaming":$streamingJson,""" +
           warmSamples.zipWithIndex.map { case (s, i) =>
             s""""warm_pass_${i + 1}":${jmap(s)}"""
           }.mkString(",") +
@@ -265,7 +287,7 @@ object Bench {
     val extLoadsJson = preExtLoads
       .map(l => if (l < 0) "\"na\"" else s""""${f2(l)}"""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_n":${sf1.size},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_n":${sf1.size},"streaming_rps":$streamingRps,"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,150 @@
+package graft.harness
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.{Anomaly, Cdc, Dedup, Sessionize, WindowOps}
+
+/** Streaming-throughput micro-bench (r14 verdict item 7): the stateful
+  * operator families are e2e-correct but were never MEASURED, so a
+  * state-store regression (a provider change, an accidental per-row
+  * state rewrite, a timeout storm) would ship invisibly. Each family
+  * gets a MemoryStream-fed run — warm-up batch, then `batches` timed
+  * batches of `rowsPerBatch` rows through a noop sink — under BOTH
+  * state-store providers (HDFS-backed and RocksDB), reporting rows/sec
+  * and the final state-row count.
+  *
+  * These are micro-bench numbers on synthetic keys (1000 hot keys,
+  * event time advancing 10 min per batch so watermark eviction work is
+  * included); they track RELATIVE drift round over round, not absolute
+  * cluster throughput.
+  */
+object StreamBench {
+
+  final case class Result(
+      op: String, provider: String, rows: Long, secs: Double,
+      rowsPerSec: Double, stateRows: Long)
+
+  private val Providers = Seq(
+    "hdfs" ->
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private val Keys = 1000
+  private val BaseMs = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+
+  /** Event time: +10 min per batch (watermarks advance, sessions close,
+    * dedup state ages out), spread over 60 s inside a batch. */
+  private def ts(batch: Int, i: Int): Timestamp =
+    new Timestamp(BaseMs + (batch + 1).toLong * 600000L +
+      (i % 60000).toLong)
+
+  private def bench[A](
+      spark: SparkSession, name: String, provider: String,
+      rowsPerBatch: Int, batches: Int)(
+      mk: DataFrame => DataFrame)(gen: (Int, Int) => Seq[A])(
+      implicit enc: Encoder[A]): Result = {
+    val input = MemoryStream[A](spark)
+    val q = mk(input.toDF()).writeStream
+      .format("noop")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sb-$name-$provider").toString)
+      .start()
+    try {
+      input.addData(gen(-1, 100)) // warm-up: codegen + state-store init
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        input.addData(gen(b, rowsPerBatch))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * rowsPerBatch
+      val state = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      Result(name, provider, rows, secs,
+        if (secs > 0) rows / secs else 0d, state)
+    } finally q.stop()
+  }
+
+  /** One full sweep: every family × every provider, sequentially (the
+    * point is comparable numbers, not total wall time). */
+  def run(
+      spark: SparkSession,
+      rowsPerBatch: Int = 20000,
+      batches: Int = 3): Seq[Result] = {
+    import spark.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try runProviders(spark, rowsPerBatch, batches)
+    finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def runProviders(
+      spark: SparkSession,
+      rowsPerBatch: Int,
+      batches: Int): Seq[Result] = {
+    import spark.implicits._
+    Providers.flatMap { case (pname, pclass) =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+      val cdc = bench[(Long, Timestamp, Long, String, Double)](
+        spark, "cdc_register", pname, rowsPerBatch, batches) { df =>
+        Cdc.streamingApplyExpiring(
+          df.toDF("user_id", "ts", "event_id", "event_type", "value"),
+          idleRetentionSec = 3600L).toDF()
+      } { (b, n) =>
+        (0 until n).map(i => ((i % Keys).toLong, ts(b, i),
+          b.toLong * n + i, if (i % 97 == 0) "error" else "view",
+          i.toDouble))
+      }
+      val sess = bench[(Long, Timestamp)](
+        spark, "sessions", pname, rowsPerBatch, batches) { df =>
+        Sessionize.streamingSessions(
+          df.toDF("user_id", "ts").withWatermark("ts", "1 minute"),
+          gap = "5 minutes")
+      } { (b, n) =>
+        (0 until n).map(i => ((i % Keys).toLong, ts(b, i)))
+      }
+      val topn = bench[(Long, Timestamp, Long, Double)](
+        spark, "top_n", pname, rowsPerBatch, batches) { df =>
+        WindowOps.streamingTopN(
+          df.toDF("event_id", "ts", "user_id", "value")
+            .withWatermark("ts", "10 minutes"), n = 3).toDF()
+      } { (b, n) =>
+        (0 until n).map(i => (b.toLong * n + i, ts(b, i),
+          (i % Keys).toLong, (i % 1009).toDouble))
+      }
+      val anom = bench[(Long, Timestamp, String, Double)](
+        spark, "anomaly", pname, rowsPerBatch, batches) { df =>
+        Anomaly.streamingOutliers(
+          df.toDF("event_id", "ts", "event_type", "value")
+            .withWatermark("ts", "10 minutes"),
+          threshold = 3.0, minN = 10L).toDF()
+      } { (b, n) =>
+        (0 until n).map(i => (b.toLong * n + i, ts(b, i),
+          s"t${i % 16}", (i % 101).toDouble))
+      }
+      val dedup = bench[(String, Timestamp)](
+        spark, "windowed_distinct", pname, rowsPerBatch, batches) { df =>
+        Dedup.streamingExact(
+          df.toDF("payload", "event_time")
+            .withWatermark("event_time", "10 minutes"),
+          Seq("payload"))
+      } { (b, n) =>
+        // Every 3rd row duplicates its predecessor — real dedup work.
+        (0 until n).map(i => (s"p-$b-${i - i % 3}", ts(b, i)))
+      }
+      Seq(cdc, sess, topn, anom, dedup)
+    }
+  }
+}
