@@ -59,14 +59,25 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst)
+    run(spark, src, dst,
+      kScale = if (args.length > 2) args(2).toLong else 1L)
     spark.stop()
   }
 
   /** Session-borrowing body so [[graft.Bench]] can regenerate the sf1.0
     * fixture in-process without the `main` wrapper stopping its session.
+    *
+    * @param kScale multiplier on every key-domain shift — 1 for the
+    *   sf0.1→sf1.0 decade (byte-identical to the round-14 fixture), 10
+    *   for the sf1.0→sf10 decade (shifts must clear the sf1.0 maxima;
+    *   doc_ids top out at 999 999, still under the 1 000 000 shift the
+    *   incremental-dedup queries add). Second-decade embeddings rotate
+    *   by c AGAIN, so copies whose two rotation offsets sum equal are
+    *   exact duplicate vectors under new ids — deliberate dedup stress,
+    *   harmless for parity (every tie-break is (score, id)).
     */
-  def run(spark: SparkSession, src: String, dst: String): Unit = {
+  def run(spark: SparkSession, src: String, dst: String,
+      kScale: Long = 1L): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Files.createDirectories(Paths.get(dst))
 
@@ -97,7 +108,7 @@ object ScaleUp {
     val customer = read("customer")
     writeOne(amplify(customer) { c =>
       customer.select(
-        (col("c_custkey") + c * KCust).alias("c_custkey"),
+        (col("c_custkey") + c * KCust * kScale).alias("c_custkey"),
         (if (c == 0) col("c_name")
          else concat(col("c_name"), lit(s"#$c"))).alias("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -106,7 +117,7 @@ object ScaleUp {
     val supplier = read("supplier")
     writeOne(amplify(supplier) { c =>
       supplier.select(
-        (col("s_suppkey") + c * KSupp).alias("s_suppkey"),
+        (col("s_suppkey") + c * KSupp * kScale).alias("s_suppkey"),
         (if (c == 0) col("s_name")
          else concat(col("s_name"), lit(s"#$c"))).alias("s_name"),
         col("s_nationkey"), col("s_acctbal"))
@@ -115,7 +126,7 @@ object ScaleUp {
     val part = read("part")
     writeOne(amplify(part) { c =>
       part.select(
-        (col("p_partkey") + c * KPart).alias("p_partkey"),
+        (col("p_partkey") + c * KPart * kScale).alias("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice"))
     }, "part")
@@ -123,8 +134,8 @@ object ScaleUp {
     val orders = read("orders")
     writeOne(amplify(orders) { c =>
       orders.select(
-        (col("o_orderkey") + c * KOrder).alias("o_orderkey"),
-        (col("o_custkey") + c * KCust).alias("o_custkey"),
+        (col("o_orderkey") + c * KOrder * kScale).alias("o_orderkey"),
+        (col("o_custkey") + c * KCust * kScale).alias("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
     }, "orders")
@@ -132,9 +143,9 @@ object ScaleUp {
     val lineitem = read("lineitem")
     writeOne(amplify(lineitem) { c =>
       lineitem.select(
-        (col("l_orderkey") + c * KOrder).alias("l_orderkey"),
-        (col("l_partkey") + c * KPart).alias("l_partkey"),
-        (col("l_suppkey") + c * KSupp).alias("l_suppkey"),
+        (col("l_orderkey") + c * KOrder * kScale).alias("l_orderkey"),
+        (col("l_partkey") + c * KPart * kScale).alias("l_partkey"),
+        (col("l_suppkey") + c * KSupp * kScale).alias("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
@@ -143,7 +154,7 @@ object ScaleUp {
     val events = read("events")
     writeOne(amplify(events) { c =>
       events.select(
-        (col("event_id") + c * KEvent).alias("event_id"),
+        (col("event_id") + c * KEvent * kScale).alias("event_id"),
         // +c µs per copy: copies land on the SAME sensors (sensor identity
         // is user_id mod 2/4, invariant under the shift), and a physical
         // sensor emits one reading at a time — exact-tie storms of
@@ -151,7 +162,7 @@ object ScaleUp {
         // state-machine semantics order-dependent, a fixture artifact,
         // not an engine property. 10×-density-in-window is preserved.
         (col("ts") + expr(s"INTERVAL $c MICROSECONDS")).alias("ts"),
-        (col("user_id") + c * KUser).alias("user_id"),
+        (col("user_id") + c * KUser * kScale).alias("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events")
 
@@ -162,7 +173,7 @@ object ScaleUp {
         else when((col("doc_id") + c) % 3 === 0, col("text"))
           .otherwise(concat(col("text"), lit(s" rev$c")))
       documents.select(
-        (col("doc_id") + c * KDoc).alias("doc_id"),
+        (col("doc_id") + c * KDoc * kScale).alias("doc_id"),
         text.alias("text"),
         col("lang"), col("source"),
         length(text).alias("n_chars"))
@@ -177,7 +188,7 @@ object ScaleUp {
           slice(col("embedding"), c + 1, dim - c),
           slice(col("embedding"), 1, c))
       embeddings.select(
-        (col("vec_id") + c * KVec).alias("vec_id"),
+        (col("vec_id") + c * KVec * kScale).alias("vec_id"),
         emb.alias("embedding"),
         col("label"))
     }, "embeddings")
