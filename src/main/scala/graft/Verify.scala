@@ -13,9 +13,15 @@ object Verify {
     val jsonOnly = args.length > 2 && args(2) == "--json-only"
     val nameFilter = if (jsonOnly) "" else if (args.length > 2) args(2) else ".*"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle parallelism decouples from the thread count when asked:
+    // at the sf10 probe scale, 32 partitions put ~1M wide rows in one
+    // task's sort and the per-task heap becomes the limit — more
+    // partitions is the honest knob (a real cluster would run hundreds).
+    val shuffleParts =
+      sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,6 +32,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // Drop blocks the finished query left behind (Materialize =
+      // localCheckpoint): at sf10 a single query's cached pair graph is
+      // GBs, and accumulating them across 250+ queries starves the next
+      // query's execution memory (the r15 probe OOM'd exactly this way).
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

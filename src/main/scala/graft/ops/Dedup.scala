@@ -883,7 +883,7 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      maxIters: Int = 20): DataFrame =
+      maxIters: Int = 40): DataFrame =
     componentsFromPairs(
       minhashCandidates(docs, k, bands, threshold)
         .select(col("a_id"), col("b_id")),
@@ -903,7 +903,7 @@ object Dedup {
       pairs: DataFrame,
       universe: DataFrame,
       idCol: String = "doc_id",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 40): DataFrame = {
     // Materialize the pair set BEFORE symmetrizing: the union's two
     // branches would otherwise each re-evaluate the full candidate
     // lineage (shingle → LSH join, or the cosine bucket join) — the most
@@ -927,7 +927,10 @@ object Dedup {
     // with labels still moving means the result would diverge from the
     // exact connected components (and the recursive-CTE oracle), so fail
     // loudly rather than return wrong cluster ids. With pointer jumping the
-    // default 20 rounds covers component diameters up to ~2^20.
+    // default 40 rounds covers component diameters up to ~2^40 (the sf10
+    // probe's 200k-vector near-dup graph carries ~100k-long chains through
+    // the cross-decade duplicate cliques and hit the old 20 at 6 moving
+    // labels — converged loops exit early, so the higher guard is free).
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("b_id") === labels("doc_id"))

@@ -1241,7 +1241,7 @@ object Similarity {
       embeddings: DataFrame,
       bits: Int = 6,
       threshold: Double = 0.25,
-      maxIters: Int = 20): DataFrame =
+      maxIters: Int = 40): DataFrame =
     Dedup.componentsFromPairs(
       cosineNearDup(embeddings, bits, threshold)
         .select(col("a_id"), col("b_id")),
