@@ -45,7 +45,7 @@ object StreamBench {
 
   private def bench[A](
       spark: SparkSession, name: String, provider: String,
-      rowsPerBatch: Int, batches: Int)(
+      rowsPerBatch: Int, batches: Int, ckptRoot: java.nio.file.Path)(
       mk: DataFrame => DataFrame)(gen: (Int, Int) => Seq[A])(
       implicit enc: Encoder[A]): Result = {
     val input = MemoryStream[A](spark)
@@ -53,7 +53,7 @@ object StreamBench {
       .format("noop")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory(s"graft-sb-$name-$provider").toString)
+        ckptRoot.resolve(s"$name-$provider").toString)
       .start()
     try {
       input.addData(gen(-1, 100)) // warm-up: codegen + state-store init
@@ -81,24 +81,35 @@ object StreamBench {
     import spark.implicits._
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    try runProviders(spark, rowsPerBatch, batches)
-    finally prevProvider match {
-      case Some(p) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // ONE parent temp dir per run, recursively deleted afterwards — the 10
+    // per-op checkpoint dirs (incl. RocksDB state files) otherwise pile up
+    // in /tmp across repeated bench invocations (r15 advice).
+    val ckptRoot = Files.createTempDirectory("graft-streambench")
+    try runProviders(spark, rowsPerBatch, batches, ckptRoot)
+    finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      try
+        Files.walk(ckptRoot).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      catch { case _: Throwable => () }
     }
   }
 
   private def runProviders(
       spark: SparkSession,
       rowsPerBatch: Int,
-      batches: Int): Seq[Result] = {
+      batches: Int,
+      ckptRoot: java.nio.file.Path): Seq[Result] = {
     import spark.implicits._
     Providers.flatMap { case (pname, pclass) =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
       val cdc = bench[(Long, Timestamp, Long, String, Double)](
-        spark, "cdc_register", pname, rowsPerBatch, batches) { df =>
+        spark, "cdc_register", pname, rowsPerBatch, batches, ckptRoot) { df =>
         Cdc.streamingApplyExpiring(
           df.toDF("user_id", "ts", "event_id", "event_type", "value"),
           idleRetentionSec = 3600L).toDF()
@@ -108,7 +119,7 @@ object StreamBench {
           i.toDouble))
       }
       val sess = bench[(Long, Timestamp)](
-        spark, "sessions", pname, rowsPerBatch, batches) { df =>
+        spark, "sessions", pname, rowsPerBatch, batches, ckptRoot) { df =>
         Sessionize.streamingSessions(
           df.toDF("user_id", "ts").withWatermark("ts", "1 minute"),
           gap = "5 minutes")
@@ -116,7 +127,7 @@ object StreamBench {
         (0 until n).map(i => ((i % Keys).toLong, ts(b, i)))
       }
       val topn = bench[(Long, Timestamp, Long, Double)](
-        spark, "top_n", pname, rowsPerBatch, batches) { df =>
+        spark, "top_n", pname, rowsPerBatch, batches, ckptRoot) { df =>
         WindowOps.streamingTopN(
           df.toDF("event_id", "ts", "user_id", "value")
             .withWatermark("ts", "10 minutes"), n = 3).toDF()
@@ -125,7 +136,7 @@ object StreamBench {
           (i % Keys).toLong, (i % 1009).toDouble))
       }
       val anom = bench[(Long, Timestamp, String, Double)](
-        spark, "anomaly", pname, rowsPerBatch, batches) { df =>
+        spark, "anomaly", pname, rowsPerBatch, batches, ckptRoot) { df =>
         Anomaly.streamingOutliers(
           df.toDF("event_id", "ts", "event_type", "value")
             .withWatermark("ts", "10 minutes"),
@@ -135,7 +146,7 @@ object StreamBench {
           s"t${i % 16}", (i % 101).toDouble))
       }
       val dedup = bench[(String, Timestamp)](
-        spark, "windowed_distinct", pname, rowsPerBatch, batches) { df =>
+        spark, "windowed_distinct", pname, rowsPerBatch, batches, ckptRoot) { df =>
         Dedup.streamingExact(
           df.toDF("payload", "event_time")
             .withWatermark("event_time", "10 minutes"),

@@ -1060,8 +1060,25 @@ object Similarity {
     require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
     require(cells > 0 && codes > 0 && iters >= 0,
       s"bad ivfpq params: $cells/$codes/$iters")
-    val sub = Dim / m
     val prep = Materialize(prepared(embeddings))
+    val (encoded, cs, books) = ivfPqIndex(prep, cells, m, codes, iters)
+    ivfPqSearch(encoded, prep, cs, books, m, k, nprobe, refine)
+  }
+
+  /** The trained IVFPQ index build, split from search so the probe-gain
+    * card can run two searches against ONE training pass: returns the
+    * encoded frame `(vec_id, cell, c0..c_{m-1}, recon_norm)` plus the
+    * coarse centroids and residual codebooks the search side needs for
+    * its literal tables.
+    */
+  private def ivfPqIndex(
+      prep: DataFrame,
+      cells: Int,
+      m: Int,
+      codes: Int,
+      iters: Int)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val sub = Dim / m
     // ONE sample collect feeds both trainers: the coarse Lloyd fit and the
     // residual codebooks (the draw is deterministic, so a second pass
     // would fetch the identical rows for double the cluster work).
@@ -1085,14 +1102,6 @@ object Similarity {
     }
     val books = pqFit(residuals, m, codes, iters)
 
-    // CASE chain selecting the (1-based) cell's centroid as a literal.
-    def centroidOf(cell: Column): Column =
-      cs.zipWithIndex.map { case (c, i) =>
-        (i + 1, typedlit(c))
-      }.foldRight(typedlit(cs.head): Column) { case ((id, c), rest) =>
-        when(cell === id, c).otherwise(rest)
-      }
-
     val byDist = cellsByDistance(col("vec"), col("norm"), cs)
     // Encode: cell, residual subspace slices staged, per-subspace argmin
     // code, and the reconstructed norm from literal lookup tables.
@@ -1100,7 +1109,7 @@ object Similarity {
       val celled = prep
         .withColumn("cell", element_at(byDist, 1))
         .withColumn("resid",
-          zip_with(col("vec"), centroidOf(col("cell")), (a, b) => a - b))
+          zip_with(col("vec"), centroidOf(cs, col("cell")), (a, b) => a - b))
       val staged = celled.select(col("vec_id") +: col("cell") +:
         (0 until m).map(j =>
           slice(col("resid"), j * sub + 1, sub).alias(s"r$j")): _*)
@@ -1131,6 +1140,32 @@ object Similarity {
       coded.withColumn("recon_norm",
         sqrt(greatest(cn2Of + combTerm, lit(0.0))))
     }
+    (encoded, cs, books)
+  }
+
+  /** CASE chain selecting the (1-based) cell's centroid as a literal —
+    * shared by the IVFPQ encode (residuals) and search (coarse q·c term).
+    */
+  private def centroidOf(cs: Seq[Seq[Double]], cell: Column): Column =
+    cs.zipWithIndex.map { case (c, i) =>
+      (i + 1, typedlit(c))
+    }.foldRight(typedlit(cs.head): Column) { case ((id, c), rest) =>
+      when(cell === id, c).otherwise(rest)
+    }
+
+  /** IVFPQ search over a built index (see [[ivfPqIndex]]): nprobe cells
+    * per query, ADC shortlist, exact re-rank.
+    */
+  private def ivfPqSearch(
+      encoded: DataFrame,
+      prep: DataFrame,
+      cs: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      refine: Int): DataFrame = {
+    val sub = Dim / m
     // Queries: ADC tables tⱼ from the RAW query subvectors (q·r̂ needs q,
     // not a residual) — computed BEFORE the probe explode so the m×codes
     // dot products run once per query, not once per probed cell — then
@@ -1146,7 +1181,7 @@ object Similarity {
         .withColumn("cell",
           explode(slice(cellsByDistance(col("q_vec"), col("q_norm"), cs),
             1, nprobe)))
-        .withColumn("qc", dot(col("q_vec"), centroidOf(col("cell"))))
+        .withColumn("qc", dot(col("q_vec"), centroidOf(cs, col("cell"))))
         .drop("q_vec")
     }
     val adcDot = col("qc") +
@@ -1162,6 +1197,61 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     exactReRank(shortlist, prep, k)
   }
+
+  /** The IVFPQ nprobe DECISION card (r15 verdict item 7 — the
+    * [[ivfSq8ProbeGainReport]] shape for the TRAINED residual-PQ index):
+    * recall vs brute force at nprobe=1 and at `nprobe` from ONE training
+    * pass and one encoded frame, so the gain isolates the probe count.
+    * The trained quantizer has no SQL twin, so unlike the seed-based SQ8
+    * card this face is rows-only; its audit twin pins the measured
+    * floors hash-checked.
+    */
+  def ivfPqProbeGainReport(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2,
+      refine: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells, s"bad nprobe $nprobe for $cells")
+    val prep = Materialize(prepared(embeddings))
+    val (encoded0, cs, books) = ivfPqIndex(prep, cells, m, codes, iters)
+    val encoded = Materialize(encoded0)
+    val bf = bruteForceTopKPrepared(prep, k)
+    val r1 = recallAtK(
+      ivfPqSearch(encoded, prep, cs, books, m, k, 1, refine), bf)
+      .select(col("expected"), col("recall").alias("recall_1"))
+    val rp = recallAtK(
+      ivfPqSearch(encoded, prep, cs, books, m, k, nprobe, refine), bf)
+      .select(col("recall").alias("recall_probe"))
+    r1.crossJoin(rp).select(
+      col("expected"),
+      lit(nprobe).cast("int").alias("nprobe"),
+      col("recall_1"), col("recall_probe"),
+      round(col("recall_probe") - col("recall_1"), 6).alias("gain"))
+  }
+
+  /** Hash-checked audit face of [[ivfPqProbeGainReport]]: `expected` is
+    * oracle-derivable (query count × k), the booleans pin the MEASURED
+    * floors (set strictly below the worst measurement across scales —
+    * regression guards, not the measurements).
+    */
+  def ivfPqProbeGainAudit(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      k: Int = 5,
+      nprobe: Int = 2,
+      refine: Int = 4,
+      floor1: Double = 0.1,
+      floorProbe: Double = 0.2): DataFrame =
+    ivfPqProbeGainReport(embeddings, cells, k = k, nprobe = nprobe,
+      refine = refine).select(
+      col("expected"),
+      (col("recall_1") >= floor1).alias("floor1_met"),
+      (col("recall_probe") >= floorProbe).alias("probe_floor_met"),
+      (col("gain") >= 0.0).alias("gain_nonneg"))
 
   /** Embedding-cosine near-duplicate pairs: bucket-sharing pairs with
     * cosine ≥ threshold (the embedding-space member of the dedup family).
@@ -1328,6 +1418,51 @@ object Similarity {
         (col("n_flags") === col("n_total")).alias("partition_ok"),
         (col("n_unwitnessed") === 0).alias("pruned_witnessed"),
         (col("n_kept_pairs") === 0).alias("keepers_clean"))
+  }
+
+  /** PER-ROW membership contract for the TRAINED [[semanticDedup]] face
+    * (r15 verdict item 8) — the [[topKMemberAudit]] pattern applied to
+    * the dedup partition: one hash-checked row PER VECTOR instead of one
+    * aggregate row, so a violation pins the exact vec_id instead of
+    * flipping a corpus-wide boolean. Columns (oracle pins all TRUE / 1):
+    * `n_rows` — the flag frame covers this vector exactly once;
+    * `keep_consistent` — the greedy rule holds pointwise: kept ⇔ NO
+    * smaller-id in-(cell,bucket) neighbor at cosine ≥ threshold;
+    * `keeper_clean` — a kept vector is never the larger end of a pair
+    * whose smaller end is also kept (the SemDeDup one-representative-
+    * per-ε-clique property; implied by the greedy rule, so it catches a
+    * prune-rule change that silently keeps both ends).
+    */
+  def semanticDedupMemberAudit(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      bits: Int = 6,
+      threshold: Double = 0.4,
+      iters: Int = 3): DataFrame = {
+    val (flags0, pairs0) = semanticParts(
+      embeddings, cells, bits, threshold, trainedCells = true, iters)
+    val flags = Materialize(flags0)
+    val pairs = Materialize(pairs0.select(col("a_id"), col("b_id")))
+    val perVec = flags.groupBy(col("vec_id")).agg(
+      count(lit(1)).alias("n"),
+      (sum(when(col("keep"), 1L).otherwise(0L)) > 0).alias("kept"))
+    val witnessed = pairs.select(col("b_id").alias("vec_id")).distinct()
+      .withColumn("w", lit(true))
+    val keptA = flags.where(col("keep")).select(col("vec_id").alias("a_id"))
+    val keptWitness = pairs.join(keptA, "a_id")
+      .select(col("b_id").alias("vec_id")).distinct()
+      .withColumn("kw", lit(true))
+    embeddings.select(col("vec_id"))
+      .join(perVec, Seq("vec_id"), "left")
+      .join(witnessed, Seq("vec_id"), "left")
+      .join(keptWitness, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n"), lit(0L)).alias("n_rows"),
+        (coalesce(col("kept"), lit(false)) =!=
+          coalesce(col("w"), lit(false))).alias("keep_consistent"),
+        (!(coalesce(col("kept"), lit(false)) &&
+          coalesce(col("kw"), lit(false)))).alias("keeper_clean"))
   }
 
   private def semanticParts(

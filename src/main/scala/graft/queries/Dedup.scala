@@ -247,6 +247,16 @@ object QueriesDedup {
       Similarity.semanticDedupAudit(StandIn.embeddings(s, d), IvfCells,
         SrpBits, NearDupClusterCosine)),
 
+    // PER-ROW membership contract for the trained face (r15 verdict item
+    // 8): one hash-checked row per vector — coverage, the greedy rule
+    // pointwise (kept ⇔ no smaller-id in-(cell,bucket) neighbor ≥
+    // threshold), and the one-representative-per-clique property — so a
+    // trained-path regression pins the exact vec_id instead of flipping
+    // a corpus-wide boolean (Similarity.semanticDedupMemberAudit).
+    "dedup_semantic_member_audit" -> ((s, d) =>
+      Similarity.semanticDedupMemberAudit(StandIn.embeddings(s, d),
+        IvfCells, SrpBits, NearDupClusterCosine)),
+
     // EXACT set-similarity self-join (AllPairs prefix filter): every pair
     // with shingle Jaccard >= SetSimThreshold, ZERO false negatives — the
     // audit-grade complement of the probabilistic LSH family
@@ -647,6 +657,16 @@ object QueriesDedup {
         |       TRUE AS partition_ok,
         |       TRUE AS pruned_witnessed,
         |       TRUE AS keepers_clean
+        |FROM embeddings""".stripMargin,
+
+    // Per-row member twin: every vec_id appears once with every
+    // invariant TRUE — the Spark side re-derives each boolean from the
+    // trained flags + pair frames per vector
+    // (Similarity.semanticDedupMemberAudit scaladoc).
+    "dedup_semantic_member_audit" ->
+      """SELECT vec_id, CAST(1 AS BIGINT) AS n_rows,
+        |       TRUE AS keep_consistent,
+        |       TRUE AS keeper_clean
         |FROM embeddings""".stripMargin,
 
     // Exact AllPairs twin: the SAME rare-first prefix machinery (df asc,

@@ -299,7 +299,32 @@ object QueriesSim {
     "sim_ivfsq8_probe_gain" -> ((s, d) =>
       Similarity.ivfSq8ProbeGainReport(StandIn.embeddings(s, d), IvfCells,
         TopK, Sq8Refine, IvfSq8Nprobe)),
+
+    // The TRAINED-index nprobe decision card (r15 verdict item 7): the
+    // ivfsq8_probe_gain shape for the residual-PQ composition — recall
+    // at nprobe=1 vs 2 from ONE training pass and one encoded frame, so
+    // the gain isolates the probe count. The Lloyd fit has no SQL twin,
+    // so the card is rows-only; the _audit twin hash-pins the measured
+    // floors. Measured (scaledRefine, like the recall audit): recall
+    // 0.292→0.404 at sf0.01, 0.236→0.296 at sf0.1 (different 2k-vector
+    // draws), and 0.220→0.348 at sf1.0 (20k vecs, refine 40) — the
+    // second probe recovers +0.06–0.13 absolute for 2/8 of the scan,
+    // gain positive at every scale.
+    "sim_ivfpq_probe_gain" -> ((s, d) =>
+      Similarity.ivfPqProbeGainReport(StandIn.embeddings(s, d), IvfCells,
+        k = TopK, nprobe = 2, refine = scaledRefine(s, d))),
+
+    "sim_ivfpq_probe_gain_audit" -> ((s, d) =>
+      Similarity.ivfPqProbeGainAudit(StandIn.embeddings(s, d), IvfCells,
+        k = TopK, nprobe = 2, refine = scaledRefine(s, d),
+        floor1 = IvfPqProbeFloor1, floorProbe = IvfPqProbeFloor)),
   )
+
+  // Floors strictly under the worst cross-scale measurement (recall_1
+  // 0.220 at sf1.0, recall_probe 0.296 at sf0.1): regression guards,
+  // not the measurements.
+  private val IvfPqProbeFloor1 = 0.15
+  private val IvfPqProbeFloor = 0.25
 
   private val IvfSq8Nprobe = 2
 
@@ -472,6 +497,16 @@ object QueriesSim {
          |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
          |         AS expected,
          |       TRUE AS floor_met""".stripMargin,
+
+    // Probe-gain audit twin: expected from the oracle's own draw CTE,
+    // the measured floors + the non-negative lift pinned TRUE
+    // (Similarity.ivfPqProbeGainAudit scaladoc).
+    "sim_ivfpq_probe_gain_audit" ->
+      s"""WITH $prepSql
+         |SELECT CAST((SELECT count(*) FROM queries) * $TopK AS BIGINT)
+         |         AS expected,
+         |       TRUE AS floor1_met, TRUE AS probe_floor_met,
+         |       TRUE AS gain_nonneg""".stripMargin,
 
     // JL random-projection twin (Similarity.randomProjection): the same
     // seed-13 Rademacher planes interpolated as literals, the same fold

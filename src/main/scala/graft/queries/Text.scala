@@ -216,6 +216,20 @@ object QueriesText {
     "text_bpe_bytes_tokens" -> ((s, d) =>
       Bpe.tokenCountsBytes(StandIn.documents(s, d))),
 
+    // Fixture precondition GUARD for the byte-BPE oracle twins (r15
+    // advice): those twins approximate the 256-entry byte→unicode map as
+    // replace(' ','Ġ'), exact only while document text is pure printable
+    // ASCII. The engine MEASURES the violation count; the oracle pins it
+    // 0 — so a future fixture revision carrying any control/non-ASCII
+    // byte fails this row at verify time instead of silently diverging
+    // inside the twins.
+    "text_bpe_ascii_guard" -> ((s, d) =>
+      StandIn.documents(s, d).agg(
+        count(lit(1)).alias("n_docs"),
+        sum(when(!coalesce(col("text"), lit(""))
+          .rlike("^[\\x20-\\x7E]*$"), 1L).otherwise(0L))
+          .alias("n_nonascii"))),
+
     // Unigram-LM Viterbi encode under the fixed piece table — byte-exact
     // piece-stream evidence (codegen'd UlmSegment kernel, zero shuffles).
     "text_ulm_pieces"     -> ((s, d) =>
@@ -520,6 +534,15 @@ object QueriesText {
 
     "text_bpe_bytes_tokens" ->
       s"SELECT doc_id, $bpeBytesTokensSql AS bpeb_tokens\nFROM documents",
+
+    // ASCII-precondition pin: n_docs replayed from the corpus, the
+    // violation count pinned 0 — a non-ASCII fixture revision hash-fails
+    // here (the engine side MEASURES it) before it can silently skew the
+    // byte-BPE twins above.
+    "text_bpe_ascii_guard" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(0 AS BIGINT) AS n_nonascii
+        |FROM documents""".stripMargin,
 
     // Fixed-table unigram-LM encode twins: Viterbi replayed as
     // recursive-CTE path enumeration per DISTINCT corpus word (ulmWalkSql

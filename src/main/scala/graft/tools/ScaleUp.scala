@@ -155,13 +155,18 @@ object ScaleUp {
     writeOne(amplify(events) { c =>
       events.select(
         (col("event_id") + c * KEvent * kScale).alias("event_id"),
-        // +c µs per copy: copies land on the SAME sensors (sensor identity
-        // is user_id mod 2/4, invariant under the shift), and a physical
-        // sensor emits one reading at a time — exact-tie storms of
-        // contradictory simultaneous readings would make per-sensor
-        // state-machine semantics order-dependent, a fixture artifact,
-        // not an engine property. 10×-density-in-window is preserved.
-        (col("ts") + expr(s"INTERVAL $c MICROSECONDS")).alias("ts"),
+        // +c·kScale µs per copy: copies land on the SAME sensors (sensor
+        // identity is user_id mod 2/4, invariant under the shift — user_id
+        // shifts are multiples of 4), and a physical sensor emits one
+        // reading at a time — exact-tie storms of contradictory
+        // simultaneous readings would make per-sensor state-machine
+        // semantics order-dependent, a fixture artifact, not an engine
+        // property. The disambiguator must scale with the DECADE: the
+        // first decade stamps +c1 µs (c1 ∈ 0..9), so a second decade
+        // stamping another flat +c2 would tie whenever c1+c2 collide;
+        // +c2·10 instead gives unique combined offsets c1 + 10·c2
+        // (r15 advice). 10×-density-in-window is preserved either way.
+        (col("ts") + expr(s"INTERVAL ${c * kScale} MICROSECONDS")).alias("ts"),
         (col("user_id") + c * KUser * kScale).alias("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events")
