@@ -1270,6 +1270,155 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Row-local hash-ordered τ-prefix of a shingle array: the first `keep`
+    * grams under the (30-bit hash, gram) total order. Unlike the batch
+    * joins' rare-first (corpus document frequency) order this needs NO
+    * global statistics — a pure per-row projection an ARRIVING stream row
+    * can compute without seeing the corpus — at the cost of weaker (but
+    * still exact) pruning: prefix-filter completeness needs only that
+    * some FIXED total order on tokens is applied consistently to every
+    * prefixed side (SSJoin Lemma 1 quantifies over any global order; see
+    * [[setSimJoin]]). Hashes come from the native [[baseHash30Array]]
+    * kernel; only the zip/sort/slice run as interpreted HOFs, over one
+    * document's gram list at a time.
+    */
+  private def hashPrefix(grams: Column, keep: Column): Column =
+    slice(
+      transform(
+        array_sort(zip_with(baseHash30Array(grams), grams,
+          (h, g) => struct(h.alias("h"), g.alias("g")))),
+        e => e.getField("g")),
+      lit(1), keep)
+
+  /** τ-prefix length `|s| − ⌈τ·|s|⌉ + 1` (see [[setSimJoin]]'s lemma
+    * discussion) as a column. */
+  private def tauPrefixLen(sz: Column, threshold: Double): Column =
+    (sz - ceil(lit(threshold) * sz) + 1).cast("int")
+
+  /** Stream-side shingle frame: `(doc_id, event_time, grams, ssz)` with
+    * empty-gram rows dropped — [[shingleSetsW]] with the event-time
+    * column carried through for the watermarked dedup downstream.
+    */
+  private def streamGrams(stream: DataFrame, w: Int): DataFrame =
+    stream.select(col("doc_id"), col("event_time"),
+      tokens(col("text")).alias("toks"))
+      .select(col("doc_id"), col("event_time"),
+        graft.functions.WordShingles.shingles(col("toks"), w).alias("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("ssz", size(col("grams")))
+
+  /** Streaming EXACT set-similarity screen against a STATIC reference
+    * corpus (r15 verdict item 5): every arriving document is checked for
+    * shingle Jaccard ≥ `threshold` against the reference — the ingest
+    * face of [[setSimJoinCross]], emitting `(doc_id, ref_id, jaccard,
+    * event_time)` per qualifying pair in append mode. ZERO false
+    * negatives, like the batch certifier: candidates come from a
+    * hash-ordered τ-prefix equi-join — the stream row's prefix against
+    * the reference's prefix index, both under the SAME (hash, gram)
+    * total order, complete by SSJoin Lemma 1 exactly as in
+    * [[setSimJoin]] (after the length filter, α ≥ ⌈τ·|x|⌉ and
+    * ≥ ⌈τ·|y|⌉, so both τ-prefixes are lemma-length). Rare-first
+    * ordering is unavailable to a stream row (corpus df is a global
+    * statistic), so pruning is weaker than the batch join's — the price
+    * of arrival-time screening; the exact verification is identical.
+    *
+    * Scale shape: the reference prefix index is STATIC — built once,
+    * materialized, shuffled only by the stream-static equi-join on the
+    * gram (Spark broadcasts it when small; at 100 TB reference scale it
+    * is the persisted posting index an ingest gate keeps anyway). The
+    * stream side is a pure projection + explode of the arriving rows —
+    * no window, no driver collect, no stream-side shuffle before the
+    * join. Candidate duplicates (pairs sharing several prefix grams)
+    * are dropped by [[streamingExact]]'s watermark-bounded state BEFORE
+    * the verify join, so each candidate pair verifies once per
+    * watermark horizon.
+    *
+    * @param stream watermarked `(doc_id, text, event_time)` rows
+    * @param reference static `(doc_id, text)` corpus
+    */
+  def streamingSetSimScreen(
+      stream: DataFrame,
+      reference: DataFrame,
+      threshold: Double = SetSimThreshold,
+      w: Int = SetSimShingleW): DataFrame = {
+    val rg = Materialize(shingleSetsW(reference, w)
+      .where(size(col("grams")) > 0))
+    val rpre = rg
+      .select(col("doc_id").alias("ref_id"),
+        size(col("grams")).alias("rsz"), col("grams"))
+      .withColumn("g",
+        explode(hashPrefix(col("grams"),
+          tauPrefixLen(col("rsz"), threshold))))
+      .select(col("g"), col("ref_id"), col("rsz"))
+    val spre = streamGrams(stream, w)
+      .withColumn("g",
+        explode(hashPrefix(col("grams"),
+          tauPrefixLen(col("ssz"), threshold))))
+    val cands = spre.join(rpre, "g")
+      // Jaccard ≥ τ forces the size ratio into [τ, 1/τ] — prune inside
+      // codegen before any state or verify work.
+      .where(col("rsz") * lit(threshold) <= col("ssz") &&
+        col("ssz") * lit(threshold) <= col("rsz"))
+      .select(col("doc_id"), col("event_time"), col("grams"), col("ref_id"))
+    val once = streamingExact(cands, Seq("doc_id", "ref_id"))
+    val inter = size(array_intersect(col("grams"), col("ref_grams")))
+    val jac = inter.cast("double") /
+      (size(col("grams")) + size(col("ref_grams")) - inter)
+    once
+      .join(rg.select(col("doc_id").alias("ref_id"),
+        col("grams").alias("ref_grams")), "ref_id")
+      .select(col("doc_id"), col("ref_id"),
+        round(jac, 6).alias("jaccard"), col("event_time"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Streaming EXACT containment screen against a static reference: every
+    * arriving document whose shingle set is ≥ `threshold` CONTAINED in
+    * some reference document — `|s∩r| / |s| ≥ τ` — emitted as
+    * `(doc_id, ref_id, containment, event_time)`. This is the streaming
+    * face of contamination gating: an arriving training document mostly
+    * made of benchmark text is flagged at ingest, not at the next batch
+    * decontamination sweep.
+    *
+    * Candidates: the stream row's hash-ordered τ-prefix (α = ⌈τ·|s|⌉ is
+    * known per row — containment denominates by the STREAM side) against
+    * the reference's FULL posting index. The reference side cannot be
+    * prefixed here: α carries no lower bound in |r|, so a reference
+    * prefix could exclude exactly the witnessed grams (the asymmetry
+    * between this screen and the Jaccard one). Completeness is the
+    * pigeonhole form of the lemma: an overlap of α grams cannot avoid a
+    * prefix that excludes only α − 1 of the stream row's grams. The
+    * full index is static, built once; everything stream-side is a
+    * projection + explode, dedup state watermark-bounded as above.
+    */
+  def streamingContainmentScreen(
+      stream: DataFrame,
+      reference: DataFrame,
+      threshold: Double = 0.5,
+      w: Int = SetSimShingleW): DataFrame = {
+    val rg = Materialize(shingleSetsW(reference, w)
+      .where(size(col("grams")) > 0))
+    val rfull = rg
+      .select(col("doc_id").alias("ref_id"),
+        explode(col("grams")).alias("g"))
+    val spre = streamGrams(stream, w)
+      .withColumn("g",
+        explode(hashPrefix(col("grams"),
+          tauPrefixLen(col("ssz"), threshold))))
+    val cands = spre.join(rfull, "g")
+      .select(col("doc_id"), col("event_time"), col("grams"), col("ref_id"))
+    val once = streamingExact(cands, Seq("doc_id", "ref_id"))
+    val containment =
+      size(array_intersect(col("grams"), col("ref_grams"))).cast("double") /
+        size(col("grams"))
+    once
+      .join(rg.select(col("doc_id").alias("ref_id"),
+        col("grams").alias("ref_grams")), "ref_id")
+      .select(col("doc_id"), col("ref_id"),
+        round(containment, 6).alias("containment"), col("event_time"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Number of fixed PageRank rounds both engines replay — an iteration
     * COUNT, not a tolerance (see [[pagerankFromPairs]]: fixed rounds are
     * the bit-exact cross-engine contract; convergence tests are not).

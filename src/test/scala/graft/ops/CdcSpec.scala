@@ -220,12 +220,34 @@ class CdcSpec extends SparkSpec {
 
   test("exactly-once CDC sink: forced replay across a restart applies no " +
     "duplicates; final table state equals the batch oracle") {
+    replayProof("cdc_register_log", providerClass = None)
+  }
+
+  // The same proof under RocksDB (r15 verdict item 6): the replay-skip
+  // path commits state through the provider (the r15 stall was exactly
+  // a provider-side commit-validation), so the e2e must hold under BOTH
+  // the default HDFS-backed store and the RocksDB one StreamBench
+  // measures.
+  test("exactly-once CDC sink under RocksDB state store: forced replay " +
+    "applies no duplicates; final state equals the batch oracle") {
+    replayProof("cdc_register_log_rdb", providerClass = Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  }
+
+  private def replayProof(
+      table: String, providerClass: Option[String]): Unit = {
     import java.nio.file.Files
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.config.JdbcConfig
     import graft.io.Sinks
     import spark.implicits._
+
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    providerClass.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    try {
 
     System.setProperty("derby.system.home",
       Files.createTempDirectory("graft-derby-cdc").toString)
@@ -234,7 +256,6 @@ class CdcSpec extends SparkSpec {
       url = s"jdbc:derby:$db;create=true", user = "", password = "",
       driver = "org.apache.derby.jdbc.EmbeddedDriver",
       readingsTable = "r", alertsTable = "a", aggregatesTable = "g")
-    val table = "cdc_register_log"
     val ckpt = Files.createTempDirectory("graft-cdc-replay").toString
     def readLog() = spark.read.format("jdbc").option("url", cfg.url)
       .option("dbtable", table).option("driver", cfg.driver).load()
@@ -311,5 +332,12 @@ class CdcSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
         r.getLong(3))).toSet
     assert(logLatest === oracle)
+
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }
