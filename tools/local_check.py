@@ -6,6 +6,7 @@ by name + rows by all columns, and compare row counts, dtypes, and values.
 Usage: python3 tools/local_check.py /root/testdata/sf0.01 /tmp/verify_out
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -27,6 +28,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
+    # Optional caps so several sf10-scale compares can run side by side
+    # without DuckDB instances each assuming they own the whole host.
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
