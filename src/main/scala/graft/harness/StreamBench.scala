@@ -155,7 +155,36 @@ object StreamBench {
         // Every 3rd row duplicates its predecessor — real dedup work.
         (0 until n).map(i => (s"p-$b-${i - i % 3}", ts(b, i)))
       }
-      Seq(cdc, sess, topn, anom, dedup)
+      // Arrival-time set-sim screen vs a 1000-doc static reference: texts
+      // cycle 64 word-pool sentences with a per-row tail word, so a
+      // steady fraction of arrivals hits the prefix index and survives
+      // to the verify join — the screen's full path (prefix explode,
+      // stream-static join, watermarked pair dedup, verify) does real
+      // work every batch instead of filtering everything at the join.
+      val wordPool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+      def sentence(seed: Int): String =
+        (0 until 8).map(j => wordPool((seed + j * j) % wordPool.size))
+          .mkString(" ")
+      val refDocs = {
+        import spark.implicits._
+        (0 until 1000)
+          .map(i => (100000L + i, sentence(i % 64)))
+          .toDF("doc_id", "text")
+      }
+      val screen = bench[(Long, String, Timestamp)](
+        spark, "setsim_screen", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        Dedup.streamingSetSimScreen(
+          df.toDF("doc_id", "text", "event_time")
+            .withWatermark("event_time", "10 minutes"),
+          refDocs, threshold = 0.5)
+      } { (b, n) =>
+        (0 until n).map { i =>
+          val id = b.toLong * n + i
+          (id, sentence(i % 64) + s" w${i % 7}", ts(b, i))
+        }
+      }
+      Seq(cdc, sess, topn, anom, dedup, screen)
     }
   }
 }
