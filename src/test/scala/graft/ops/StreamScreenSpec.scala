@@ -99,6 +99,45 @@ class StreamScreenSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streamingSetSimScreen plan: static prefix index broadcast to the " +
+    "stream side, no cartesian product, dedup state before the verify " +
+    "join") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val ref = refDocs.toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Dedup.streamingSetSimScreen(
+      input.toDF().toDF("doc_id", "text", "event_time")
+        .withWatermark("event_time", "10 minutes"), ref, threshold = 0.5)
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      input.addData(arrivals)
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+        .lastExecution.executedPlan.toString
+      // The static reference sides (prefix index + verify grams) join the
+      // stream as broadcasts at this size — the stream side never
+      // shuffles to meet a static table...
+      assert(plan.contains("BroadcastHashJoin"),
+        s"static sides should broadcast:\n$plan")
+      // ...nothing degenerates to a product...
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"screen must stay equi-join only:\n$plan")
+      // ...and the watermark-bounded pair dedup runs BEFORE the verify
+      // join (dedup feeds the join, not the other way around), so each
+      // candidate pair verifies once per horizon.
+      val dedupIdx = plan.indexOf("StreamingDeduplicateWithinWatermark")
+      assert(dedupIdx >= 0, s"expected streaming dedup operator:\n$plan")
+      // Plan strings print root-first: the verify join consumes the
+      // dedup's output, so it must sit ABOVE it (earlier in the string),
+      // while the candidate prefix join sits below (later).
+      assert(plan.indexOf("BroadcastHashJoin") < dedupIdx,
+        s"verify join must consume the deduped pairs:\n$plan")
+      assert(plan.lastIndexOf("BroadcastHashJoin") > dedupIdx,
+        s"candidate prefix join must feed the dedup:\n$plan")
+    } finally q.stop()
+  }
+
   test("streaming screens emit a pair once per watermark horizon " +
     "(re-arrival inside the horizon is deduped)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
