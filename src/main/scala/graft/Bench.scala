@@ -112,6 +112,30 @@ object Bench {
           ((b1 - b0) - (s1 - s0)) * (1000.0 / clkTck) / windowMs)
       } catch { case _: Throwable => -1.0 }
 
+    // Pre-headline settle (r16 verdict item 6): the driver invokes this
+    // bench right after heavier round phases (fixture regen, the
+    // correctness gate), and the r16 headline ran ~11% above the
+    // committed quiet-host basis with EXTERNAL load ~0 — the residue is
+    // the host still draining the driver's own just-finished work
+    // (dirty-page writeback, cooling, scheduler). Wait until the 1-min
+    // loadavg decays under half the core count (and external stays under
+    // the bar), bounded by GRAFT_BENCH_SETTLE_S of the budget; stamp the
+    // wait so the artifact shows it.
+    val settleBudgetS = sys.env.get("GRAFT_BENCH_SETTLE_S").map(_.toDouble)
+      .getOrElse(120.0)
+    val settleStart = System.nanoTime()
+    val loadBarEarly = sys.env.get("GRAFT_BENCH_LOAD_BAR").map(_.toDouble)
+      .getOrElse(cpus.toDouble / 4.0)
+    def settledS(): Double = (System.nanoTime() - settleStart) / 1e9
+    while (settledS() < settleBudgetS && {
+        val la = try loadNow().toDouble catch { case _: Throwable => 0.0 }
+        val ext = externalLoad() // samples ~1 s by itself
+        la > cpus.toDouble / 2.0 || (ext >= 0 && ext > loadBarEarly)
+      }) Thread.sleep(2000)
+    val settleS = settledS()
+    if (settleS > 5)
+      System.err.println(f"[bench] settled $settleS%.0f s before cold pass")
+
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, erasing the very work a pure-projection query exists to do
     // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
@@ -154,8 +178,11 @@ object Bench {
       val buf = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
       val pre = scala.collection.mutable.ArrayBuffer[Double]()
       var quiet = 0
-      while (buf.size < WarmPasses + MaxExtraPasses && quiet < WarmPasses) {
+      def runPass(): Unit = {
         val pass = buf.size + 1
+        // GC breather: the previous pass's collection debt otherwise
+        // bleeds into this pass's minima (r16 verdict item 6).
+        System.gc(); Thread.sleep(1500)
         val ext = externalLoad()
         pre += ext
         if (ext >= 0 && ext > loadBar)
@@ -166,6 +193,24 @@ object Bench {
         buf += new scala.util.Random(1000003L * pass)
           .shuffle(qnames).flatMap(n => timeIn(dir)(n).map(n -> _)).toMap
         passLoads += loadNow()
+      }
+      while (buf.size < WarmPasses + MaxExtraPasses && quiet < WarmPasses)
+        runPass()
+      // Stability top-up (r16 verdict item 6): if the BEST single pass
+      // still sums >8% above the per-query min total, the minima have
+      // not converged (self-load, not code) — sample up to 2 more
+      // passes while the budget covers them, instead of shipping a
+      // headline the quiet-host basis will contradict.
+      def minTotal(): Double = qnames.flatMap { n =>
+        val ss = buf.flatMap(_.get(n))
+        if (ss.isEmpty) None else Some(ss.min)
+      }.sum
+      var topUps = 0
+      while (topUps < 2 && buf.nonEmpty && minTotal() > 0 &&
+          buf.map(_.values.sum).min / minTotal() > 1.08 &&
+          remainingS() > buf.map(_.values.sum).min * 1.5) {
+        runPass()
+        topUps += 1
       }
       (buf.toSeq, pre.toSeq, buf.size - quiet)
     }
@@ -293,7 +338,8 @@ object Bench {
     val streamingJson = streaming.map { r =>
       s""""${r.op}_${r.provider}":{"rows_per_sec":${r.rowsPerSec.toLong},""" +
         s""""rows":${r.rows},"secs":${"%.2f".formatLocal(
-          java.util.Locale.ROOT, r.secs)},"state_rows":${r.stateRows}}"""
+          java.util.Locale.ROOT, r.secs)},"state_rows":${r.stateRows},""" +
+        s""""state_bytes":${r.stateBytes},"output_rows":${r.outputRows}}"""
     }.mkString("{", ",", "}")
     val streamingRps = streaming.map(r =>
       s""""${r.op}_${r.provider}":${r.rowsPerSec.toLong}""")
@@ -345,6 +391,7 @@ object Bench {
           s""""sf1_queries":${jmap(sf1)},"sf1_total":$sf1Total,""" +
           s""""sf1_full":$sf1Full,"sf1_full_total":$sf1FullTotal,""" +
           s""""sf1_budgeted":$sf1Budgeted,"budget_s":$budgetS,""" +
+          s""""settle_s":${f2(settleS)},""" +
           s""""output_rows":${outputRows.map { case (k, v) =>
             s""""$k":$v""" }.mkString("{", ",", "}")},""" +
           s""""output_rows_per_sec":${jmap(outputRps)},""" +
@@ -387,7 +434,7 @@ object Bench {
     val extLoadsJson = preExtLoads
       .map(l => if (l < 0) "\"na\"" else s""""${f2(l)}"""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_full":$sf1Full,"sf1_budgeted":$sf1Budgeted,"sf1_n":${sf1.size},"streaming_rps":$streamingRps,"wall_s":${f2(elapsedS())},"budget_s":${f2(budgetS)},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_full":$sf1Full,"sf1_full_total":${f2(sf1FullTotal)},"sf1_budgeted":$sf1Budgeted,"sf1_n":${sf1.size},"settle_s":${f2(settleS)},"streaming_rps":$streamingRps,"wall_s":${f2(elapsedS())},"budget_s":${f2(budgetS)},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

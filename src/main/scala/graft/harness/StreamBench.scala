@@ -26,7 +26,8 @@ object StreamBench {
 
   final case class Result(
       op: String, provider: String, rows: Long, secs: Double,
-      rowsPerSec: Double, stateRows: Long)
+      rowsPerSec: Double, stateRows: Long, stateBytes: Long,
+      outputRows: Long)
 
   private val Providers = Seq(
     "hdfs" ->
@@ -58,6 +59,9 @@ object StreamBench {
     try {
       input.addData(gen(-1, 100)) // warm-up: codegen + state-store init
       q.processAllAvailable()
+      def sunkRows: Long = q.recentProgress
+        .map(_.sink.numOutputRows).filter(_ > 0).sum
+      val outBefore = sunkRows
       val t0 = System.nanoTime()
       (0 until batches).foreach { b =>
         input.addData(gen(b, rowsPerBatch))
@@ -65,10 +69,13 @@ object StreamBench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val rows = batches.toLong * rowsPerBatch
-      val state = Option(q.lastProgress)
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val (state, stateBytes) = Option(q.lastProgress)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum))
+        .getOrElse((0L, 0L))
       Result(name, provider, rows, secs,
-        if (secs > 0) rows / secs else 0d, state)
+        if (secs > 0) rows / secs else 0d, state, stateBytes,
+        sunkRows - outBefore)
     } finally q.stop()
   }
 
@@ -81,9 +88,10 @@ object StreamBench {
     import spark.implicits._
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    // ONE parent temp dir per run, recursively deleted afterwards — the 10
-    // per-op checkpoint dirs (incl. RocksDB state files) otherwise pile up
-    // in /tmp across repeated bench invocations (r15 advice).
+    // ONE parent temp dir per run, recursively deleted afterwards — the
+    // per-op×provider checkpoint dirs (incl. RocksDB state files)
+    // otherwise pile up in /tmp across repeated bench invocations (r15
+    // advice).
     val ckptRoot = Files.createTempDirectory("graft-streambench")
     try runProviders(spark, rowsPerBatch, batches, ckptRoot)
     finally {
@@ -96,7 +104,14 @@ object StreamBench {
       try
         Files.walk(ckptRoot).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
-      catch { case _: Throwable => () }
+      catch {
+        // Surface (don't swallow) a failed cleanup: a RocksDB file still
+        // held open would silently re-leak the temp tree this cleanup
+        // exists to stop accumulating (r16 advice).
+        case t: Throwable =>
+          System.err.println(
+            s"[streambench] checkpoint cleanup failed, $ckptRoot leaked: $t")
+      }
     }
   }
 
@@ -184,7 +199,57 @@ object StreamBench {
           (id, sentence(i % 64) + s" w${i % 7}", ts(b, i))
         }
       }
-      Seq(cdc, sess, topn, anom, dedup, screen)
+      // Boilerplate-FLOOD screens (r16 verdict items 1 + 4): every
+      // reference doc trails the same 8-word block, so the block's
+      // interior shingles are held by all 1000 refs — 15× over the df
+      // cap — while content sentences draw from a synthetic vocabulary
+      // mostly unmatched by arrivals. This is the shape that made the
+      // uncapped screens the repo's scale-killer: each arrival's prefix
+      // hit the boilerplate postings and fanned into ~1000 candidate
+      // pairs (a state row each). With the cap, boilerplate grams are
+      // HOT: content-dominated arrivals never touch them, and only the
+      // rare boilerplate-dominated arrival (1/1999 here) takes the
+      // fallback arm — whose emissions are true output, not fan-out.
+      val boiler =
+        "subscribe newsletter cookie banner terms privacy policy apply"
+      def floodSentence(seed: Int): String =
+        (0 until 8).map(j => s"w${(seed * 7 + j * 13) % 9973}").mkString(" ")
+      val floodRefs = {
+        import spark.implicits._
+        (0 until 1000)
+          .map(i => (200000L + i, floodSentence(i) + " " + boiler))
+          .toDF("doc_id", "text")
+      }
+      // Arrivals: 1-in-50 is a near-dup of a reference (content seed
+      // reused + a tail word — the true-positive path), 1-in-1999 is
+      // pure boilerplate (the fallback-arm path), the rest are novel
+      // content + the boilerplate block (the fan-out hazard path).
+      def floodArrival(b: Int, n: Int, i: Int): (Long, String, Timestamp) = {
+        val id = b.toLong * n + i
+        val text =
+          if (i % 1999 == 0) boiler
+          else if (i % 50 == 0)
+            floodSentence(i / 50 % 1000) + " " + boiler + s" w${i % 7}"
+          else floodSentence(10000 + (b * n + i) % 100000) + " " + boiler
+        (id, text, ts(b, i))
+      }
+      val screenFlood = bench[(Long, String, Timestamp)](
+        spark, "setsim_screen_flood", pname, rowsPerBatch, batches,
+        ckptRoot) { df =>
+        Dedup.streamingSetSimScreen(
+          df.toDF("doc_id", "text", "event_time")
+            .withWatermark("event_time", "10 minutes"),
+          floodRefs, threshold = 0.5)
+      } { (b, n) => (0 until n).map(i => floodArrival(b, n, i)) }
+      val contFlood = bench[(Long, String, Timestamp)](
+        spark, "containment_screen_flood", pname, rowsPerBatch, batches,
+        ckptRoot) { df =>
+        Dedup.streamingContainmentScreen(
+          df.toDF("doc_id", "text", "event_time")
+            .withWatermark("event_time", "10 minutes"),
+          floodRefs, threshold = 0.5)
+      } { (b, n) => (0 until n).map(i => floodArrival(b, n, i)) }
+      Seq(cdc, sess, topn, anom, dedup, screen, screenFlood, contFlood)
     }
   }
 }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
 object StreamBenchMain {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "STREAMBENCH.json"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Parsed to Int up front: a non-numeric value must fail HERE, not
+    // produce an unparseable JSON artifact (r16 advice).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").trim.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,7 +34,8 @@ object StreamBenchMain {
       "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val rows = results.map { r =>
       s"""    "${r.op}_${r.provider}":{"rows_per_sec":${r.rowsPerSec.toLong},""" +
-        s""""rows":${r.rows},"secs":${f2(r.secs)},"state_rows":${r.stateRows}}"""
+        s""""rows":${r.rows},"secs":${f2(r.secs)},"state_rows":${r.stateRows},""" +
+        s""""state_bytes":${r.stateBytes},"output_rows":${r.outputRows}}"""
     }.mkString("{\n", ",\n", "\n  }")
     val json =
       s"""{

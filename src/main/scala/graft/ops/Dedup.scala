@@ -1307,6 +1307,100 @@ object Dedup {
       .where(size(col("grams")) > 0)
       .withColumn("ssz", size(col("grams")))
 
+  /** Reference-df cap for the streaming screens' posting indexes — the
+    * streaming port of the batch [[MaxDocsPerShingle]] boilerplate guard
+    * (r16 verdict item 1): a gram held by more than this many reference
+    * documents is HOT (boilerplate), excluded from the capped main-path
+    * index, and served by the bounded fallback arm instead (see
+    * [[streamingSetSimScreen]]). Cold-path fan-out per arriving prefix
+    * gram is ≤ this cap BY CONSTRUCTION.
+    */
+  val StreamScreenMaxDocsPerGram = 64
+
+  /** Bound on the hot-gram hash set collected to the driver when a
+    * screen is built (a STATIC, construction-time collect — 8 bytes per
+    * hot gram; 2M ⇒ 16 MB). Grams over the df cap are boilerplate by
+    * definition, so real corpora sit far below this; hitting it means
+    * the cap is set below the corpus's vocabulary knee, not that the
+    * corpus is big.
+    */
+  val StreamScreenMaxHotGrams = 2000000
+
+  /** Sorted 30-bit base-hash set of the reference grams whose document
+    * frequency exceeds `cap` — hotness is defined BY HASH (collisions
+    * promote a cold gram to hot, never the reverse), so the stream and
+    * reference sides classify identically and the partition of the gram
+    * universe into hot/cold is consistent everywhere, which is all the
+    * split-lemma in [[streamingSetSimScreen]] needs. Bounded collect:
+    * `limit(max + 1)` caps the driver transfer itself, not just the
+    * post-hoc check.
+    */
+  private def hotGramHashes(rg: DataFrame, cap: Int): Array[Long] = {
+    val hot = rg.select(explode(col("grams")).alias("g"))
+      .select(baseHash30(col("g")).alias("h"))
+      .groupBy(col("h")).agg(count(lit(1)).alias("df"))
+      .where(col("df") > cap)
+      .select(col("h"))
+      .limit(StreamScreenMaxHotGrams + 1)
+      .collect().map(_.getLong(0))
+    require(hot.length <= StreamScreenMaxHotGrams,
+      s"over $StreamScreenMaxHotGrams reference grams exceed the " +
+        s"df cap $cap — the cap sits below the corpus vocabulary knee; " +
+        "raise it (Dedup.StreamScreenMaxDocsPerGram)")
+    java.util.Arrays.sort(hot)
+    hot
+  }
+
+  /** Stream-side arm-tagged prefix explode shared by both screens: each
+    * arriving document splits its gram set into COLD (reference df ≤ cap)
+    * and HOT grams under the broadcast hot-hash set, emits its τ-prefix
+    * over the COLD gram list (arm `"c"` — always), and, ONLY when hot
+    * grams alone could satisfy the overlap bound (`hsz ≥ ⌈τ·|s|⌉` — a
+    * boilerplate-dominated row), also its prefix over the HOT gram list
+    * (arm `"h"` — the bounded fallback). One explode, one downstream
+    * equi-join on `(arm, g)`; rows that aren't boilerplate-dominated
+    * contribute zero hot-arm rows (`slice(…, 1, 0)` is empty, not null).
+    *
+    * Completeness of the split (why capping loses NOTHING — the union of
+    * the two arms witnesses every qualifying pair, so results are
+    * IDENTICAL to the uncapped screen): let H be the hot grams and
+    * α = |s∩r| ≥ ⌈τ·|s|⌉ for a qualifying pair.
+    *  - If the pair shares ≥ 1 cold gram: the SMALLEST shared cold gram
+    *    c₁ (global (hash, gram) order) has all α′−1 other shared cold
+    *    grams after it, so its position in s's cold list is
+    *    ≤ |s∩Hᶜ| − α′ + 1 ≤ |s| − α + 1 ≤ |s| − ⌈τ·|s|⌉ + 1 (using
+    *    α − α′ = |s∩r∩H| ≤ |s∩H|) — inside the cold-arm prefix; the
+    *    same bound holds on the reference side, so the cold equi-join
+    *    sees it.
+    *  - Else s∩r ⊆ H, so α ≤ |s∩H| forces ⌈τ·|s|⌉ ≤ hsz — the row IS
+    *    boilerplate-dominated and takes the fallback arm, where the
+    *    smallest shared (hot) gram sits within the first
+    *    hsz − ⌈τ·|s|⌉ + 1 hot grams by the same count.
+    */
+  private def routedStreamPrefix(
+      stream: DataFrame, w: Int, threshold: Double,
+      hot: Array[Long]): DataFrame = {
+    def tag(arm: String, g: Column): Column =
+      struct(lit(arm).alias("arm"), g.alias("g"))
+    streamGrams(stream, w)
+      .withColumn("grams_cold",
+        graft.functions.HashSetFilter.reject(col("grams"), hot))
+      .withColumn("needed", ceil(lit(threshold) * col("ssz")).cast("int"))
+      .withColumn("hsz", col("ssz") - size(col("grams_cold")))
+      .withColumn("ag", explode(concat(
+        transform(
+          hashPrefix(col("grams_cold"), col("ssz") - col("needed") + 1),
+          g => tag("c", g)),
+        transform(
+          hashPrefix(array_except(col("grams"), col("grams_cold")),
+            when(col("hsz") >= col("needed"),
+              col("hsz") - col("needed") + 1).otherwise(lit(0))),
+          g => tag("h", g)))))
+      .select(col("doc_id"), col("event_time"), col("grams"),
+        col("ssz"), col("needed"),
+        col("ag.arm").alias("arm"), col("ag.g").alias("g"))
+  }
+
   /** Streaming EXACT set-similarity screen against a STATIC reference
     * corpus (r15 verdict item 5): every arriving document is checked for
     * shingle Jaccard ≥ `threshold` against the reference — the ingest
@@ -1327,11 +1421,28 @@ object Dedup {
     * gram (Spark broadcasts it when small; at 100 TB reference scale it
     * is the persisted posting index an ingest gate keeps anyway). The
     * stream side is a pure projection + explode of the arriving rows —
-    * no window, no driver collect, no stream-side shuffle before the
-    * join. Candidate duplicates (pairs sharing several prefix grams)
-    * are dropped by [[streamingExact]]'s watermark-bounded state BEFORE
-    * the verify join, so each candidate pair verifies once per
-    * watermark horizon.
+    * no window, no stream-side shuffle before the join (the only driver
+    * collect is the bounded, construction-time hot-gram hash set).
+    * Candidate duplicates (pairs sharing several prefix grams) are
+    * dropped by [[streamingExact]]'s watermark-bounded state BEFORE the
+    * verify join, so each candidate pair verifies once per watermark
+    * horizon.
+    *
+    * Hot-gram cap (r16 verdict item 1 — the scale hazard this screen
+    * had): one boilerplate gram held by df reference docs used to fan
+    * every arrival whose prefix contained it into df candidate pairs,
+    * each paying a state row. The index is now split at
+    * `maxDocsPerGram` reference holders (the streaming port of the
+    * batch [[MaxDocsPerShingle]] guard): the MAIN path joins cold
+    * prefixes against the cold index — per-gram fan-out ≤ cap by
+    * construction — and ONLY boilerplate-dominated rows (hot grams
+    * alone could reach the overlap bound) take the fallback arm against
+    * the hot index, which for Jaccard holds only boilerplate-dominated
+    * REFERENCE docs (see the body comments). The split loses nothing:
+    * [[routedStreamPrefix]]'s lemma shows the union of the arms
+    * witnesses every qualifying pair, so output is IDENTICAL to the
+    * uncapped screen ([[graft.ops.StreamScreenSpec]] pins equality to
+    * the batch certifier, including under a boilerplate flood).
     *
     * @param stream watermarked `(doc_id, text, event_time)` rows
     * @param reference static `(doc_id, text)` corpus
@@ -1340,21 +1451,41 @@ object Dedup {
       stream: DataFrame,
       reference: DataFrame,
       threshold: Double = SetSimThreshold,
-      w: Int = SetSimShingleW): DataFrame = {
+      w: Int = SetSimShingleW,
+      maxDocsPerGram: Int = StreamScreenMaxDocsPerGram): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold — the τ-prefix " +
+        "length formula is undefined outside it")
     val rg = Materialize(shingleSetsW(reference, w)
       .where(size(col("grams")) > 0))
-    val rpre = rg
+    val hot = hotGramHashes(rg, maxDocsPerGram)
+    val needR = ceil(lit(threshold) * col("rsz")).cast("int")
+    // Cold arm of the static index: τ-prefix over each reference doc's
+    // COLD grams (standard length |r| − ⌈τ·|r|⌉ + 1 — see
+    // [[routedStreamPrefix]]'s lemma). Every cold gram has df ≤ cap, so
+    // a stream prefix gram fans into ≤ cap candidates by construction.
+    val rcold = rg
       .select(col("doc_id").alias("ref_id"),
-        size(col("grams")).alias("rsz"), col("grams"))
-      .withColumn("g",
-        explode(hashPrefix(col("grams"),
-          tauPrefixLen(col("rsz"), threshold))))
-      .select(col("g"), col("ref_id"), col("rsz"))
-    val spre = streamGrams(stream, w)
-      .withColumn("g",
-        explode(hashPrefix(col("grams"),
-          tauPrefixLen(col("ssz"), threshold))))
-    val cands = spre.join(rpre, "g")
+        size(col("grams")).alias("rsz"),
+        graft.functions.HashSetFilter.reject(col("grams"), hot).alias("gc"))
+      .withColumn("g", explode(hashPrefix(col("gc"), col("rsz") - needR + 1)))
+      .select(lit("c").alias("arm"), col("g"), col("ref_id"), col("rsz"))
+    // Hot arm: a pair whose ENTIRE overlap is hot grams needs
+    // α ≤ |r∩H| and α ≥ ⌈τ·|r|⌉ — only boilerplate-dominated reference
+    // docs can participate, so the hot index holds ONLY those, prefixed
+    // over their hot gram lists. Both fallback sides are bounded by the
+    // measured boilerplate-dominated fractions, not by gram df.
+    val rhot = rg
+      .select(col("doc_id").alias("ref_id"),
+        size(col("grams")).alias("rsz"),
+        graft.functions.HashSetFilter.keep(col("grams"), hot).alias("gh"))
+      .withColumn("rhsz", size(col("gh")))
+      .where(col("rhsz") >= needR)
+      .withColumn("g", explode(hashPrefix(col("gh"), col("rhsz") - needR + 1)))
+      .select(lit("h").alias("arm"), col("g"), col("ref_id"), col("rsz"))
+    val ridx = Materialize(rcold.unionByName(rhot))
+    val spre = routedStreamPrefix(stream, w, threshold, hot)
+    val cands = spre.join(ridx, Seq("arm", "g"))
       // Jaccard ≥ τ forces the size ratio into [τ, 1/τ] — prune inside
       // codegen before any state or verify work.
       .where(col("rsz") * lit(threshold) <= col("ssz") &&
@@ -1382,30 +1513,60 @@ object Dedup {
     *
     * Candidates: the stream row's hash-ordered τ-prefix (α = ⌈τ·|s|⌉ is
     * known per row — containment denominates by the STREAM side) against
-    * the reference's FULL posting index. The reference side cannot be
-    * prefixed here: α carries no lower bound in |r|, so a reference
+    * the reference's posting index. The reference side cannot be
+    * PREFIXED here: α carries no lower bound in |r|, so a reference
     * prefix could exclude exactly the witnessed grams (the asymmetry
     * between this screen and the Jaccard one). Completeness is the
     * pigeonhole form of the lemma: an overlap of α grams cannot avoid a
-    * prefix that excludes only α − 1 of the stream row's grams. The
-    * full index is static, built once; everything stream-side is a
+    * prefix that excludes only α − 1 of the stream row's grams. But the
+    * index IS df-capped (r16 verdict item 1): grams held by more than
+    * `maxDocsPerGram` reference docs route through the hot fallback arm,
+    * reached only by boilerplate-dominated arrivals — see the body
+    * comments and [[routedStreamPrefix]] for why the split is lossless.
+    * The index is static, built once; everything stream-side is a
     * projection + explode, dedup state watermark-bounded as above.
     */
   def streamingContainmentScreen(
       stream: DataFrame,
       reference: DataFrame,
       threshold: Double = 0.5,
-      w: Int = SetSimShingleW): DataFrame = {
+      w: Int = SetSimShingleW,
+      maxDocsPerGram: Int = StreamScreenMaxDocsPerGram): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold — the τ-prefix " +
+        "length formula is undefined outside it")
     val rg = Materialize(shingleSetsW(reference, w)
       .where(size(col("grams")) > 0))
-    val rfull = rg
+    val hot = hotGramHashes(rg, maxDocsPerGram)
+    // Containment denominates by the STREAM side, so the reference index
+    // can't be prefixed (see above) — but it CAN be df-capped: the cold
+    // arm carries full COLD postings (≤ cap holders each — the batch
+    // [[MaxDocsPerShingle]] posture), and the hot postings are reached
+    // only by boilerplate-dominated arrivals via the fallback arm of
+    // [[routedStreamPrefix]] (a pair whose overlap is all hot grams
+    // forces ⌈τ·|s|⌉ ≤ |s∩H| on the ARRIVAL — the reference side needs
+    // no condition, so hot postings stay full-length; the fallback's
+    // bound is the measured boilerplate-dominated arrival rate, and its
+    // emissions are true-output-shaped: a mostly-boilerplate arrival
+    // genuinely IS contained in every reference doc sharing the block).
+    val rcold = rg
       .select(col("doc_id").alias("ref_id"),
-        explode(col("grams")).alias("g"))
-    val spre = streamGrams(stream, w)
-      .withColumn("g",
-        explode(hashPrefix(col("grams"),
-          tauPrefixLen(col("ssz"), threshold))))
-    val cands = spre.join(rfull, "g")
+        size(col("grams")).alias("rsz"),
+        explode(graft.functions.HashSetFilter.reject(col("grams"), hot))
+          .alias("g"))
+      .select(lit("c").alias("arm"), col("g"), col("ref_id"), col("rsz"))
+    val rhot = rg
+      .select(col("doc_id").alias("ref_id"),
+        size(col("grams")).alias("rsz"),
+        explode(graft.functions.HashSetFilter.keep(col("grams"), hot))
+          .alias("g"))
+      .select(lit("h").alias("arm"), col("g"), col("ref_id"), col("rsz"))
+    val ridx = Materialize(rcold.unionByName(rhot))
+    val spre = routedStreamPrefix(stream, w, threshold, hot)
+    val cands = spre.join(ridx, Seq("arm", "g"))
+      // |s∩r| ≥ ⌈τ·|s|⌉ needs |r| ≥ ⌈τ·|s|⌉ — prune in codegen before
+      // any state is paid.
+      .where(col("rsz") >= col("needed"))
       .select(col("doc_id"), col("event_time"), col("grams"), col("ref_id"))
     val once = streamingExact(cands, Seq("doc_id", "ref_id"))
     val containment =

@@ -7,16 +7,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extract/frame-sample stages.
   *
-  * IMAGE DECODE IS REAL: the JDK ships PNG/JPEG codecs
-  * (`javax.imageio.ImageIO`), so [[ImageCodec]] decodes actual image bytes
-  * to pixels, [[decodeImageStats]] and [[ImageLumaExtractor]] compute
-  * features over REAL decoded pixels, and [[syntheticPngMedia]] encodes a
-  * deterministic pixel formula to genuine PNG payloads (lossless, so every
-  * downstream stat is oracle-checkable by re-deriving from the formula).
-  * Only stages whose codec the JDK lacks remain declared stubs: video
-  * frame extraction ([[FixedSizeFrameSampler]]) and audio. The
-  * [[ByteHistogramExtractor]] survives as the no-codec FALLBACK for
-  * payloads `ImageIO` cannot parse.
+  * IMAGE, AUDIO, AND GIF DECODE ARE REAL: the JDK ships PNG/JPEG/GIF
+  * codecs (`javax.imageio.ImageIO`), so [[ImageCodec]] decodes actual
+  * image bytes to pixels, [[decodeImageStats]] and [[ImageLumaExtractor]]
+  * compute features over REAL decoded pixels, and [[syntheticPngMedia]]
+  * encodes a deterministic pixel formula to genuine PNG payloads
+  * (lossless, so every downstream stat is oracle-checkable by re-deriving
+  * from the formula). Audio is real too since r11: `WavCodec` parses
+  * RIFF/WAVE PCM headers and samples and the single-bin DFT runs over
+  * real waveforms; `GifCodec` (r13) decodes multi-frame GIFs for the
+  * video-shaped frame-sampling path. The ONE remaining declared stub is
+  * [[FixedSizeFrameSampler]] — true video containers (MP4/H.264) have no
+  * JDK codec, so it fakes frame extraction with fixed-size byte windows
+  * (clearly marked at its definition); `GifCodec` covers the real-decode
+  * variant of the same operator shape. The [[ByteHistogramExtractor]]
+  * survives as the no-codec FALLBACK for payloads `ImageIO` cannot
+  * parse.
   *
   * Everything Spark-side is real and tested: the schema, the binary column
   * handling, the per-partition batch iteration (the Scala analogue of

@@ -138,6 +138,99 @@ class StreamScreenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // Boilerplate flood (r16 verdict item 1): every ref doc carries the
+  // same trailing block, so its grams exceed a df cap of 2 and route
+  // through the HOT fallback arm. The capped screens must still equal
+  // the uncapped batch certifiers — including the pure-boilerplate
+  // arrival whose ENTIRE overlap is hot grams (the fallback's reason to
+  // exist: no cold gram witnesses it).
+  private val boiler = "please subscribe cookie banner terms apply"
+  private val floodRefs = (0 until 10).map { i =>
+    (200L + i, s"unique$i words about topic number $i entirely distinct $boiler")
+  } :+ (299L, boiler)
+  private val floodArrivals = Seq(
+    (11L, s"unique1 words about topic number 1 entirely changed $boiler", ts(0)),
+    (12L, boiler, ts(1)), // boilerplate-dominated: all-hot overlap
+    (13L, "red green blue cyan magenta yellow black white", ts(2)))
+
+  private def runFloodStream(
+      mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = mk(input.toDF().toDF("doc_id", "text", "event_time")
+      .withWatermark("event_time", "10 minutes"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(floodArrivals.take(2))
+      q.processAllAvailable()
+      input.addData(floodArrivals.drop(2))
+      q.processAllAvailable()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally q.stop()
+  }
+
+  test("capped streamingSetSimScreen under a boilerplate flood equals the " +
+    "uncapped batch certifier — incl. the all-hot-overlap pair via the " +
+    "fallback arm") {
+    val ref = floodRefs.toDF("doc_id", "text")
+    val got = runFloodStream(
+      s => Dedup.streamingSetSimScreen(s, ref, threshold = 0.5,
+        maxDocsPerGram = 2), "sss_flood")
+    val want = Dedup.setSimJoinCross(
+      floodArrivals.map(a => (a._1, a._2)).toDF("doc_id", "text"), ref,
+      threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.exists(p => p._1 == 12L && p._2 == 299L),
+      "fixture must contain an all-hot-overlap pair (12, 299)")
+    assert(got === want)
+  }
+
+  test("capped streamingContainmentScreen under a boilerplate flood equals " +
+    "brute force — the pure-boilerplate arrival is contained in EVERY " +
+    "flooded ref via the fallback arm") {
+    val ref = floodRefs.toDF("doc_id", "text")
+    val tau = 0.5
+    val got = runFloodStream(
+      s => Dedup.streamingContainmentScreen(s, ref, threshold = tau,
+        maxDocsPerGram = 2), "scs_flood")
+    def grams(docs: Seq[(Long, String)]): Map[Long, Set[String]] =
+      Dedup.shingleSetsW(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val sg = grams(floodArrivals.map(a => (a._1, a._2)))
+    val rg = grams(floodRefs.map(r => (r._1, r._2)))
+    val want = (for {
+      (sid, s) <- sg.toSeq if s.nonEmpty
+      (rid, r) <- rg.toSeq
+      c = s.intersect(r).size.toDouble / s.size
+      if c >= tau
+    } yield (sid, rid,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    // Arrival 12 is pure boilerplate: containment 1.0 in every ref that
+    // carries the block — all its witnesses are HOT grams.
+    assert(want.count(_._1 == 12L) === floodRefs.size)
+    assert(got === want)
+  }
+
+  test("screens reject a threshold outside (0, 1] instead of silently " +
+    "emitting nothing") {
+    val ref = refDocs.toDF("doc_id", "text")
+    val s = spark.range(0).select(col("id").alias("doc_id"),
+      lit("x").alias("text"),
+      lit(Timestamp.valueOf("2026-01-01 00:00:00")).alias("event_time"))
+    intercept[IllegalArgumentException] {
+      Dedup.streamingSetSimScreen(s, ref, threshold = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.streamingContainmentScreen(s, ref, threshold = 0.0)
+    }
+  }
+
   test("streaming screens emit a pair once per watermark horizon " +
     "(re-arrival inside the horizon is deduped)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

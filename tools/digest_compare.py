@@ -48,6 +48,14 @@ def main(sf_dir, out_dir, name):
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
     spark_src = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
     cols = sorted(r[0] for r in con.execute(f"DESCRIBE {spark_src}").fetchall())
+    # The oracle must expose the SAME column-name set — otherwise an
+    # extra or renamed oracle column would be silently projected away by
+    # the digest instead of flagged (r16 advice).
+    ocols = sorted(r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall())
+    if cols != ocols:
+        print(f"{name}: MISMATCH column sets differ "
+              f"spark={cols} oracle={ocols}")
+        return 1
     sd = digest(con, spark_src, cols)
     od = digest(con, sql, cols)
     ok = sd == od
