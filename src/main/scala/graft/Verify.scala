@@ -17,8 +17,18 @@ object Verify {
     // at the sf10 probe scale, 32 partitions put ~1M wide rows in one
     // task's sort and the per-task heap becomes the limit — more
     // partitions is the honest knob (a real cluster would run hundreds).
+    // Auto-raise when unset (r16 verdict item 3): the fixture's biggest
+    // table tells the scale — lineitem over ~512 MB means the sf10-class
+    // decade, where `cpus` partitions put ~1M wide rows in one task and
+    // default heaps OOM. 128 matches the documented sf10 protocol.
+    val autoParts: String =
+      try {
+        val li = Paths.get(s"$sfDir/lineitem.parquet")
+        if (Files.exists(li) && Files.size(li) > 512L * 1024 * 1024) "128"
+        else cpus
+      } catch { case _: Throwable => cpus }
     val shuffleParts =
-      sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus)
+      sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", autoParts)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)

@@ -164,8 +164,14 @@ object Curation {
         .alias("n_gate_passed"))
     val survivors = Materialize(
       sig.where(col("enc_ok") && col("passed"))
-        .join(keepers(docs, k, bands, threshold), "doc_id")
-        .withColumnRenamed("src_n_chars", "n_chars"))
+        // Project down to what the cap/split stages consume BEFORE the
+        // keeper join: the full signal row (per-language scores, ratios,
+        // reject reason) otherwise rides the keeper join's shuffle and
+        // the materialized frame — the stage that OOM'd the sf10 probe
+        // at default heap (r16 verdict item 3; BASELINE.md §sf10).
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("src_n_chars").alias("n_chars"))
+        .join(keepers(docs, k, bands, threshold), "doc_id"))
     val nKeep = survivors.agg(count(lit(1)).alias("n_keepers"))
     val capped = capBySource(survivors, maxPerSource)
       .select(col("doc_id"), splitColumn(fractions).alias("split"))
