@@ -37,9 +37,18 @@ object Bench {
     def remainingS(): Double = budgetS - elapsedS()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same decade-scale auto-raise as Verify (r16 verdict item 3): at the
+    // sf10 fixture, `cpus` shuffle partitions put ~1M wide rows in one
+    // task's sort; 128 is the documented probe protocol.
+    val shuffleParts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS",
+      try {
+        val li = java.nio.file.Paths.get(s"$sfDir/lineitem.parquet")
+        if (java.nio.file.Files.exists(li) &&
+          java.nio.file.Files.size(li) > 512L * 1024 * 1024) "128" else cpus
+      } catch { case _: Throwable => cpus })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

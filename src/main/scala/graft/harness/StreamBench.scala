@@ -123,6 +123,27 @@ object StreamBench {
     import spark.implicits._
     Providers.flatMap { case (pname, pclass) =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+      // Changelog checkpointing (r16 verdict item 5): without it RocksDB
+      // uploads a FULL state snapshot at every micro-batch commit, which
+      // is exactly what made it 1.6× slower than the HDFS provider on
+      // the 3.36M-row set-sim screen while winning every small-state
+      // family. With changelog mode only the batch's delta is persisted
+      // (snapshots amortize in the background maintenance thread) —
+      // exactly-once semantics are unchanged.
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      // trackTotalNumberOfRows does a get-before-put on EVERY state write
+      // to keep the numRowsTotal metric exact — on the 3.36M-write screen
+      // that is 2× the RocksDB ops for a gauge. Measured on the carried
+      // set-sim screen fixture (tools/Scratch, this box): base 1904 →
+      // changelog 2246 → changelog+notrack 2898 rows/s vs HDFS 2731 — the
+      // whole r16 gap was metric bookkeeping. Cost: RocksDB rows report
+      // state_rows=0 (untracked); read the HDFS twin's state_rows (same
+      // state by construction) and RocksDB's state_bytes instead.
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       val cdc = bench[(Long, Timestamp, Long, String, Double)](
         spark, "cdc_register", pname, rowsPerBatch, batches, ckptRoot) { df =>
         Cdc.streamingApplyExpiring(
