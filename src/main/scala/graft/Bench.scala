@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
   * measures EXTERNAL load (/proc/stat minus /proc/self/stat over 1 s —
   * loadavg can't split self from other); a pass starting above the bar
   * (cores/4, GRAFT_BENCH_LOAD_BAR to override) still feeds the min but
-  * triggers a replacement pass, up to two extras.
+  * triggers a replacement pass, up to two extras. Round 18 adds the
+  * drift canary ([[graft.harness.Canary]]): a fixed code-independent
+  * probe timed before the cold pass and each warm pass, stamped as
+  * `canary_s`/`canary_min` on the headline — with the committed
+  * quiet-host basis (BASELINE §drift-canary) that separates box drift
+  * from code regressions by arithmetic.
   */
 object Bench {
   private val WarmPasses = 3
@@ -145,6 +150,20 @@ object Bench {
     if (settleS > 5)
       System.err.println(f"[bench] settled $settleS%.0f s before cold pass")
 
+    // Drift canary (r17 verdict item 1): one fixed, code-independent
+    // probe (graft.harness.Canary) timed before the cold pass and before
+    // every warm pass. The stamped canary_min, against the committed
+    // quiet-host basis in BASELINE §drift-canary, turns "is this round's
+    // headline code or box?" into arithmetic instead of a manual
+    // null-test re-run.
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def runCanary(): Unit =
+      try canarySamples += graft.harness.Canary.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: ${e.getMessage}")
+      }
+    runCanary()
+
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, erasing the very work a pure-projection query exists to do
     // (fingerprint/simhash/sha2 all vanish under a count). The noop sink
@@ -194,11 +213,20 @@ object Bench {
         System.gc(); Thread.sleep(1500)
         val ext = externalLoad()
         pre += ext
-        if (ext >= 0 && ext > loadBar)
+        // ext < 0 (unreadable /proc) must NOT count as quiet — a failed
+        // measurement is not evidence of a quiet host (r17 advice on the
+        // sf10 twin of this guard). The canary still runs, so such a
+        // pass remains normalizable even without the load sample.
+        if (ext < 0)
+          System.err.println(
+            s"[bench] warm pass $pass ($dir): external load unmeasurable" +
+              " — pass counted as not-quiet")
+        else if (ext > loadBar)
           System.err.println(
             f"[bench] warm pass $pass ($dir): $ext%.1f external cores > " +
               f"bar $loadBar%.1f — kept for the min, replacement queued")
         else quiet += 1
+        runCanary()
         buf += new scala.util.Random(1000003L * pass)
           .shuffle(qnames).flatMap(n => timeIn(dir)(n).map(n -> _)).toMap
         passLoads += loadNow()
@@ -348,6 +376,7 @@ object Bench {
       s""""${r.op}_${r.provider}":{"rows_per_sec":${r.rowsPerSec.toLong},""" +
         s""""rows":${r.rows},"secs":${"%.2f".formatLocal(
           java.util.Locale.ROOT, r.secs)},"state_rows":${r.stateRows},""" +
+        s""""rows_tracked":${r.rowsTracked},""" +
         s""""state_bytes":${r.stateBytes},"output_rows":${r.outputRows}}"""
     }.mkString("{", ",", "}")
     val streamingRps = streaming.map(r =>
@@ -401,6 +430,10 @@ object Bench {
           s""""sf1_full":$sf1Full,"sf1_full_total":$sf1FullTotal,""" +
           s""""sf1_budgeted":$sf1Budgeted,"budget_s":$budgetS,""" +
           s""""settle_s":${f2(settleS)},""" +
+          s""""canary_s":${canarySamples.map(f2)
+            .mkString("[", ",", "]")},""" +
+          s""""canary_min":${
+            if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)},""" +
           s""""output_rows":${outputRows.map { case (k, v) =>
             s""""$k":$v""" }.mkString("{", ",", "}")},""" +
           s""""output_rows_per_sec":${jmap(outputRps)},""" +
@@ -443,7 +476,7 @@ object Bench {
     val extLoadsJson = preExtLoads
       .map(l => if (l < 0) "\"na\"" else s""""${f2(l)}"""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_full":$sf1Full,"sf1_full_total":${f2(sf1FullTotal)},"sf1_budgeted":$sf1Budgeted,"sf1_n":${sf1.size},"settle_s":${f2(settleS)},"streaming_rps":$streamingRps,"wall_s":${f2(elapsedS())},"budget_s":${f2(budgetS)},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"canary_s":${canarySamples.map(f2).mkString("[", ",", "]")},"canary_min":${if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)},"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_full":$sf1Full,"sf1_full_total":${f2(sf1FullTotal)},"sf1_budgeted":$sf1Budgeted,"sf1_n":${sf1.size},"settle_s":${f2(settleS)},"streaming_rps":$streamingRps,"wall_s":${f2(elapsedS())},"budget_s":${f2(budgetS)},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -24,10 +24,20 @@ import graft.ops.{Anomaly, Cdc, Dedup, Sessionize, WindowOps}
   */
 object StreamBench {
 
+  /** `stateRows` is −1 when `rowsTracked` is false: the RocksDB runs pin
+    * `trackTotalNumberOfRows=false` (the get-before-put the exact gauge
+    * costs doubled the write ops on the big-state screen — see the
+    * provider-pin comment below), which removes the metric AT THE SOURCE,
+    * so Spark's `numRowsTotal` reports 0. Stamping that 0 as a real count
+    * made the r17 artifact read "RocksDB holds no state" next to the HDFS
+    * twin's 3.36M on the same workload (r17 verdict finding 1) — −1 plus
+    * the explicit flag keeps the artifact honest: the state is the same
+    * by construction (read the HDFS twin's count), only the gauge is off.
+    */
   final case class Result(
       op: String, provider: String, rows: Long, secs: Double,
       rowsPerSec: Double, stateRows: Long, stateBytes: Long,
-      outputRows: Long)
+      outputRows: Long, rowsTracked: Boolean)
 
   private val Providers = Seq(
     "hdfs" ->
@@ -46,7 +56,8 @@ object StreamBench {
 
   private def bench[A](
       spark: SparkSession, name: String, provider: String,
-      rowsPerBatch: Int, batches: Int, ckptRoot: java.nio.file.Path)(
+      rowsPerBatch: Int, batches: Int, ckptRoot: java.nio.file.Path,
+      rowsTracked: Boolean = true)(
       mk: DataFrame => DataFrame)(gen: (Int, Int) => Seq[A])(
       implicit enc: Encoder[A]): Result = {
     val input = MemoryStream[A](spark)
@@ -74,8 +85,9 @@ object StreamBench {
           p.stateOperators.map(_.memoryUsedBytes).sum))
         .getOrElse((0L, 0L))
       Result(name, provider, rows, secs,
-        if (secs > 0) rows / secs else 0d, state, stateBytes,
-        sunkRows - outBefore)
+        if (secs > 0) rows / secs else 0d,
+        if (rowsTracked) state else -1L, stateBytes,
+        sunkRows - outBefore, rowsTracked)
     } finally q.stop()
   }
 
@@ -115,6 +127,38 @@ object StreamBench {
     }
   }
 
+  /** Pin a provider plus the measured-best RocksDB options; returns
+    * whether the provider's `numRowsTotal` gauge stays exact (see
+    * [[Result]].rowsTracked).
+    */
+  private def pinProvider(
+      spark: SparkSession, pclass: String): Boolean = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+    // Changelog checkpointing (r16 verdict item 5): without it RocksDB
+    // uploads a FULL state snapshot at every micro-batch commit, which
+    // is exactly what made it 1.6× slower than the HDFS provider on
+    // the 3.36M-row set-sim screen while winning every small-state
+    // family. With changelog mode only the batch's delta is persisted
+    // (snapshots amortize in the background maintenance thread) —
+    // exactly-once semantics are unchanged.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    // trackTotalNumberOfRows does a get-before-put on EVERY state write
+    // to keep the numRowsTotal metric exact — on the 3.36M-write screen
+    // that is 2× the RocksDB ops for a gauge. Measured on the carried
+    // set-sim screen fixture (this box, r17): base 1904 →
+    // changelog 2246 → changelog+notrack 2898 rows/s vs HDFS 2731 — the
+    // whole r16 gap was metric bookkeeping. Cost: the gauge is gone, so
+    // RocksDB rows stamp state_rows=-1 / rows_tracked=false; read the
+    // HDFS twin's state_rows (same state by construction) and RocksDB's
+    // state_bytes instead.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
+    !pclass.contains("RocksDB")
+  }
+
   private def runProviders(
       spark: SparkSession,
       rowsPerBatch: Int,
@@ -122,30 +166,9 @@ object StreamBench {
       ckptRoot: java.nio.file.Path): Seq[Result] = {
     import spark.implicits._
     Providers.flatMap { case (pname, pclass) =>
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
-      // Changelog checkpointing (r16 verdict item 5): without it RocksDB
-      // uploads a FULL state snapshot at every micro-batch commit, which
-      // is exactly what made it 1.6× slower than the HDFS provider on
-      // the 3.36M-row set-sim screen while winning every small-state
-      // family. With changelog mode only the batch's delta is persisted
-      // (snapshots amortize in the background maintenance thread) —
-      // exactly-once semantics are unchanged.
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
-      // trackTotalNumberOfRows does a get-before-put on EVERY state write
-      // to keep the numRowsTotal metric exact — on the 3.36M-write screen
-      // that is 2× the RocksDB ops for a gauge. Measured on the carried
-      // set-sim screen fixture (tools/Scratch, this box): base 1904 →
-      // changelog 2246 → changelog+notrack 2898 rows/s vs HDFS 2731 — the
-      // whole r16 gap was metric bookkeeping. Cost: RocksDB rows report
-      // state_rows=0 (untracked); read the HDFS twin's state_rows (same
-      // state by construction) and RocksDB's state_bytes instead.
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
-        "false")
+      val tracked = pinProvider(spark, pclass)
       val cdc = bench[(Long, Timestamp, Long, String, Double)](
-        spark, "cdc_register", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        spark, "cdc_register", pname, rowsPerBatch, batches, ckptRoot, tracked) { df =>
         Cdc.streamingApplyExpiring(
           df.toDF("user_id", "ts", "event_id", "event_type", "value"),
           idleRetentionSec = 3600L).toDF()
@@ -155,7 +178,7 @@ object StreamBench {
           i.toDouble))
       }
       val sess = bench[(Long, Timestamp)](
-        spark, "sessions", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        spark, "sessions", pname, rowsPerBatch, batches, ckptRoot, tracked) { df =>
         Sessionize.streamingSessions(
           df.toDF("user_id", "ts").withWatermark("ts", "1 minute"),
           gap = "5 minutes")
@@ -163,7 +186,7 @@ object StreamBench {
         (0 until n).map(i => ((i % Keys).toLong, ts(b, i)))
       }
       val topn = bench[(Long, Timestamp, Long, Double)](
-        spark, "top_n", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        spark, "top_n", pname, rowsPerBatch, batches, ckptRoot, tracked) { df =>
         WindowOps.streamingTopN(
           df.toDF("event_id", "ts", "user_id", "value")
             .withWatermark("ts", "10 minutes"), n = 3).toDF()
@@ -172,7 +195,7 @@ object StreamBench {
           (i % Keys).toLong, (i % 1009).toDouble))
       }
       val anom = bench[(Long, Timestamp, String, Double)](
-        spark, "anomaly", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        spark, "anomaly", pname, rowsPerBatch, batches, ckptRoot, tracked) { df =>
         Anomaly.streamingOutliers(
           df.toDF("event_id", "ts", "event_type", "value")
             .withWatermark("ts", "10 minutes"),
@@ -182,7 +205,7 @@ object StreamBench {
           s"t${i % 16}", (i % 101).toDouble))
       }
       val dedup = bench[(String, Timestamp)](
-        spark, "windowed_distinct", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        spark, "windowed_distinct", pname, rowsPerBatch, batches, ckptRoot, tracked) { df =>
         Dedup.streamingExact(
           df.toDF("payload", "event_time")
             .withWatermark("event_time", "10 minutes"),
@@ -209,7 +232,7 @@ object StreamBench {
           .toDF("doc_id", "text")
       }
       val screen = bench[(Long, String, Timestamp)](
-        spark, "setsim_screen", pname, rowsPerBatch, batches, ckptRoot) { df =>
+        spark, "setsim_screen", pname, rowsPerBatch, batches, ckptRoot, tracked) { df =>
         Dedup.streamingSetSimScreen(
           df.toDF("doc_id", "text", "event_time")
             .withWatermark("event_time", "10 minutes"),
@@ -220,57 +243,112 @@ object StreamBench {
           (id, sentence(i % 64) + s" w${i % 7}", ts(b, i))
         }
       }
-      // Boilerplate-FLOOD screens (r16 verdict items 1 + 4): every
-      // reference doc trails the same 8-word block, so the block's
-      // interior shingles are held by all 1000 refs — 15× over the df
-      // cap — while content sentences draw from a synthetic vocabulary
-      // mostly unmatched by arrivals. This is the shape that made the
-      // uncapped screens the repo's scale-killer: each arrival's prefix
-      // hit the boilerplate postings and fanned into ~1000 candidate
-      // pairs (a state row each). With the cap, boilerplate grams are
-      // HOT: content-dominated arrivals never touch them, and only the
-      // rare boilerplate-dominated arrival (1/1999 here) takes the
-      // fallback arm — whose emissions are true output, not fan-out.
-      val boiler =
-        "subscribe newsletter cookie banner terms privacy policy apply"
-      def floodSentence(seed: Int): String =
-        (0 until 8).map(j => s"w${(seed * 7 + j * 13) % 9973}").mkString(" ")
-      val floodRefs = {
-        import spark.implicits._
-        (0 until 1000)
-          .map(i => (200000L + i, floodSentence(i) + " " + boiler))
-          .toDF("doc_id", "text")
-      }
-      // Arrivals: 1-in-50 is a near-dup of a reference (content seed
-      // reused + a tail word — the true-positive path), 1-in-1999 is
-      // pure boilerplate (the fallback-arm path), the rest are novel
-      // content + the boilerplate block (the fan-out hazard path).
-      def floodArrival(b: Int, n: Int, i: Int): (Long, String, Timestamp) = {
-        val id = b.toLong * n + i
-        val text =
-          if (i % 1999 == 0) boiler
-          else if (i % 50 == 0)
-            floodSentence(i / 50 % 1000) + " " + boiler + s" w${i % 7}"
-          else floodSentence(10000 + (b * n + i) % 100000) + " " + boiler
-        (id, text, ts(b, i))
-      }
-      val screenFlood = bench[(Long, String, Timestamp)](
-        spark, "setsim_screen_flood", pname, rowsPerBatch, batches,
-        ckptRoot) { df =>
-        Dedup.streamingSetSimScreen(
-          df.toDF("doc_id", "text", "event_time")
-            .withWatermark("event_time", "10 minutes"),
-          floodRefs, threshold = 0.5)
-      } { (b, n) => (0 until n).map(i => floodArrival(b, n, i)) }
-      val contFlood = bench[(Long, String, Timestamp)](
-        spark, "containment_screen_flood", pname, rowsPerBatch, batches,
-        ckptRoot) { df =>
-        Dedup.streamingContainmentScreen(
-          df.toDF("doc_id", "text", "event_time")
-            .withWatermark("event_time", "10 minutes"),
-          floodRefs, threshold = 0.5)
-      } { (b, n) => (0 until n).map(i => floodArrival(b, n, i)) }
+      val Seq(screenFlood, contFlood) = floodFamilies(
+        spark, pname, tracked, rowsPerBatch, batches, ckptRoot,
+        nRefs = 1000, suffix = "")
       Seq(cdc, sess, topn, anom, dedup, screen, screenFlood, contFlood)
+    }
+  }
+
+  // Boilerplate-FLOOD screens (r16 verdict items 1 + 4): every
+  // reference doc trails the same 8-word block, so the block's
+  // interior shingles are held by all `nRefs` refs — far over the df
+  // cap — while content sentences draw from a synthetic vocabulary
+  // mostly unmatched by arrivals. This is the shape that made the
+  // uncapped screens the repo's scale-killer: each arrival's prefix
+  // hit the boilerplate postings and fanned into ~nRefs candidate
+  // pairs (a state row each). With the cap, boilerplate grams are
+  // HOT: content-dominated arrivals never touch them, and only the
+  // rare boilerplate-dominated arrival (1/1999 here) takes the
+  // fallback arm — whose emissions are true output, not fan-out.
+
+  private val Boiler =
+    "subscribe newsletter cookie banner terms privacy policy apply"
+
+  private def floodSentence(seed: Int): String =
+    (0 until 8).map(j => s"w${(seed * 7 + j * 13) % 9973}").mkString(" ")
+
+  /** The two flood-screen families at a given reference-corpus size.
+    * Arrivals: 1-in-50 is a near-dup of a reference (content seed
+    * reused + a tail word — the true-positive path), 1-in-1999 is
+    * pure boilerplate (the fallback-arm path), the rest are novel
+    * content + the boilerplate block (the fan-out hazard path).
+    */
+  private def floodFamilies(
+      spark: SparkSession, pname: String, tracked: Boolean,
+      rowsPerBatch: Int, batches: Int, ckptRoot: java.nio.file.Path,
+      nRefs: Int, suffix: String): Seq[Result] = {
+    import spark.implicits._
+    val floodRefs = (0 until nRefs)
+      .map(i => (200000L + i, floodSentence(i) + " " + Boiler))
+      .toDF("doc_id", "text")
+    def floodArrival(b: Int, n: Int, i: Int): (Long, String, Timestamp) = {
+      val id = b.toLong * n + i
+      val text =
+        if (i % 1999 == 0) Boiler
+        else if (i % 50 == 0)
+          floodSentence(i / 50 % nRefs) + " " + Boiler + s" w${i % 7}"
+        else floodSentence(10000 + (b * n + i) % 100000) + " " + Boiler
+      (id, text, ts(b, i))
+    }
+    val screenFlood = bench[(Long, String, Timestamp)](
+      spark, s"setsim_screen_flood$suffix", pname, rowsPerBatch, batches,
+      ckptRoot, tracked) { df =>
+      Dedup.streamingSetSimScreen(
+        df.toDF("doc_id", "text", "event_time")
+          .withWatermark("event_time", "10 minutes"),
+        floodRefs, threshold = 0.5)
+    } { (b, n) => (0 until n).map(i => floodArrival(b, n, i)) }
+    val contFlood = bench[(Long, String, Timestamp)](
+      spark, s"containment_screen_flood$suffix", pname, rowsPerBatch,
+      batches, ckptRoot, tracked) { df =>
+      Dedup.streamingContainmentScreen(
+        df.toDF("doc_id", "text", "event_time")
+          .withWatermark("event_time", "10 minutes"),
+        floodRefs, threshold = 0.5)
+    } { (b, n) => (0 until n).map(i => floodArrival(b, n, i)) }
+    Seq(screenFlood, contFlood)
+  }
+
+  /** Decade-scale flood sweep (r17 verdict item 3): the SAME gram
+    * geometry as the carried flood families at 10× both axes — 10,000
+    * reference docs (boilerplate df 10k vs the 64 cap; content-gram df
+    * still ~8, far under the cap, so the hot/cold knee sits in the same
+    * place) and 600k arrivals (30 batches × 20k). The hot/cold split's
+    * scale claim is that per-arrival fan-out is bounded by the cap, not
+    * by nRefs — so rows/s here must hold within ~2× of the 1k-ref
+    * families and state must grow with OUTPUT (the near-dup and
+    * boilerplate-arrival pair emissions), not with refs×arrivals.
+    * Emitted with family suffix `10x` into the same artifact.
+    */
+  def runDecade(
+      spark: SparkSession,
+      rowsPerBatch: Int = 20000,
+      batches: Int = 30,
+      nRefs: Int = 10000): Seq[Result] = {
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val ckptRoot = Files.createTempDirectory("graft-streambench-10x")
+    try Providers.flatMap { case (pname, pclass) =>
+      val tracked = pinProvider(spark, pclass)
+      floodFamilies(spark, pname, tracked, rowsPerBatch, batches,
+        ckptRoot, nRefs, suffix = "10x")
+    }
+    finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      try
+        Files.walk(ckptRoot).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[streambench] checkpoint cleanup failed, $ckptRoot leaked: $t")
+      }
     }
   }
 }

@@ -29,12 +29,18 @@ object StreamBenchMain {
         .split("\\s+").head
       catch { case _: Throwable => "na" }
     val preLoad = loadNow()
-    val results = StreamBench.run(spark)
+    // GRAFT_STREAM_DECADE=1 appends the 10×-scale flood-screen rows
+    // (600k arrivals vs 10k refs — r17 verdict item 3) after the
+    // standard sweep; 0 keeps the artifact cost at the carried level.
+    val decade = sys.env.getOrElse("GRAFT_STREAM_DECADE", "0") != "0"
+    val results = StreamBench.run(spark) ++
+      (if (decade) StreamBench.runDecade(spark) else Seq.empty)
     def f2(d: Double): String =
       "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val rows = results.map { r =>
       s"""    "${r.op}_${r.provider}":{"rows_per_sec":${r.rowsPerSec.toLong},""" +
         s""""rows":${r.rows},"secs":${f2(r.secs)},"state_rows":${r.stateRows},""" +
+        s""""rows_tracked":${r.rowsTracked},""" +
         s""""state_bytes":${r.stateBytes},"output_rows":${r.outputRows}}"""
     }.mkString("{\n", ",\n", "\n  }")
     val json =

@@ -674,6 +674,71 @@ object Multimodal {
       universeIds.getOrElse(media.select(col("media_id"))).toDF("doc_id"))
       .select(col("doc_id").alias("media_id"), col("cluster_id"))
 
+  /** Knuth multiplier + modulus for the [[phashBandAudit]] deterministic
+    * bucket draw: band-0 value `bv` is sampled iff
+    * `(bv * PhashAuditMult) % PhashAuditMod == 0` — ~1-in-mod of the
+    * 32768 possible buckets, fixed across scales and engines (shared
+    * with the oracle twin).
+    */
+  val PhashAuditMult = 2654435761L
+
+  val PhashAuditMod = 100L
+
+  /** Sampled-bucket pHash pair AUDIT — the bounded sf10 adjudication
+    * contract for the image near-dup family (r17 verdict item 4). The
+    * full pair graph is output-quadratic in duplicate-group size
+    * (~1B pairs at sf10 — the DuckDB pair CTE is infeasible there,
+    * BASELINE §posture "mm"), but a deterministic 1%-of-buckets sample
+    * is a CLOSED sub-contract: duplicate groups share one aHash and
+    * therefore one band-0 bucket, so a sampled bucket contains its
+    * groups' ENTIRE within-bucket pair cliques — the audit adjudicates
+    * the same decode → aHash → banded-bucket → exact-Hamming-verify
+    * machine [[phashPairs]] runs, at 1/mod of the pair mass.
+    *
+    * Emits one row per sampled non-empty band-0 bucket:
+    * `(bv, n_docs, id_sum, n_pairs, hamming_sum, pair_digest)` — doc
+    * membership (count + id sum) plus the verified-pair aggregate
+    * (count, Hamming sum, and a modular id digest), all exact integers
+    * the oracle re-derives from the pixel formula. Aggregated per
+    * bucket so the output stays tiny at every scale while the compare
+    * still pins pair identities (the digest) and distances (the sum).
+    *
+    * Scale shape: one codec pass (materialized), then a bucket
+    * equi-join restricted to the sampled 1% — per-bucket pair mass is
+    * C(group, 2) (~500k pairs for the sf10 fixture's ~1000-copy
+    * groups), aggregated immediately; no salting needed because the
+    * output of a bucket is one row, not its clique.
+    */
+  def phashBandAudit(media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sigs = Materialize(
+      phash(media).where(col("decoded"))
+        .select(col("media_id").alias("doc_id"), col("ahash"))
+        .withColumn("bv", col("ahash").bitwiseAND(lit(32767L)))
+        .where((col("bv") * lit(PhashAuditMult)) % lit(PhashAuditMod)
+          === 0L))
+    val docs = sigs.groupBy("bv").agg(
+      count(lit(1)).alias("n_docs"),
+      sum(col("doc_id")).alias("id_sum"))
+    val pairs = sigs
+      .select(col("bv"), col("doc_id").alias("a_id"),
+        col("ahash").alias("ha"))
+      .join(sigs.select(col("bv"), col("doc_id").alias("b_id"),
+        col("ahash").alias("hb")), "bv")
+      .where(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("bv").agg(
+        count(lit(1)).alias("n_pairs"),
+        sum(col("hamming").cast("long")).alias("hamming_sum"),
+        sum((col("a_id") * 31 + col("b_id") * 7) % 1000000007L)
+          .alias("pair_digest"))
+    docs.join(pairs, Seq("bv"), "left")
+      .select(col("bv"), col("n_docs"), col("id_sum"),
+        coalesce(col("n_pairs"), lit(0L)).alias("n_pairs"),
+        coalesce(col("hamming_sum"), lit(0L)).alias("hamming_sum"),
+        coalesce(col("pair_digest"), lit(0L)).alias("pair_digest"))
+  }
+
   /** Image-gate thresholds (the LAION/DataComp-style screen): minimum
     * side length, max aspect ratio as an EXACT integer cross-multiply
     * ([[ImgAspectNum]]:[[ImgAspectDen]] — no float ratio can sit on a

@@ -251,6 +251,12 @@ object QueriesMultimodal {
       Multimodal.phashClusters(Multimodal.pngMedia(s, d),
         universeIds = Some(StandIn.documents(s, d).select(col("doc_id"))))),
 
+    // Sampled-bucket pair audit: the bounded contract that adjudicates
+    // the image near-dup machine at sf10, where the full ~1B-pair graph
+    // is oracle-infeasible (Multimodal.phashBandAudit scaladoc).
+    "mm_phash_band_audit" -> ((s, d) =>
+      Multimodal.phashBandAudit(Multimodal.pngMedia(s, d))),
+
     // Image quality gate over the real decode: dims / integer-exact
     // aspect / mean-RGB exposure rules from the in-stage pixel sums, pass
     // booleans at documented thresholds (the LAION-screen shape).
@@ -601,6 +607,38 @@ object QueriesMultimodal {
          |SELECT pd.doc_id AS media_id, TRUE AS decoded, ahash, dhash
          |FROM pd JOIN ah ON ah.doc_id = pd.doc_id
          |JOIN dh ON dh.doc_id = pd.doc_id""".stripMargin,
+
+    // Sampled-bucket audit twin (Multimodal.phashBandAudit): the same
+    // deterministic 1-in-mod band-0 bucket draw over the formula-derived
+    // aHash, then per-bucket doc membership + verified-pair aggregates.
+    // Duplicate groups share one bucket, so a sampled bucket carries its
+    // whole pair clique — a closed sub-contract of the pair machine that
+    // stays DuckDB-feasible at sf10 (1/mod of the ~1B-pair mass).
+    "mm_phash_band_audit" ->
+      s"""WITH $phashCtesSql, sb AS (
+         |  SELECT doc_id, ahash, ahash & 32767 AS bv
+         |  FROM ah
+         |  WHERE ((ahash & 32767) * ${Multimodal.PhashAuditMult})
+         |        % ${Multimodal.PhashAuditMod} = 0
+         |), adocs AS (
+         |  SELECT bv, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |  FROM sb GROUP BY bv
+         |), apr AS (
+         |  SELECT a.bv AS bv, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(bit_count(xor(a.ahash, b.ahash))) AS BIGINT)
+         |           AS hamming_sum,
+         |         CAST(sum((a.doc_id * 31 + b.doc_id * 7) % 1000000007)
+         |           AS BIGINT) AS pair_digest
+         |  FROM sb a JOIN sb b ON a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+         |  GROUP BY a.bv
+         |)
+         |SELECT d.bv, d.n_docs, d.id_sum,
+         |       coalesce(p.n_pairs, 0) AS n_pairs,
+         |       coalesce(p.hamming_sum, 0) AS hamming_sum,
+         |       coalesce(p.pair_digest, 0) AS pair_digest
+         |FROM adocs d LEFT JOIN apr p ON p.bv = d.bv""".stripMargin,
 
     // Image near-dup pairs twin: the aHash through the SAME 4×15-bit
     // band join + exact bit_count verify as dedup_simhash_pairs.

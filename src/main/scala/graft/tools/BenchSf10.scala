@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   * worst query (`corpus_curate`) clean at 16g since round 17. Shuffle
   * partitions auto-raise to 128 at the decade fixture exactly as
   * Bench/Verify do (lineitem > 512 MB ⇒ 128).
+  *
+  * Protocol (BASELINE §sf10-bench-protocol): cold + warm passes until
+  * EITHER two quiet warm passes exist or the budget stops covering
+  * another — **min-of-2 is the declared sf10 protocol** (r17 verdict
+  * item 5: the 9000 s default budget covers cold + 2 warm at the
+  * committed card's pace; a third pass is a bonus, not a requirement).
+  * The default budget is sized so a bare `runMain` reproduces the
+  * committed card's shape (r17 advice: the card was run with
+  * `GRAFT_BENCH_BUDGET_S=9000` while the default was 5400, so a default
+  * invocation could not reproduce it).
   */
 object BenchSf10 {
   private val WarmPasses = 3
@@ -52,8 +62,12 @@ object BenchSf10 {
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
     def elapsedS(): Double = (System.nanoTime() - wallStart) / 1e9
+    // 9000 s default (r17 advice): the committed card needed
+    // GRAFT_BENCH_BUDGET_S=9000 over the old 5400 default, so a bare
+    // invocation produced min-of-1 with no min-of-N defense. The default
+    // now covers cold + ≥2 quiet warm passes at the committed pace.
     val budgetS = sys.env.get("GRAFT_BENCH_BUDGET_S").map(_.toDouble)
-      .getOrElse(5400.0)
+      .getOrElse(9000.0)
     def remainingS(): Double = budgetS - elapsedS()
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
@@ -136,10 +150,30 @@ object BenchSf10 {
         // blocking = true: the finally is untimed, and async removals
         // would otherwise bleed into the next query's timed window
         // (measured 19% headline inflation at sf0.1 from exactly that).
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // Cleanup failure must not replace the recorded per-query error
+        // or abort the multi-hour run (r17 advice: a query that dies by
+        // killing the SparkContext would otherwise throw HERE and take
+        // the whole bench down instead of degrading to one error row).
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-sf10] cleanup after $name failed " +
+            s"(continuing): ${e.getMessage}")
+        }
       }
+
+    // Drift canary (r17 verdict item 1 — same probe as Bench): one fixed
+    // code-independent sample before the cold pass and each warm pass,
+    // so the sf10 card normalizes against BASELINE §drift-canary too.
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def runCanary(): Unit =
+      try canarySamples += graft.harness.Canary.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-sf10] canary failed: ${e.getMessage}")
+      }
+    runCanary()
 
     val passLoads = scala.collection.mutable.ArrayBuffer(loadNow())
     val cold: Map[String, Double] =
@@ -157,11 +191,20 @@ object BenchSf10 {
       System.gc(); Thread.sleep(1500)
       val ext = externalLoad()
       pre += ext
-      if (ext >= 0 && ext > loadBar)
+      // ext < 0 = the measurement itself failed (unreadable /proc): NOT
+      // evidence of a quiet host, so it must not satisfy the quiet-pass
+      // quota (r17 advice — the old `ext >= 0 &&` guard silently passed
+      // the load defense on a host where it never ran).
+      if (ext < 0)
+        System.err.println(
+          s"[bench-sf10] warm pass $pass: external load unmeasurable — " +
+            "pass counted as not-quiet")
+      else if (ext > loadBar)
         System.err.println(
           f"[bench-sf10] warm pass $pass: $ext%.1f external cores > " +
             f"bar $loadBar%.1f — kept for the min, replacement queued")
       else quiet += 1
+      runCanary()
       buf += new scala.util.Random(1000003L * pass)
         .shuffle(coldOk).flatMap(n => time(n).map(n -> _)).toMap
       passLoads += loadNow()
@@ -223,12 +266,23 @@ object BenchSf10 {
     }
     val errsJson = errs.map(n => s""""$n"""").mkString("[", ",", "]")
 
+    // Derived, not hardcoded (r17 advice): an errored / missing query
+    // must shrink the label, not let "all25" overstate coverage.
+    val queriesKind = s"all${warm.size}_min_of_${buf.size}"
+    // A failed load measurement is flagged, not silently quiet (r17
+    // advice): ext < 0 anywhere ⇒ the artifact says so.
+    val loadUnmeasured = pre.exists(_ < 0)
+    val canaryJson = canarySamples.map(f2).mkString("[", ",", "]")
+    val canaryMin =
+      if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)
     val basis =
       s"""{"metric":"sf10_total","value":${f2(total)},"unit":"sec",""" +
       s""""queries":${jmap(warm, f2)},""" +
-      s""""queries_kind":"all25_min_of_${buf.size}",""" +
+      s""""queries_kind":"$queriesKind",""" +
       s""""warm_pass_totals":$passTotals,"pass_loads":$loadsJson,""" +
       s""""pre_ext_loads":$preJson,"loud_passes":${buf.size - quiet},""" +
+      s""""load_unmeasured":$loadUnmeasured,""" +
+      s""""canary_s":$canaryJson,"canary_min":$canaryMin,""" +
       s""""n":${names.size},"errors":$errsJson,""" +
       s""""cold_total":${f2(coldTotal)},""" +
       s""""sf1_total_25":${f2(names.flatMap(sf1.get).sum)},""" +
@@ -259,6 +313,9 @@ object BenchSf10 {
   "errors": $errsJson,
   "pass_loads": $loadsJson,
   "pre_ext_loads": $preJson,
+  "load_unmeasured": $loadUnmeasured,
+  "canary_s": $canaryJson,
+  "canary_min": $canaryMin,
   "warm_pass_totals": $passTotals,
   "shuffle_partitions": $shuffleParts,
   "cpus": $cpus,

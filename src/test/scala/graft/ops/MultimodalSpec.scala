@@ -291,6 +291,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs(0).getAs[Int]("hamming") === 0)
   }
 
+  test("phashBandAudit: per-bucket aggregates equal a brute-force " +
+      "recomputation over the sampled buckets") {
+    import spark.implicits._
+    // 400 base images + an exact clone of each (same pixels → same aHash
+    // → same band-0 bucket): every sampled bucket then holds at least
+    // one Hamming-0 pair, so the pair arm of the audit is exercised, not
+    // just doc membership.
+    val base = (0L until 400L).map(id =>
+      (id, Multimodal.ImageCodec.syntheticPng(id)))
+    val clones = base.map { case (id, png) => (100000L + id, png) }
+    val df = (base ++ clones).toDF("media_id", "payload")
+    // Brute-force the contract from phash's output (phash itself is
+    // pinned against the pixel formula in the spec above).
+    val sig = Multimodal.phash(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    val sampled = sig.toSeq
+      .map { case (id, ah) => (id, ah, ah & 32767L) }
+      .filter { case (_, _, bv) =>
+        bv * Multimodal.PhashAuditMult % Multimodal.PhashAuditMod == 0L }
+    assert(sampled.nonEmpty, "fixture must hit at least one sampled bucket")
+    val expected = sampled.groupBy(_._3).map { case (bv, members) =>
+      val pairs = for {
+        (a, ha, _) <- members; (b, hb, _) <- members
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 8
+      } yield (a, b, java.lang.Long.bitCount(ha ^ hb))
+      bv -> ((members.size.toLong, members.map(_._1).sum,
+        pairs.size.toLong,
+        pairs.map(_._3.toLong).sum,
+        pairs.map { case (a, b, _) => (a * 31 + b * 7) % 1000000007L }.sum))
+    }
+    assert(expected.values.exists(_._3 > 0), "no pairs in any sampled bucket")
+    val out = Multimodal.phashBandAudit(df).collect()
+      .map(r => r.getAs[Long]("bv") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("id_sum"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("hamming_sum"),
+          r.getAs[Long]("pair_digest")))).toMap
+    assert(out === expected)
+  }
+
   test("wavFeatures: valid 3-channel WAV is flagged decoded=false, not thrown") {
     import spark.implicits._
     // Hand-build a valid 3-channel PCM16 WAV — outside syntheticWav's 1-2
