@@ -29,6 +29,16 @@ object StreamBenchMain {
         .split("\\s+").head
       catch { case _: Throwable => "na" }
     val preLoad = loadNow()
+    // Drift canary, stamped like the batch benches (BASELINE §Drift
+    // canary): round 18 measured this box running the whole streaming
+    // sweep 2–3× slower than the r17 commit at zero external load —
+    // without a canary the artifact can't say "box, not code" for
+    // round-over-round rows/s diffs. Two samples (the first pays the
+    // probe's own codegen); the min is the estimator.
+    val canary = (1 to 2).map { _ =>
+      try Canary.run(spark)
+      catch { case _: Throwable => -1.0 }
+    }
     // GRAFT_STREAM_DECADE=1 appends the 10×-scale flood-screen rows
     // (600k arrivals vs 10k refs — r17 verdict item 3) after the
     // standard sweep; 0 keeps the artifact cost at the carried level.
@@ -43,12 +53,17 @@ object StreamBenchMain {
         s""""rows_tracked":${r.rowsTracked},""" +
         s""""state_bytes":${r.stateBytes},"output_rows":${r.outputRows}}"""
     }.mkString("{\n", ",\n", "\n  }")
+    val canaryJson = canary.map(f2).mkString("[", ",", "]")
+    val canaryMin =
+      if (canary.forall(_ < 0)) "-1" else f2(canary.filter(_ >= 0).min)
     val json =
       s"""{
          |  "kind": "streambench",
          |  "cpus": $cpus,
          |  "load_pre": "$preLoad",
          |  "load_post": "${loadNow()}",
+         |  "canary_s": $canaryJson,
+         |  "canary_min": $canaryMin,
          |  "streaming": $rows
          |}""".stripMargin
     java.nio.file.Files.write(
