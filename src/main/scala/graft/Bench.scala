@@ -150,19 +150,47 @@ object Bench {
     if (settleS > 5)
       System.err.println(f"[bench] settled $settleS%.0f s before cold pass")
 
-    // Drift canary (r17 verdict item 1): one fixed, code-independent
+    // Drift canary (r17 verdict item 1): a fixed, code-independent
     // probe (graft.harness.Canary) timed before the cold pass and before
     // every warm pass. The stamped canary_min, against the committed
     // quiet-host basis in BASELINE §drift-canary, turns "is this round's
     // headline code or box?" into arithmetic instead of a manual
-    // null-test re-run.
+    // null-test re-run. Round 19 hardens the canary's own trust story
+    // (r18 verdict finding 1: the r18 samples spread 2.5×, failing the
+    // ≥3-samples-within-15% rule BASELINE asks readers to apply):
+    //   - TWO samples per site, so per-site GC/scheduler one-offs can't
+    //     make the whole run's canary list disagree (8+ samples/run);
+    //   - each site runs BEFORE the pass's gc/settle and external-load
+    //     sample (r18 advice: the canary's own garbage and its load
+    //     window must not be inherited by the timed pass);
+    //   - `canary_trusted` is STAMPED, computed from the documented
+    //     rule (≥3 post-warmup samples within 15% of the min), so
+    //     readers no longer eyeball the list. Failed samples are
+    //     dropped and counted in `canary_errors`, never stamped as
+    //     sentinel values (r18 advice on the StreamBench twin).
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def runCanary(): Unit =
+    var canaryErrors = 0
+    def runCanary(): Unit = (1 to 2).foreach { _ =>
       try canarySamples += graft.harness.Canary.run(spark)
       catch { case e: Throwable =>
+        canaryErrors += 1
         System.err.println(s"[bench] canary failed: ${e.getMessage}")
       }
+    }
+    // Post-warmup = all but the first sample (the first pays the probe's
+    // codegen and always reads high — BASELINE §drift-canary).
+    def canaryTrusted: Boolean = {
+      val post = canarySamples.drop(1)
+      post.size >= 3 && {
+        val mn = post.min
+        post.count(_ <= mn * 1.15) >= 3
+      }
+    }
     runCanary()
+    // The canary is allocation-heavy fixed work: collect its garbage
+    // before the timed cold pass starts (same breather the warm passes
+    // get), so the probe never taxes what it measures.
+    System.gc(); Thread.sleep(1500)
 
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, erasing the very work a pure-projection query exists to do
@@ -208,8 +236,15 @@ object Bench {
       var quiet = 0
       def runPass(): Unit = {
         val pass = buf.size + 1
-        // GC breather: the previous pass's collection debt otherwise
-        // bleeds into this pass's minima (r16 verdict item 6).
+        // Canary FIRST (r18 advice): it is allocation-heavy fixed work,
+        // so it must run before the gc/settle and the load sample — the
+        // timed pass then starts from the same post-GC quiet state as
+        // before round 18, and external load arriving during the
+        // canary's window is still caught by the pass's own sample.
+        runCanary()
+        // GC breather: the previous pass's (and the canary's) collection
+        // debt otherwise bleeds into this pass's minima (r16 verdict
+        // item 6).
         System.gc(); Thread.sleep(1500)
         val ext = externalLoad()
         pre += ext
@@ -226,7 +261,6 @@ object Bench {
             f"[bench] warm pass $pass ($dir): $ext%.1f external cores > " +
               f"bar $loadBar%.1f — kept for the min, replacement queued")
         else quiet += 1
-        runCanary()
         buf += new scala.util.Random(1000003L * pass)
           .shuffle(qnames).flatMap(n => timeIn(dir)(n).map(n -> _)).toMap
         passLoads += loadNow()
@@ -434,6 +468,8 @@ object Bench {
             .mkString("[", ",", "]")},""" +
           s""""canary_min":${
             if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)},""" +
+          s""""canary_trusted":$canaryTrusted,""" +
+          s""""canary_errors":$canaryErrors,""" +
           s""""output_rows":${outputRows.map { case (k, v) =>
             s""""$k":$v""" }.mkString("{", ",", "}")},""" +
           s""""output_rows_per_sec":${jmap(outputRps)},""" +
@@ -476,7 +512,7 @@ object Bench {
     val extLoadsJson = preExtLoads
       .map(l => if (l < 0) "\"na\"" else s""""${f2(l)}"""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"canary_s":${canarySamples.map(f2).mkString("[", ",", "]")},"canary_min":${if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)},"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_full":$sf1Full,"sf1_full_total":${f2(sf1FullTotal)},"sf1_budgeted":$sf1Budgeted,"sf1_n":${sf1.size},"settle_s":${f2(settleS)},"streaming_rps":$streamingRps,"wall_s":${f2(elapsedS())},"budget_s":${f2(budgetS)},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"queries_kind":"slowest10_min_of_${warmSamples.size}","warm_pass_totals":$passTotals,"pass_loads":$loadsJson,"pre_ext_loads":$extLoadsJson,"load_bar":${f2(loadBar)},"loud_passes":$loudPasses,"pass_min_ratio":${f2(passRatio)},"contended":$contended,"canary_s":${canarySamples.map(f2).mkString("[", ",", "]")},"canary_min":${if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)},"canary_trusted":$canaryTrusted,"canary_errors":$canaryErrors,"n":${names.size},"cold_total":${f2(coldTotal)},"errors":${errs.size},"sf1_total":${f2(sf1Total)},"sf1_full":$sf1Full,"sf1_full_total":${f2(sf1FullTotal)},"sf1_budgeted":$sf1Budgeted,"sf1_n":${sf1.size},"settle_s":${f2(settleS)},"streaming_rps":$streamingRps,"wall_s":${f2(elapsedS())},"budget_s":${f2(budgetS)},"load_hint":"$loadHint","detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }

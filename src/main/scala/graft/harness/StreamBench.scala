@@ -91,40 +91,59 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Every conf key [[pinProvider]] touches — snapshotted/restored as a
+    * set (r18 advice: only providerClass was restored, so the two
+    * RocksDB tuning confs leaked into the caller's session and silently
+    * re-tuned any later streaming work it ran).
+    */
+  private val PinnedConfs = Seq(
+    "spark.sql.streaming.stateStore.providerClass",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows")
+
+  /** Run `body` with the provider confs snapshotted, restoring every
+    * pinned key (set or unset) afterwards. */
+  private def withConfSnapshot[A](spark: SparkSession)(body: => A): A = {
+    val prev = PinnedConfs.map(k => k -> spark.conf.getOption(k))
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Recursive delete with the walk stream CLOSED (r18 advice: the
+    * unclosed `Files.walk` leaked a directory handle per sweep). A
+    * failed delete is surfaced, not swallowed — a RocksDB file still
+    * held open would silently re-leak the temp tree this cleanup exists
+    * to stop accumulating (r16 advice).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally s.close()
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[streambench] checkpoint cleanup failed, $root leaked: $t")
+    }
+
   /** One full sweep: every family × every provider, sequentially (the
     * point is comparable numbers, not total wall time). */
   def run(
       spark: SparkSession,
       rowsPerBatch: Int = 20000,
       batches: Int = 3): Seq[Result] = {
-    import spark.implicits._
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     // ONE parent temp dir per run, recursively deleted afterwards — the
     // per-op×provider checkpoint dirs (incl. RocksDB state files)
     // otherwise pile up in /tmp across repeated bench invocations (r15
     // advice).
     val ckptRoot = Files.createTempDirectory("graft-streambench")
-    try runProviders(spark, rowsPerBatch, batches, ckptRoot)
-    finally {
-      prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      try
-        Files.walk(ckptRoot).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      catch {
-        // Surface (don't swallow) a failed cleanup: a RocksDB file still
-        // held open would silently re-leak the temp tree this cleanup
-        // exists to stop accumulating (r16 advice).
-        case t: Throwable =>
-          System.err.println(
-            s"[streambench] checkpoint cleanup failed, $ckptRoot leaked: $t")
-      }
-    }
+    try withConfSnapshot(spark) {
+      runProviders(spark, rowsPerBatch, batches, ckptRoot)
+    } finally deleteTree(ckptRoot)
   }
 
   /** Pin a provider plus the measured-best RocksDB options; returns
@@ -326,29 +345,13 @@ object StreamBench {
       rowsPerBatch: Int = 20000,
       batches: Int = 30,
       nRefs: Int = 10000): Seq[Result] = {
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val ckptRoot = Files.createTempDirectory("graft-streambench-10x")
-    try Providers.flatMap { case (pname, pclass) =>
-      val tracked = pinProvider(spark, pclass)
-      floodFamilies(spark, pname, tracked, rowsPerBatch, batches,
-        ckptRoot, nRefs, suffix = "10x")
-    }
-    finally {
-      prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try withConfSnapshot(spark) {
+      Providers.flatMap { case (pname, pclass) =>
+        val tracked = pinProvider(spark, pclass)
+        floodFamilies(spark, pname, tracked, rowsPerBatch, batches,
+          ckptRoot, nRefs, suffix = "10x")
       }
-      try
-        Files.walk(ckptRoot).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      catch {
-        case t: Throwable =>
-          System.err.println(
-            s"[streambench] checkpoint cleanup failed, $ckptRoot leaked: $t")
-      }
-    }
+    } finally deleteTree(ckptRoot)
   }
 }

@@ -674,26 +674,60 @@ object Multimodal {
       universeIds.getOrElse(media.select(col("media_id"))).toDF("doc_id"))
       .select(col("doc_id").alias("media_id"), col("cluster_id"))
 
-  /** Knuth multiplier + modulus for the [[phashBandAudit]] deterministic
+  /** Affine-scramble constants for the [[phashBandAudit]] deterministic
     * bucket draw: band-0 value `bv` is sampled iff
-    * `(bv * PhashAuditMult) % PhashAuditMod == 0` — ~1-in-mod of the
-    * 32768 possible buckets, fixed across scales and engines (shared
-    * with the oracle twin).
+    * `((bv * PhashAuditMult + PhashAuditOffset) >> PhashAuditShift)
+    * % PhashAuditMod == 0` — 1638 of the 32768 possible buckets (a 1-in-20
+    * slice), fixed across scales and engines (shared with the oracle twin).
+    *
+    * The r18 draw tested `(bv * mult) % 100 == 0` directly, but
+    * 2654435761 is invertible mod 100, so that reduced to `bv % 100 == 0`
+    * — a plain residue class that ALWAYS contained the degenerate bv=0
+    * bucket (flat / all-below-mean aHashes), which alone carried most of
+    * the sampled pair mass at sf10 (r18 ADVICE). The shift discards the
+    * low multiplier bits before the modulus so the multiply actually
+    * mixes, and the Fibonacci-hash offset 40503 (= 0x9E37) de-anchors
+    * bv=0 (neither bv=0 nor the all-above-mean bv=32767 is sampled).
+    * The draw is still a fixed affine residue family, NOT a uniform
+    * random sample — a deterministic, engine-shared slice whose
+    * membership no longer privileges the degenerate buckets. Mod 20
+    * (vs r18's 100): without the mega-bucket the sampled pair mass is
+    * ~5% of the non-degenerate total — bounded at sf10 — and the denser
+    * draw keeps the pair arm EXERCISED at sf0.01 (15 buckets, 145
+    * candidate pairs, 15 Hamming-verified; a scrambled 1-in-100 draw
+    * left a single pairless bucket there, auditing nothing).
     */
   val PhashAuditMult = 2654435761L
 
-  val PhashAuditMod = 100L
+  val PhashAuditOffset = 40503L
+
+  val PhashAuditShift = 13
+
+  val PhashAuditMod = 20L
+
+  /** Sub-segments per sampled bucket in [[phashBandAudit]]'s clique
+    * join: the left side splits on `a_id % PhashAuditSegments` and the
+    * right side replicates once per segment, so one bucket's C(n,2)
+    * pair clique spreads over `PhashAuditSegments` shuffle keys instead
+    * of one (r18 verdict finding 2: 10 sampled buckets → ≤10 active
+    * tasks at ~40M pairs each; the next decade would put ~4B pairs on
+    * one task). Per-bucket aggregates are sums/counts, so partials per
+    * (bv, segment) roll up to bit-identical per-bucket output.
+    */
+  val PhashAuditSegments = 16
 
   /** Sampled-bucket pHash pair AUDIT — the bounded sf10 adjudication
     * contract for the image near-dup family (r17 verdict item 4). The
     * full pair graph is output-quadratic in duplicate-group size
     * (~1B pairs at sf10 — the DuckDB pair CTE is infeasible there,
-    * BASELINE §posture "mm"), but a deterministic 1%-of-buckets sample
+    * BASELINE §posture "mm"), but a deterministic 1-in-20-buckets sample
     * is a CLOSED sub-contract: duplicate groups share one aHash and
     * therefore one band-0 bucket, so a sampled bucket contains its
     * groups' ENTIRE within-bucket pair cliques — the audit adjudicates
     * the same decode → aHash → banded-bucket → exact-Hamming-verify
-    * machine [[phashPairs]] runs, at 1/mod of the pair mass.
+    * machine [[phashPairs]] runs, at a bounded slice of the pair mass
+    * (~5% of the non-degenerate total — the scrambled draw excludes the
+    * flat bv=0/32767 mega-buckets).
     *
     * Emits one row per sampled non-empty band-0 bucket:
     * `(bv, n_docs, id_sum, n_pairs, hamming_sum, pair_digest)` — doc
@@ -704,34 +738,52 @@ object Multimodal {
     * still pins pair identities (the digest) and distances (the sum).
     *
     * Scale shape: one codec pass (materialized), then a bucket
-    * equi-join restricted to the sampled 1% — per-bucket pair mass is
-    * C(group, 2) (~500k pairs for the sf10 fixture's ~1000-copy
-    * groups), aggregated immediately; no salting needed because the
-    * output of a bucket is one row, not its clique.
+    * equi-join restricted to the sampled buckets. A bucket's pair mass is
+    * C(group, 2) — quadratic in duplicate-group size — so the clique
+    * join keys on (bv, a_id % [[PhashAuditSegments]]) with the right
+    * side replicated per segment: every pair still meets exactly once
+    * (in its `a_id`'s segment), but one bucket's clique occupies
+    * [[PhashAuditSegments]] shuffle keys instead of one, keeping
+    * per-task work ~n²/S at any duplicate-group size. Partial
+    * aggregates per (bv, segment) roll up per bucket; all aggregates
+    * are order-independent sums/counts, so output is bit-identical to
+    * the unsegmented join.
     */
   def phashBandAudit(media: DataFrame, maxHamming: Int = 8): DataFrame = {
     val sigs = Materialize(
       phash(media).where(col("decoded"))
         .select(col("media_id").alias("doc_id"), col("ahash"))
         .withColumn("bv", col("ahash").bitwiseAND(lit(32767L)))
-        .where((col("bv") * lit(PhashAuditMult)) % lit(PhashAuditMod)
-          === 0L))
+        .where(
+          shiftright(col("bv") * lit(PhashAuditMult) + lit(PhashAuditOffset),
+            PhashAuditShift) % lit(PhashAuditMod) === 0L))
     val docs = sigs.groupBy("bv").agg(
       count(lit(1)).alias("n_docs"),
       sum(col("doc_id")).alias("id_sum"))
+    // Right side replicated once per segment (the standard skew-split
+    // replication): (a,b) meets exactly once, in segment a_id % S.
+    val right = sigs
+      .select(col("bv"), col("doc_id").alias("b_id"),
+        col("ahash").alias("hb"))
+      .withColumn("seg",
+        explode(lit((0L until PhashAuditSegments.toLong).toArray)))
     val pairs = sigs
       .select(col("bv"), col("doc_id").alias("a_id"),
         col("ahash").alias("ha"))
-      .join(sigs.select(col("bv"), col("doc_id").alias("b_id"),
-        col("ahash").alias("hb")), "bv")
+      .withColumn("seg", pmod(col("a_id"), lit(PhashAuditSegments.toLong)))
+      .join(right, Seq("bv", "seg"))
       .where(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= maxHamming)
-      .groupBy("bv").agg(
-        count(lit(1)).alias("n_pairs"),
-        sum(col("hamming").cast("long")).alias("hamming_sum"),
+      .groupBy("bv", "seg").agg(
+        count(lit(1)).alias("p_pairs"),
+        sum(col("hamming").cast("long")).alias("p_hamming"),
         sum((col("a_id") * 31 + col("b_id") * 7) % 1000000007L)
-          .alias("pair_digest"))
+          .alias("p_digest"))
+      .groupBy("bv").agg(
+        sum(col("p_pairs")).alias("n_pairs"),
+        sum(col("p_hamming")).alias("hamming_sum"),
+        sum(col("p_digest")).alias("pair_digest"))
     docs.join(pairs, Seq("bv"), "left")
       .select(col("bv"), col("n_docs"), col("id_sum"),
         coalesce(col("n_pairs"), lit(0L)).alias("n_pairs"),

@@ -609,16 +609,22 @@ object QueriesMultimodal {
          |JOIN dh ON dh.doc_id = pd.doc_id""".stripMargin,
 
     // Sampled-bucket audit twin (Multimodal.phashBandAudit): the same
-    // deterministic 1-in-mod band-0 bucket draw over the formula-derived
-    // aHash, then per-bucket doc membership + verified-pair aggregates.
-    // Duplicate groups share one bucket, so a sampled bucket carries its
-    // whole pair clique — a closed sub-contract of the pair machine that
-    // stays DuckDB-feasible at sf10 (1/mod of the ~1B-pair mass).
+    // deterministic affine-scrambled 1-in-20 band-0 bucket draw over the
+    // formula-derived aHash (multiply, add the Fibonacci offset, shift
+    // 13, then the modulus — the r18 unshifted draw reduced to
+    // bv % 100 = 0 and always sampled the degenerate bv=0 bucket), then
+    // per-bucket doc membership + verified-pair aggregates. Duplicate
+    // groups share one bucket, so a sampled bucket carries its whole
+    // pair clique — a closed sub-contract of the pair machine that
+    // stays DuckDB-feasible at sf10 (~5% of the non-degenerate pair mass
+    // — the scramble excludes the flat bv=0/32767 mega-buckets).
     "mm_phash_band_audit" ->
       s"""WITH $phashCtesSql, sb AS (
          |  SELECT doc_id, ahash, ahash & 32767 AS bv
          |  FROM ah
-         |  WHERE ((ahash & 32767) * ${Multimodal.PhashAuditMult})
+         |  WHERE (((ahash & 32767) * ${Multimodal.PhashAuditMult}
+         |          + ${Multimodal.PhashAuditOffset})
+         |         >> ${Multimodal.PhashAuditShift})
          |        % ${Multimodal.PhashAuditMod} = 0
          |), adocs AS (
          |  SELECT bv, CAST(count(*) AS BIGINT) AS n_docs,

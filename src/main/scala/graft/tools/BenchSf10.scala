@@ -164,16 +164,33 @@ object BenchSf10 {
         }
       }
 
-    // Drift canary (r17 verdict item 1 — same probe as Bench): one fixed
-    // code-independent sample before the cold pass and each warm pass,
-    // so the sf10 card normalizes against BASELINE §drift-canary too.
+    // Drift canary (r17 verdict item 1 — same probe as Bench), with the
+    // r19 trust hardening: TWO samples per site so the stamped list can
+    // satisfy the ≥3-post-warmup-within-15% rule, run BEFORE each pass's
+    // gc/settle and load sample (the canary's garbage and load window
+    // must not be inherited by the timed pass — r18 advice), failed
+    // samples dropped + counted, and `canary_trusted` stamped so the
+    // card says itself whether canary_min may carry a normalization.
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def runCanary(): Unit =
+    var canaryErrors = 0
+    def runCanary(): Unit = (1 to 2).foreach { _ =>
       try canarySamples += graft.harness.Canary.run(spark)
       catch { case e: Throwable =>
+        canaryErrors += 1
         System.err.println(s"[bench-sf10] canary failed: ${e.getMessage}")
       }
+    }
+    def canaryTrusted: Boolean = {
+      val post = canarySamples.drop(1)
+      post.size >= 3 && {
+        val mn = post.min
+        post.count(_ <= mn * 1.15) >= 3
+      }
+    }
     runCanary()
+    // Collect the canary's garbage before the timed cold pass (same
+    // breather the warm passes get).
+    System.gc(); Thread.sleep(1500)
 
     val passLoads = scala.collection.mutable.ArrayBuffer(loadNow())
     val cold: Map[String, Double] =
@@ -188,6 +205,10 @@ object BenchSf10 {
     var quiet = 0
     def runPass(): Unit = {
       val pass = buf.size + 1
+      // Canary before the gc/settle and the load sample (r18 advice):
+      // the timed pass must start from the post-GC quiet state, not
+      // from the canary's allocation debt.
+      runCanary()
       System.gc(); Thread.sleep(1500)
       val ext = externalLoad()
       pre += ext
@@ -204,7 +225,6 @@ object BenchSf10 {
           f"[bench-sf10] warm pass $pass: $ext%.1f external cores > " +
             f"bar $loadBar%.1f — kept for the min, replacement queued")
       else quiet += 1
-      runCanary()
       buf += new scala.util.Random(1000003L * pass)
         .shuffle(coldOk).flatMap(n => time(n).map(n -> _)).toMap
       passLoads += loadNow()
@@ -275,6 +295,8 @@ object BenchSf10 {
     val canaryJson = canarySamples.map(f2).mkString("[", ",", "]")
     val canaryMin =
       if (canarySamples.isEmpty) "-1" else f2(canarySamples.min)
+    val canaryMeta =
+      s""""canary_trusted":$canaryTrusted,"canary_errors":$canaryErrors"""
     val basis =
       s"""{"metric":"sf10_total","value":${f2(total)},"unit":"sec",""" +
       s""""queries":${jmap(warm, f2)},""" +
@@ -282,7 +304,7 @@ object BenchSf10 {
       s""""warm_pass_totals":$passTotals,"pass_loads":$loadsJson,""" +
       s""""pre_ext_loads":$preJson,"loud_passes":${buf.size - quiet},""" +
       s""""load_unmeasured":$loadUnmeasured,""" +
-      s""""canary_s":$canaryJson,"canary_min":$canaryMin,""" +
+      s""""canary_s":$canaryJson,"canary_min":$canaryMin,$canaryMeta,""" +
       s""""n":${names.size},"errors":$errsJson,""" +
       s""""cold_total":${f2(coldTotal)},""" +
       s""""sf1_total_25":${f2(names.flatMap(sf1.get).sum)},""" +
@@ -316,6 +338,8 @@ object BenchSf10 {
   "load_unmeasured": $loadUnmeasured,
   "canary_s": $canaryJson,
   "canary_min": $canaryMin,
+  "canary_trusted": $canaryTrusted,
+  "canary_errors": $canaryErrors,
   "warm_pass_totals": $passTotals,
   "shuffle_partitions": $shuffleParts,
   "cpus": $cpus,

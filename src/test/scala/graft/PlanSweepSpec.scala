@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Registry-wide physical-plan sweep (r17 verdict item 6): every
   * registered query's plan, not just the hand-picked ones in
@@ -49,13 +50,33 @@ class PlanSweepSpec extends SparkSpec {
     * surface. Loaded from test resources; one `query className` per
     * line, '#' comments.
     */
-  private lazy val pinned: Set[String] = {
-    val in = getClass.getResourceAsStream("/graft/plan_fallbacks.txt")
-    require(in != null, "missing test resource graft/plan_fallbacks.txt")
+  private lazy val pinned: Set[String] = loadPins("plan_fallbacks.txt")
+
+  /** Pinned query names AUDITED to plan an unpartitioned WindowExec
+    * (r18 verdict item 5): a window with an empty partitionSpec funnels
+    * its whole input through ONE task — the one remaining scale-killer
+    * plan shape the sweep didn't catch. The audited instances are all
+    * windows over DIMENSION-BOUNDED inputs (per-group aggregates,
+    * decision cards, report frames — tens to thousands of rows at any
+    * data scale), pinned per query in `plan_windows.txt` so a global
+    * window over a data-scale input cannot ship silently.
+    */
+  private lazy val pinnedWindows: Set[String] = loadPins("plan_windows.txt")
+
+  private def loadPins(resource: String): Set[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/$resource")
+    require(in != null, s"missing test resource graft/$resource")
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
     finally in.close()
   }
+
+  /** The unpartitioned-window detector under test below. */
+  private def globalWindows(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[WindowExec] =
+    plan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
 
   test("all registered queries: no CartesianProduct; no graft fallback " +
       "kernels; builtin fallbacks within the audited allowlist") {
@@ -64,6 +85,8 @@ class PlanSweepSpec extends SparkSpec {
     val graftFallbacks = scala.collection.mutable.ArrayBuffer[String]()
     val newFallbacks = scala.collection.mutable.ArrayBuffer[String]()
     val observed = scala.collection.mutable.SortedSet[String]()
+    val observedWindows = scala.collection.mutable.SortedSet[String]()
+    val newWindows = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
@@ -71,6 +94,10 @@ class PlanSweepSpec extends SparkSpec {
         val nodes = plan.collectWithSubqueries { case p => p }
         if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
           carts += name
+        if (globalWindows(plan).nonEmpty) {
+          observedWindows += name
+          if (!pinnedWindows.contains(name)) newWindows += name
+        }
         // ImperativeAggregate (TypedImperativeAggregate) is excluded:
         // Spark's own sketch aggregates (HLL++, percentile_approx) ride
         // the same contract — it formally mixes in CodegenFallback, but
@@ -100,11 +127,14 @@ class PlanSweepSpec extends SparkSpec {
           .foreach(_.unpersist(blocking = false))
       }
     }
-    // Always write the observed fingerprint: after an AUDITED plan
-    // change, re-pinning is copying this file over the resource.
+    // Always write the observed fingerprints: after an AUDITED plan
+    // change, re-pinning is copying these files over the resources.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/plan_fallbacks_observed.txt"),
       observed.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/plan_windows_observed.txt"),
+      observedWindows.mkString("", "\n", "\n").getBytes("UTF-8"))
     assert(errors.isEmpty, s"queries failed to plan:\n${errors.mkString("\n")}")
     assert(carts.isEmpty,
       s"CartesianProduct planned by:\n${carts.mkString("\n")}")
@@ -116,5 +146,32 @@ class PlanSweepSpec extends SparkSpec {
         "surface (src/test/resources/graft/plan_fallbacks.txt) — audit the " +
         "plan, then re-pin from target/plan_fallbacks_observed.txt:\n" +
         newFallbacks.distinct.mkString("\n"))
+    assert(newWindows.isEmpty,
+      "unpartitioned WindowExec (single-task global window) NOT in the " +
+        "pinned surface (src/test/resources/graft/plan_windows.txt) — if " +
+        "the window's input is dimension-bounded, audit it and re-pin from " +
+        "target/plan_windows_observed.txt; if it is data-scale, partition " +
+        "it:\n" + newWindows.distinct.mkString("\n"))
+  }
+
+  test("the unpartitioned-window detector fires on a deliberate " +
+      "global row_number over documents") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // The regression shape the screen exists for: a data-scale input
+    // through a window with no PARTITION BY — every row lands on ONE
+    // task. Planted deliberately; the detector must see it, or the
+    // sweep above is asserting nothing.
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    assert(globalWindows(planted.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to flag a deliberately unpartitioned row_number")
+    // And a properly partitioned window must NOT trip it.
+    val partitioned = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")))
+    assert(globalWindows(partitioned.queryExecution.sparkPlan).isEmpty,
+      "detector flagged a partitioned window")
   }
 }

@@ -309,7 +309,8 @@ class MultimodalSpec extends SparkSpec {
     val sampled = sig.toSeq
       .map { case (id, ah) => (id, ah, ah & 32767L) }
       .filter { case (_, _, bv) =>
-        bv * Multimodal.PhashAuditMult % Multimodal.PhashAuditMod == 0L }
+        ((bv * Multimodal.PhashAuditMult + Multimodal.PhashAuditOffset)
+          >> Multimodal.PhashAuditShift) % Multimodal.PhashAuditMod == 0L }
     assert(sampled.nonEmpty, "fixture must hit at least one sampled bucket")
     val expected = sampled.groupBy(_._3).map { case (bv, members) =>
       val pairs = for {
