@@ -415,6 +415,35 @@ class PlanEvidenceSpec extends SparkSpec {
       s"image near-dup pairs must stay a band equi-join:\n$plan")
   }
 
+  test("mm_phash_band_audit: clique join keys on (bv, seg) — a sampled " +
+      "bucket's pairs spread over PhashAuditSegments tasks, not one") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // r18 verdict finding 2: the audit's self-join on bv alone put each
+    // sampled bucket's whole C(n,2) clique on ONE shuffle key (~40M
+    // pairs/bucket at sf10, ~4B a decade later). The r19 shape segments
+    // the left side on a_id % S and replicates the right side per
+    // segment; the join's partitioning must therefore hash BOTH bv and
+    // seg. Asserted on the pre-AQE plan string: the SortMergeJoin /
+    // ShuffledHashJoin keys include seg.
+    // Keys, not physical strategy: at fixture scale the tiny sigs frame
+    // broadcasts (BroadcastHashJoin); at sf10 it shuffles. Either way
+    // the EQUI-JOIN KEYS decide how a bucket's clique parallelizes once
+    // the shuffle path engages, so the pin is on the keys.
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides its
+    // inner tree from collect until execution.
+    val qe = SparkEntry.queries("mm_phash_band_audit")(spark, dir)
+      .queryExecution
+    val joins = qe.sparkPlan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.HashJoin =>
+        j.leftKeys.map(_.sql).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(joins.exists(k => k.contains("bv") && k.contains("seg")),
+      "the clique join must key on (bv, seg) — single-key bucket join " +
+        s"regressed; equi-join keys seen: $joins")
+  }
+
   test("stat_chisquare: ONE fact scan — marginals derive from the cell table") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     for (q <- Seq("stat_chisquare", "stat_cramers_v")) {
