@@ -177,15 +177,11 @@ object Bench {
         System.err.println(s"[bench] canary failed: ${e.getMessage}")
       }
     }
-    // Post-warmup = all but the first sample (the first pays the probe's
-    // codegen and always reads high — BASELINE §drift-canary).
-    def canaryTrusted: Boolean = {
-      val post = canarySamples.drop(1)
-      post.size >= 3 && {
-        val mn = post.min
-        post.count(_ <= mn * 1.15) >= 3
-      }
-    }
+    // The trust rule lives in ONE place — graft.harness.Canary.trusted
+    // (r19 advice: five hand-copied inline versions could silently
+    // diverge).
+    def canaryTrusted: Boolean =
+      graft.harness.Canary.trusted(canarySamples.toSeq)
     runCanary()
     // The canary is allocation-heavy fixed work: collect its garbage
     // before the timed cold pass starts (same breather the warm passes
@@ -283,6 +279,11 @@ object Bench {
         runPass()
         topUps += 1
       }
+      // Trailing bracket (r19 advice): moving the per-pass canary BEFORE
+      // each pass left the FINAL warm pass unbracketed — drift arriving
+      // during it was no longer caught by any canary sample. One closing
+      // sample pair after the last pass restores the bracket.
+      runCanary()
       (buf.toSeq, pre.toSeq, buf.size - quiet)
     }
     val (warmSamples, preExtLoads, loudPasses) =

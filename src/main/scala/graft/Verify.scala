@@ -37,9 +37,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GRAFT_VERIFY_COALESCE=0 keeps the write's natural parallelism: at
+    // the sf100 digest-adjudication scale a coalesce(1) drags the whole
+    // post-shuffle stage (a ~95M-row sessionize window) onto ONE task.
+    // The default stays coalesce(1) — the driver's pandas row-diff reads
+    // a single file; tools/digest_compare.py globs <name>/*.parquet and
+    // is the only consumer of multi-file dumps.
+    val coalesce1 = sys.env.getOrElse("GRAFT_VERIFY_COALESCE", "1") != "0"
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

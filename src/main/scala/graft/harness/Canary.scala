@@ -41,6 +41,24 @@ object Canary {
 
   val Slices = 16
 
+  /** The documented trust rule (BASELINE §Drift canary), in ONE place:
+    * ≥3 post-warmup samples within 15% of their min, where post-warmup
+    * is every sample but the first (the first pays the probe's own
+    * codegen and always reads high). Every runner that stamps
+    * `canary_trusted` (Bench, BenchSf10, BenchSf100, StreamBenchMain,
+    * CanaryProbe) calls this instead of hand-copying the arithmetic —
+    * r19 shipped five inline copies, and a future tweak to the rule
+    * could silently diverge across artifacts readers are told to trust
+    * as a single rule (r19 advice).
+    */
+  def trusted(samples: Seq[Double]): Boolean = {
+    val post = samples.drop(1)
+    post.size >= 3 && {
+      val mn = post.min
+      post.count(_ <= mn * 1.15) >= 3
+    }
+  }
+
   /** One probe execution → seconds. Deterministic plan, noop sink. */
   def run(spark: SparkSession): Double = {
     val t0 = System.nanoTime()

@@ -45,11 +45,9 @@ object StreamBenchMain {
       try Some(Canary.run(spark))
       catch { case _: Throwable => canaryErrors += 1; None }
     }
-    val canaryPost = canary.drop(1)
-    val canaryTrusted = canaryPost.size >= 3 && {
-      val mn = canaryPost.min
-      canaryPost.count(_ <= mn * 1.15) >= 3
-    }
+    // Trust rule shared via Canary.trusted (r19 advice: five inline
+    // copies could silently diverge).
+    val canaryTrusted = Canary.trusted(canary)
     // Session-regime normalization (r18 verdict finding 3: the committed
     // sweep's absolute rows/s undersold ~2× purely by box regime). The
     // canary basis is CONFIG-SPECIFIC (this runner's local[cpus] /
@@ -59,8 +57,21 @@ object StreamBenchMain {
     // rows_per_sec_norm = rows_per_sec × canary_min / basis (a slower
     // box ⇒ canary_min above basis ⇒ true quiet-host rate is HIGHER),
     // so the artifact reads absolutely without a BASELINE cross-ref.
-    val canaryBasis = sys.env.get("GRAFT_CANARY_BASIS_S")
-      .map(_.toDouble).getOrElse(-1.0)
+    // Guarded parse (r19 advice): a malformed value must not crash the
+    // sweep before any measurement, and a non-positive value must not
+    // silently price rows_per_sec_norm off a wrong basis — both fall
+    // back to unnormalized output with a visible warning. The artifact
+    // stamps the basis' provenance/config so a reader can check the
+    // injected value against the committed one for THIS runner's
+    // session shape.
+    val canaryBasisRaw = sys.env.get("GRAFT_CANARY_BASIS_S")
+    val canaryBasis = canaryBasisRaw
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .filter(_ > 0).getOrElse(-1.0)
+    if (canaryBasisRaw.isDefined && canaryBasis <= 0)
+      System.err.println("[streambench] GRAFT_CANARY_BASIS_S=" +
+        s"'${canaryBasisRaw.get}' is not a positive number — " +
+        "rows_per_sec_norm omitted (unnormalized output)")
     val normFactor =
       if (canaryBasis > 0 && canaryTrusted && canary.nonEmpty)
         canary.min / canaryBasis
@@ -100,6 +111,7 @@ object StreamBenchMain {
          |  "canary_trusted": $canaryTrusted,
          |  "canary_errors": $canaryErrors,
          |  "canary_basis_s": ${if (canaryBasis > 0) f2(canaryBasis) else "-1"},
+         |  "canary_basis_source": "env GRAFT_CANARY_BASIS_S; must be the committed quiet-host basis for THIS runner's session shape (local[$cpus], shuffle=$cpus) from BASELINE section Drift canary — a basis measured under another config does not price this run",
          |  "norm_factor": ${if (normFactor > 0) f2(normFactor) else "-1"},
          |  "norm_note": "rows_per_sec_norm = rows_per_sec x canary_min / canary_basis_s: the canary (graft.harness.Canary, fixed code-independent probe) prices this session's box regime against the committed quiet-host basis, so absolute rates compare across sessions; ratios within one run need no normalization",
          |  "streaming": $rows

@@ -180,13 +180,10 @@ object BenchSf10 {
         System.err.println(s"[bench-sf10] canary failed: ${e.getMessage}")
       }
     }
-    def canaryTrusted: Boolean = {
-      val post = canarySamples.drop(1)
-      post.size >= 3 && {
-        val mn = post.min
-        post.count(_ <= mn * 1.15) >= 3
-      }
-    }
+    // Trust rule shared via graft.harness.Canary.trusted (r19 advice:
+    // five inline copies could silently diverge).
+    def canaryTrusted: Boolean =
+      graft.harness.Canary.trusted(canarySamples.toSeq)
     runCanary()
     // Collect the canary's garbage before the timed cold pass (same
     // breather the warm passes get).
@@ -232,6 +229,10 @@ object BenchSf10 {
     while (buf.size < WarmPasses + MaxExtraPasses && quiet < WarmPasses &&
       (buf.isEmpty || remainingS() > buf.map(_.values.sum).min * 1.2))
       runPass()
+    // Trailing bracket (r19 advice): the per-pass canary runs BEFORE its
+    // pass, so without a closing sample pair drift arriving during the
+    // final warm pass would go uncaught.
+    runCanary()
 
     val warm: Map[String, Double] = coldOk.flatMap { n =>
       val ss = buf.flatMap(_.get(n))

@@ -73,11 +73,26 @@ object BenchSf100 {
     }
 
     val fns = graft.SparkEntry.queries
+    // GRAFT_SF100_FAMILIES: comma-separated subset for targeted re-runs
+    // (the r19 verdict's outlier follow-up re-times window_moving_stats
+    // and ts_resample_interp at 512/1024 shuffle partitions without
+    // paying for the other six). Unknown names are an error — a typo
+    // must not silently produce an empty probe.
+    val famFilter: Option[Set[String]] = sys.env.get("GRAFT_SF100_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    famFilter.foreach { f =>
+      val unknown = f -- LinearFamilies.toSet
+      require(unknown.isEmpty,
+        s"GRAFT_SF100_FAMILIES not in LinearFamilies: ${unknown.mkString(",")}")
+    }
     val names = LinearFamilies.filter { n =>
       val ok = fns.contains(n)
       if (!ok) System.err.println(s"[bench-sf100] $n not in registry")
-      ok
+      ok && famFilter.forall(_.contains(n))
     }
+    // Targeted re-runs write their own artifact: the committed full-probe
+    // card must not be clobbered by a two-family partition sweep.
+    val outPath = sys.env.getOrElse("GRAFT_SF100_OUT", "BENCH_SF100.json")
 
     def loadNow(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -136,13 +151,10 @@ object BenchSf100 {
         System.err.println(s"[bench-sf100] canary failed: ${e.getMessage}")
       }
     }
-    def canaryTrusted: Boolean = {
-      val post = canarySamples.drop(1)
-      post.size >= 3 && {
-        val mn = post.min
-        post.count(_ <= mn * 1.15) >= 3
-      }
-    }
+    // Trust rule shared via graft.harness.Canary.trusted (r19 advice:
+    // five inline copies could silently diverge).
+    def canaryTrusted: Boolean =
+      graft.harness.Canary.trusted(canarySamples.toSeq)
     runCanary()
     System.gc(); Thread.sleep(1500)
 
@@ -180,6 +192,9 @@ object BenchSf100 {
     while (buf.size < 4 && quiet < 2 &&
       (buf.isEmpty || remainingS() > buf.map(_.values.sum).min * 1.2))
       runPass()
+    // Trailing bracket (r19 advice): per-pass canaries run BEFORE their
+    // pass — close the bracket so drift during the final pass is caught.
+    runCanary()
 
     val warm: Map[String, Double] = coldOk.flatMap { n =>
       val ss = buf.flatMap(_.get(n))
@@ -187,17 +202,31 @@ object BenchSf100 {
     }.toMap
     val errs = names.filterNot(warm.contains)
 
-    // sf10 per-query basis for the per-decade ratio column.
-    val sf10: Map[String, Double] = try {
-      val txt = new String(
-        Files.readAllBytes(Paths.get("BENCH_SF10_DETAIL.json")), "UTF-8")
-      val block = txt.split("\"warm_queries\"\\s*:\\s*\\{", 2)(1)
-        .takeWhile(_ != '}')
-      "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(block)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // sf10 per-query basis for the per-decade ratio column — parsed with
+    // a real JSON reader (r19 advice: the old split-on-"warm_queries" +
+    // takeWhile('}') scrape silently truncated on nested braces or key
+    // reordering, yielding a partial basis with no error). Jackson ships
+    // on the Spark classpath — no new dependency. Families absent from
+    // the basis are warned loudly, never silently dropped.
+    val sf10Detail = Paths.get("BENCH_SF10_DETAIL.json")
+    val (sf10, sf10Shuffle): (Map[String, Double], String) = try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(sf10Detail))
+      val wq = root.get("warm_queries")
+      require(wq != null && wq.isObject, "no warm_queries object")
+      import scala.jdk.CollectionConverters._
+      val m = wq.properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      val missing = LinearFamilies.filterNot(m.contains)
+      if (missing.nonEmpty)
+        System.err.println("[bench-sf100] sf10 basis missing families " +
+          s"(their ratio rows will be absent): ${missing.mkString(",")}")
+      val sp = Option(root.get("shuffle_partitions"))
+        .map(_.asText()).getOrElse("unknown")
+      (m, sp)
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf100] sf10 basis unreadable: $e")
-      Map.empty
+      (Map.empty[String, Double], "unknown")
     }
 
     def f2(d: Double): String =
@@ -222,6 +251,7 @@ object BenchSf100 {
   "cold_queries": ${jmap(cold, _.toString)},
   "sf10_queries": ${jmap(sf10.filter(kv => warm.contains(kv._1)), _.toString)},
   "sf10_to_sf100_ratio": ${jmap(ratios, f2)},
+  "ratio_note": "denominator = committed BENCH_SF10_DETAIL.json warm_queries (shuffle_partitions $sf10Shuffle, adjudicated +25.6% box-smeared in BASELINE §sf10) vs this run's shuffle $shuffleParts — cross-run, cross-config ratios carry regime + config noise the canary cannot remove (r19 advice: the caveat must ride the artifact, not only BASELINE.md)",
   "errors": ${errs.map(n => s""""$n"""").mkString("[", ",", "]")},
   "pass_loads": ${passLoads.map(l => s""""$l"""").mkString("[", ",", "]")},
   "pre_ext_loads": ${pre.map(f2).mkString("[", ",", "]")},
@@ -238,7 +268,7 @@ object BenchSf100 {
   "wall_s": ${f2(elapsedS())},
   "budget_s": ${f2(budgetS)}
 }"""
-    Files.write(Paths.get("BENCH_SF100.json"), (json + "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

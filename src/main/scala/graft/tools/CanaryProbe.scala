@@ -26,12 +26,10 @@ object CanaryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val samples = (1 to n).map(_ => graft.harness.Canary.run(spark))
     def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val post = samples.drop(1)
     println(s"""{"kind":"canary_probe","cpus":$cpus,"shuffle_partitions":$parts,""" +
       s""""canary_s":${samples.map(f2).mkString("[", ",", "]")},""" +
       s""""canary_min":${f2(samples.min)},""" +
-      s""""canary_trusted":${post.size >= 3 &&
-        post.count(_ <= post.min * 1.15) >= 3}}""")
+      s""""canary_trusted":${graft.harness.Canary.trusted(samples)}}""")
     spark.stop()
   }
 }

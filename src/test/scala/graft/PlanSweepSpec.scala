@@ -2,13 +2,16 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, RDDScanExec, RangeExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
-/** Registry-wide physical-plan sweep (r17 verdict item 6): every
-  * registered query's plan, not just the hand-picked ones in
-  * [[PlanEvidenceSpec]], is screened for the two scale-killer shapes
-  * that have actually bitten this repo:
+/** Registry-wide physical-plan sweep (r17 verdict item 6; widened r18
+  * with the unpartitioned-window screen and r20 with the broadcast
+  * screen): every registered query's plan, not just the hand-picked
+  * ones in [[PlanEvidenceSpec]], is screened for the scale-killer
+  * shapes that have actually bitten this repo:
   *
   *  1. `CartesianProductExec` — a product join over data-scale inputs
   *     multiplies at 100 TB. The repo's legitimate cross joins are
@@ -72,10 +75,58 @@ class PlanSweepSpec extends SparkSpec {
   }
 
   /** The unpartitioned-window detector under test below. */
-  private def globalWindows(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[WindowExec] =
+  private def globalWindows(plan: SparkPlan): Seq[WindowExec] =
     plan.collectWithSubqueries {
       case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+
+  /** Pinned `query fingerprint` lines for every broadcast the registry
+    * plans (r19 verdict item 5): a broadcast ships its WHOLE build side
+    * to every executor, so a data-scale input reaching a
+    * BroadcastExchange OOMs the fleet at 100× — the last scale-killer
+    * plan shape the sweep didn't screen. The fingerprint is the sorted
+    * set of leaf-scan names under the broadcast build side (`nation.parquet`,
+    * `range`, `rdd` for checkpointed frames …), so a rewrite that drags
+    * a NEW source under a broadcast — even in a query already audited
+    * to broadcast something else — changes the line and fails the
+    * sweep. Audited entries are all dimension-bounded builds: static
+    * dims (region/nation/supplier), per-group aggregates, decision
+    * cards, constant query draws. (Leaves named `rdd` are Materialize
+    * localCheckpoints — bounded by the audit of the frame that was
+    * checkpointed; same resolution caveat as the window pins.)
+    */
+  private lazy val pinnedBroadcasts: Set[String] =
+    loadPins("plan_broadcasts.txt")
+
+  private def leafName(p: SparkPlan): String = p match {
+    case f: FileSourceScanExec => f.relation.location.rootPaths.headOption
+      .map(_.getName).getOrElse("file")
+    case _: RangeExec => "range"
+    case _: LocalTableScanExec => "local"
+    case _: RDDScanExec => "rdd"
+    case other => other.nodeName
+  }
+
+  /** The broadcast detector under test below: one fingerprint per
+    * broadcast JOIN in the plan — the sorted distinct leaf names under
+    * the BUILD side. Matched at the strategy level (BroadcastHashJoin /
+    * BroadcastNestedLoopJoin build side) because the sweep reads the
+    * pre-AQE `sparkPlan`, where the BroadcastExchange nodes themselves
+    * are not yet inserted (EnsureRequirements adds them during
+    * executedPlan preparation).
+    */
+  private def broadcastFingerprints(plan: SparkPlan): Seq[String] =
+    plan.collectWithSubqueries {
+      case j: BroadcastHashJoinExec =>
+        (j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }).collectLeaves().map(leafName).distinct.sorted.mkString("+")
+      case j: BroadcastNestedLoopJoinExec =>
+        (j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }).collectLeaves().map(leafName).distinct.sorted.mkString("+")
     }
 
   test("all registered queries: no CartesianProduct; no graft fallback " +
@@ -87,6 +138,8 @@ class PlanSweepSpec extends SparkSpec {
     val observed = scala.collection.mutable.SortedSet[String]()
     val observedWindows = scala.collection.mutable.SortedSet[String]()
     val newWindows = scala.collection.mutable.ArrayBuffer[String]()
+    val observedBroadcasts = scala.collection.mutable.SortedSet[String]()
+    val newBroadcasts = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
@@ -97,6 +150,11 @@ class PlanSweepSpec extends SparkSpec {
         if (globalWindows(plan).nonEmpty) {
           observedWindows += name
           if (!pinnedWindows.contains(name)) newWindows += name
+        }
+        broadcastFingerprints(plan).distinct.foreach { fp =>
+          observedBroadcasts += s"$name $fp"
+          if (!pinnedBroadcasts.contains(s"$name $fp"))
+            newBroadcasts += s"$name $fp"
         }
         // ImperativeAggregate (TypedImperativeAggregate) is excluded:
         // Spark's own sketch aggregates (HLL++, percentile_approx) ride
@@ -135,6 +193,9 @@ class PlanSweepSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/plan_windows_observed.txt"),
       observedWindows.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/plan_broadcasts_observed.txt"),
+      observedBroadcasts.mkString("", "\n", "\n").getBytes("UTF-8"))
     assert(errors.isEmpty, s"queries failed to plan:\n${errors.mkString("\n")}")
     assert(carts.isEmpty,
       s"CartesianProduct planned by:\n${carts.mkString("\n")}")
@@ -152,6 +213,34 @@ class PlanSweepSpec extends SparkSpec {
         "the window's input is dimension-bounded, audit it and re-pin from " +
         "target/plan_windows_observed.txt; if it is data-scale, partition " +
         "it:\n" + newWindows.distinct.mkString("\n"))
+    assert(newBroadcasts.isEmpty,
+      "BroadcastExchange build NOT in the pinned surface " +
+        "(src/test/resources/graft/plan_broadcasts.txt) — a broadcast " +
+        "ships its whole build side to every executor, so audit that the " +
+        "build is dimension-bounded at 100×, then re-pin from " +
+        "target/plan_broadcasts_observed.txt; if it is data-scale, use a " +
+        "shuffle join:\n" + newBroadcasts.distinct.mkString("\n"))
+  }
+
+  test("the broadcast detector names a deliberately broadcast " +
+      "data-scale table") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // The regression shape the screen exists for: a data-scale corpus
+    // forced under a BroadcastExchange (OOMs every executor at 100×).
+    // Planted deliberately; the detector must name the offending leaf,
+    // or the pin-diff above is asserting nothing.
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val planted = events.join(
+      org.apache.spark.sql.functions.broadcast(docs),
+      events("user_id") === docs("doc_id"))
+    val fps = broadcastFingerprints(planted.queryExecution.sparkPlan)
+    assert(fps.contains("documents.parquet"),
+      s"detector failed to name the planted broadcast build: $fps")
+    // And a broadcast-free plan must produce no fingerprints.
+    assert(broadcastFingerprints(
+      events.groupBy("user_id").count().queryExecution.sparkPlan).isEmpty,
+      "detector flagged a plan with no broadcast")
   }
 
   test("the unpartitioned-window detector fires on a deliberate " +
