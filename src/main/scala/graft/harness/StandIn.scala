@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object StandIn {
 
+  /** Per-(session, path) memo of the PLAN returned by
+    * `spark.read.parquet` — file listing + footer schema only, exactly
+    * what a catalog table caches between queries. Every action over the
+    * returned frame still scans the parquet data; no rows or results are
+    * ever cached here. Without this, a 264-query bench pass re-lists and
+    * re-infers the same three static files once per query invocation.
+    * Keyed by session so tests with many short-lived sessions never see
+    * another session's resolved plan.
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def readParquet(spark: SparkSession, path: String): DataFrame =
+    readCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path))
+
   /** The driver's events.parquet has shipped `ts` in two layouts across
     * rounds: INT64 TIMESTAMP(NANOS) (which Spark 4.x refuses by default,
     * PARQUET_TYPE_ILLEGAL — read as a nanos long and truncate to µs) and,
@@ -32,7 +48,7 @@ object StandIn {
     * lockstep for either physical layout. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = readParquet(spark, s"$sfDir/events.parquet")
     // Exhaustive on the layouts actually shipped; anything else (a future
     // epoch-micros INT64 without the nanos flag, a VARCHAR ts) must FAIL
     // here with the observed type rather than silently mis-scale — a wrong
@@ -52,10 +68,10 @@ object StandIn {
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    fanOut(spark, spark.read.parquet(s"$sfDir/documents.parquet"))
+    fanOut(spark, readParquet(spark, s"$sfDir/documents.parquet"))
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    fanOut(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    fanOut(spark, readParquet(spark, s"$sfDir/embeddings.parquet"))
 
   /** HARNESS-ONLY remedy: the driver's testdata files each hold ONE parquet
     * row group, so a scan cannot split below one task and every post-scan
@@ -69,7 +85,7 @@ object StandIn {
     df.repartition(spark.sparkContext.defaultParallelism)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readParquet(spark, s"$sfDir/$name.parquet")
 
   /** events → flat canonical readings (+ `event_time` TimestampType). */
   def readingsFromEvents(ev: DataFrame): DataFrame = {

@@ -92,7 +92,7 @@ object Bpe {
     * char-level and byte-level trainers differ only in what a "word" is
     * (a `[a-z]+` word vs a byte-mapped pretoken), so they share this
     * loop and the tie-break/merge semantics cannot drift between them. */
-  private def trainFromCounts(
+  private[ops] def trainFromCounts(
       counts: DataFrame,
       vocabCap: Int,
       numMerges: Int): Seq[MergeRule] = {
@@ -186,8 +186,16 @@ object Bpe {
         val (a, b, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         rules += MergeRule(r + 1, a, b, a + b, pc)
-        vocab = Materialize(vocab.select(
-          MergePair.mergePair(col("syms"), a, b).alias("syms"), col("cnt")))
+        // Lineage cadence, not per-round truncation: the vocab is
+        // vocabCap-BOUNDED (a constant at any corpus scale), so carrying
+        // a few MergePair projections in the plan costs microseconds of
+        // recompute, while a localCheckpoint per round costs a full
+        // driver action — the dominant wall cost of this loop's ~0-row
+        // rounds. Checkpoint every 4th merge keeps the plan depth (and
+        // optimizer time) bounded without paying an action per round.
+        vocab = vocab.select(
+          MergePair.mergePair(col("syms"), a, b).alias("syms"), col("cnt"))
+        if ((r + 1) % 4 == 0) vocab = Materialize(vocab)
         r += 1
       }
     }

@@ -738,8 +738,14 @@ object Curation {
     def rareOf(part: DataFrame): DataFrame = part
       .select(col("doc_id"), explode(col("grams")).alias("g"))
       .join(rareGrams, "g")
-    val benchRare = rareOf(Dedup.shingleSets(docs.where(benchPredicate)))
-      .select(col("g"), col("doc_id").alias("bench_id"))
+    // Materialized: the bench-side rare-gram stream has TWO consumers —
+    // the Bloom build (an eager head() action) and the final gram join —
+    // and without the checkpoint each re-shingles the benchmark partition
+    // and re-joins the rare vocabulary, a full extra pass over the bench
+    // slice at any scale.
+    val benchRare = Materialize(
+      rareOf(Dedup.shingleSets(docs.where(benchPredicate)))
+        .select(col("g"), col("doc_id").alias("bench_id")))
     // Native Bloom expressions (graft.functions.Bloom): the filter builds
     // distributed (BloomFilterAggregate over xxhash64'd grams — the same
     // kernel Spark's runtime-filter feature uses), collapses to one binary

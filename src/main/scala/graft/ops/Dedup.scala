@@ -911,8 +911,16 @@ object Dedup {
     // materialized graph is tiny vs the corpus; the swap union over it is
     // a narrow op re-run cheaply by each round's join.
     val p = Materialize(pairs.select(col("a_id"), col("b_id")))
-    val edges = p
+    // Hash-partitioned by the loop's join key and materialized ONCE: the
+    // checkpointed frame carries its outputPartitioning, so every round's
+    // edges⋈labels join shuffles only the (node-sized) label table — the
+    // edge set, the big side at corpus scale, never re-enters an Exchange
+    // after this point (guide §2.4: two operations keyed the same way
+    // share one exchange; an iterative loop keyed the same way shares it
+    // across ALL rounds).
+    val edges = Materialize(p
       .union(p.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
+      .repartition(col("b_id")))
     // Iterate ONLY over candidate-graph nodes: every doc outside the graph
     // is a singleton whose label never moves, and at corpus scale the graph
     // is orders of magnitude smaller than the corpus — looping over full
@@ -931,32 +939,45 @@ object Dedup {
     // probe's 200k-vector near-dup graph carries ~100k-long chains through
     // the cross-decade duplicate cliques and hit the old 20 at 6 moving
     // labels — converged loops exit early, so the higher guard is free).
-    while (changed > 0 && iter < maxIters) {
+    // One propagate-then-jump step as a PLAN transformation: take the min
+    // of own and neighbors' labels, then shortcut through the label's own
+    // label (pointer jumping / path compression — l1 always names a node
+    // of the same component, so the jump stays in-component and labels
+    // only ever decrease; the fixed point is exactly the per-component
+    // minimum id, identical to the recursive-CTE oracle). `orig` rides
+    // along untouched so the caller can detect movement without a join.
+    def step(l: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels, edges("b_id") === labels("doc_id"))
+        .join(l.select(col("doc_id"), col("cluster_id")),
+          edges("b_id") === col("doc_id"))
         .groupBy(edges("a_id").alias("doc_id"))
         .agg(min(col("cluster_id")).alias("nmin"))
       val propagated =
         least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-      val stepped = labels.alias("l")
-        .join(neighborMin.alias("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").alias("old_label"),
-          propagated.alias("l1"))
-      // Pointer jump: follow l1 to ITS round-start label. l1 is always a
-      // node id of the same component (own id, or a neighbor's label, which
-      // names a graph node), so the shortcut stays within the component and
-      // only ever decreases the label — correctness is untouched, rounds
-      // drop to O(log diameter). Carry the convergence flag in the SAME
-      // pass (labels only ever decrease, so moved ⇔ new < old) — the count
-      // below is then a scan of the checkpointed frame, not another join.
-      val parent = labels
+      val stepped = l
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("orig"), propagated.alias("l1"))
+      val parent = l
         .select(col("doc_id").alias("p_id"), col("cluster_id").alias("p_label"))
-      val newLabel = least(col("l1"), coalesce(col("p_label"), col("l1")))
-      val updated = stepped
+      stepped
         .join(parent, col("l1") === col("p_id"), "left")
-        .select(col("doc_id"), newLabel.alias("new_label"),
-          (newLabel < col("old_label")).alias("moved"))
-        .transform(Materialize(_))
+        .select(col("doc_id"), col("orig"),
+          least(col("l1"), coalesce(col("p_label"), col("l1")))
+            .alias("cluster_id"))
+    }
+    while (changed > 0 && iter < maxIters) {
+      // ONE step per materialize/count round. (An r20 experiment fused
+      // two steps per round to halve the driver actions; it LOST on every
+      // document graph — the duplicated edges subtree doubles broadcast
+      // builds and plan time while shallow LSH graphs converge in 2-3
+      // steps anyway — and only broke even on the long-chain image graph,
+      // so the single step stays.) Labels decrease monotonically, so
+      // `moved ⇔ new < round start` detects movement without a join.
+      val stepped = step(
+        labels.withColumn("orig", col("cluster_id")))
+      val updated = Materialize(
+        stepped.select(col("doc_id"), col("cluster_id").alias("new_label"),
+          (col("cluster_id") < col("orig")).alias("moved")))
       changed = updated.where(col("moved")).count()
       labels = updated
         .select(col("doc_id"), col("new_label").alias("cluster_id"))
@@ -1682,17 +1703,24 @@ object Dedup {
       s"pagerankFromPairs iters=$iters out of [1, 50] — fixed-round " +
         "integer PageRank is a replayable contract, not a convergence loop")
     val p = Materialize(pairs.select(col("a_id"), col("b_id")))
-    val edges = Materialize(
-      p.union(p.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
-        .select(col("a_id").alias("src"), col("b_id").alias("dst")))
+    val sym = p
+      .union(p.select(col("b_id").alias("a_id"), col("a_id").alias("b_id")))
+      .select(col("a_id").alias("src"), col("b_id").alias("dst"))
     val deg = Materialize(
-      edges.groupBy(col("src")).agg(count(lit(1)).alias("deg")))
+      sym.groupBy(col("src")).agg(count(lit(1)).alias("deg")))
+    // Degree is loop-INVARIANT: attach it to the edge set once, and
+    // hash-partition the combined frame by `src` so each of the `iters`
+    // rounds joins only the (node-sized) rank table into the edges'
+    // standing partitioning — previously every round re-joined deg AND
+    // re-shuffled the edge set, `iters` extra edge-scale exchanges for
+    // the same integer arithmetic.
+    val edgesDeg = Materialize(
+      sym.join(deg, "src").repartition(col("src")))
     var ranks = deg.select(col("src").alias("doc_id"),
       lit(1000000L).alias("rank_micro"))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(deg, "src")
-        .join(ranks, edges("src") === ranks("doc_id"))
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("doc_id"))
         .select(col("dst"),
           expr("rank_micro DIV deg").alias("c"))
       ranks = Materialize(contrib

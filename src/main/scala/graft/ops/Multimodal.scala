@@ -366,8 +366,24 @@ object Multimodal {
   }
 
   /** GIF media for the oracle harness (see [[syntheticGifMedia]]). */
+
+  /** Document-id seed frame for the synthetic media encoders, fanned out
+    * to the session's parallelism. The driver's documents.parquet holds
+    * ONE row group, so a bare scan cannot split below one task and the
+    * codec encode/decode stages — the compute-heavy part of every mm
+    * query — would run single-core (the StandIn.fanOut remedy, applied
+    * here after projecting to the id so the round-robin exchange carries
+    * 8 bytes per row, never text). Harness-only, like StandIn.fanOut:
+    * production media tables have many row groups/files.
+    */
+  private def mediaSeedIds(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.harness.StandIn.table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+
   def gifMedia(spark: SparkSession, sfDir: String): DataFrame =
-    syntheticGifMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+    syntheticGifMedia(mediaSeedIds(spark, sfDir))
 
   /** Real audio codec over the JDK's built-in RIFF/WAVE reader
     * (`javax.sound.sampled.AudioSystem` — part of `java.desktop`, like
@@ -1172,7 +1188,11 @@ object Multimodal {
 
   /** WAV media for the oracle harness (see [[syntheticWavMedia]]). */
   def wavMedia(spark: SparkSession, sfDir: String): DataFrame =
-    syntheticWavMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+    // Deliberately NOT mediaSeedIds: `AudioSystem.getAudioInputStream`
+    // performs a synchronized provider lookup per call, so fanning the
+    // WAV decode across 32 threads buys lock contention, not speedup —
+    // measured +0.3 s per wav query at sf0.1 vs the single-task scan.
+    syntheticWavMedia(graft.harness.StandIn.table(spark, sfDir, "documents"))
 
   /** Frame sampler contract: bytes → iterator of frame payloads. */
   trait FrameSampler extends Serializable {
@@ -1232,13 +1252,13 @@ object Multimodal {
     * imperative — so they are covered by unit tests and a rows-only query.)
     */
   def documentMedia(spark: SparkSession, sfDir: String): DataFrame =
-    fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    fromDocuments(graft.harness.StandIn.table(spark, sfDir, "documents"))
 
   /** Real-PNG media for the oracle harness: one deterministic PNG per
     * document id (see [[syntheticPngMedia]]).
     */
   def pngMedia(spark: SparkSession, sfDir: String): DataFrame =
-    syntheticPngMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+    syntheticPngMedia(mediaSeedIds(spark, sfDir))
 
   /** Per-channel-mean drift tolerance for the JPEG round-trip contract.
     * JPEG quantization preserves each 8×8 block's DC coefficient to within
@@ -1318,5 +1338,5 @@ object Multimodal {
 
   /** JPEG media for the oracle harness (see [[syntheticJpegMedia]]). */
   def jpegMedia(spark: SparkSession, sfDir: String): DataFrame =
-    syntheticJpegMedia(spark.read.parquet(s"$sfDir/documents.parquet"))
+    syntheticJpegMedia(mediaSeedIds(spark, sfDir))
 }

@@ -68,15 +68,42 @@ object Profile {
     * Costs one pass per profile variant — an audit, not the default.
     */
   def profileAudit(df: DataFrame, rsd: Double = 0.05): DataFrame = {
-    val approx = profile(df, exact = false, rsd)
-      .select(col("column_name"), col("n_distinct").alias("nd_approx"))
-    profile(df)
-      .join(approx, "column_name")
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_value"), col("max_value"),
-        (abs(col("nd_approx") - col("n_distinct")) <=
-          greatest(lit(1.0), col("n_distinct") * (3 * rsd)))
+    // ONE aggregation computes the exact stats AND the HLL estimate per
+    // column — the audit previously ran profile() twice (two full scans,
+    // two Expand shuffles) and joined the results; both aggregates are
+    // functions of the same value set, so fusing them changes nothing in
+    // the output and halves the passes over the table.
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "cannot profile a zero-column frame")
+    def q(name: String) = col(s"`$name`")
+    val aggs = fields.flatMap { f =>
+      val c = q(f.name)
+      val (mn, mx) =
+        if (f.dataType.isInstanceOf[NumericType])
+          (min(c).cast("double"), max(c).cast("double"))
+        else
+          (min(lit(null).cast("double")), max(lit(null).cast("double")))
+      Seq(
+        count(c).alias(s"${f.name}__nn"),
+        countDistinct(c).alias(s"${f.name}__nd"),
+        approx_count_distinct(c, rsd).alias(s"${f.name}__nda"),
+        mn.alias(s"${f.name}__min"),
+        mx.alias(s"${f.name}__max"))
+    }
+    val one = df.agg(count(lit(1)).alias("__n"), aggs: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).alias("column_name"),
+        col("__n").alias("n_rows"),
+        (col("__n") - col(s"`${f.name}__nn`")).alias("n_null"),
+        col(s"`${f.name}__nd`").alias("n_distinct"),
+        col(s"`${f.name}__min`").alias("min_value"),
+        col(s"`${f.name}__max`").alias("max_value"),
+        (abs(col(s"`${f.name}__nda`") - col(s"`${f.name}__nd`")) <=
+          greatest(lit(1.0), col(s"`${f.name}__nd`") * (3 * rsd)))
           .alias("within_tol"))
+    }
+    one.select(explode(array(entries: _*)).alias("p")).select(col("p.*"))
   }
 
   /** Key-skew report: the top-`k` heaviest values of a prospective

@@ -42,6 +42,13 @@ object Similarity {
   def boundedBroadcast(
       df: DataFrame,
       maxRows: Int = MaxBroadcastQueries): DataFrame = {
+    // Fast path: a frame whose plan carries a LIMIT ≤ maxRows (the
+    // [[queryDraw]] shape — projections over a GlobalLimit) is bounded BY
+    // CONSTRUCTION, so the runtime probe proves nothing the plan doesn't
+    // already state. Skipping the Materialize + count there removes two
+    // driver actions per broadcast (the draw is then evaluated exactly
+    // once, by the broadcast build itself) without weakening the bound.
+    if (planBoundedBy(df, maxRows)) return broadcast(df)
     // Materialize once: probing the raw frame would re-evaluate its whole
     // lineage (scan + projections) a second time when the broadcast builds.
     val mat = Materialize(df)
@@ -50,6 +57,30 @@ object Similarity {
       s"broadcast side has > $maxRows rows; too large to broadcast — " +
         "shrink the query set or raise the bound deliberately")
     broadcast(mat)
+  }
+
+  /** True iff the analyzed plan proves `df` has at most `maxRows` rows:
+    * a GlobalLimit(n ≤ maxRows) reachable through row-count-preserving
+    * (or row-count-reducing) nodes only — 1:1 projections, aliases,
+    * filters. Conservative: any other node (generator, join, union)
+    * falls back to the runtime probe.
+    */
+  private def planBoundedBy(df: DataFrame, maxRows: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    @scala.annotation.tailrec
+    def walk(p: LogicalPlan): Boolean = p match {
+      case Project(exprs, child)
+          if !exprs.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Generator])) =>
+        walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case Filter(_, child) => walk(child)
+      case GlobalLimit(Literal(n: Int, _), _) => n <= maxRows
+      case _ => false
+    }
+    try walk(df.queryExecution.analyzed)
+    catch { case _: Throwable => false }
   }
 
   /** Deterministic Rademacher (±1) hyperplanes, seed-fixed; shared verbatim
@@ -767,7 +798,9 @@ object Similarity {
     * of silently degrading behind a rows-only count.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val e = exact.select(col("q_id"), col("neighbor_id"))
+    // Both sides are |queries| × k rows; broadcast the exact side so the
+    // semi join never plans a sort-merge over two bounded frames.
+    val e = broadcast(exact.select(col("q_id"), col("neighbor_id")))
     val hits = approx.select(col("q_id"), col("neighbor_id"))
       .join(e, Seq("q_id", "neighbor_id"), "left_semi")
     hits.agg(count(lit(1)).alias("hits"))
@@ -869,12 +902,20 @@ object Similarity {
       codes: Int = 16,
       iters: Int = 5,
       k: Int = 5,
-      refine: Int = 4): DataFrame =
+      refine: Int = 4): DataFrame = {
+    // ONE materialized prepared frame feeds both the PQ arm and the exact
+    // baseline (the ivfRecallReport convention) — previously each arm
+    // re-scanned and re-prepared the source, doubling the corpus scans of
+    // the registered recall query.
+    val prep = Materialize(prepared(embeddings))
     recallAtK(
-      pqTopK(embeddings, m, codes, iters, k, refine),
-      bruteForceTopK(embeddings, k))
+      pqTopKPrepared(prep, m, codes, iters, k, refine),
+      bruteForceTopKPrepared(prep, k))
+  }
 
-  /** [[recallAtK]] of IVFPQ vs brute force. */
+  /** [[recallAtK]] of IVFPQ vs brute force — one shared materialized
+    * prepared frame for the index build, the search, and the exact
+    * baseline (the [[pqRecallReport]] scan-sharing convention). */
   def ivfPqRecallReport(
       embeddings: DataFrame,
       cells: Int = 8,
@@ -883,10 +924,18 @@ object Similarity {
       iters: Int = 5,
       k: Int = 5,
       nprobe: Int = 2,
-      refine: Int = 4): DataFrame =
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
+    require(nprobe >= 1 && nprobe <= cells, s"bad nprobe $nprobe for $cells")
+    require(m > 0 && Dim % m == 0, s"dim $Dim must split into $m subspaces")
+    require(cells > 0 && codes > 0 && iters >= 0,
+      s"bad ivfpq params: $cells/$codes/$iters")
+    val prep = Materialize(prepared(embeddings))
+    val (encoded, cs, books) = ivfPqIndex(prep, cells, m, codes, iters)
     recallAtK(
-      ivfPqTopK(embeddings, cells, m, codes, iters, k, nprobe, refine),
-      bruteForceTopK(embeddings, k))
+      ivfPqSearch(encoded, prep, cs, books, m, k, nprobe, refine),
+      bruteForceTopKPrepared(prep, k))
+  }
 
   /** Product-quantization codebooks: the `Dim`-dimensional space split
     * into `m` contiguous subspaces of `Dim/m` dims, each with its own
@@ -945,14 +994,20 @@ object Similarity {
     }
 
   /** Exact cosine re-rank of a `(q_id, neighbor_id)` shortlist: two slim
-    * equi-joins back to the prepared vectors, then the final top-k.
+    * equi-joins back to the prepared vectors, then the final top-k. The
+    * shortlist (and the first join's output) is bounded at
+    * `|queries| × refine·k` rows, so BOTH joins broadcast it explicitly —
+    * without the hint the planner's post-checkpoint size estimates can
+    * pick a sort-merge join that shuffles the corpus-scale `prep` by
+    * q_id/neighbor_id (guide §3.1: pick the strategy deliberately; the
+    * corpus side must never shuffle for a constant-bounded probe set).
     */
   private def exactReRank(
       shortlist: DataFrame, prep: DataFrame, k: Int): DataFrame =
     topK(
-      shortlist
+      broadcast(broadcast(shortlist)
         .join(prep.select(col("vec_id").alias("q_id"),
-          col("vec").alias("q_vec"), col("norm").alias("q_norm")), "q_id")
+          col("vec").alias("q_vec"), col("norm").alias("q_norm")), "q_id"))
         .join(prep.select(col("vec_id").alias("neighbor_id"), col("vec"),
           col("norm")), "neighbor_id")
         .select(col("q_id"), col("neighbor_id"),
@@ -983,10 +1038,19 @@ object Similarity {
       codes: Int = 16,
       iters: Int = 5,
       k: Int = 5,
-      refine: Int = 4): DataFrame = {
+      refine: Int = 4): DataFrame =
+    pqTopKPrepared(Materialize(prepared(embeddings)), m, codes, iters, k,
+      refine)
+
+  private def pqTopKPrepared(
+      prep: DataFrame,
+      m: Int,
+      codes: Int,
+      iters: Int,
+      k: Int,
+      refine: Int): DataFrame = {
     require(refine >= 1, s"refine multiplier must be ≥ 1, got $refine")
     val sub = Dim / m
-    val prep = Materialize(prepared(embeddings))
     val books = pqCodebooks(prep, m, codes, iters)
     // Stage subvector slices as attributes before any per-centroid math
     // (HOF/codegen staging — see Dedup.shingleSets).
@@ -1621,15 +1685,12 @@ object Similarity {
     val qscore = round(
       dot(col("q_vec"), col("recon")) /
         (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))), 6)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id"))
-    val shortlist = coded.crossJoin(boundedBroadcast(queries))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
-        qscore.alias("qscore"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= refine * k)
-      .select(col("q_id"), col("neighbor_id"))
+    val shortlist = shortlistIds(
+      coded.crossJoin(boundedBroadcast(queries))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+          qscore.alias("qscore")),
+      refine * k)
     exactReRank(shortlist, coded, k)
   }
 
@@ -1661,15 +1722,12 @@ object Similarity {
     val qscore = round(
       dot(col("q_vec"), col("recon")) /
         (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))), 6)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id"))
-    val shortlist = coded.join(boundedBroadcast(queries), "cell")
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
-        qscore.alias("qscore"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= refine * k)
-      .select(col("q_id"), col("neighbor_id"))
+    val shortlist = shortlistIds(
+      coded.join(boundedBroadcast(queries), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+          qscore.alias("qscore")),
+      refine * k)
     exactReRank(shortlist, coded, k)
   }
 
@@ -1736,15 +1794,12 @@ object Similarity {
     val qscore = round(
       dot(col("q_vec"), col("recon")) /
         (col("q_norm") * greatest(col("recon_norm"), lit(1e-12))), 6)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id"))
-    val shortlist = coded.join(boundedBroadcast(queries), "cell")
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").alias("neighbor_id"),
-        qscore.alias("qscore"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= refine * k)
-      .select(col("q_id"), col("neighbor_id"))
+    val shortlist = shortlistIds(
+      coded.join(boundedBroadcast(queries), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").alias("neighbor_id"),
+          qscore.alias("qscore")),
+      refine * k)
     exactReRank(shortlist, coded, k)
   }
 
@@ -1793,12 +1848,32 @@ object Similarity {
       floor)
   }
 
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
-  }
+  /** Exact per-query top-k by `(cos_sim DESC, neighbor_id)` via the
+    * k-bounded [[graft.functions.TopKByScore]] aggregate instead of a
+    * `row_number` window. Identical rows and ranks (top-k under a total
+    * order is merge-order independent; the aggregate mirrors the window's
+    * NULLS LAST / Double.compare semantics) — but the window shuffled
+    * EVERY candidate row to |queries| distinct keys (a data-scale
+    * exchange into ~50 reducer keys at corpus scale) and sorted them; the
+    * aggregate's map-side partial pass bounds the exchange at
+    * `partitions × |queries| × k` rows (guide §2.3: aggregate before you
+    * shuffle).
+    */
+  private def topK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore
+        .topK(col("cos_sim"), col("neighbor_id"), k).alias("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").alias("rank"),
+        col("e.id").alias("neighbor_id"), col("e.score").alias("cos_sim"))
+
+  /** The `(q_id, neighbor_id)` shortlist face of [[topK]] for the ADC
+    * scan stages: same bounded aggregate over `qscore`, ranks dropped.
+    */
+  private def shortlistIds(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore
+        .topK(col("qscore"), col("neighbor_id"), k).alias("top"))
+      .select(col("q_id"), explode(col("top")).alias("e"))
+      .select(col("q_id"), col("e.id").alias("neighbor_id"))
 }

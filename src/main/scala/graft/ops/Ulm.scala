@@ -315,9 +315,21 @@ object Ulm {
     * tokenizer families pinned against each other cross-engine.
     */
   def compareWithBpe(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val pieces = train(docs)
+    // ONE word-count pass feeds BOTH word-level trainers: Ulm.train and
+    // Bpe.train each ran their own corpus tokenize → groupBy → top-V
+    // collect over the identical Bpe.wordCounts frame; materializing it
+    // once removes a full corpus aggregation from the card. Training
+    // arithmetic is untouched — the collects see the same rows.
+    val wc = Materialize(Bpe.wordCounts(docs))
+    val topUlm = wc.orderBy(col("cnt").desc, col("word")).limit(VocabCap)
+      .collect()
+    require(topUlm.length <= VocabCap, "top-V collect exceeded its bound")
+    val pieces = trainFromWordCounts(
+      topUlm.map(r => (r.getString(0), r.getLong(1))).toSeq)
     val ulm = tokenCounts(docs, pieces.map(p => (p.piece, -p.scoreMicro)))
-    val bpe = Bpe.tokenCountsTrained(spark, docs)
+    val bpe = Bpe.tokenCounts(docs,
+      Bpe.trainFromCounts(wc, Bpe.VocabCap, Bpe.NumMerges)
+        .map(r => (r.a, r.b)))
     // Third tokenizer (round 15): byte-level BPE trained on the same
     // corpus — byte fertility reads higher than char-BPE's because every
     // leading space is a real Ġ byte the other two never count.

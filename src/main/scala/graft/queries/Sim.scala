@@ -103,9 +103,14 @@ object QueriesSim {
   // the knob a deployment turns — while the audit pins the scaled
   // contract so the floor separates working from broken at ANY corpus
   // size.
+  // Counted on the RAW parquet read, not the StandIn frame: StandIn's
+  // harness fan-out would put a full round-robin shuffle under what is a
+  // metadata-answerable row count (parquet footers carry it), costing an
+  // extra exchange per audit query for the same number.
   private def scaledRefine(s: SparkSession, dir: String): Int =
     math.max(4,
-      math.ceil(StandIn.embeddings(s, dir).count() * 0.002).toInt)
+      math.ceil(
+        StandIn.table(s, dir, "embeddings").count() * 0.002).toInt)
 
   private def simPqRecallAudit(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAudit(
