@@ -46,7 +46,12 @@ object StandIn {
     * (Verify/Bench/SparkSpec builders), so the NTZ→TimestampType cast is
     * value-identical and DuckDB's `CAST(ts AS TIMESTAMP)` stays in
     * lockstep for either physical layout. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsFannedBy(spark, sfDir, Nil)
+
+  private def eventsFannedBy(
+      spark: SparkSession, sfDir: String,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = readParquet(spark, s"$sfDir/events.parquet")
     // Exhaustive on the layouts actually shipped; anything else (a future
@@ -64,11 +69,37 @@ object StandIn {
         s"events.parquet ts column has unhandled type $other; " +
           "add an explicit mapping (see StandIn.events scaladoc)")
     }
-    fanOut(spark, raw).withColumn("ts", ts)
+    fanOut(spark, raw, keys).withColumn("ts", ts)
   }
 
+  /** [[events]] with the harness fan-out HASH-KEYED by `user_id` instead
+    * of round-robin (r20, guide §2.4) — for the ts/window/sessionize/
+    * cdc/asof/funnel family, whose first re-key is by user_id: the same
+    * bytes move through the same harness-only exchange, but
+    * EnsureRequirements then elides every downstream exchange whose
+    * clustering includes user_id (HashPartitioning on a subset of the
+    * grouping keys satisfies the distribution), so the agg AND the
+    * window run in place — ts_resample_interp went from 3 exchanges to 1
+    * and 1.79 s to 0.55 s at sf0.1. This is the bucketed-input idiom: a
+    * production events table bucketed by entity yields the same plan.
+    * Deliberately a SEPARATE accessor: keying [[events]] itself would
+    * drag user_id into the ReadSchema of every events scan — queries
+    * that never touch user_id (value histograms, chi-square) would lose
+    * column pruning, which PlanEvidenceSpec pins as a first-class scale
+    * property. Results are partitioning-invariant by engine-wide
+    * construction (decimal/integer aggregation, 6-dp rounding); the
+    * driver already re-benches at a different core count, a bigger
+    * partitioning change than this.
+    */
+  def eventsByUser(spark: SparkSession, sfDir: String): DataFrame =
+    eventsFannedBy(spark, sfDir, Seq(col("user_id")))
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    fanOut(spark, readParquet(spark, s"$sfDir/documents.parquet"))
+    // Same entity-keyed fan-out as events (doc_id): signal frames and
+    // keeper/split joins all re-key by doc_id downstream; gram/band-keyed
+    // stages pay the same exchange either way.
+    fanOut(spark, readParquet(spark, s"$sfDir/documents.parquet"),
+      Seq(col("doc_id")))
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     fanOut(spark, readParquet(spark, s"$sfDir/embeddings.parquet"))
@@ -81,8 +112,13 @@ object StandIn {
     * groups/files and repartitioning 100 TB after scan would be a
     * full-data shuffle for nothing.
     */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+  private def fanOut(
+      spark: SparkSession, df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    if (keys.isEmpty)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else
+      df.repartition(spark.sparkContext.defaultParallelism, keys: _*)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     readParquet(spark, s"$sfDir/$name.parquet")

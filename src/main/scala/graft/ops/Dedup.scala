@@ -899,6 +899,59 @@ object Dedup {
     * (Similarity.cosineNearDupClusters) — the CC algorithm is agnostic to
     * how candidates were generated.
     */
+  /** Session-conf override for the contract-and-finish residue cap in
+    * [[componentsFromPairs]] (pairs; `0` disables the finish entirely —
+    * the pure distributed loop, used by the equivalence test and the
+    * right setting when the driver is memory-starved).
+    */
+  val FinishEdgeCapKey = "spark.graft.cc.finishEdgeCap"
+
+  /** Default residue cap: 2M contracted pairs ≈ 32 MB of longs (plus JVM
+    * tuple overhead) on the driver — the same order as a broadcast-join
+    * build side, far under `spark.driver.maxResultSize`.
+    */
+  val FinishEdgeCapDefault = 2000000L
+
+  /** Attempt the contract-and-finish every this-many rounds, starting
+    * after the round where shallow LSH document graphs (2-3 rounds) have
+    * already converged — they never pay the contraction. (Probing at 2
+    * was measured at sf0.1: no gain on the long-chain image graph, and it
+    * taxes every still-converging document graph with a contract it does
+    * not need — 3 stays.)
+    */
+  private val FinishProbeEvery = 3
+
+  /** Driver-side union-find over the contracted residue graph with
+    * union-by-minimum: the root of every set is its minimum member, so
+    * `find` reproduces exactly the per-component minimum id the
+    * distributed loop converges to. Returns only the moved mappings
+    * (label → strictly smaller root); roots themselves are absent.
+    */
+  private def finishUnionFind(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toArray.flatMap { k =>
+      val r = find(k)
+      if (r != k) Some(k -> r) else None
+    }
+  }
+
   def componentsFromPairs(
       pairs: DataFrame,
       universe: DataFrame,
@@ -982,6 +1035,60 @@ object Dedup {
       labels = updated
         .select(col("doc_id"), col("new_label").alias("cluster_id"))
       iter += 1
+      // CONTRACT-AND-FINISH for long-chain graphs (§1 probe evidence: the
+      // image pHash graph ran 14 rounds of ~8 near-empty jobs each — the
+      // loop's cost at bench scale is DRIVER ROUND-TRIPS, not data). Once
+      // the easy graphs have exited (LSH document graphs converge in 2-3
+      // rounds), contract the edge set through the current labels: the
+      // quotient graph holds one node per current label and only the
+      // inter-supernode edges — cliques are already gone, only chain
+      // residue remains. If that residue is small enough to bound (cap
+      // below, conf-overridable), finish it with a driver-side union-find
+      // whose union rule keeps the SMALLER id as root — the fixed point
+      // is the same per-component minimum id the distributed loop
+      // converges to, so results are identical by construction (pinned by
+      // ComponentsFinishSpec against the pure distributed path). A graph
+      // whose residue exceeds the cap keeps looping distributed — the
+      // 100 TB-safe fallback; the finish is the same bounded-driver-work
+      // class as a broadcast-join build (guide §3.1), never a corpus
+      // collect.
+      if (changed > 0 && iter % FinishProbeEvery == 0) {
+        val cap = labels.sparkSession.conf
+          .get(FinishEdgeCapKey, FinishEdgeCapDefault.toString).toLong
+        if (cap > 0) {
+          val la = labels
+            .select(col("doc_id").alias("a_id"), col("cluster_id").alias("ca"))
+          val lb = labels
+            .select(col("doc_id").alias("b_id"), col("cluster_id").alias("cb"))
+          val contracted = Materialize(p
+            .join(la, "a_id").join(lb, "b_id")
+            .select(col("ca").cast("long"), col("cb").cast("long"))
+            .where(col("ca") =!= col("cb")).distinct())
+          val residue = contracted.count()
+          if (residue == 0) {
+            // Every edge already joins same-label nodes: labels are
+            // component-consistent, and a consistent labeling under
+            // monotone min-propagation IS the per-component minimum
+            // (the min node's own label can never rise above itself).
+            changed = 0
+          } else if (residue <= cap) {
+            val roots = finishUnionFind(
+              contracted.collect().map(r => (r.getLong(0), r.getLong(1))))
+            if (roots.nonEmpty) {
+              val sess = labels.sparkSession
+              val rootMap = broadcast(sess.createDataFrame(
+                roots.toSeq).toDF("from_label", "to_label"))
+              labels = labels
+                .join(rootMap, col("cluster_id") === col("from_label"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("to_label"), col("cluster_id"))
+                    .alias("cluster_id"))
+            }
+            changed = 0
+          }
+          // residue > cap: graph still big — keep the distributed loop.
+        }
+      }
     }
     if (changed > 0)
       throw new IllegalStateException(
@@ -1718,15 +1825,25 @@ object Dedup {
       sym.join(deg, "src").repartition(col("src")))
     var ranks = deg.select(col("src").alias("doc_id"),
       lit(1000000L).alias("rank_micro"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("doc_id"))
         .select(col("dst"),
           expr("rank_micro DIV deg").alias("c"))
-      ranks = Materialize(contrib
+      val next = contrib
         .groupBy(col("dst").alias("doc_id"))
         .agg((lit(150000L) + expr("85 * sum(c) DIV 100"))
-          .alias("rank_micro")))
+          .alias("rank_micro"))
+      // Checkpoint every THIRD round (and the last), not every round: the
+      // rank lineage grows LINEARLY (each round adds one join + one agg —
+      // edgesDeg is a checkpointed leaf, never re-expanded), so a 3-round
+      // chain keeps the plan shallow while cutting the per-round driver
+      // action — a localCheckpoint job plus its scheduling latency, the
+      // dominant per-round cost on an already-tiny graph (§1: the probe
+      // showed ~100 near-empty jobs; §2.4 batch work between actions).
+      // Results are bit-identical: checkpointing changes WHEN rounds
+      // evaluate, not what they compute (integer micro-unit arithmetic).
+      ranks = if (i % 3 == 0 || i == iters) Materialize(next) else next
     }
     ranks
   }

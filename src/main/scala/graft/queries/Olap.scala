@@ -16,30 +16,30 @@ import graft.queries.QueryShared._
 object QueriesOlap {
 
   private def sessionize(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessions(StandIn.events(s, dir))
+    Sessionize.sessions(StandIn.eventsByUser(s, dir))
 
   // Training-mix rates shared by the sampler query and its oracle CASE.
 
   private def asofPurchaseView(s: SparkSession, dir: String): DataFrame =
-    graft.ops.AsOf.purchasesWithLatestView(StandIn.events(s, dir))
+    graft.ops.AsOf.purchasesWithLatestView(StandIn.eventsByUser(s, dir))
 
   private def rangeSessionPurchases(s: SparkSession, dir: String): DataFrame =
-    graft.ops.RangeJoin.purchasesInSessions(StandIn.events(s, dir))
+    graft.ops.RangeJoin.purchasesInSessions(StandIn.eventsByUser(s, dir))
 
   private def olapPivotEvents(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.pivotEventCounts(StandIn.events(s, dir))
 
   private def windowMovingStats(s: SparkSession, dir: String): DataFrame =
-    graft.ops.WindowOps.movingStats(StandIn.events(s, dir))
+    graft.ops.WindowOps.movingStats(StandIn.eventsByUser(s, dir))
 
   private def olapCubeEvents(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.cubeEventStats(StandIn.events(s, dir))
 
   private def windowLagLead(s: SparkSession, dir: String): DataFrame =
-    graft.ops.WindowOps.lagLeadStats(StandIn.events(s, dir))
+    graft.ops.WindowOps.lagLeadStats(StandIn.eventsByUser(s, dir))
 
   private def funnelConversion(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Funnel.conversion(StandIn.events(s, dir))
+    graft.ops.Funnel.conversion(StandIn.eventsByUser(s, dir))
 
   private def olapPricingSummary(s: SparkSession, dir: String): DataFrame =
     graft.ops.Olap.pricingSummary(StandIn.table(s, dir, "lineitem"))
@@ -133,7 +133,7 @@ object QueriesOlap {
     // microsecond arithmetic): AsOf.asofNearest via the one-exchange
     // double-window trick; oracle = the declarative per-key product.
     "asof_nearest_view"   -> ((s, d) =>
-      graft.ops.AsOf.purchasesWithNearestView(StandIn.events(s, d))),
+      graft.ops.AsOf.purchasesWithNearestView(StandIn.eventsByUser(s, d))),
 
     "range_session_purchases" -> ((s, d) => rangeSessionPurchases(s, d)),
 
@@ -185,19 +185,19 @@ object QueriesOlap {
     "join_revenue_nation" -> ((s, d) => joinRevenueNation(s, d)),
 
     "window_topn"         -> ((s, d) =>
-      graft.ops.WindowOps.topNPerUser(StandIn.events(s, d))),
+      graft.ops.WindowOps.topNPerUser(StandIn.eventsByUser(s, d))),
 
     "window_rank_ties"    -> ((s, d) =>
       graft.ops.WindowOps.valueRanks(StandIn.events(s, d))),
 
     "cdc_apply"           -> ((s, d) =>
-      graft.ops.Cdc.applyLatest(StandIn.events(s, d))),
+      graft.ops.Cdc.applyLatest(StandIn.eventsByUser(s, d))),
 
     "scd2_history"        -> ((s, d) =>
-      graft.ops.Cdc.scd2History(StandIn.events(s, d))),
+      graft.ops.Cdc.scd2History(StandIn.eventsByUser(s, d))),
 
     "scd2_asof_probe"     -> ((s, d) =>
-      graft.ops.Cdc.scd2AsOfProbe(StandIn.events(s, d))),
+      graft.ops.Cdc.scd2AsOfProbe(StandIn.eventsByUser(s, d))),
 
     "join_semi_orders"    -> ((s, d) =>
       graft.ops.SetOps.customersWithUrgentOrders(
@@ -208,19 +208,19 @@ object QueriesOlap {
         StandIn.table(s, d, "customer"), StandIn.table(s, d, "orders"))),
 
     "set_except_users"    -> ((s, d) =>
-      graft.ops.SetOps.clickersNotBuyers(StandIn.events(s, d))),
+      graft.ops.SetOps.clickersNotBuyers(StandIn.eventsByUser(s, d))),
 
     "set_intersect_users" -> ((s, d) =>
-      graft.ops.SetOps.clickersAlsoBuyers(StandIn.events(s, d))),
+      graft.ops.SetOps.clickersAlsoBuyers(StandIn.eventsByUser(s, d))),
 
     "join_full_outer"     -> ((s, d) =>
-      graft.ops.SetOps.dailyClickPurchaseMatrix(StandIn.events(s, d))),
+      graft.ops.SetOps.dailyClickPurchaseMatrix(StandIn.eventsByUser(s, d))),
 
     "olap_event_lift"     -> ((s, d) =>
       graft.ops.Olap.eventTypeLift(StandIn.events(s, d))),
 
     "olap_retention"      -> ((s, d) =>
-      graft.ops.Olap.retentionCohorts(StandIn.events(s, d))),
+      graft.ops.Olap.retentionCohorts(StandIn.eventsByUser(s, d))),
 
     "olap_histogram"      -> ((s, d) =>
       graft.ops.Olap.valueHistogram(StandIn.events(s, d))),
@@ -257,7 +257,7 @@ object QueriesOlap {
     // Kafka delete.retention / Delta-CDC VACUUM face next to cdc_apply's
     // plain snapshot (Cdc.compactChangelog).
     "cdc_compact_gc"      -> ((s, d) =>
-      graft.ops.Cdc.compactChangelog(StandIn.events(s, d))),
+      graft.ops.Cdc.compactChangelog(StandIn.eventsByUser(s, d))),
 
     // File-compaction planner over a synthetic manifest (lang-partition
     // files of ~filesPerPart docs): per-partition size-desc next-fit

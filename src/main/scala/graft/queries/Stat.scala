@@ -161,10 +161,10 @@ object QueriesStat {
       graft.ops.Olap.benfordScreen(StandIn.events(s, d))),
 
     "ts_resample_interp"  -> ((s, d) =>
-      graft.ops.Resample.hourlyInterpolate(StandIn.events(s, d))),
+      graft.ops.Resample.hourlyInterpolate(StandIn.eventsByUser(s, d))),
 
     "ts_resample_ffill"   -> ((s, d) =>
-      graft.ops.Resample.hourlyFfill(StandIn.events(s, d))),
+      graft.ops.Resample.hourlyFfill(StandIn.eventsByUser(s, d))),
 
     "ts_ewma"             -> ((s, d) =>
       graft.ops.Resample.ewma(StandIn.events(s, d), EwmaAlpha)),
